@@ -1,0 +1,242 @@
+"""Engine-portable scalar expressions, emitted as ANSI SQL strings.
+
+This module is the parity mechanism between the Spark engine and the
+DuckDB correctness oracle: each function renders ONE SQL expression
+evaluated by both engines, parameterized by a small :class:`Dialect`
+that encapsulates the handful of constructs whose spelling or
+semantics differ (day-of-week origin, global regexp replace, numeric
+truncation).  Keeping these JVM-evaluable (plain SQL, no Python UDFs)
+also keeps them inside whole-stage codegen on the Spark side; a
+cross-engine grid test (tests/test_sql_parity.py) pins that both
+dialects produce identical values.
+
+Domain semantics mirrored from the reference:
+
+- time slots:     /root/reference/src/types/time_slots.rs:27-201
+- route sections: /root/reference/src/types/route_sections.rs:37-52
+- 12 s delay rounding (trunc toward zero, Rust integer division):
+                  /root/reference/src/analyser/specific_curves.rs:316-321
+- haversine:      /root/reference/src/monitor/journey_data.rs:61-77
+- GTFS noon-anchored datetime: /root/reference/src/types/gtfs_time.rs:53-56
+"""
+
+from __future__ import annotations
+
+
+class Dialect:
+    """Engine-specific SQL spellings. Everything else is shared ANSI."""
+
+    name = "ansi"
+
+    def dow(self, ts: str) -> str:
+        """days-from-Monday (Mon=0..Sun=6) of a timestamp expression."""
+        raise NotImplementedError
+
+    def regexp_replace_all(self, s: str, pattern: str, replacement: str) -> str:
+        raise NotImplementedError
+
+    def trunc_num(self, x: str) -> str:
+        """Truncate a double toward zero, returning an integer type."""
+        raise NotImplementedError
+
+    def regexp_count(self, s: str, pattern: str) -> str:
+        raise NotImplementedError
+
+
+class SparkDialect(Dialect):
+    name = "spark"
+
+    def dow(self, ts: str) -> str:
+        # dayofweek: Sun=1..Sat=7
+        return f"((dayofweek({ts}) + 5) % 7)"
+
+    def regexp_replace_all(self, s, pattern, replacement):
+        # Spark's 3-arg regexp_replace is global
+        return f"regexp_replace({s}, '{pattern}', '{replacement}')"
+
+    def trunc_num(self, x: str) -> str:
+        # CAST double→int truncates toward zero in Spark
+        return f"CAST({x} AS INT)"
+
+    def regexp_count(self, s, pattern):
+        return f"regexp_count({s}, '{pattern}')"
+
+
+class DuckDBDialect(Dialect):
+    name = "duckdb"
+
+    def dow(self, ts: str) -> str:
+        # isodow: Mon=1..Sun=7
+        return f"(CAST(isodow({ts}) AS INTEGER) - 1)"
+
+    def regexp_replace_all(self, s, pattern, replacement):
+        return f"regexp_replace({s}, '{pattern}', '{replacement}', 'g')"
+
+    def trunc_num(self, x: str) -> str:
+        # CAST double→int ROUNDS in DuckDB; use trunc() first
+        return f"CAST(trunc({x}) AS INTEGER)"
+
+    def regexp_count(self, s, pattern):
+        return f"len(regexp_extract_all({s}, '{pattern}'))"
+
+
+SPARK = SparkDialect()
+DUCKDB = DuckDBDialect()
+
+
+# ---------------------------------------------------------------------------
+# GTFS domain expressions
+# ---------------------------------------------------------------------------
+
+# (id, min_weekday, max_weekday, min_hour, max_hour) — weekdays as
+# days-from-Monday (Mon=0..Sun=6), hours [min, max) with wrap-around
+# when min > max.  First match wins; id 12 is the always-matching
+# DEFAULT slot.
+TIME_SLOTS: tuple[tuple[int, int, int, int, int], ...] = (
+    (1, 0, 4, 4, 6),    # workday morning
+    (2, 0, 4, 6, 8),    # workday morning rush
+    (3, 0, 4, 8, 12),   # workday late morning
+    (4, 0, 4, 12, 14),  # workday noon rush
+    (5, 0, 4, 14, 16),  # workday afternoon
+    (6, 0, 4, 16, 18),  # workday afternoon rush
+    (7, 0, 4, 18, 20),  # workday evening
+    (8, 5, 5, 4, 20),   # saturday day
+    (9, 6, 6, 4, 20),   # sunday day
+    (10, 6, 3, 20, 4),  # night before workday (Sun-Thu, wraps both axes)
+    (11, 4, 5, 20, 4),  # night before weekend day (Fri-Sat)
+)
+
+TIME_SLOT_DEFAULT_ID = 12
+
+
+def _range_cond(expr: str, lo: int, hi: int, half_open: bool) -> str:
+    cmp_hi = "<" if half_open else "<="
+    if lo > hi:  # wrap-around
+        return f"({expr} >= {lo} OR {expr} {cmp_hi} {hi})"
+    return f"({expr} >= {lo} AND {expr} {cmp_hi} {hi})"
+
+
+def time_slot_id(ts: str, d: Dialect) -> str:
+    """CASE expression classifying a timestamp into time-slot ids 1-11
+    (12 = unreachable fallback, kept for totality). First match wins,
+    matching the reference's scan order."""
+    dow, hour = d.dow(ts), f"hour({ts})"
+    whens = []
+    for sid, wlo, whi, hlo, hhi in TIME_SLOTS:
+        day = _range_cond(dow, wlo, whi, half_open=False)
+        hr = _range_cond(hour, hlo, hhi, half_open=True)
+        whens.append(f"WHEN {day} AND {hr} THEN {sid}")
+    return "CASE " + " ".join(whens) + f" ELSE {TIME_SLOT_DEFAULT_ID} END"
+
+
+def route_section(stop_index: str, stop_count: str, d: Dialect) -> str:
+    """'beginning' / 'middle' / 'end' with section_size =
+    min(5, stop_count/3) (integer division; stop_index is 0-based)."""
+    size = f"LEAST(5, {d.trunc_num(f'({stop_count}) / 3.0')})"
+    return (
+        f"CASE WHEN {stop_index} < {size} THEN 'beginning' "
+        f"WHEN ({stop_count}) - ({stop_index}) <= {size} THEN 'end' "
+        f"ELSE 'middle' END"
+    )
+
+
+def round_to_12s(delay: str, d: Dialect) -> str:
+    """Rust ``(d/12)*12``: integer division truncating toward zero —
+    NOT floor — so -13 → -12, not -24."""
+    return f"({d.trunc_num(f'({delay}) / 12.0')} * 12)"
+
+
+def haversine_m(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle distance in meters (double precision)."""
+    return (
+        "(2 * 6371000.0 * ASIN(SQRT("
+        f"POW(SIN(RADIANS(({lat2}) - ({lat1})) / 2), 2) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
+        f"POW(SIN(RADIANS(({lon2}) - ({lon1})) / 2), 2)"
+        ")))"
+    )
+
+
+def gtfs_noon_datetime(service_date: str, seconds: str) -> str:
+    """GTFS rule: event time = service_day@12:00 + (seconds - 12h),
+    which is DST-safe for times past midnight (up to 27:00:00+)."""
+    return (
+        f"(CAST({service_date} AS TIMESTAMP) + INTERVAL 12 HOUR "
+        f"+ (({seconds}) - 43200) * INTERVAL 1 SECOND)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+# tiny per-language marker-word lists for the stopword language-ID
+# heuristic; ties break by list order here (en < de < fr < es)
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "and", "of", "with")),
+    ("de", ("der", "die", "und", "das")),
+    ("fr", ("le", "la", "et", "les")),
+    ("es", ("el", "los", "que", "para")),
+)
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def token_count(text: str, d: Dialect) -> str:
+    """Whitespace-delimited token count; 0 for blank strings."""
+    norm = d.regexp_replace_all(f"TRIM({text})", " +", " ")
+    spaces = f"(LENGTH({norm}) - LENGTH(REPLACE({norm}, ' ', '')))"
+    return f"(CASE WHEN LENGTH(TRIM({text})) = 0 THEN 0 ELSE {spaces} + 1 END)"
+
+
+def word_occurrences(text: str, word: str) -> str:
+    """Whole-word, case-insensitive occurrence count (non-overlapping),
+    via pad-and-replace so it is identical SQL in both engines.
+    Single-space padding means back-to-back repeats count every other
+    occurrence — acceptable and *identical* in both engines."""
+    padded = f"CONCAT(' ', LOWER({text}), ' ')"
+    needle = f" {word} "
+    return (
+        f"CAST((LENGTH({padded}) - LENGTH(REPLACE({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS INTEGER)"
+    )
+
+
+def lang_score(text: str, lang: str) -> str:
+    words = dict(LANG_MARKERS)[lang]
+    return "(" + " + ".join(word_occurrences(text, w) for w in words) + ")"
+
+
+def lang_id(text: str) -> str:
+    """argmax over language marker scores; ties break in LANG_MARKERS
+    order via strictly-greater comparison against all later languages."""
+    langs = [l for l, _ in LANG_MARKERS]
+    scores = {l: lang_score(text, l) for l in langs}
+    whens = []
+    for i, l in enumerate(langs[:-1]):
+        conds = []
+        for j, m in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"{scores[l]} {op} {scores[m]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+
+
+def stopword_count(text: str) -> str:
+    return "(" + " + ".join(word_occurrences(text, w) for w in STOPWORDS) + ")"
+
+
+def quality_score(text: str, d: Dialect) -> str:
+    """Heuristic document quality in [0,1]: mean of a length signal,
+    an alphabetic-character ratio, and a stopword-presence signal.
+    ROUND(…, 4) keeps cross-engine float drift out of the hash."""
+    n = f"LENGTH({text})"
+    alpha = f"LENGTH({d.regexp_replace_all(text, '[^a-zA-Z ]', '')})"
+    length_signal = f"LEAST(1.0, {n} / 500.0)"
+    alpha_ratio = f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({alpha} AS DOUBLE) / {n} END)"
+    stop_signal = f"LEAST(1.0, {stopword_count(text)} / 10.0)"
+    return f"ROUND(({length_signal} + {alpha_ratio} + {stop_signal}) / 3.0, 4)"

@@ -1,0 +1,178 @@
+"""Cross-engine parity: every expression in functions.sql_shared must
+produce identical values in Spark and DuckDB over an adversarial grid.
+This is what makes the DuckDB oracle a valid referee for the engine."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+
+from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+
+def eval_both(spark, pdf: pd.DataFrame, spark_expr: str, duck_expr: str):
+    from dystonse_gtfs_importer_spark.session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [r[0] for r in sdf.selectExpr(f"{spark_expr} AS v").collect()]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = [r[0] for r in con.execute(f"SELECT {duck_expr} AS v FROM t").fetchall()]
+    return got_spark, got_duck
+
+
+@pytest.fixture(scope="module")
+def ts_grid() -> pd.DataFrame:
+    # one timestamp for every (weekday, hour): 2024-01-01 is a Monday
+    rows = [
+        dt.datetime(2024, 1, 1 + d, h, 30, 0)
+        for d in range(7)
+        for h in range(24)
+    ]
+    return pd.DataFrame({"ts": pd.Series(rows, dtype="datetime64[us]")})
+
+
+class TestTimeSlot:
+    def test_all_weekday_hour_combos(self, spark, ts_grid):
+        a, b = eval_both(
+            spark, ts_grid,
+            S.time_slot_id("ts", S.SPARK),
+            S.time_slot_id("ts", S.DUCKDB),
+        )
+        assert a == b
+        # spot-check the reference's semantics directly
+        lookup = dict(zip(ts_grid["ts"], a))
+        assert lookup[dt.datetime(2024, 1, 1, 5, 30)] == 1    # Mon 05:30
+        assert lookup[dt.datetime(2024, 1, 1, 2, 30)] == 10   # Mon night
+        assert lookup[dt.datetime(2024, 1, 5, 2, 30)] == 11   # Fri night
+        assert lookup[dt.datetime(2024, 1, 6, 12, 30)] == 8   # Sat day
+        assert lookup[dt.datetime(2024, 1, 7, 21, 30)] == 10  # Sun 21:30
+        assert lookup[dt.datetime(2024, 1, 5, 21, 30)] == 11  # Fri 21:30
+        # every ts classified 1-11 (DEFAULT unreachable)
+        assert set(a) <= set(range(1, 12))
+
+    def test_all_eleven_slots_hit(self, spark, ts_grid):
+        a, _ = eval_both(spark, ts_grid,
+                         S.time_slot_id("ts", S.SPARK),
+                         S.time_slot_id("ts", S.DUCKDB))
+        assert set(a) == set(range(1, 12))
+
+
+class TestRoundTo12:
+    def test_trunc_toward_zero(self, spark):
+        pdf = pd.DataFrame({"d": [-25, -24, -13, -12, -1, 0, 1, 11, 12, 13, 25, 3000, -3000, 7]})
+        a, b = eval_both(spark, pdf,
+                         S.round_to_12s("d", S.SPARK),
+                         S.round_to_12s("d", S.DUCKDB))
+        assert a == b
+        expect = [int(x / 12) * 12 for x in pdf["d"]]  # python int() truncs
+        assert a == expect
+        assert dict(zip(pdf["d"], a))[-13] == -12  # not floor (-24)
+
+
+class TestRouteSection:
+    def test_grid(self, spark):
+        rows = [(i, n) for n in (1, 2, 5, 9, 14, 15, 16, 30, 60) for i in range(n)]
+        pdf = pd.DataFrame(rows, columns=["idx", "cnt"])
+        a, b = eval_both(spark, pdf,
+                         S.route_section("idx", "cnt", S.SPARK),
+                         S.route_section("idx", "cnt", S.DUCKDB))
+        assert a == b
+        lookup = dict(zip(zip(pdf["idx"], pdf["cnt"]), a))
+        # stop_count=30 → section_size=5: idx 0-4 beginning, 25-29 end
+        assert lookup[(0, 30)] == "beginning"
+        assert lookup[(4, 30)] == "beginning"
+        assert lookup[(5, 30)] == "middle"
+        assert lookup[(24, 30)] == "middle"
+        assert lookup[(25, 30)] == "end"
+        # stop_count=9 → size=3
+        assert lookup[(2, 9)] == "beginning"
+        assert lookup[(3, 9)] == "middle"
+        assert lookup[(6, 9)] == "end"
+        # tiny trips: size=0 → everything middle
+        assert lookup[(0, 2)] == "middle"
+
+
+class TestHaversine:
+    def test_close_values(self, spark):
+        pdf = pd.DataFrame({
+            "lat1": [53.08, 53.08, 0.0, 52.5],
+            "lon1": [8.80, 8.80, 0.0, 13.4],
+            "lat2": [53.081, 53.08, 0.0, 48.1],
+            "lon2": [8.80, 8.803, 0.001, 11.6],
+        })
+        expr_s = f"ROUND({S.haversine_m('lat1','lon1','lat2','lon2')}, 6)"
+        a, b = eval_both(spark, pdf, expr_s, expr_s)
+        assert a == pytest.approx(b, abs=1e-6)
+        assert a[0] == pytest.approx(111.2, rel=0.01)   # ~111 m per mdeg lat
+        assert a[2] == pytest.approx(111.2, rel=0.01)
+
+
+class TestGtfsNoonDatetime:
+    def test_seconds_past_midnight_and_27h(self, spark):
+        pdf = pd.DataFrame({
+            "d": pd.Series([dt.date(2024, 3, 30)] * 4, dtype="object"),
+            "s": [0, 43200, 86400, 97200],  # 00:00, 12:00, 24:00, 27:00
+        })
+        pdf["d"] = pd.to_datetime(pdf["d"])
+        a, b = eval_both(spark, pdf,
+                         S.gtfs_noon_datetime("d", "s"),
+                         S.gtfs_noon_datetime("d", "s"))
+        assert a == b
+        assert a[0] == dt.datetime(2024, 3, 30, 0, 0)
+        assert a[2] == dt.datetime(2024, 3, 31, 0, 0)   # 24:00 → next day
+        assert a[3] == dt.datetime(2024, 3, 31, 3, 0)   # 27:00 → 03:00 next day
+
+
+TEXTS = [
+    "the quick brown fox and the lazy dog of doom",
+    "der hund und die katze und das haus",
+    "le chat et la maison et les arbres",
+    "el gato y los perros que para nada",
+    "",
+    "   ",
+    "single",
+    "a a a a a",
+    "Mixed THE Case And Of Der Die text",
+    "punctuation, everywhere! yes; really? (ok)",
+]
+
+
+class TestTextExprs:
+    def setup_method(self):
+        self.pdf = pd.DataFrame({"text": TEXTS})
+
+    def test_token_count(self, spark):
+        a, b = eval_both(spark, self.pdf,
+                         S.token_count("text", S.SPARK),
+                         S.token_count("text", S.DUCKDB))
+        assert a == b
+        expect = [len(t.split()) for t in TEXTS]
+        assert a == expect
+
+    def test_word_occurrences(self, spark):
+        expr = S.word_occurrences("text", "the")
+        a, b = eval_both(spark, self.pdf, expr, expr)
+        assert a == b
+        assert a[0] == 2  # "the" twice in first text
+        assert a[8] == 1  # case-insensitive
+
+    def test_lang_id(self, spark):
+        expr = S.lang_id("text")
+        a, b = eval_both(spark, self.pdf, expr, expr)
+        assert a == b
+        assert a[0] == "en"
+        assert a[1] == "de"
+        assert a[2] == "fr"
+        assert a[3] == "es"
+
+    def test_quality_score(self, spark):
+        a, b = eval_both(spark, self.pdf,
+                         S.quality_score("text", S.SPARK),
+                         S.quality_score("text", S.DUCKDB))
+        assert a == pytest.approx(b, abs=1e-9)
+        assert all(0.0 <= v <= 1.0 for v in a)
