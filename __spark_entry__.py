@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline on sf0.001 (smoke check).
+``queries()`` / ``oracle_sql()`` — per-operator Spark implementations
+with DuckDB oracle SQL, compared by the driver at sf0.01.
+
+Implementations live in ``dystonse_gtfs_importer_spark.plans``;
+this module is a thin adapter.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: per-group weighted-ECDF delay curves (the
+    reference's central make_curve UDAF, SURVEY §2 A3) computed over
+    /root/testdata/sf0.001, exploded to (group, x, y) points."""
+    from dystonse_gtfs_importer_spark.plans.analyse import ecdf_curve_points
+    from dystonse_gtfs_importer_spark.session import configure_for_oracle
+    from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+    configure_for_oracle(spark)
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    return ecdf_curve_points(events, group_cols=["event_type"], value_col="value")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dystonse_gtfs_importer_spark.plans import oracle_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return oracle_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dystonse_gtfs_importer_spark.plans import oracle_queries
+
+    return oracle_queries.oracle_sql()

@@ -1,0 +1,89 @@
+"""The analyse pipeline: distributed curve building.
+
+Re-expresses the reference's ``analyse compute-curves`` driver loops
+(/root/reference/src/analyser/specific_curves.rs,
+/root/reference/src/analyser/default_curves.rs) as single Spark jobs:
+no per-route driver loops — one shuffle per grouping, curve math in
+Arrow-batched ``applyInPandas`` kernels.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, DoubleType, FloatType, LongType, StructField, StructType,
+)
+
+from .. import curves as cv
+
+CURVE_TYPE = ArrayType(StructType([
+    StructField("x", FloatType()), StructField("y", FloatType()),
+]))
+
+
+def ecdf_curve_points(df: DataFrame, group_cols: list[str], value_col: str,
+                      min_samples: int = 2) -> DataFrame:
+    """A3 ``make_curve`` (unfocused) per group, exploded to one row per
+    curve point: (group..., x double, y double, sample_size long).
+
+    Exploded-point form keeps the result SQL-expressible (cumulative
+    count / total over distinct values), which is what the DuckDB
+    oracle checks; the array-typed variant for storage is
+    :func:`curve_table`.
+    """
+    fields = [df.schema[c] for c in group_cols]
+    out_schema = StructType(fields + [
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("sample_size", LongType()),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].dropna().to_numpy(dtype="float64")
+        made = cv.make_curve(vals) if len(vals) >= min_samples else None
+        if made is None:
+            return pd.DataFrame({f.name: pd.Series(dtype="object")
+                                 for f in out_schema.fields})
+        curve, _total = made
+        n = len(curve)
+        out = {c: [pdf[c].iloc[0]] * n for c in group_cols}
+        out["x"] = curve.xs
+        out["y"] = curve.ys
+        out["sample_size"] = [len(vals)] * n
+        return pd.DataFrame(out)
+
+    return df.groupBy(*group_cols).applyInPandas(build, out_schema)
+
+
+def curve_table(df: DataFrame, group_cols: list[str], value_col: str,
+                min_samples: int = 20, simplify_eps: float | None = 0.01,
+                focus_col: str | None = None) -> DataFrame:
+    """A3+A4: one curve *row* per group with an array<struct<x,y>>
+    column — the storage form for general_delay / default_curves
+    tables (min-sample gate F13 applied inside the kernel)."""
+    fields = [df.schema[c] for c in group_cols]
+    out_schema = StructType(fields + [
+        StructField("curve", CURVE_TYPE),
+        StructField("sample_size", LongType()),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].dropna().to_numpy(dtype="float64")
+        if len(vals) < min_samples:
+            return pd.DataFrame({f.name: pd.Series(dtype="object")
+                                 for f in out_schema.fields})
+        focus = float(pdf[focus_col].iloc[0]) if focus_col else None
+        made = cv.make_curve(vals, focus)
+        if made is None:
+            return pd.DataFrame({f.name: pd.Series(dtype="object")
+                                 for f in out_schema.fields})
+        curve, _ = made
+        if simplify_eps is not None:
+            curve = cv.simplify(curve, simplify_eps)
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        row["curve"] = curve.points()
+        row["sample_size"] = len(vals)
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(build, out_schema)

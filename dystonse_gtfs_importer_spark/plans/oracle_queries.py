@@ -1,0 +1,441 @@
+"""The driver-facing query registry: every entry pairs a Spark
+implementation with a DuckDB oracle over the same parquet tables.
+
+Each query re-expresses one (or a family of) SURVEY.md §2 operators on
+the driver's synthetic star schema; the GTFS-domain pipelines exercise
+the same operators on GTFS-shaped fixtures in tests/.
+
+Design rules (scale-first):
+
+* Spark side is declarative (spark.sql / DataFrame API) — Catalyst
+  handles pushdown, pruning, and join strategy; dimension tables get
+  broadcast hints where the optimizer can't see their size.
+* Shared scalar logic comes from functions.sql_shared rendered per
+  dialect, so engine and oracle cannot drift.
+* Every float aggregate is ROUNDed on both sides: cross-engine double
+  summation-order drift must not reach the value hash.
+* Timestamps leave queries as whole-second epochs (both engines
+  truncate identically) — never raw sub-second timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import sql_shared as S
+from ..sources.testdata import register_views
+
+
+@dataclass
+class QueryDef:
+    """A Spark query plus its DuckDB oracle (None → rows-only check)."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ref: str  # SURVEY.md §2 operator ids this covers
+
+
+def _sql_pair(template: Callable[[S.Dialect], str], survey_ref: str) -> QueryDef:
+    """Build a QueryDef whose Spark side runs the dialect-rendered SQL
+    over registered temp views — maximal engine/oracle parity."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..session import configure_for_oracle
+
+        configure_for_oracle(spark)
+        register_views(spark, sf_dir)
+        return spark.sql(template(S.SPARK))
+
+    return QueryDef(spark=run, oracle=template(S.DUCKDB), survey_ref=survey_ref)
+
+
+def _epoch_s(ts: str, d: S.Dialect) -> str:
+    """Whole-second epoch (truncated) — identical in both engines."""
+    if d.name == "spark":
+        return f"unix_timestamp({ts})"
+    return f"(epoch_us({ts}) // 1000000)"
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A1, A2, A8, A9, F13)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(d: S.Dialect) -> str:
+    # A9/A1-style multi-aggregate with sanity filter (F1 analog) and
+    # post-aggregation min-sample gate (F13)
+    return """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        HAVING COUNT(*) >= 10
+    """
+
+
+def q_hourly_event_stats(d: S.Dialect) -> str:
+    # A1: fixed-width time buckets with count + avg
+    bucket = _epoch_s("date_trunc('hour', ts)", d)
+    return f"""
+        SELECT {bucket} AS bucket_s, event_type,
+               COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        WHERE value BETWEEN -36000 AND 36000
+        GROUP BY 1, 2
+    """
+
+
+def q_global_minmax(d: S.Dialect) -> str:
+    # A2: global min/max of the recording time + value bounds
+    lo = _epoch_s("MIN(ts)", d)
+    hi = _epoch_s("MAX(ts)", d)
+    return f"""
+        SELECT {lo} AS min_ts_s, {hi} AS max_ts_s,
+               ROUND(MIN(value), 4) AS min_value,
+               ROUND(MAX(value), 4) AS max_value,
+               COUNT(*) AS n
+        FROM events
+    """
+
+
+def q_distinct_users(d: S.Dialect) -> str:
+    # A8: DISTINCT per group
+    return """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """
+
+
+def q_rollup_ladder(d: S.Dialect) -> str:
+    # A6 fallback-ladder analog: GROUPING SETS specific → per-nation →
+    # grand total, with grouping() flags as the precision marker
+    return """
+        SELECT COALESCE(n_name, '<all>') AS nation,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+    """
+
+
+# ---------------------------------------------------------------------------
+# joins (J3, J5, J6, J7)
+# ---------------------------------------------------------------------------
+
+def q_stop_pair_counts(d: S.Dialect) -> str:
+    # J5: per-vehicle stop-pair self-join with theta < on sequence
+    return """
+        SELECT a.l_linenumber AS seq_from, b.l_linenumber AS seq_to,
+               COUNT(*) AS n_pairs,
+               ROUND(AVG(b.l_extendedprice - a.l_extendedprice), 4) AS avg_price_delta
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_linenumber < b.l_linenumber
+        GROUP BY 1, 2
+    """
+
+
+def q_asof_join(d: S.Dialect) -> str:
+    # J3: each event matched to the newest order of the same customer
+    # dated at-or-before the event (rt-file → schedule as-of rule)
+    return """
+        SELECT event_id, o_orderkey AS matched_order
+        FROM (
+            SELECT e.event_id, o.o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) t
+        WHERE rn = 1
+    """
+
+
+def q_anti_join(d: S.Dialect) -> str:
+    # J7/F9: left-anti — users with events but no Realtime-analog
+    # ('purchase') twin row
+    return """
+        SELECT DISTINCT user_id FROM events e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.value > 140.0)
+    """
+
+
+def q_spatial_neighbors(d: S.Dialect) -> str:
+    # J6: haversine neighbor self-join on synthesized coordinates
+    # (suppliers placed on a deterministic 100x100 grid near Bremen)
+    hav = S.haversine_m("a.lat", "a.lon", "b.lat", "b.lon")
+    coords = """
+        SELECT s_suppkey,
+               53.0 + (s_suppkey % 40) * 0.002 AS lat,
+               8.8 + ((s_suppkey * 7) % 40) * 0.002 AS lon
+        FROM supplier
+    """
+    return f"""
+        WITH coords AS ({coords})
+        SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+               ROUND({hav}, 2) AS dist_m
+        FROM coords a JOIN coords b ON a.s_suppkey < b.s_suppkey
+        WHERE ROUND({hav}, 2) < 300.0
+    """
+
+
+# ---------------------------------------------------------------------------
+# windows (W1, W2, W4 + F10)
+# ---------------------------------------------------------------------------
+
+def q_latest_wins(d: S.Dialect) -> str:
+    # W2: latest time_of_recording wins per logical PK
+    return """
+        SELECT user_id, event_type, event_id AS latest_event,
+               ROUND(value, 4) AS value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) t WHERE rn = 1
+    """
+
+
+def q_forward_fill(d: S.Dialect) -> str:
+    # W1: forward-fill the last non-null observation per vehicle
+    # ('error' events carry no value → filled from the previous event)
+    if d.name == "spark":
+        filled = ("last(CASE WHEN event_type <> 'error' THEN value END, true) "
+                  "OVER w")
+    else:
+        filled = ("last_value(CASE WHEN event_type <> 'error' THEN value END "
+                  "IGNORE NULLS) OVER w")
+    return f"""
+        SELECT event_id, user_id,
+               ROUND({filled}, 4) AS value_filled
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_non_final_stops(d: S.Dialect) -> str:
+    # W4 + F10: drop each trip's final stop via per-trip max(sequence)
+    return """
+        SELECT l_orderkey, l_linenumber
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   MAX(l_linenumber) OVER (PARTITION BY l_orderkey) AS max_ln
+            FROM lineitem
+        ) t WHERE l_linenumber < max_ln
+    """
+
+
+# ---------------------------------------------------------------------------
+# filters / scalar classification (C4, C5, F3, S8, O3)
+# ---------------------------------------------------------------------------
+
+def q_time_slot_histogram(d: S.Dialect) -> str:
+    slot = S.time_slot_id("ts", d)
+    return f"""
+        SELECT {slot} AS time_slot, event_type, COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    """
+
+
+def q_route_sections(d: S.Dialect) -> str:
+    sec = S.route_section("l_linenumber - 1", "cnt", d)
+    return f"""
+        WITH counted AS (
+            SELECT l_orderkey, l_linenumber,
+                   COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt,
+                   l_quantity
+            FROM lineitem
+        )
+        SELECT {sec} AS route_section, COUNT(*) AS n,
+               ROUND(AVG(l_quantity), 4) AS avg_qty
+        FROM counted GROUP BY 1
+    """
+
+
+def q_delay_rounding(d: S.Dialect) -> str:
+    # F3: 12 s rounding with trunc-toward-zero on signed deltas
+    delay = d.trunc_num("(value - 50.0) * 10.0")
+    rounded = S.round_to_12s(delay, d)
+    return f"""
+        SELECT {rounded} AS delay_bucket, COUNT(*) AS n
+        FROM events GROUP BY 1
+    """
+
+
+def q_interval_overlap(d: S.Dialect) -> str:
+    # S8: prediction_min < window_max AND prediction_max > window_min
+    lo = _epoch_s("ts", d)
+    return f"""
+        SELECT event_id, {lo} AS start_s
+        FROM events
+        WHERE {lo} < 1704240000 + 7200
+          AND {lo} + CAST(value * 60 AS BIGINT) > 1704240000
+    """
+
+
+def q_autocomplete(d: S.Dialect) -> str:
+    # O3/F12: term-contains filter, sorted distinct top-10
+    return """
+        SELECT DISTINCT c_name FROM customer
+        WHERE LOWER(c_name) LIKE '%19%'
+        ORDER BY c_name
+        LIMIT 10
+    """
+
+
+# ---------------------------------------------------------------------------
+# text analysis + dedup (beyond-reference operators)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(d: S.Dialect) -> str:
+    tc = S.token_count("text", d)
+    return f"""
+        SELECT doc_id, {tc} AS n_tokens, LENGTH(text) AS n_chars_actual
+        FROM documents
+    """
+
+
+def q_lang_id(d: S.Dialect) -> str:
+    return f"""
+        SELECT doc_id, {S.lang_id('text')} AS lang_pred
+        FROM documents
+    """
+
+
+def q_quality_score(d: S.Dialect) -> str:
+    q = S.quality_score("text", d)
+    return f"""
+        SELECT doc_id, {q} AS quality FROM documents
+    """
+
+
+def q_exact_dedup(d: S.Dialect) -> str:
+    # exact dedup via content hash: canonical = min doc_id per hash
+    return """
+        SELECT MD5(text) AS content_hash,
+               MIN(doc_id) AS canonical_doc,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """
+
+
+def q_fingerprint_dedup(d: S.Dialect) -> str:
+    # fingerprint on normalized text (lowercase, collapse whitespace,
+    # strip non-alphanumerics) — near-dup via normalization
+    norm = d.regexp_replace_all(
+        d.regexp_replace_all("LOWER(text)", "[^a-z0-9 ]", ""), " +", " ")
+    return f"""
+        SELECT MD5(TRIM({norm})) AS fingerprint,
+               MIN(doc_id) AS canonical_doc,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# the central UDAF (A3): applyInPandas make_curve vs SQL cumulative oracle
+# ---------------------------------------------------------------------------
+
+def _ecdf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import configure_for_oracle
+    from ..sources.testdata import load_table
+    from .analyse import ecdf_curve_points
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    return ecdf_curve_points(events, group_cols=["event_type"], value_col="value")
+
+
+# SQL expression of make_curve's unfocused semantics: y at each distinct
+# x is the cumulative count at its FIRST occurrence / total; a leading
+# x == 0.0 emits no point (the reference's last_x sentinel); endpoints
+# forced to exactly 0 and 1.
+_ECDF_ORACLE = """
+    WITH vals AS (
+        SELECT event_type, value AS x FROM events WHERE value IS NOT NULL
+    ),
+    pts AS (
+        SELECT event_type, x, COUNT(*) AS cnt FROM vals GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, x,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY x) - cnt + 1
+                   AS cum_first
+        FROM pts
+    ),
+    filtered AS (SELECT * FROM cum WHERE x <> 0.0),
+    stats AS (
+        SELECT event_type, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS npts
+        FROM filtered GROUP BY 1
+    ),
+    tot AS (SELECT event_type, COUNT(*) AS n FROM vals GROUP BY 1)
+    SELECT f.event_type, f.x,
+           CASE WHEN f.x = s.mn THEN 0.0
+                WHEN f.x = s.mx THEN 1.0
+                ELSE f.cum_first / t.n END AS y,
+           t.n AS sample_size
+    FROM filtered f
+    JOIN stats s USING (event_type)
+    JOIN tot t USING (event_type)
+    WHERE s.npts >= 2
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
+                           survey_ref="A3 C6 O4"),
+    "pricing_summary": _sql_pair(q_pricing_summary, "A1 A9 F1 F13 F16"),
+    "hourly_event_stats": _sql_pair(q_hourly_event_stats, "A1 J10"),
+    "global_minmax": _sql_pair(q_global_minmax, "A2"),
+    "distinct_users": _sql_pair(q_distinct_users, "A8 U3"),
+    "rollup_ladder": _sql_pair(q_rollup_ladder, "A6"),
+    "stop_pair_counts": _sql_pair(q_stop_pair_counts, "J4 J5"),
+    "asof_join": _sql_pair(q_asof_join, "J3 F15"),
+    "anti_join": _sql_pair(q_anti_join, "J7 F9"),
+    "spatial_neighbors": _sql_pair(q_spatial_neighbors, "J6 C12"),
+    "latest_wins": _sql_pair(q_latest_wins, "W2 ST3 S12"),
+    "forward_fill": _sql_pair(q_forward_fill, "W1"),
+    "non_final_stops": _sql_pair(q_non_final_stops, "W4 F10"),
+    "time_slot_histogram": _sql_pair(q_time_slot_histogram, "C4 F7 A11"),
+    "route_sections": _sql_pair(q_route_sections, "C5 W5"),
+    "delay_rounding": _sql_pair(q_delay_rounding, "F3"),
+    "interval_overlap": _sql_pair(q_interval_overlap, "S8 F14"),
+    "autocomplete": _sql_pair(q_autocomplete, "O3 F12"),
+    "token_stats": _sql_pair(q_token_stats, "text-analysis"),
+    "lang_id": _sql_pair(q_lang_id, "text-analysis"),
+    "quality_score": _sql_pair(q_quality_score, "text-analysis"),
+    "exact_dedup": _sql_pair(q_exact_dedup, "dedup-exact"),
+    "fingerprint_dedup": _sql_pair(q_fingerprint_dedup, "dedup-fingerprint"),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.spark for name, qd in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle}
