@@ -1,0 +1,200 @@
+"""Dedup + similarity-search templates, dialect-rendered.
+
+These are the training-data-pipeline operators (MinHash+LSH, SimHash,
+n-gram Jaccard, embedding cosine top-k) expressed as engine-portable
+SQL so the DuckDB oracle verifies the exact same semantics the Spark
+engine runs.  All hashing is MD5-based (identical lowercase hex in
+both engines) so signatures are deterministic across engines.
+
+Scale notes (100 TB thinking):
+
+* MinHash/LSH: tokenize → k conditional MINs per doc (one shuffle),
+  band join on (band, band_hash) — candidate pairs only, never the
+  full O(n²) cross join.  At cluster scale the band join is the only
+  shuffle whose fan-out depends on duplicate density.
+* SimHash: one shuffle (doc × 16 bit positions aggregated by
+  conditional sums); pairs by exact / near fingerprint match.
+* n-gram Jaccard: intersection via token equi-join; bounded by
+  document token counts, prefilter with LSH for the full-scale path.
+* cosine top-k: brute force is query-broadcast × corpus scan; the
+  LSH-bucketed variant (operators/similarity.py) prunes the corpus
+  side first.
+"""
+
+from __future__ import annotations
+
+from . import sql_shared as S
+
+K_MINHASH = 8
+ROWS_PER_BAND = 2
+N_BANDS = K_MINHASH // ROWS_PER_BAND
+
+
+def doc_tokens_cte(d: S.Dialect, table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Distinct lowercase tokens per document."""
+    return f"""
+        tokens AS (
+            SELECT DISTINCT {id_col} AS doc_id, tok FROM (
+                SELECT {id_col}, {d.explode_tokens(text_col)} AS tok
+                FROM {table}
+            ) t WHERE tok <> ''
+        )
+    """
+
+
+def minhash_signature_cte(d: S.Dialect, k: int = K_MINHASH) -> str:
+    """k-permutation MinHash via seeded MD5; one conditional MIN per
+    hash function (single aggregation, no pivot shuffle)."""
+    mins = ", ".join(
+        f"MIN(CASE WHEN i = {j} THEN h END) AS mh{j}" for j in range(k)
+    )
+    return f"""
+        hashed AS (
+            SELECT doc_id, i, MD5(CONCAT(CAST(i AS STRING), '#', tok)) AS h
+            FROM tokens CROSS JOIN {d.series(k)}
+        ),
+        signatures AS (
+            SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+        )
+    """
+
+
+def minhash_bands_cte(k: int = K_MINHASH, rows_per_band: int = ROWS_PER_BAND) -> str:
+    bands = []
+    for b in range(k // rows_per_band):
+        cols = "||'|'||".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        bands.append(
+            f"SELECT doc_id, {b} AS band, MD5({cols}) AS band_hash FROM signatures")
+    return "bands AS (" + " UNION ALL ".join(bands) + ")"
+
+
+def q_minhash_lsh_pairs(d: S.Dialect) -> str:
+    """LSH candidate pairs + exact signature-agreement estimate."""
+    sig_eq = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(K_MINHASH))
+    return f"""
+        WITH {doc_tokens_cte(d)},
+        {minhash_signature_cte(d)},
+        {minhash_bands_cte()},
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x
+            JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash
+                        AND x.doc_id < y.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(CAST({sig_eq} AS DOUBLE) / {K_MINHASH}, 4) AS est_jaccard
+        FROM cand c
+        JOIN signatures a ON a.doc_id = c.doc_a
+        JOIN signatures b ON b.doc_id = c.doc_b
+    """
+
+
+HEX_NIBBLE = ("(CASE {c} " + " ".join(
+    f"WHEN '{h}' THEN {v}" for v, h in enumerate("0123456789abcdef"))
+    + " END)")
+
+
+def _nibble(c: str) -> str:
+    return HEX_NIBBLE.format(c=c)
+
+
+def q_simhash(d: S.Dialect) -> str:
+    """16-bit SimHash over MD5'd tokens: bit b of the fingerprint is
+    the sign of Σ_tokens (±1 by bit b of the token hash)."""
+    # bit b lives in hex char (b // 4) of the first 4 md5 chars,
+    # at weight 2^(b % 4) within that nibble (chars are big-endian
+    # nibbles; this fixed layout just needs to be consistent)
+    terms = []
+    for b in range(16):
+        char = f"SUBSTR(h, {1 + b // 4}, 1)"
+        bit = f"({d.trunc_num(f'{_nibble(char)} / {1 << (b % 4)}.0')} % 2)"
+        # Σ tokens of (2*bit - 1) > 0  →  output bit b set
+        terms.append(
+            f"(CASE WHEN SUM(2 * {bit} - 1) > 0 THEN {1 << b} ELSE 0 END)")
+    fingerprint = " + ".join(terms)
+    return f"""
+        WITH {doc_tokens_cte(d)},
+        hashed AS (SELECT doc_id, MD5(tok) AS h FROM tokens)
+        SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash
+        FROM hashed GROUP BY doc_id
+    """
+
+
+def q_simhash_near_pairs(d: S.Dialect) -> str:
+    """Near-duplicate pairs by SimHash hamming distance <= 3 (16-bit).
+    Oracle form uses the full self-join; the scale path bands on the
+    fingerprint bytes first (operators/dedup.py)."""
+    sim = q_simhash(d)
+    return f"""
+        WITH fp AS ({sim})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count({d.xor('a.simhash', 'b.simhash')}) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count({d.xor('a.simhash', 'b.simhash')}) <= 3
+    """
+
+
+def q_ngram_jaccard_pairs(d: S.Dialect, threshold: float = 0.5) -> str:
+    """Exact token-set Jaccard similarity >= threshold via
+    intersection equi-join (shared-token pairs only)."""
+    return f"""
+        WITH {doc_tokens_cte(d)},
+        sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tokens GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM tokens a JOIN tokens b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.n_common AS DOUBLE)
+                     / (sa.n_tok + sb.n_tok - i.n_common), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE)
+              / (sa.n_tok + sb.n_tok - i.n_common) >= {threshold}
+    """
+
+
+def q_cosine_topk(d: S.Dialect, k: int = 3, query_stride: int = 50) -> str:
+    """Brute-force cosine top-k: every vec_id % stride == 0 is a query;
+    rank corpus vectors by ROUND(cosine, 6) with id tie-break so the
+    ordering is identical across engines despite double ulp drift."""
+    dot = f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM({d.arr_get('q.emb', 's.i')} * {d.arr_get('c.emb', 's.i')}) AS dot,
+               SUM({d.arr_get('q.emb', 's.i')} * {d.arr_get('q.emb', 's.i')}) AS qq,
+               SUM({d.arr_get('c.emb', 's.i')} * {d.arr_get('c.emb', 's.i')}) AS cc
+        FROM qv q
+        JOIN cv c ON q.vec_id <> c.vec_id
+        CROSS JOIN {d.series(64)} AS s
+        GROUP BY 1, 2
+    """
+    return f"""
+        WITH qv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings WHERE vec_id % {query_stride} = 0
+        ),
+        cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        dots AS ({dot}),
+        scored AS (
+            SELECT query_id, cand_id,
+                   ROUND(dot / (SQRT(qq) * SQRT(cc)), 6) AS cosine
+            FROM dots
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id, cosine, rk FROM ranked WHERE rk <= {k}
+    """

@@ -42,6 +42,24 @@ class Dialect:
     def regexp_count(self, s: str, pattern: str) -> str:
         raise NotImplementedError
 
+    def series(self, n: int, col: str = "i") -> str:
+        """Subquery producing integers 0..n-1 in column ``col``."""
+        raise NotImplementedError
+
+    def explode_tokens(self, text: str) -> str:
+        """Generator expression: one row per lowercase whitespace token."""
+        raise NotImplementedError
+
+    def arr_get(self, arr: str, idx0: str) -> str:
+        """Array element by 0-based index expression."""
+        raise NotImplementedError
+
+    def xor(self, a: str, b: str) -> str:
+        raise NotImplementedError
+
+    def to_double_array(self, arr: str) -> str:
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -61,6 +79,21 @@ class SparkDialect(Dialect):
     def regexp_count(self, s, pattern):
         return f"regexp_count({s}, '{pattern}')"
 
+    def series(self, n: int, col: str = "i") -> str:
+        return f"(SELECT explode(sequence(0, {n - 1})) AS {col})"
+
+    def explode_tokens(self, text: str) -> str:
+        return f"explode(split(lower({text}), ' +'))"
+
+    def arr_get(self, arr: str, idx0: str) -> str:
+        return f"{arr}[{idx0}]"
+
+    def xor(self, a: str, b: str) -> str:
+        return f"({a} ^ {b})"
+
+    def to_double_array(self, arr: str) -> str:
+        return f"transform({arr}, v -> CAST(v AS DOUBLE))"
+
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
@@ -78,6 +111,21 @@ class DuckDBDialect(Dialect):
 
     def regexp_count(self, s, pattern):
         return f"len(regexp_extract_all({s}, '{pattern}'))"
+
+    def series(self, n: int, col: str = "i") -> str:
+        return f"(SELECT unnest(range({n})) AS {col})"
+
+    def explode_tokens(self, text: str) -> str:
+        return f"unnest(string_split_regex(lower({text}), ' +'))"
+
+    def arr_get(self, arr: str, idx0: str) -> str:
+        return f"{arr}[({idx0}) + 1]"
+
+    def xor(self, a: str, b: str) -> str:
+        return f"xor({a}, {b})"
+
+    def to_double_array(self, arr: str) -> str:
+        return f"CAST({arr} AS DOUBLE[])"
 
 
 SPARK = SparkDialect()

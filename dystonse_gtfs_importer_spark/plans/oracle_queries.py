@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import dedup_sql as D
 from ..functions import sql_shared as S
 from ..sources.testdata import register_views
 
@@ -430,6 +431,11 @@ QUERIES: dict[str, QueryDef] = {
     "quality_score": _sql_pair(q_quality_score, "text-analysis"),
     "exact_dedup": _sql_pair(q_exact_dedup, "dedup-exact"),
     "fingerprint_dedup": _sql_pair(q_fingerprint_dedup, "dedup-fingerprint"),
+    "minhash_lsh_pairs": _sql_pair(D.q_minhash_lsh_pairs, "dedup-minhash-lsh"),
+    "simhash": _sql_pair(D.q_simhash, "dedup-simhash"),
+    "simhash_near_pairs": _sql_pair(D.q_simhash_near_pairs, "dedup-simhash"),
+    "ngram_jaccard_pairs": _sql_pair(D.q_ngram_jaccard_pairs, "dedup-jaccard"),
+    "cosine_topk": _sql_pair(D.q_cosine_topk, "similarity-ann"),
 }
 
 
