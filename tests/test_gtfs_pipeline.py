@@ -1,0 +1,207 @@
+"""End-to-end tests of the GTFS domain pipelines on synthetic fixtures:
+schedule read → records ETL → latest-wins merge → forward fill →
+curve tables (general_delay, specific stop-pair sets, default ladder)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from gtfs_fixtures import build_rt_events, build_schedule, write_gtfs_dir
+
+
+@pytest.fixture(scope="module")
+def schedule_dfs(spark, tmp_path_factory):
+    from dystonse_gtfs_importer_spark.sources.gtfs import read_gtfs
+
+    d = tmp_path_factory.mktemp("gtfs")
+    write_gtfs_dir(build_schedule(), d)
+    return read_gtfs(spark, str(d))
+
+
+@pytest.fixture(scope="module")
+def records(spark, schedule_dfs):
+    from dystonse_gtfs_importer_spark.plans.import_etl import (
+        build_records, latest_wins_merge,
+    )
+    from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
+
+    rt = spark.createDataFrame(build_rt_events(build_schedule()), RT_EVENTS)
+    recs = build_records(rt, schedule_dfs["trips"], schedule_dfs["stop_times"],
+                         source="test", schedule_file_name="sched-2024-01-01")
+    return latest_wins_merge(recs).cache()
+
+
+@pytest.fixture(scope="module")
+def vstops(schedule_dfs):
+    from dystonse_gtfs_importer_spark.sources.gtfs import variant_stops
+
+    return variant_stops(schedule_dfs["trips"], schedule_dfs["stop_times"]).cache()
+
+
+class TestGtfsRead:
+    def test_tables_load(self, schedule_dfs):
+        assert schedule_dfs["routes"].count() == 3
+        assert schedule_dfs["trips"].count() == 3 * 2 * 41
+        st = schedule_dfs["stop_times"]
+        assert "arrival_secs" in st.columns
+
+    def test_past_midnight_times(self, schedule_dfs):
+        night = schedule_dfs["stop_times"].where(
+            F.col("trip_id").endswith("night"))
+        mx = night.agg(F.max("arrival_secs")).first()[0]
+        assert mx > 86400  # 25:00:00+ parsed, not wrapped
+
+    def test_variant_stops_geometry(self, vstops):
+        one = (vstops.where((F.col("route_id") == "R1")
+                            & (F.col("route_variant") == 1))
+               .orderBy("stop_index").collect())
+        assert [r.stop_index for r in one] == list(range(8))
+        assert all(r.stop_count == 8 for r in one)
+        # stop_sequence keeps its gaps
+        assert [r.stop_sequence for r in one] == [1, 2, 4, 5, 7, 8, 10, 11]
+
+
+class TestImportEtl:
+    def test_unknown_trip_and_stop_dropped(self, records):
+        assert records.where(F.col("trip_id") == "UNKNOWN_TRIP").count() == 0
+        assert records.where(F.col("stop_sequence") == 99).count() == 0
+
+    def test_all_null_delay_rows_dropped(self, records):
+        assert records.where(
+            F.col("delay_arrival").isNull()
+            & F.col("delay_departure").isNull()).count() == 0
+
+    def test_latest_wins_unique_pk(self, records):
+        from dystonse_gtfs_importer_spark.schemas import RECORDS_PK
+
+        dupes = (records.groupBy(*RECORDS_PK).count()
+                 .where(F.col("count") > 1).count())
+        assert dupes == 0
+
+    def test_latest_wins_keeps_newest(self, spark, schedule_dfs):
+        from dystonse_gtfs_importer_spark.plans.import_etl import (
+            build_records, latest_wins_merge,
+        )
+        from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
+
+        rt_pdf = build_rt_events(build_schedule())
+        rt = spark.createDataFrame(rt_pdf, RT_EVENTS)
+        recs = build_records(rt, schedule_dfs["trips"],
+                             schedule_dfs["stop_times"], "test", "sched")
+        merged = latest_wins_merge(recs)
+        # pick a (trip, stop) reported in several feeds; merged row must
+        # carry the max header_timestamp among its reports
+        multi = (recs.groupBy("trip_id", "stop_sequence")
+                 .agg(F.count("*").alias("n"),
+                      F.max("time_of_recording").alias("max_ts"))
+                 .where(F.col("n") > 1).limit(5).collect())
+        assert multi, "fixture should re-report stops across feeds"
+        for row in multi:
+            got = (merged.where((F.col("trip_id") == row.trip_id)
+                                & (F.col("stop_sequence") == row.stop_sequence))
+                   .select("time_of_recording").first()[0])
+            assert got == row.max_ts
+
+    def test_merge_idempotent_and_commutative(self, spark, schedule_dfs, records):
+        from dystonse_gtfs_importer_spark.plans.import_etl import latest_wins_merge
+
+        again = latest_wins_merge(records, existing=records)
+        assert again.count() == records.count()
+        # re-merge in reversed input order yields the same set
+        rev = latest_wins_merge(records.orderBy(F.desc("time_of_recording")),
+                                existing=records)
+        assert rev.exceptAll(again).count() == 0
+
+
+class TestForwardFill:
+    def test_gaps_filled(self, records, vstops):
+        from dystonse_gtfs_importer_spark.plans.analyse_gtfs import (
+            forward_fill_projection,
+        )
+
+        filled = forward_fill_projection(records, vstops).cache()
+        # projected rows exist and carry non-null delay pairs
+        proj = filled.where(F.col("is_projected"))
+        assert proj.count() > 0
+        # every (vehicle, stop) is unique and total rows ≥ real records
+        assert filled.count() >= records.count()
+        # spot-check one vehicle: delays constant across a gap
+        veh = filled.groupBy("trip_id", "trip_start_date", "trip_start_time") \
+            .agg(F.count("*").alias("n"), F.sum(F.col("is_projected").cast("int")).alias("p")) \
+            .where((F.col("p") > 0)).first()
+        rows = (filled.where(F.col("trip_id") == veh.trip_id)
+                .orderBy("stop_sequence").collect())
+        last_da = None
+        for r in rows:
+            if r.is_projected and last_da is not None:
+                assert r.delay_arrival == last_da
+            last_da = r.delay_arrival
+
+
+class TestCurvePipelines:
+    @pytest.fixture(scope="class")
+    def items(self, records, vstops):
+        from dystonse_gtfs_importer_spark.plans.analyse_gtfs import prepare_dbitems
+
+        return prepare_dbitems(records, vstops).cache()
+
+    def test_dbitems_slots(self, items):
+        # Monday 08:00-12:00 schedule → slot 3 (workday late morning)
+        slots = {r.slot_arrival for r in items.select("slot_arrival").distinct().collect()}
+        assert 3 in slots
+
+    def test_general_delay_curves(self, items):
+        from dystonse_gtfs_importer_spark.plans.analyse_gtfs import (
+            general_delay_curves,
+        )
+
+        gd = general_delay_curves(items).cache()
+        assert gd.count() > 0
+        row = gd.first()
+        ys = [p.y for p in row.curve]
+        xs = [p.x for p in row.curve]
+        assert ys[0] == 0.0 and ys[-1] == 1.0
+        assert all(b >= a for a, b in zip(ys, ys[1:]))
+        assert all(b > a for a, b in zip(xs, xs[1:]))
+        assert row.sample_size >= 20
+        # DEFAULT slot rows exist (slot 12)
+        assert gd.where(F.col("time_slot") == 12).count() > 0
+
+    def test_stop_pair_curve_sets(self, items):
+        from dystonse_gtfs_importer_spark.plans.analyse_gtfs import (
+            stop_pair_curve_sets,
+        )
+
+        sp = stop_pair_curve_sets(items).cache()
+        assert sp.count() > 0
+        row = sp.where(F.col("time_slot") == 12).first()
+        assert row.end_stop_index > row.start_stop_index
+        # delays were rounded to 12s before curve building → every
+        # curve x is a multiple of 12
+        xs = [p.x for p in row.curve]
+        assert all(float(x) % 12 == 0 for x in xs)
+        # span gate: curves narrower than 13s were discarded
+        assert xs[-1] - xs[0] >= 13.0
+
+    def test_default_curves_ladder(self, items, schedule_dfs):
+        from dystonse_gtfs_importer_spark.plans.analyse_gtfs import default_curves
+        from dystonse_gtfs_importer_spark.schemas import (
+            PRECISION_FALLBACK_GENERAL, PRECISION_GENERAL,
+            PRECISION_SUPER_GENERAL,
+        )
+
+        dc = default_curves(items, schedule_dfs["routes"]).cache()
+        precs = {r.precision_type for r in dc.select("precision_type").distinct().collect()}
+        assert precs == {PRECISION_GENERAL, PRECISION_FALLBACK_GENERAL,
+                         PRECISION_SUPER_GENERAL}
+        # SuperGeneral: exactly one per event type, all dims null
+        sg = dc.where(F.col("precision_type") == PRECISION_SUPER_GENERAL).collect()
+        assert len(sg) == 2
+        assert all(r.route_type is None and r.route_section is None for r in sg)
+        # General rows carry full dimensionality
+        g = dc.where(F.col("precision_type") == PRECISION_GENERAL).first()
+        assert g.route_type is not None and g.route_section in (
+            "beginning", "middle", "end")
