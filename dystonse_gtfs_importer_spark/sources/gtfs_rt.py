@@ -162,6 +162,22 @@ def decode_feed_message(data: bytes, feed_file: str) -> list[dict]:
     return rows
 
 
+def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (path, content) rows → RT_EVENTS rows."""
+    cols = [f.name for f in RT_EVENTS.fields]
+    for pdf in batches:
+        rows: list[dict] = []
+        for path_, content in zip(pdf["path"], pdf["content"]):
+            name = path_.rsplit("/", 1)[-1]
+            try:
+                rows.extend(decode_feed_message(bytes(content), name))
+            except Exception:
+                # failed/ corrupt file: the reference moves it to a
+                # failed dir and continues (importer/mod.rs:524-548)
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
 def read_gtfs_rt(spark: SparkSession, path: str,
                  pattern: str = "*.pb") -> DataFrame:
     """Directory of .pb / .zip GTFS-RT dumps → RT_EVENTS DataFrame.
@@ -176,23 +192,7 @@ def read_gtfs_rt(spark: SparkSession, path: str,
         .load(path)
         .select("path", "content")
     )
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in RT_EVENTS.fields]
-        for pdf in batches:
-            rows: list[dict] = []
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                name = path_.rsplit("/", 1)[-1]
-                try:
-                    rows.extend(decode_feed_message(bytes(content), name))
-                except Exception:
-                    # failed/ corrupt file: the reference moves it to a
-                    # failed dir and continues (importer/mod.rs:524-548)
-                    continue
-            out = pd.DataFrame(rows, columns=cols)
-            yield out
-
-    return binary.mapInPandas(decode, RT_EVENTS)
+    return binary.mapInPandas(decode_partition, RT_EVENTS)
 
 
 # -- encoder (test fixtures only) -----------------------------------------
