@@ -1,0 +1,182 @@
+"""The monitor query layer (§3.3 monitor path): the *data* behind the
+departure-board pages — every filter/join/probability computation of
+/root/reference/src/monitor/, minus the HTML.
+
+All predicates are plain column expressions (codegen-friendly); curve
+math goes through the Arrow UDFs in functions.curve_udfs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+from ..functions import sql_shared as S
+from ..functions.curve_udfs import (
+    convolve_with, curve_x_at_y, transfer_probability, walk_time_curve,
+)
+from ..schemas import ORIGIN_REALTIME, ORIGIN_SCHEDULE
+
+
+def predictions_for_stop(predictions: DataFrame, stop_ids,
+                         min_time, max_time) -> DataFrame:
+    """S8: predictions overlapping [min_time, max_time) at given stops
+    (monitor/mod.rs:1551-1606) — interval-overlap predicate."""
+    return predictions.where(
+        F.col("stop_id").isin(list(stop_ids))
+        & (F.col("prediction_min") < F.lit(max_time))
+        & (F.col("prediction_max") > F.lit(min_time)))
+
+
+def predictions_for_trip(predictions: DataFrame, trip_id: str,
+                         trip_start_date, trip_start_time: int,
+                         from_stop_sequence: int) -> DataFrame:
+    """S9: a vehicle's predictions from a stop_sequence onward
+    (monitor/mod.rs:1608-1664)."""
+    return predictions.where(
+        (F.col("trip_id") == trip_id)
+        & (F.col("trip_start_date") == F.lit(trip_start_date))
+        & (F.col("trip_start_time") == trip_start_time)
+        & (F.col("stop_sequence") >= from_stop_sequence))
+
+
+def extended_stops(stops: DataFrame, stop_name: str,
+                   radius_m: float = 300.0) -> DataFrame:
+    """J6: all stops within ``radius_m`` haversine of any platform
+    bearing ``stop_name`` (journey_data.rs:22-23,237-263).  stops is a
+    dimension table — the self-join is broadcast."""
+    named = stops.where(F.col("stop_name") == stop_name).select(
+        F.col("stop_lat").alias("c_lat"), F.col("stop_lon").alias("c_lon"))
+    dist = F.expr(S.haversine_m("c_lat", "c_lon", "stop_lat", "stop_lon"))
+    return (
+        stops.crossJoin(F.broadcast(named))
+        .where(dist < radius_m)
+        .select(stops.columns)
+        .distinct()
+    )
+
+
+def departure_board(predictions: DataFrame, min_time, max_time,
+                    all_predictions: DataFrame | None = None) -> DataFrame:
+    """The stop-page pipeline (monitor/mod.rs:426-591): S8 window →
+    F8 outlier trim → F9 realtime-over-schedule dedup → F10 last-stop
+    drop → W3 sort by median predicted time.
+
+    ``predictions`` should already be restricted to the stop group
+    (predictions_for_stop / extended_stops); ``all_predictions`` is
+    the unrestricted table used to find each trip's true final stop
+    (the reference fetches the trip's own predictions for this check,
+    monitor/mod.rs:497-510) — it defaults to ``predictions``.  Curve x
+    values are relative seconds around the scheduled event;
+    ``prediction_min`` anchors the absolute timeline exactly as the
+    reference's TimeCurve ref_time does.
+    """
+    dep = predictions.where(F.col("event_type") == 2)
+
+    # absolute epoch of the curve's zero point: prediction_min is
+    # scheduled_time + curve.min_x (make_prediction,
+    # per_schedule_importer.rs:345-346)
+    ref_s = (F.unix_timestamp("prediction_min")
+             - curve_x_at_y(F.col("prediction_curve"), F.lit(0.0)))
+    d = dep.withColumn("ref_s", ref_s)
+    d = d.withColumn(
+        "t05", F.col("ref_s") + curve_x_at_y(F.col("prediction_curve"), F.lit(0.05))
+    ).withColumn(
+        "t50", F.col("ref_s") + curve_x_at_y(F.col("prediction_curve"), F.lit(0.5))
+    ).withColumn(
+        "t95", F.col("ref_s") + curve_x_at_y(F.col("prediction_curve"), F.lit(0.95))
+    )
+
+    # F8: drop departures certainly outside the window
+    lo, hi = F.unix_timestamp(F.lit(min_time)), F.unix_timestamp(F.lit(max_time))
+    d = d.where((F.col("t05") < hi) & (F.col("t95") > lo))
+
+    # F9: drop Schedule rows that have a Realtime twin for the same
+    # (route, start date+time) — left-anti self-join
+    rt_keys = (d.where(F.col("origin_type") == ORIGIN_REALTIME)
+               .select("route_id", "trip_start_date", "trip_start_time")
+               .distinct())
+    sched = d.where(F.col("origin_type") == ORIGIN_SCHEDULE).join(
+        rt_keys, ["route_id", "trip_start_date", "trip_start_time"],
+        "left_anti")
+    d = d.where(F.col("origin_type") != ORIGIN_SCHEDULE).unionByName(sched)
+
+    # F10: drop the trip's final stop (nothing departs from it); the
+    # per-trip max comes from the full table — an aggregate small
+    # enough to broadcast
+    vehicle = ["trip_id", "trip_start_date", "trip_start_time"]
+    full = all_predictions if all_predictions is not None else predictions
+    last_stop = full.groupBy(*vehicle).agg(
+        F.max("stop_sequence").alias("max_seq"))
+    d = (d.join(F.broadcast(last_stop), vehicle, "left")
+         .where(F.col("stop_sequence") < F.col("max_seq"))
+         .drop("max_seq"))
+
+    # W3: order by median predicted departure
+    return d.orderBy("t50")
+
+
+def transfer_chances(arrivals: DataFrame, departures: DataFrame,
+                     stops: DataFrame, min_probability: float = 0.05
+                     ) -> DataFrame:
+    """C13+C14+C15 (+F11): for each (arrival, candidate departure) at
+    nearby platforms: walk-time curve from the haversine platform
+    distance, convolve into the arrival curve, then transfer
+    probability against the departure curve; keep chances >=
+    ``min_probability`` (monitor/mod.rs:880-884).
+
+    ``arrivals`` / ``departures`` are prediction rows (event_type 1 /
+    2) carrying stop_id, prediction_min, prediction_curve.
+    """
+    st = stops.select("stop_id", "stop_lat", "stop_lon")
+    a = (arrivals.alias("a")
+         .join(F.broadcast(st.alias("sa")), F.col("a.stop_id") == F.col("sa.stop_id")))
+    dpt = (departures.alias("d")
+           .join(F.broadcast(st.alias("sd")), F.col("d.stop_id") == F.col("sd.stop_id")))
+
+    pairs = a.join(
+        dpt,
+        (F.col("a.trip_id") != F.col("d.trip_id"))
+        & (F.col("d.prediction_max") > F.col("a.prediction_min")),
+    )
+    dist = F.expr(S.haversine_m("sa.stop_lat", "sa.stop_lon",
+                                "sd.stop_lat", "sd.stop_lon"))
+    pairs = pairs.withColumn("walk_m", dist).where(F.col("walk_m") < 300.0)
+
+    arr_ref = (F.unix_timestamp("a.prediction_min")
+               - curve_x_at_y(F.col("a.prediction_curve"), F.lit(0.0)))
+    dep_ref = (F.unix_timestamp("d.prediction_min")
+               - curve_x_at_y(F.col("d.prediction_curve"), F.lit(0.0)))
+    pairs = (
+        pairs.withColumn("walk_curve", walk_time_curve(F.col("walk_m")))
+        .withColumn("arr_with_walk",
+                    convolve_with(F.col("a.prediction_curve"),
+                                  F.col("walk_curve")))
+        .withColumn("arr_ref_s", arr_ref.cast("long"))
+        .withColumn("dep_ref_s", dep_ref.cast("long"))
+        .withColumn(
+            "p_transfer",
+            transfer_probability(F.col("arr_with_walk"), F.col("arr_ref_s"),
+                                 F.col("d.prediction_curve"), F.col("dep_ref_s")))
+    )
+    out = pairs.select(
+        F.col("a.trip_id").alias("arrival_trip"),
+        F.col("a.stop_id").alias("arrival_stop"),
+        F.col("d.trip_id").alias("departure_trip"),
+        F.col("d.stop_id").alias("departure_stop"),
+        F.round("walk_m", 1).alias("walk_m"),
+        F.round("p_transfer", 4).alias("p_transfer"),
+    )
+    return out.where(F.col("p_transfer") >= min_probability)  # F11
+
+
+def autocomplete_stops(stops: DataFrame, query: str, limit: int = 10
+                       ) -> DataFrame:
+    """F12+O3: stop names containing every space-separated term,
+    case-insensitive; sorted distinct top-N (monitor/mod.rs:198-215)."""
+    cond = F.lit(True)
+    for term in query.lower().split():
+        cond = cond & F.lower(F.col("stop_name")).contains(term)
+    return (stops.where(cond).select("stop_name").distinct()
+            .orderBy("stop_name").limit(limit))

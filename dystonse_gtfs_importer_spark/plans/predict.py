@@ -34,6 +34,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, MapType
 
 from .. import curves as cv
 from ..functions import sql_shared as S
@@ -196,7 +197,45 @@ def predict(
     return out.drop(*drop)
 
 
-@pandas_udf("map<double,double>")
+def prediction_rows(predicted: DataFrame, source: str,
+                    schedule_file_name: str, origin_type: int) -> DataFrame:
+    """``make_prediction`` materialization
+    (/root/reference/src/importer/per_schedule_importer.rs:320-366):
+    prediction_min/max = trip_start_date + (scheduled event seconds +
+    curve min/max), i.e. the C1 ``date_and_time_local`` rule with day
+    carry via timestamp arithmetic.
+
+    ``predicted`` needs: trip_id, trip_start_date, trip_start_time,
+    route_id, stop_id, stop_sequence, event_type, sched_event_secs,
+    prediction_curve, precision_type, sample_size.
+    """
+    from ..functions.curve_udfs import curve_x_at_y
+
+    base = F.to_timestamp("trip_start_date")
+    min_x = curve_x_at_y(F.col("prediction_curve"), F.lit(0.0))
+    max_x = curve_x_at_y(F.col("prediction_curve"), F.lit(1.0))
+    secs_min = (F.col("sched_event_secs") + min_x).cast("long")
+    secs_max = (F.col("sched_event_secs") + max_x).cast("long")
+    return predicted.select(
+        F.lit(source).alias("source"),
+        F.col("event_type").cast("tinyint"),
+        "stop_id",
+        (base + secs_min * F.expr("INTERVAL 1 SECOND")).alias("prediction_min"),
+        (base + secs_max * F.expr("INTERVAL 1 SECOND")).alias("prediction_max"),
+        "route_id",
+        "trip_id",
+        "trip_start_date",
+        "trip_start_time",
+        "stop_sequence",
+        "precision_type",
+        F.lit(origin_type).cast("tinyint").alias("origin_type"),
+        "sample_size",
+        "prediction_curve",
+        F.lit(schedule_file_name).alias("schedule_file_name"),
+    )
+
+
+@pandas_udf(MapType(DoubleType(), DoubleType()))
 def curve_percentiles(curve: pd.Series) -> pd.Series:
     """C11: delay at the standard probability levels
     (prediction_result.rs:40-47)."""
