@@ -1,0 +1,59 @@
+"""Dedup operators as DataFrame→DataFrame functions.
+
+Thin wrappers that run the dialect-rendered templates from
+functions.dedup_sql over temp views — one implementation, provably
+oracle-identical (the DuckDB twin renders from the same template).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions import dedup_sql as D
+from ..functions import sql_shared as S
+
+
+def _run(df: DataFrame, sql_template, view: str = "documents") -> DataFrame:
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(sql_template(S.SPARK))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: (content_hash, canonical_doc,
+    n_copies)."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("canonical_doc"),
+                 F.count("*").alias("n_copies")))
+
+
+def dedup_keep_canonical(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Drop exact duplicates, keeping the min-id row per content hash —
+    the apply-side of exact_dedup (one hash shuffle)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (docs.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH candidate pairs with signature-agreement estimate."""
+    return _run(docs, D.q_minhash_lsh_pairs)
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash fingerprints per document."""
+    return _run(docs, D.q_simhash)
+
+
+def simhash_near_pairs(docs: DataFrame) -> DataFrame:
+    """Near-duplicate pairs at hamming distance <= 3."""
+    return _run(docs, D.q_simhash_near_pairs)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard pairs >= threshold."""
+    return _run(docs, lambda d: D.q_ngram_jaccard_pairs(d, threshold))

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring what a 100 TB training-data pipeline needs:
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query
+  set against the full corpus scan.  All arithmetic is JVM-side
+  (``zip_with`` + ``aggregate`` higher-order functions compiled by
+  Catalyst) — no Python in the hot path.  Cost: O(|Q| × |corpus|),
+  one scan, no shuffle of the corpus.
+* ``lsh_topk`` — approximate: random-hyperplane LSH buckets the
+  corpus (sign-bit sketches of deterministic pseudo-random planes),
+  candidates come only from colliding buckets across L tables, then
+  exact re-ranking of candidates.  Corpus-side cost becomes
+  O(candidates) per query; the bucket join shuffles only
+  (bucket_key, id) pairs.
+* ``ivf_topk`` — inverted-file variant: k-means-lite centroids
+  (sampled seeds, one Lloyd pass), probe the ``nprobe`` nearest
+  cells — the classic IVF-Flat trade-off, expressed as two
+  broadcast joins.
+
+Determinism: hyperplanes/centroid seeds derive from hash-mixed
+integer sequences, not RNG state, so results are stable across runs
+and engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+NORM = "SQRT(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"{DOT.format(a=a, b=b)} / ({NORM.format(a=a)} * {NORM.format(a=b)})")
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """Exact top-k by cosine: one broadcast nested-loop of queries
+    against the corpus scan, ranked per query.
+
+    Output: (query_id, cand_id, cosine, rk).
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(_cosine("q_vec", "c_vec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cosine", "rk")
+    )
+
+
+def _hyperplane(dim: int, plane: int, table: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane via integer
+    hash mixing (splitmix64-style) — reproducible everywhere."""
+    vals = []
+    for i in range(dim):
+        z = (plane * 0x9E3779B97F4A7C15 + table * 0xBF58476D1CE4E5B9
+             + i * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        z ^= z >> 31
+        vals.append((z / float(1 << 64)) * 2.0 - 1.0)
+    return vals
+
+
+def _sketch_expr(vec_col: str, dim: int, n_planes: int, table: int) -> F.Column:
+    """Sign-bit sketch: bit p set iff dot(vec, plane_p) > 0."""
+    bits = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, table)
+        arr = "array(" + ",".join(f"{v}D" for v in plane) + ")"
+        dot = DOT.format(a=vec_col, b=arr)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr("(" + " + ".join(bits) + ")")
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, n_planes: int = 12, n_tables: int = 4
+             ) -> DataFrame:
+    """Approximate top-k: candidates share a random-hyperplane bucket
+    in at least one of ``n_tables`` tables; exact cosine re-ranks.
+
+    At 100 TB the corpus sketching is a map-only pass; the candidate
+    join shuffles (bucket, id) pairs — fraction ~2^-n_planes of the
+    cross product per table.
+    """
+    from pyspark.sql.window import Window
+
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+
+    c_buckets = []
+    q_buckets = []
+    for t in range(n_tables):
+        sk = _sketch_expr("c_vec", dim, n_planes, t)
+        c_buckets.append(c.select("cand_id", "c_vec",
+                                  F.lit(t).alias("tbl"), sk.alias("bucket")))
+        skq = _sketch_expr("q_vec", dim, n_planes, t)
+        q_buckets.append(q.select("query_id", "q_vec",
+                                  F.lit(t).alias("tbl"), skq.alias("bucket")))
+    cb = c_buckets[0]
+    for x in c_buckets[1:]:
+        cb = cb.unionByName(x)
+    qb = q_buckets[0]
+    for x in q_buckets[1:]:
+        qb = qb.unionByName(x)
+
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "q_vec", "cand_id", "c_vec")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.withColumn("cosine", F.round(_cosine("q_vec", "c_vec"), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "cand_id", "cosine", "rk"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF-Flat: assign corpus vectors to their nearest centroid
+    (deterministically seeded from the first ``n_cells`` corpus rows by
+    id, refined by one mean pass), probe the ``nprobe`` closest cells
+    per query, exact-rank the probed subset."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).alias("c_vec"))
+
+    # seeds: lowest-id vectors (deterministic); one refinement pass
+    seeds = [r.c_vec for r in
+             c.orderBy("cand_id").limit(n_cells).collect()]
+
+    def centroid_arr(vec) -> str:
+        return "array(" + ",".join(f"{float(v)}D" for v in vec) + ")"
+
+    def nearest_cell(vec_col_name: str, centroids) -> F.Column:
+        best = None
+        for i, cent in enumerate(centroids):
+            d = F.expr(DOT.format(a=vec_col_name, b=centroid_arr(cent)))
+            best = F.struct(d.alias("s"), F.lit(i).alias("cell")) if best is None \
+                else F.when(d > best["s"],
+                            F.struct(d.alias("s"), F.lit(i).alias("cell"))).otherwise(best)
+        return best["cell"]
+
+    assigned = c.withColumn("cell", nearest_cell("c_vec", seeds))
+    # one mean pass → refined centroids
+    refined_rows = (
+        assigned.groupBy("cell")
+        .agg(*[F.avg(F.expr(f"CAST(c_vec[{i}] AS DOUBLE)")).alias(f"d{i}")
+               for i in range(len(seeds[0]))])
+        .collect())
+    refined = {r.cell: [r[f"d{i}"] for i in range(len(seeds[0]))]
+               for r in refined_rows}
+    centroids = [refined.get(i, list(map(float, seeds[i])))
+                 for i in range(len(seeds))]
+
+    assigned = c.withColumn("cell", nearest_cell("c_vec", centroids))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    probes = None
+    for i, cent in enumerate(centroids):
+        p = q.withColumn("cell", F.lit(i)).withColumn(
+            "cell_score", F.expr(DOT.format(a="q_vec", b=centroid_arr(cent))))
+        probes = p if probes is None else probes.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cell_score"))
+    probed = (probes.withColumn("pr", F.row_number().over(w))
+              .where(F.col("pr") <= nprobe)
+              .select("query_id", "q_vec", "cell"))
+
+    cand = (assigned.join(F.broadcast(probed), "cell")
+            .where(F.col("query_id") != F.col("cand_id")))
+    scored = cand.withColumn("cosine", F.round(_cosine("q_vec", "c_vec"), 6))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (scored.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= k)
+            .select("query_id", "cand_id", "cosine", "rk"))

@@ -1,0 +1,127 @@
+"""Similarity-search operator tests: exact brute force as ground
+truth, LSH and IVF approximations measured by recall against it."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_smoke):
+    from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+    return load_table(spark, sf_smoke, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(embeddings):
+    return embeddings.where(F.col("vec_id") % 25 == 0).cache()
+
+
+@pytest.fixture(scope="module")
+def exact(embeddings, queries):
+    from dystonse_gtfs_importer_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(embeddings, queries, k=10).cache()
+
+
+class TestExact:
+    def test_shape_and_bounds(self, exact, queries):
+        rows = exact.collect()
+        n_q = queries.count()
+        assert len(rows) == n_q * 10
+        assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+        # ranks are 1..10 per query, ordered by cosine desc
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rk)
+            assert [r.rk for r in rs] == list(range(1, 11))
+            cos = [r.cosine for r in rs]
+            assert cos == sorted(cos, reverse=True)
+
+    def test_no_self_match(self, exact):
+        assert exact.where(F.col("query_id") == F.col("cand_id")).count() == 0
+
+
+def _recall(approx_rows, exact_rows, k=10):
+    ex = {}
+    for r in exact_rows:
+        ex.setdefault(r.query_id, set()).add(r.cand_id)
+    ap = {}
+    for r in approx_rows:
+        ap.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = total = 0
+    for q, s in ex.items():
+        total += len(s)
+        hits += len(s & ap.get(q, set()))
+    return hits / total
+
+
+class TestLSH:
+    def test_recall_beats_random(self, embeddings, queries, exact):
+        from dystonse_gtfs_importer_spark.operators.similarity import lsh_topk
+
+        approx = lsh_topk(embeddings, queries, k=10,
+                          n_planes=8, n_tables=6).collect()
+        rec = _recall(approx, exact.collect())
+        # random 10-of-500 ≈ 2% recall; LSH must do far better
+        assert rec > 0.3, f"LSH recall {rec:.2f} too low"
+
+    def test_deterministic(self, embeddings, queries):
+        from dystonse_gtfs_importer_spark.operators.similarity import lsh_topk
+
+        a = sorted(map(tuple, lsh_topk(embeddings, queries, k=5,
+                                       n_planes=8, n_tables=2).collect()))
+        b = sorted(map(tuple, lsh_topk(embeddings, queries, k=5,
+                                       n_planes=8, n_tables=2).collect()))
+        assert a == b
+
+
+class TestIVF:
+    def test_recall_beats_random(self, embeddings, queries, exact):
+        from dystonse_gtfs_importer_spark.operators.similarity import ivf_topk
+
+        approx = ivf_topk(embeddings, queries, k=10,
+                          n_cells=8, nprobe=4).collect()
+        rec = _recall(approx, exact.collect())
+        assert rec > 0.5, f"IVF recall {rec:.2f} too low"
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from dystonse_gtfs_importer_spark.operators.multimodal import (
+            MEDIA_SCHEMA, extract_features, media_dedup,
+        )
+
+        rows = [
+            (1, "image", b"imagebytes-1", "image/png", 64, 64, None),
+            (2, "image", b"imagebytes-1", "image/png", 64, 64, None),  # dup
+            (3, "audio", b"audiobytes-2", "audio/wav", None, None, 2000),
+            (4, "image", None, "image/png", 8, 8, None),               # corrupt
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = extract_features(media, dim=16).cache()
+        got = {r.media_id: r for r in feats.collect()}
+        assert set(got) == {1, 2, 3}          # corrupt row dropped
+        assert len(got[1].feature) == 16
+        assert got[1].feature == got[2].feature       # content-determined
+        assert got[1].feature != got[3].feature
+        dd = media_dedup(feats).collect()
+        by_hash = {r.content_hash: r for r in dd}
+        assert any(r.n_copies == 2 and r.canonical_media == 1 for r in dd)
+
+    def test_frame_sampling_fanout(self, spark):
+        from dystonse_gtfs_importer_spark.operators.multimodal import (
+            MEDIA_SCHEMA, sample_frames,
+        )
+
+        media = spark.createDataFrame(
+            [(1, "video", b"vid", "video/mp4", None, None, 3500),
+             (2, "image", b"img", "image/png", 4, 4, None)],
+            MEDIA_SCHEMA)
+        frames = sample_frames(media, every_ms=1000).collect()
+        # video 3500ms → offsets 0,1000,2000,3000; image contributes none
+        assert sorted(r.frame_ms for r in frames) == [0, 1000, 2000, 3000]
