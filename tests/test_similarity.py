@@ -64,11 +64,14 @@ class TestLSH:
     def test_recall_beats_random(self, embeddings, queries, exact):
         from dystonse_gtfs_importer_spark.operators.similarity import lsh_topk
 
+        # these embeddings are near-orthogonal (true top-10 cosine
+        # ≈ 0.29, θ ≈ 73°) — the hardest LSH regime — so short
+        # sketches + many tables; measured recall ≈ 0.55
         approx = lsh_topk(embeddings, queries, k=10,
-                          n_planes=8, n_tables=6).collect()
+                          n_planes=5, n_tables=10).collect()
         rec = _recall(approx, exact.collect())
         # random 10-of-500 ≈ 2% recall; LSH must do far better
-        assert rec > 0.3, f"LSH recall {rec:.2f} too low"
+        assert rec > 0.35, f"LSH recall {rec:.2f} too low"
 
     def test_deterministic(self, embeddings, queries):
         from dystonse_gtfs_importer_spark.operators.similarity import lsh_topk
