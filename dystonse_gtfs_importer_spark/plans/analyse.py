@@ -23,14 +23,17 @@ CURVE_TYPE = ArrayType(StructType([
 
 
 def ecdf_curve_points(df: DataFrame, group_cols: list[str], value_col: str,
-                      min_samples: int = 2) -> DataFrame:
-    """A3 ``make_curve`` (unfocused) per group, exploded to one row per
-    curve point: (group..., x double, y double, sample_size long).
+                      min_samples: int = 2, focus: float | None = None,
+                      y_round: int | None = None) -> DataFrame:
+    """A3 ``make_curve`` per group, exploded to one row per curve
+    point: (group..., x double, y double, sample_size long).
 
+    With ``focus`` set, values are triangular-kernel weighted (C6).
     Exploded-point form keeps the result SQL-expressible (cumulative
-    count / total over distinct values), which is what the DuckDB
-    oracle checks; the array-typed variant for storage is
-    :func:`curve_table`.
+    weight / total over distinct values), which is what the DuckDB
+    oracle checks; ``y_round`` rounds y so cross-engine summation-order
+    drift of fractional weights stays out of the value hash.  The
+    array-typed variant for storage is :func:`curve_table`.
     """
     fields = [df.schema[c] for c in group_cols]
     out_schema = StructType(fields + [
@@ -41,7 +44,7 @@ def ecdf_curve_points(df: DataFrame, group_cols: list[str], value_col: str,
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[value_col].dropna().to_numpy(dtype="float64")
-        made = cv.make_curve(vals) if len(vals) >= min_samples else None
+        made = cv.make_curve(vals, focus) if len(vals) >= min_samples else None
         if made is None:
             return pd.DataFrame({f.name: pd.Series(dtype="object")
                                  for f in out_schema.fields})
@@ -49,7 +52,12 @@ def ecdf_curve_points(df: DataFrame, group_cols: list[str], value_col: str,
         n = len(curve)
         out = {c: [pdf[c].iloc[0]] * n for c in group_cols}
         out["x"] = curve.xs
-        out["y"] = curve.ys
+        ys = curve.ys
+        if y_round is not None:
+            import numpy as np
+
+            ys = np.round(ys, y_round)
+        out["y"] = ys
         out["sample_size"] = [len(vals)] * n
         return pd.DataFrame(out)
 

@@ -307,6 +307,91 @@ def q_autocomplete(d: S.Dialect) -> str:
     """
 
 
+def q_union_service_days(d: S.Dialect) -> str:
+    # U1: today ∪ yesterday trip sets (>24h start times span days) —
+    # tagged union of two day windows
+    return """
+        SELECT 'today' AS service_day, event_id, user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+        UNION ALL
+        SELECT 'yesterday' AS service_day, event_id, user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+    """
+
+
+def q_latest_in_past(d: S.Dialect) -> str:
+    # O7/S11: per user, the most recent event strictly before a cutoff
+    # (ORDER BY time DESC, tie-break, take 1)
+    return """
+        SELECT user_id, event_id AS latest_event, event_type
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        ) t WHERE rn = 1
+    """
+
+
+def q_orders_by_size(d: S.Dialect) -> str:
+    # O6: variants sorted by stop count descending (deterministic
+    # tie-break), top 10
+    return """
+        SELECT l_orderkey, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY 1
+        ORDER BY n_lines DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+
+def q_trip_resolution(d: S.Dialect) -> str:
+    # J8 analog: resolve (segment, priority, day) descriptors to one
+    # concrete order — multi-key join + "first match wins" min
+    return """
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               CAST(o.o_orderdate AS DATE) AS day,
+               MIN(o.o_orderkey) AS resolved_order
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    """
+
+
+def q_noon_datetime(d: S.Dialect) -> str:
+    # C1/C2: noon-anchored GTFS datetime incl. times past 24:00
+    secs = "CAST(o_orderkey % 100000 AS INT)"
+    expr = S.gtfs_noon_datetime("CAST(o_orderdate AS DATE)", secs)
+    ep = _epoch_s(expr, d)
+    return f"""
+        SELECT o_orderkey, {ep} AS event_epoch_s
+        FROM orders
+    """
+
+
+def q_contiguous_trips(d: S.Dialect) -> str:
+    # C20 analog: is the stop list a contiguous window (no gaps in
+    # sequence numbers, no repeats)?
+    return """
+        SELECT l_orderkey,
+               CAST(MAX(l_linenumber) - MIN(l_linenumber) + 1
+                    = COUNT(DISTINCT l_linenumber) AS INT) AS is_contiguous,
+               COUNT(*) AS n_stops
+        FROM lineitem GROUP BY 1
+    """
+
+
+def q_value_percentiles(d: S.Dialect) -> str:
+    # C11 relational flavor: exact interpolated percentiles per group
+    if d.name == "spark":
+        pct = "percentile(value, {p})"
+    else:
+        pct = "quantile_cont(value, {p})"
+    cols = ", ".join(
+        f"ROUND({pct.format(p=p)}, 4) AS p{int(p * 100):02d}"
+        for p in (0.05, 0.25, 0.5, 0.75, 0.95))
+    return f"SELECT event_type, {cols} FROM events GROUP BY event_type"
+
+
 # ---------------------------------------------------------------------------
 # text analysis + dedup (beyond-reference operators)
 # ---------------------------------------------------------------------------
@@ -406,9 +491,69 @@ _ECDF_ORACLE = """
 """
 
 
+def _ecdf_focused_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import configure_for_oracle
+    from ..sources.testdata import load_table
+    from .analyse import ecdf_curve_points
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    return ecdf_curve_points(events, group_cols=["event_type"],
+                             value_col="value", focus=50.0, y_round=6)
+
+
+# Focused make_curve (triangular kernel C6, focus=50): weight 1 at the
+# focus falling linearly to 0 at the group min/max; y at each distinct
+# x is the cumulative weight at its FIRST occurrence / total weight.
+_ECDF_FOCUSED_ORACLE = """
+    WITH vals AS (
+        SELECT event_type, value AS x FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT event_type, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS n
+        FROM vals GROUP BY 1
+    ),
+    weighted AS (
+        SELECT v.event_type, v.x,
+               CASE WHEN v.x = 50.0 THEN 1.0
+                    WHEN v.x < 50.0 THEN (v.x - b.mn) / (50.0 - b.mn)
+                    ELSE 1.0 - ((v.x - 50.0) / (b.mx - 50.0)) END AS w,
+               b.n
+        FROM vals v JOIN bounds b USING (event_type)
+    ),
+    pts AS (
+        SELECT event_type, x, w, n, COUNT(*) AS cnt
+        FROM weighted GROUP BY 1, 2, 3, 4
+    ),
+    cum AS (
+        SELECT event_type, x, n,
+               SUM(w * cnt) OVER (PARTITION BY event_type ORDER BY x
+                                  ROWS UNBOUNDED PRECEDING)
+                   - w * cnt + w AS cum_first,
+               SUM(w * cnt) OVER (PARTITION BY event_type) AS total
+        FROM pts
+    ),
+    filtered AS (SELECT * FROM cum WHERE x <> 0.0),
+    stats AS (
+        SELECT event_type, MIN(x) AS mn, MAX(x) AS mx, COUNT(*) AS npts
+        FROM filtered GROUP BY 1
+    )
+    SELECT f.event_type, f.x,
+           CASE WHEN f.x = s.mn THEN 0.0
+                WHEN f.x = s.mx THEN 1.0
+                ELSE ROUND(f.cum_first / f.total, 6) END AS y,
+           f.n AS sample_size
+    FROM filtered f JOIN stats s USING (event_type)
+    WHERE s.npts >= 2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
+    "ecdf_curve_focused": QueryDef(spark=_ecdf_focused_spark,
+                                   oracle=_ECDF_FOCUSED_ORACLE,
+                                   survey_ref="A3 C6"),
     "pricing_summary": _sql_pair(q_pricing_summary, "A1 A9 F1 F13 F16"),
     "hourly_event_stats": _sql_pair(q_hourly_event_stats, "A1 J10"),
     "global_minmax": _sql_pair(q_global_minmax, "A2"),
@@ -431,6 +576,13 @@ QUERIES: dict[str, QueryDef] = {
     "quality_score": _sql_pair(q_quality_score, "text-analysis"),
     "exact_dedup": _sql_pair(q_exact_dedup, "dedup-exact"),
     "fingerprint_dedup": _sql_pair(q_fingerprint_dedup, "dedup-fingerprint"),
+    "union_service_days": _sql_pair(q_union_service_days, "U1"),
+    "latest_in_past": _sql_pair(q_latest_in_past, "O7 S11"),
+    "orders_by_size": _sql_pair(q_orders_by_size, "O6"),
+    "trip_resolution": _sql_pair(q_trip_resolution, "J8"),
+    "noon_datetime": _sql_pair(q_noon_datetime, "C1 C2"),
+    "contiguous_trips": _sql_pair(q_contiguous_trips, "C20"),
+    "value_percentiles": _sql_pair(q_value_percentiles, "C11"),
     "minhash_lsh_pairs": _sql_pair(D.q_minhash_lsh_pairs, "dedup-minhash-lsh"),
     "simhash": _sql_pair(D.q_simhash, "dedup-simhash"),
     "simhash_near_pairs": _sql_pair(D.q_simhash_near_pairs, "dedup-simhash"),
