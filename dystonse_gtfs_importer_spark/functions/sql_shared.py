@@ -278,6 +278,35 @@ def stopword_count(text: str) -> str:
     return "(" + " + ".join(word_occurrences(text, w) for w in STOPWORDS) + ")"
 
 
+def format_delay(secs: str) -> str:
+    """C17 ``format_delay``: '+N'/'-N' minute-ish strings
+    (monitor/mod.rs:1174-1181)."""
+    return (f"(CASE WHEN {secs} >= 0 THEN CONCAT('+', CAST({secs} AS STRING)) "
+            f"ELSE CAST({secs} AS STRING) END)")
+
+
+def format_duration_min(secs: str, d: Dialect) -> str:
+    """C17 ``format_duration``: 'M:SS Min.' (monitor/mod.rs:1183-1190)."""
+    m = d.trunc_num(f"({secs}) / 60.0")
+    s = f"LPAD(CAST(({secs}) % 60 AS STRING), 2, '0')"
+    return f"CONCAT(CAST({m} AS STRING), ':', {s}, ' Min.')"
+
+
+def route_type_letter(route_type: str, route_name: str) -> str:
+    """C18: route_type (+ name-prefix rules for rail: RB/RE/S/RS/IC…)
+    → display class letter (monitor/mod.rs:894-922,1666-1681)."""
+    return f"""CASE
+        WHEN {route_type} = 2 AND ({route_name} LIKE 'RB%' OR {route_name} LIKE 'RE%') THEN 'r'
+        WHEN {route_type} = 2 AND ({route_name} LIKE 'S%' OR {route_name} LIKE 'RS%') THEN 's'
+        WHEN {route_type} = 2 AND ({route_name} LIKE 'IC%' OR {route_name} LIKE 'EC%') THEN 'd'
+        WHEN {route_type} = 2 THEN 'r'
+        WHEN {route_type} = 0 THEN 't'
+        WHEN {route_type} = 1 THEN 'u'
+        WHEN {route_type} = 3 THEN 'b'
+        WHEN {route_type} = 4 THEN 'f'
+        ELSE 'x' END"""
+
+
 def quality_score(text: str, d: Dialect) -> str:
     """Heuristic document quality in [0,1]: mean of a length signal,
     an alphabetic-character ratio, and a stopword-presence signal.

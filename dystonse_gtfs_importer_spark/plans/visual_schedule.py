@@ -1,0 +1,88 @@
+"""Visual-schedule data pipeline (visual_schedule.rs) — the *data*
+behind the schedule drawings (S19 plotting itself is presentation).
+
+* A8  distinct route_ids / variants
+* O6  variants sorted by stop count descending
+* U2  greedy partition of variants into drawing groups: repeatedly
+      take the longest unassigned variant, then absorb every variant
+      whose stop list is a contiguous sub-window of it (forward or
+      reversed, C20 ``is_sub_trip``, visual_schedule.rs:213-277)
+* A13 per (service day, trip) ordered point series for drawing
+* F13 ≥10 rows gate
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def is_sub_window(needle: list[str], hay: list[str]) -> bool:
+    """C20: is ``needle`` a contiguous window of ``hay``, forward or
+    reversed (visual_schedule.rs:271-277)?"""
+    if len(needle) > len(hay):
+        return False
+    for cand in (needle, needle[::-1]):
+        for i in range(len(hay) - len(cand) + 1):
+            if hay[i:i + len(cand)] == cand:
+                return True
+    return False
+
+
+def variant_draw_groups(vstops: DataFrame) -> list[dict]:
+    """U2: the greedy variant partition.  Inherently sequential greedy
+    over a *small* driver-side list (variants per route are dozens) —
+    the one sanctioned ``collect()`` in this module; per-variant stop
+    lists are bounded by route length."""
+    per_variant = (
+        vstops.groupBy("route_id", "route_variant")
+        .agg(F.sort_array(F.collect_list(F.struct("stop_index", "stop_id")))
+             .alias("stops"))
+        .select("route_id", "route_variant",
+                F.expr("transform(stops, s -> s.stop_id)").alias("stop_ids"))
+        .collect()
+    )
+    pool = [{"route_id": r.route_id, "route_variant": r.route_variant,
+             "stop_ids": list(r.stop_ids)} for r in per_variant]
+    pool.sort(key=lambda v: (-len(v["stop_ids"]), v["route_id"],
+                             v["route_variant"]))
+    groups: list[dict] = []
+    while pool:
+        leader = pool.pop(0)
+        members = [leader]
+        rest = []
+        for v in pool:
+            if (v["route_id"] == leader["route_id"]
+                    and is_sub_window(v["stop_ids"], leader["stop_ids"])):
+                members.append(v)
+            else:
+                rest.append(v)
+        pool = rest
+        groups.append({
+            "route_id": leader["route_id"],
+            "leader_variant": leader["route_variant"],
+            "variants": [m["route_variant"] for m in members],
+            "stop_ids": leader["stop_ids"],
+        })
+    return groups
+
+
+def trip_point_series(records: DataFrame, vstops: DataFrame,
+                      min_rows: int = 10) -> DataFrame:
+    """A13: per (service day, trip) the ordered (stop position, delay)
+    series used to draw one line of the visual schedule; variants with
+    fewer than ``min_rows`` records are skipped (F13,
+    visual_schedule.rs:168)."""
+    v = F.broadcast(vstops.select(
+        "route_id", "route_variant", "stop_id", "stop_index"))
+    pts = records.join(v, ["route_id", "route_variant", "stop_id"])
+    counted = pts.withColumn(
+        "n_variant_rows",
+        F.count("*").over(Window.partitionBy("route_id", "route_variant")))
+    pts = counted.where(F.col("n_variant_rows") >= min_rows)
+    return (
+        pts.groupBy("route_id", "route_variant", "trip_start_date", "trip_id")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "stop_index", "delay_arrival", "delay_departure"))).alias("points"))
+    )

@@ -1,0 +1,100 @@
+"""Table storage (S12-S17): partitioned parquet replaces both the
+MySQL tables and the MessagePack object tree.
+
+Layout decisions for 100 TB:
+
+* ``records`` partitions by (source, trip_start_date): every analyse
+  query filters on source, and date partitions give both partition
+  pruning for incremental analyse runs and a natural retention unit.
+  Within a partition, files are sorted by (route_id, route_variant) so
+  route-sliced reads benefit from min/max row-group skipping.
+* curve tables are schedule-bounded (≤ millions of rows, kilobytes per
+  row) — plain parquet, sorted by their lookup key, no partitioning
+  (small-files beat empty-partition sprawl).
+* ``predictions`` partitions by (source, trip_start_date) — the 12 h
+  TTL (ST5) becomes dropping whole date partitions.
+* The reference's MessagePack tree (types/types.md:13-27) maps to the
+  directory structure parquet partitioning already provides; S17 load
+  is just ``spark.read.parquet``.
+
+The JDBC sink mirrors the reference's MySQL writer (1000-row batches,
+batched_statements.rs:7) for deployments that keep MySQL; the
+latest-wins dedup must run before it (W2) since plain JDBC INSERT
+cannot upsert portably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_records(records: DataFrame, path: str, mode: str = "overwrite"
+                  ) -> None:
+    (records
+     .repartition("source", "trip_start_date")
+     .sortWithinPartitions("route_id", "route_variant", "trip_id",
+                           "stop_sequence")
+     .write.mode(mode)
+     .partitionBy("source", "trip_start_date")
+     .parquet(path))
+
+
+def read_records(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_curve_tables(tables: dict[str, DataFrame], base: str,
+                       mode: str = "overwrite") -> None:
+    """S16: the DelayStatistics tree as three parquet tables."""
+    sort_keys = {
+        "general": ["route_id", "route_variant", "event_type", "time_slot",
+                    "stop_index"],
+        "specific": ["route_id", "route_variant", "event_type", "time_slot",
+                     "start_stop_index", "end_stop_index", "focus"],
+        "default": ["route_type", "route_section", "time_slot", "event_type"],
+    }
+    for name, df in tables.items():
+        out = df
+        if name in sort_keys:
+            out = df.coalesce(1).sortWithinPartitions(*sort_keys[name])
+        out.write.mode(mode).parquet(f"{base}/{name}")
+
+
+def read_curve_tables(spark: SparkSession, base: str) -> dict[str, DataFrame]:
+    """S17: load whichever statistics tables exist under ``base``."""
+    from pathlib import Path
+
+    out = {}
+    for name in ("general", "specific", "default"):
+        if Path(base, name).exists():
+            out[name] = spark.read.parquet(f"{base}/{name}")
+    return out
+
+
+def write_predictions(predictions: DataFrame, path: str,
+                      mode: str = "overwrite") -> None:
+    (predictions
+     .repartition("source", "trip_start_date")
+     .write.mode(mode)
+     .partitionBy("source", "trip_start_date")
+     .parquet(path))
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", batchsize: int = 1000,
+               properties: dict | None = None) -> None:
+    """S12/S13 JDBC sink: 1000-row batches like the reference's
+    BatchedStatements.  Run latest_wins_merge first — INSERT-only."""
+    writer = (df.write.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("batchsize", str(batchsize)))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def write_csv_report(df: DataFrame, path: str, sep: str = ";") -> None:
+    """S20: the count-stats CSV sink (';'-separated like count.rs)."""
+    df.coalesce(1).write.mode("overwrite") \
+        .option("header", True).option("sep", sep).csv(path)

@@ -1,0 +1,151 @@
+"""Physical-plan guardrails: these tests pin the properties that make
+the engine survive a 100 TB / 1000-executor scale-up — filter pushdown
+into parquet scans, column pruning, broadcast joins on the fact path,
+and bounded shuffle counts.  A regression here is a performance bug
+even while every correctness test stays green."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_exchanges(df) -> int:
+    # count shuffle exchanges, not broadcast exchanges
+    return plan_of(df).count("Exchange hashpartitioning") + \
+        plan_of(df).count("Exchange rangepartitioning")
+
+
+class TestScanEfficiency:
+    def test_filter_pushdown_reaches_parquet(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        df = load_table(spark, sf_smoke, "lineitem").where(
+            F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" \
+            in plan, plan
+
+    def test_column_pruning(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        df = load_table(spark, sf_smoke, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        plan = plan_of(df)
+        # ReadSchema must carry only the two projected columns
+        rs = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_orderkey" in rs and "l_quantity" in rs
+        assert "l_extendedprice" not in rs and "l_shipdate" not in rs
+
+    def test_whole_stage_codegen_on_relational_path(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        # AQE wraps the plan lazily and hides codegen spans until
+        # execution; disable it for this one plan inspection
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            df = (load_table(spark, sf_smoke, "lineitem")
+                  .groupBy("l_returnflag").agg(F.sum("l_quantity")))
+            assert "WholeStageCodegen" in plan_of(df)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestJoinStrategy:
+    def test_import_etl_broadcasts_schedule(self, spark, tmp_path):
+        from gtfs_fixtures import build_rt_events, build_schedule, write_gtfs_dir
+
+        from dystonse_gtfs_importer_spark.plans.import_etl import build_records
+        from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
+        from dystonse_gtfs_importer_spark.sources.gtfs import read_gtfs
+
+        d = tmp_path / "g"
+        d.mkdir()
+        write_gtfs_dir(build_schedule(), d)
+        sched = read_gtfs(spark, str(d))
+        rt = spark.createDataFrame(build_rt_events(build_schedule()), RT_EVENTS)
+        recs = build_records(rt, sched["trips"], sched["stop_times"],
+                             "s", "f")
+        plan = plan_of(recs)
+        assert "BroadcastHashJoin" in plan
+        # the fact stream must NOT be shuffled for these joins
+        assert "SortMergeJoin" not in plan
+        assert n_exchanges(recs) == 0, plan
+
+    def test_predict_ladder_all_broadcast(self, spark):
+        import datetime as dt
+
+        from dystonse_gtfs_importer_spark.plans.predict import predict
+        from dystonse_gtfs_importer_spark.schemas import CURVE_TYPE
+
+        curve = [{"x": 0.0, "y": 0.0}, {"x": 60.0, "y": 1.0}]
+        lookups = spark.createDataFrame(
+            [("R1", 1, 3, 2, dt.datetime(2024, 1, 1, 10), 5, 8, 1, 30.0)],
+            "route_id string, route_variant long, route_type int, "
+            "event_type tinyint, event_dt timestamp, end_stop_index int, "
+            "stop_count int, start_stop_index int, initial_delay double")
+        specific = spark.createDataFrame(
+            [("R1", 1, 2, 3, 1, 5, 0.0, curve, 30)],
+            "route_id string, route_variant long, event_type tinyint, "
+            "time_slot int, start_stop_index int, end_stop_index int, "
+            f"focus float, curve {CURVE_TYPE.simpleString()}, sample_size long")
+        general = spark.createDataFrame(
+            [("R1", 1, 2, 12, 5, curve, 30)],
+            "route_id string, route_variant long, event_type tinyint, "
+            f"time_slot int, stop_index int, curve {CURVE_TYPE.simpleString()}, "
+            "sample_size long")
+        default = spark.createDataFrame(
+            [(3, "middle", 3, 2, curve, 30, 4)],
+            "route_type int, route_section string, time_slot int, "
+            f"event_type tinyint, curve {CURVE_TYPE.simpleString()}, "
+            "sample_size long, precision_type tinyint")
+        out = predict(lookups, specific, general, default)
+        plan = plan_of(out)
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 5, \
+            f"ladder should be all-broadcast:\n{plan}"
+
+    def test_latest_wins_single_shuffle(self, spark, tmp_path):
+        from gtfs_fixtures import build_rt_events, build_schedule, write_gtfs_dir
+
+        from dystonse_gtfs_importer_spark.plans.import_etl import (
+            build_records, latest_wins_merge,
+        )
+        from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
+        from dystonse_gtfs_importer_spark.sources.gtfs import read_gtfs
+
+        d = tmp_path / "g"
+        d.mkdir()
+        write_gtfs_dir(build_schedule(), d)
+        sched = read_gtfs(spark, str(d))
+        rt = spark.createDataFrame(build_rt_events(build_schedule()), RT_EVENTS)
+        merged = latest_wins_merge(build_records(
+            rt, sched["trips"], sched["stop_times"], "s", "f"))
+        assert n_exchanges(merged) == 1, plan_of(merged)
+
+
+class TestAggShape:
+    def test_partial_aggregation_before_shuffle(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        df = (load_table(spark, sf_smoke, "lineitem")
+              .groupBy("l_returnflag").agg(F.sum("l_quantity")))
+        plan = plan_of(df)
+        # map-side combine: a partial HashAggregate must sit below the
+        # exchange
+        before_exchange = plan.split("Exchange")[0] if "Exchange" in plan else ""
+        assert "HashAggregate" in plan
+        assert plan.index("HashAggregate") < plan.index("Exchange"), \
+            "expected partial aggregate above (before) the shuffle in plan"
+
+    def test_ecdf_single_shuffle(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.plans.analyse import ecdf_curve_points
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_smoke, "events")
+        df = ecdf_curve_points(ev, ["event_type"], "value")
+        assert n_exchanges(df) == 1, plan_of(df)
