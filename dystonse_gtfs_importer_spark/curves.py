@@ -186,7 +186,9 @@ def make_curve(values, focus: float | None = None) -> tuple[Curve, float] | None
     ys = cum[first_occ] / total
     if xs.size < 2:
         return None
-    ys = ys.copy()
+    # cum/total can exceed 1.0 by an ulp for focused weights; clamp so
+    # forcing the final point to exactly 1.0 cannot create a decrease
+    ys = np.clip(ys, 0.0, 1.0)
     ys[0] = 0.0
     ys[-1] = 1.0
     return Curve(xs, ys, validate=False), total

@@ -97,6 +97,9 @@ def latest_wins_merge(records: DataFrame,
     key, keeping the merge idempotent and commutative under file
     reordering (ST3)."""
     df = records if existing is None else existing.unionByName(records)
+    # determinism rests on (PK, time_of_recording, schedule_file_name)
+    # identifying one observation — re-reports of the same observation
+    # carry identical payloads (pinned by the property tests)
     w = (
         Window.partitionBy(*[F.col(c) for c in RECORDS_PK])
         .orderBy(F.col("time_of_recording").desc(),

