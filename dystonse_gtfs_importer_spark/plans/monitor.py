@@ -171,6 +171,44 @@ def transfer_chances(arrivals: DataFrame, departures: DataFrame,
     return out.where(F.col("p_transfer") >= min_probability)  # F11
 
 
+def resolve_trip(schedule: dict[str, DataFrame], route_type: int,
+                 route_short_name: str, headsign: str,
+                 departure_hhmm: str, stop_id: str, on_date) -> DataFrame:
+    """J8: resolve a journey-URL descriptor (route type + short name,
+    headsign, HH:MM departure at a stop) to concrete vehicles
+    (journey_data.rs:341-476): filter trips by headsign, join routes
+    on name+type, expand candidate service days (−1/0/+1 for trips
+    past midnight), match the scheduled departure to the minute;
+    'first match wins' via ascending sort + limit."""
+    import datetime as dt
+
+    hh, mm = departure_hhmm.split(":")
+    target_min = int(hh) * 60 + int(mm)
+
+    routes = schedule["routes"].where(
+        (F.col("route_type") == route_type)
+        & (F.col("route_short_name") == route_short_name))
+    trips = schedule["trips"].where(F.col("trip_headsign") == headsign)
+    st = schedule["stop_times"].where(F.col("stop_id") == stop_id)
+
+    j = (trips.join(F.broadcast(routes), "route_id")
+         .join(st, "trip_id"))
+    base = on_date if isinstance(on_date, dt.date) else on_date.date()
+    out = None
+    for day_offset in (-1, 0, 1):
+        service_date = base + dt.timedelta(days=day_offset)
+        # wall-clock seconds on `base` = departure_secs shifted by the
+        # service-day offset; must land inside `base` on the target minute
+        wall_secs = F.col("departure_secs") + day_offset * 86400
+        cand = (j.withColumn("trip_start_date", F.lit(service_date))
+                .where((wall_secs >= 0) & (wall_secs < 86400))
+                .where(F.floor(wall_secs / 60).cast("int") == target_min))
+        out = cand if out is None else out.unionByName(cand)
+    return (out.select("trip_id", "route_id", "route_variant",
+                       "trip_start_date", "stop_sequence", "departure_secs")
+            .orderBy("trip_id").limit(1))
+
+
 def autocomplete_stops(stops: DataFrame, query: str, limit: int = 10
                        ) -> DataFrame:
     """F12+O3: stop names containing every space-separated term,

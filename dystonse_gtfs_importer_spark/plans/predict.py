@@ -197,6 +197,40 @@ def predict(
     return out.drop(*drop)
 
 
+def realtime_basis(records: DataFrame, vstops: DataFrame, now) -> DataFrame:
+    """S11/O7: per vehicle, the most recent observation whose
+    *estimated departure* lies in the past — the PredictionBasis a
+    live lookup starts from (/root/reference/src/predictor/real_time.rs:31-107:
+    ORDER BY time_of_recording DESC, stop_sequence DESC, first row
+    with departure < now).
+
+    Returns one row per vehicle: (vehicle key, start_stop_index,
+    initial_delay).
+    """
+    from pyspark.sql.window import Window
+
+    v = F.broadcast(vstops.select(
+        "route_id", "route_variant", "stop_id", "stop_index",
+        "departure_secs"))
+    r = records.join(v, ["route_id", "route_variant", "stop_id"])
+    est_dep = (
+        F.unix_timestamp(F.to_timestamp("trip_start_date"))
+        + F.col("departure_secs") + F.coalesce("delay_departure", F.lit(0)))
+    past = r.where(est_dep < F.unix_timestamp(F.lit(now)))
+    w = (Window.partitionBy("route_id", "route_variant", "trip_id",
+                            "trip_start_date", "trip_start_time")
+         .orderBy(F.col("time_of_recording").desc(),
+                  F.col("stop_sequence").desc()))
+    return (
+        past.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("route_id", "route_variant", "trip_id", "trip_start_date",
+                "trip_start_time",
+                F.col("stop_index").alias("start_stop_index"),
+                F.col("delay_departure").cast("double").alias("initial_delay"))
+    )
+
+
 def prediction_rows(predicted: DataFrame, source: str,
                     schedule_file_name: str, origin_type: int) -> DataFrame:
     """``make_prediction`` materialization

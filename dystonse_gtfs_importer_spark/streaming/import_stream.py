@@ -149,6 +149,22 @@ def run_import_stream(
     return writer.start()
 
 
+def remove_outdated_predictions(predictions: DataFrame,
+                                current_schedule: str,
+                                window_start, window_end) -> DataFrame:
+    """ST5/S15: drop schedule-origin predictions written from an OLDER
+    schedule file whose prediction window overlaps [window_start,
+    window_end) — they are superseded by regeneration from the current
+    schedule (delete_outdated_predictions,
+    /root/reference/src/importer/scheduled_predictions_importer.rs:244-265)."""
+    outdated = (
+        (F.col("schedule_file_name") != current_schedule)
+        & (F.col("prediction_min") < F.lit(window_end))
+        & (F.col("prediction_max") > F.lit(window_start))
+    )
+    return predictions.where(~outdated)
+
+
 def cleanup_predictions(predictions: DataFrame, now_ts,
                         max_age_hours: int = 12) -> DataFrame:
     """ST5/S14: retain only predictions whose trip started less than

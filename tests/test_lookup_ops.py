@@ -1,0 +1,123 @@
+"""Tests for S11 realtime-basis extraction, S15 outdated-prediction
+removal, and J8 trip resolution."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from gtfs_fixtures import build_rt_events, build_schedule, write_gtfs_dir
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    from dystonse_gtfs_importer_spark.plans.import_etl import (
+        build_records, latest_wins_merge,
+    )
+    from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
+    from dystonse_gtfs_importer_spark.sources.gtfs import read_gtfs, variant_stops
+
+    d = tmp_path_factory.mktemp("gtfs_lk")
+    write_gtfs_dir(build_schedule(), d)
+    sched = read_gtfs(spark, str(d))
+    rt = spark.createDataFrame(build_rt_events(build_schedule()), RT_EVENTS)
+    records = latest_wins_merge(build_records(
+        rt, sched["trips"], sched["stop_times"], "test", "sched")).cache()
+    vstops = variant_stops(sched["trips"], sched["stop_times"]).cache()
+    return {"sched": sched, "records": records, "vstops": vstops}
+
+
+class TestRealtimeBasis:
+    def test_one_basis_per_vehicle_in_past(self, world):
+        from dystonse_gtfs_importer_spark.plans.predict import realtime_basis
+
+        now = dt.datetime(2024, 1, 1, 12, 0)
+        basis = realtime_basis(world["records"], world["vstops"], now).cache()
+        # exactly one row per vehicle
+        dup = (basis.groupBy("trip_id", "trip_start_date", "trip_start_time")
+               .count().where(F.col("count") > 1).count())
+        assert dup == 0
+        assert basis.count() > 0
+
+    def test_future_observations_excluded(self, world):
+        from dystonse_gtfs_importer_spark.plans.predict import realtime_basis
+
+        # before any trip's estimated departures → no basis at all
+        early = dt.datetime(2024, 1, 1, 0, 1)
+        assert realtime_basis(world["records"], world["vstops"],
+                              early).count() == 0
+
+
+class TestRemoveOutdated:
+    def test_only_old_schedule_in_window_removed(self, spark):
+        from dystonse_gtfs_importer_spark.schemas import PREDICTIONS
+        from dystonse_gtfs_importer_spark.streaming.import_stream import (
+            remove_outdated_predictions,
+        )
+
+        def row(sched, t0, t1):
+            return {
+                "source": "s", "event_type": 2, "stop_id": "S1",
+                "prediction_min": t0, "prediction_max": t1,
+                "route_id": "R", "trip_id": f"T-{sched}-{t0}",
+                "trip_start_date": dt.date(2024, 1, 1),
+                "trip_start_time": 0, "stop_sequence": 1,
+                "precision_type": 3, "origin_type": 2, "sample_size": 1,
+                "prediction_curve": [{"x": 0.0, "y": 0.0},
+                                     {"x": 1.0, "y": 1.0}],
+                "schedule_file_name": sched,
+            }
+
+        w0, w1 = dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 1, 12)
+        rows = [
+            row("old", dt.datetime(2024, 1, 1, 10, 30),
+                dt.datetime(2024, 1, 1, 10, 40)),   # old + overlaps → drop
+            row("old", dt.datetime(2024, 1, 1, 14, 0),
+                dt.datetime(2024, 1, 1, 14, 5)),    # old, outside → keep
+            row("new", dt.datetime(2024, 1, 1, 10, 30),
+                dt.datetime(2024, 1, 1, 10, 40)),   # current → keep
+        ]
+        df = spark.createDataFrame(rows, PREDICTIONS)
+        kept = remove_outdated_predictions(df, "new", w0, w1).collect()
+        keys = {(r.schedule_file_name, r.prediction_min.hour) for r in kept}
+        assert keys == {("old", 14), ("new", 10)}
+
+
+class TestResolveTrip:
+    def test_resolves_known_departure(self, spark, world):
+        from dystonse_gtfs_importer_spark.plans.monitor import resolve_trip
+
+        # fixture: trip TR1v1n0 (R1 short name '1', bus type 3,
+        # headsign 'Head R1') departs its first stop at 08:00:30 →
+        # minute 08:00; stop_id of variant 1's first stop is S1
+        got = resolve_trip(world["sched"], route_type=3,
+                           route_short_name="1", headsign="Head R1",
+                           departure_hhmm="08:00", stop_id="S1",
+                           on_date=dt.date(2024, 1, 1)).collect()
+        assert len(got) == 1
+        assert got[0].trip_id == "TR1v1n0"
+        assert str(got[0].trip_start_date) == "2024-01-01"
+
+    def test_past_midnight_trip_found_on_next_day(self, spark, world):
+        from dystonse_gtfs_importer_spark.plans.monitor import resolve_trip
+
+        # night trip departs 25:00:30 on service day D → wall clock
+        # 01:00 on D+1; resolving on D+1 must find service day D
+        got = resolve_trip(world["sched"], route_type=3,
+                           route_short_name="1", headsign="Head R1",
+                           departure_hhmm="01:00", stop_id="S1",
+                           on_date=dt.date(2024, 1, 2)).collect()
+        assert len(got) == 1
+        assert got[0].trip_id.endswith("night")
+        assert str(got[0].trip_start_date) == "2024-01-01"
+
+    def test_no_match_returns_empty(self, spark, world):
+        from dystonse_gtfs_importer_spark.plans.monitor import resolve_trip
+
+        got = resolve_trip(world["sched"], route_type=3,
+                           route_short_name="1", headsign="Head R1",
+                           departure_hhmm="03:33", stop_id="S1",
+                           on_date=dt.date(2024, 1, 1)).collect()
+        assert got == []
