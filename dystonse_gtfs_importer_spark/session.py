@@ -48,7 +48,19 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count; on a real
     cluster you'd size it to ~2-3× total executor cores and let AQE
     coalesce, which the confs below already enable.
+
+    The *process* timezone is aligned with the session timezone:
+    PySpark converts naive Python datetimes (literals, createDataFrame
+    rows, collected values) through the host TZ, while SQL-built
+    timestamps follow ``spark.sql.session.timeZone`` — misaligned
+    zones silently shift every Python↔SQL timestamp comparison by the
+    offset.  Keeping both equal makes naive datetimes mean the same
+    wall-clock everywhere.
     """
+    import time as _time
+
+    os.environ["TZ"] = tz
+    _time.tzset()
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

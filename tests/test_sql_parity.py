@@ -119,13 +119,14 @@ class TestGtfsNoonDatetime:
             "s": [0, 43200, 86400, 97200],  # 00:00, 12:00, 24:00, 27:00
         })
         pdf["d"] = pd.to_datetime(pdf["d"])
-        a, b = eval_both(spark, pdf,
-                         S.gtfs_noon_datetime("d", "s"),
-                         S.gtfs_noon_datetime("d", "s"))
+        # compare as session-TZ strings: collected datetime objects pass
+        # through the *process* TZ, which tests must not depend on
+        expr = f"CAST({S.gtfs_noon_datetime('d', 's')} AS STRING)"
+        a, b = eval_both(spark, pdf, expr, expr)
         assert a == b
-        assert a[0] == dt.datetime(2024, 3, 30, 0, 0)
-        assert a[2] == dt.datetime(2024, 3, 31, 0, 0)   # 24:00 → next day
-        assert a[3] == dt.datetime(2024, 3, 31, 3, 0)   # 27:00 → 03:00 next day
+        assert a[0] == "2024-03-30 00:00:00"
+        assert a[2] == "2024-03-31 00:00:00"   # 24:00 → next day
+        assert a[3] == "2024-03-31 03:00:00"   # 27:00 → 03:00 next day
 
 
 TEXTS = [
