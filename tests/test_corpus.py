@@ -1,0 +1,61 @@
+"""Corpus-cleaning pipeline tests on the driver documents table plus
+injected exact/near duplicates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+    base = load_table(spark, sf_smoke, "documents") \
+        .select("doc_id", "text", "source")
+    # inject exact duplicates (ids 10000+) and a near-duplicate
+    first = base.orderBy("doc_id").limit(3).collect()
+    extra = [(10000 + i, r.text, "dup") for i, r in enumerate(first)]
+    near = first[0].text.replace(" ", "  ", 1) + " tail"
+    extra.append((10999, near, "dup"))
+    extra_df = spark.createDataFrame(extra, "doc_id long, text string, source string")
+    return base.unionByName(extra_df).cache()
+
+
+class TestDedupApply:
+    def test_exact_dupes_dropped_min_id_kept(self, docs):
+        from dystonse_gtfs_importer_spark.operators.dedup import (
+            dedup_keep_canonical,
+        )
+
+        out = dedup_keep_canonical(docs).cache()
+        # the three injected exact copies are gone, originals remain
+        assert out.where(F.col("doc_id").isin([10000, 10001, 10002])).count() == 0
+        assert out.where(F.col("doc_id").isin([0, 1, 2])).count() == 3
+
+
+class TestCleanCorpus:
+    def test_pipeline_and_report(self, spark, docs):
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            clean_corpus, corpus_report,
+        )
+
+        cleaned = clean_corpus(docs, min_quality=0.1, min_tokens=3,
+                               near_dup_threshold=0.9).cache()
+        rep = corpus_report(docs, cleaned)
+        assert rep["surviving_docs"] < rep["input_docs"]
+        assert rep["removed"] >= 3            # at least the exact dupes
+        assert 0.0 <= rep["avg_quality"] <= 1.0
+        assert rep["total_tokens"] > 0
+        cols = set(cleaned.columns)
+        assert {"lang_pred", "quality", "n_tokens"} <= cols
+        # survivors all meet the gates
+        assert cleaned.where(F.col("quality") < 0.1).count() == 0
+        assert cleaned.where(F.col("n_tokens") < 3).count() == 0
+
+    def test_lang_filter(self, docs):
+        from dystonse_gtfs_importer_spark.plans.corpus import clean_corpus
+
+        only = clean_corpus(docs, lang="en", min_quality=0.0, min_tokens=0)
+        langs = {r.lang_pred for r in only.select("lang_pred").distinct().collect()}
+        assert langs <= {"en"}
