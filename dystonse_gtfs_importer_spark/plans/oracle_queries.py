@@ -548,12 +548,60 @@ _ECDF_FOCUSED_ORACLE = """
 """
 
 
+def _curve_stack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuinely non-SQL curve stack (simplify → convolution →
+    transfer probability) over per-group ECDFs; rows-only driver check
+    (deterministic: one row per event_type with rounded stats)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from .. import curves as cv
+    from ..session import configure_for_oracle
+    from ..sources.testdata import load_table
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_raw_points", IntegerType()),
+        StructField("n_simplified", IntegerType()),
+        StructField("median_delay", DoubleType()),
+        StructField("median_with_walk", DoubleType()),
+        StructField("p_transfer_self_5min", DoubleType()),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        made = cv.make_curve(pdf["value"].dropna().to_numpy("float64"))
+        if made is None:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        curve, _ = made
+        simp = cv.simplify(curve, 0.01)
+        conv = cv.convolve_duration(simp, cv.walk_time_curve(200.0))
+        # chance of catching a departure distributed like this arrival
+        # but 5 minutes later
+        p = cv.transfer_probability(simp, 0, simp, -300)
+        return pd.DataFrame([{
+            "event_type": pdf["event_type"].iloc[0],
+            "n_raw_points": len(curve),
+            "n_simplified": len(simp),
+            "median_delay": round(float(cv.x_at_y(simp, 0.5)), 4),
+            "median_with_walk": round(float(cv.x_at_y(conv, 0.5)), 4),
+            "p_transfer_self_5min": round(p, 4),
+        }])
+
+    return events.groupBy("event_type").applyInPandas(build, schema)
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
     "ecdf_curve_focused": QueryDef(spark=_ecdf_focused_spark,
                                    oracle=_ECDF_FOCUSED_ORACLE,
                                    survey_ref="A3 C6"),
+    "curve_stack_stats": QueryDef(spark=_curve_stack_spark, oracle=None,
+                                  survey_ref="A4 C7 C13 C14 C15"),
     "pricing_summary": _sql_pair(q_pricing_summary, "A1 A9 F1 F13 F16"),
     "hourly_event_stats": _sql_pair(q_hourly_event_stats, "A1 J10"),
     "global_minmax": _sql_pair(q_global_minmax, "A2"),
