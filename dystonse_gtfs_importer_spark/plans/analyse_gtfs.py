@@ -163,10 +163,17 @@ def forward_fill_projection(records: DataFrame, vstops: DataFrame) -> DataFrame:
 def general_delay_curves(items: DataFrame) -> DataFrame:
     """Per (route, variant, event_type, time_slot incl DEFAULT,
     stop_index): unfocused make_curve over delays, ≥20 rows,
-    simplify(0.01) (specific_curves.rs:356-369)."""
+    simplify(0.01) (specific_curves.rs:356-369).
+
+    Scale: delays are pre-aggregated to (delay, count) *before* the
+    curve shuffle (map-side combine for the UDAF) — the shuffle volume
+    is distinct delay values per group, not record volume; the kernel
+    uses the multiplicity form ``make_curve_counted``.
+    """
     events = _with_default_slot(_unpivot_events(items))
     keys = ["route_id", "route_variant", "event_type", "time_slot",
             "stop_index"]
+    counted = events.groupBy(*keys, "delay").agg(F.count("*").alias("cnt"))
     out_schema = StructType(
         [events.schema[k] for k in keys] + [
             StructField("curve", CURVE_TYPE),
@@ -174,21 +181,22 @@ def general_delay_curves(items: DataFrame) -> DataFrame:
         ])
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf["delay"].to_numpy(dtype="float64")
-        if len(vals) < MIN_ROWS_GENERAL:
-            return pd.DataFrame({f.name: pd.Series(dtype="object")
-                                 for f in out_schema.fields})
-        made = cv.make_curve(vals)
+        n = int(pdf["cnt"].sum())
+        empty = pd.DataFrame({f.name: pd.Series(dtype="object")
+                              for f in out_schema.fields})
+        if n < MIN_ROWS_GENERAL:
+            return empty
+        made = cv.make_curve_counted(pdf["delay"].to_numpy("float64"),
+                                     pdf["cnt"].to_numpy("float64"))
         if made is None:
-            return pd.DataFrame({f.name: pd.Series(dtype="object")
-                                 for f in out_schema.fields})
+            return empty
         curve = cv.simplify(made[0], 0.01)
         row = {k: pdf[k].iloc[0] for k in keys}
         row["curve"] = curve.points()
-        row["sample_size"] = len(vals)
+        row["sample_size"] = n
         return pd.DataFrame([row])
 
-    return events.groupBy(*keys).applyInPandas(build, out_schema)
+    return counted.groupBy(*keys).applyInPandas(build, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +302,9 @@ def default_curves(items: DataFrame, routes: DataFrame) -> DataFrame:
 
     leaf_keys = ["route_type", "route_variant", "route_section",
                  "time_slot", "event_type"]
+    # map-side combine: shuffle (delay, count), not raw records
+    counted = events.groupBy(*leaf_keys, "delay").agg(
+        F.count("*").alias("cnt"))
     leaf_schema = StructType(
         [events.schema[k] for k in leaf_keys] + [
             StructField("curve", CURVE_TYPE),
@@ -301,20 +312,21 @@ def default_curves(items: DataFrame, routes: DataFrame) -> DataFrame:
         ])
 
     def build_leaf(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf["delay"].to_numpy(dtype="float64")
-        if len(vals) < MIN_ROWS_DEFAULT:
-            return pd.DataFrame({f.name: pd.Series(dtype="object")
-                                 for f in leaf_schema.fields})
-        made = cv.make_curve(vals)
+        n = int(pdf["cnt"].sum())
+        empty = pd.DataFrame({f.name: pd.Series(dtype="object")
+                              for f in leaf_schema.fields})
+        if n < MIN_ROWS_DEFAULT:
+            return empty
+        made = cv.make_curve_counted(pdf["delay"].to_numpy("float64"),
+                                     pdf["cnt"].to_numpy("float64"))
         if made is None:
-            return pd.DataFrame({f.name: pd.Series(dtype="object")
-                                 for f in leaf_schema.fields})
+            return empty
         row = {k: pdf[k].iloc[0] for k in leaf_keys}
         row["curve"] = cv.simplify(made[0], 0.01).points()
-        row["sample_size"] = len(vals)
+        row["sample_size"] = n
         return pd.DataFrame([row])
 
-    leaves = events.groupBy(*leaf_keys).applyInPandas(build_leaf, leaf_schema)
+    leaves = counted.groupBy(*leaf_keys).applyInPandas(build_leaf, leaf_schema)
 
     def avg_level(df: DataFrame, keys: list[str], precision: int) -> DataFrame:
         schema = StructType(

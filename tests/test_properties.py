@@ -6,6 +6,7 @@ and latest-wins merge algebra (idempotent, commutative — ST3)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -102,6 +103,33 @@ class TestCurveInvariants:
             return
         conv = cv.convolve_duration(made[0], cv.walk_time_curve(150.0))
         _curve_ok(conv)
+
+
+class TestCountedEquivalence:
+    """make_curve_counted over (value, count) must equal make_curve
+    over the expanded multiset — the map-side-combine rewrite is only
+    legal if this holds, focused and unfocused."""
+
+    pairs_strategy = st.lists(
+        st.tuples(st.integers(-250, 250).map(lambda v: float(v * 12)),
+                  st.integers(1, 5)),
+        min_size=1, max_size=60).map(lambda ps: dict(ps))  # distinct values
+
+    @given(pairs_strategy, st.one_of(st.none(), st.floats(-3000, 3000)))
+    @settings(max_examples=200, deadline=None)
+    def test_counted_equals_expanded(self, pairs, focus):
+        values = list(pairs.keys())
+        counts = [pairs[v] for v in values]
+        expanded = np.repeat(values, counts)
+        a = cv.make_curve(expanded, focus)
+        b = cv.make_curve_counted(values, counts, focus)
+        if a is None or b is None:
+            assert a is None and b is None
+            return
+        ca, cb = a[0], b[0]
+        np.testing.assert_array_equal(ca.xs, cb.xs)
+        np.testing.assert_allclose(ca.ys, cb.ys, atol=1e-12)
+        assert a[1] == pytest.approx(b[1], rel=1e-12)
 
 
 class TestLatestWinsAlgebra:
