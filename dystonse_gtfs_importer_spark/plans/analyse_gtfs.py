@@ -247,6 +247,12 @@ def stop_pair_curve_sets(items: DataFrame) -> DataFrame:
 
     keys = ["route_id", "route_variant", "event_type", "time_slot",
             "start_stop_index", "end_stop_index"]
+    # map-side combine: 12 s rounding makes the pair space discrete
+    # (≤ 500² per group, far fewer in practice) — shuffle (pair, count)
+    # instead of one row per vehicle pair; the kernel re-expands
+    # locally, preserving exact index-window semantics
+    counted = pairs.groupBy(*keys, "d_start", "d_end").agg(
+        F.count("*").alias("cnt"))
     out_schema = StructType(
         [pairs.schema[k] for k in keys] + [
             StructField("focus", FloatType()),
@@ -257,11 +263,13 @@ def stop_pair_curve_sets(items: DataFrame) -> DataFrame:
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({f.name: pd.Series(dtype="object")
                               for f in out_schema.fields})
-        if len(pdf) < MIN_PAIRS_SPECIFIC:
+        n = int(pdf["cnt"].sum())
+        if n < MIN_PAIRS_SPECIFIC:
             return empty
-        res = cv.stop_pair_curve_set(
-            np.column_stack([pdf["d_start"].to_numpy(dtype="float64"),
-                             pdf["d_end"].to_numpy(dtype="float64")]))
+        reps = pdf["cnt"].to_numpy(dtype="int64")
+        res = cv.stop_pair_curve_set(np.column_stack([
+            np.repeat(pdf["d_start"].to_numpy(dtype="float64"), reps),
+            np.repeat(pdf["d_end"].to_numpy(dtype="float64"), reps)]))
         if res is None:
             return empty
         rows = []
@@ -273,7 +281,7 @@ def stop_pair_curve_sets(items: DataFrame) -> DataFrame:
             rows.append(row)
         return pd.DataFrame(rows)
 
-    return pairs.groupBy(*keys).applyInPandas(build, out_schema)
+    return counted.groupBy(*keys).applyInPandas(build, out_schema)
 
 
 # ---------------------------------------------------------------------------
