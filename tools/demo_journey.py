@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Demo: the complete reference user journey on this engine.
+
+Writes a synthetic GTFS schedule + GTFS-RT protobuf feed files to a
+temp dir, then drives the public API end-to-end: Structured-Streaming
+import (corrupt file dropped on purpose) -> records table -> analyse
+(general/specific/default curve tables) -> realtime-basis live
+predictions -> scheduled predictions -> departure board + transfer
+chances. Prints one numbered line per stage.
+
+Usage: python3 tools/demo_journey.py
+"""
+import datetime as dt, sys, tempfile, pathlib
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tests")); sys.path.insert(0, str(REPO))
+from gtfs_fixtures import build_rt_events, build_schedule, write_gtfs_dir
+import pyspark.sql.functions as F
+from dystonse_gtfs_importer_spark.session import get_spark
+from dystonse_gtfs_importer_spark.sources.gtfs import read_gtfs, variant_stops
+from dystonse_gtfs_importer_spark.sources.gtfs_rt import encode_feed_message
+from dystonse_gtfs_importer_spark.streaming.import_stream import run_import_stream
+from dystonse_gtfs_importer_spark.plans.analyse_gtfs import (
+    prepare_dbitems, general_delay_curves, stop_pair_curve_sets, default_curves)
+from dystonse_gtfs_importer_spark.plans.predict import predict, prediction_rows, realtime_basis
+from dystonse_gtfs_importer_spark.plans.scheduled import scheduled_predictions
+from dystonse_gtfs_importer_spark.plans.monitor import (
+    departure_board, predictions_for_stop, transfer_chances, autocomplete_stops)
+from dystonse_gtfs_importer_spark.sources.store import write_curve_tables, read_curve_tables, read_records
+from dystonse_gtfs_importer_spark.schemas import ORIGIN_REALTIME
+
+spark = get_spark(app_name="journey")
+base = pathlib.Path(tempfile.mkdtemp())
+g = base/"gtfs"; g.mkdir(); write_gtfs_dir(build_schedule(), g)
+sched = read_gtfs(spark, str(g))
+vstops = variant_stops(sched["trips"], sched["stop_times"]).cache()
+
+rt_dir = base/"rt"; rt_dir.mkdir()
+pdfres = build_rt_events(build_schedule())
+import pandas as pd
+for feed, grp in pdfres.groupby("feed_file"):
+    tus = {}
+    for r in grp.itertuples(index=False):
+        key = (r.trip_id, r.start_date, r.start_time)
+        arr = None if pd.isna(r.arrival_delay) else int(r.arrival_delay)
+        dep = None if pd.isna(r.departure_delay) else int(r.departure_delay)
+        tus.setdefault(key, []).append((int(r.stop_sequence), r.stop_id, arr, dep))
+    msg = encode_feed_message(int(grp["header_timestamp"].iloc[0]),
+        [{"trip_id": k[0], "route_id": "R", "start_date": k[1], "start_time": k[2],
+          "stop_time_updates": v} for k, v in tus.items()])
+    (rt_dir/feed).write_bytes(msg)
+(rt_dir/"corrupt-2024-01-01T08-99.pb").write_bytes(b"\x9c\x01garbage\xff")
+rec_dir, ck = str(base/"records"), str(base/"ck")
+q = run_import_stream(spark, str(rt_dir), sched["trips"], sched["stop_times"],
+                      "vbn", "sched-1", rec_dir, ck)
+q.awaitTermination(180)
+records = read_records(spark, rec_dir)
+print("1) streamed records:", records.count(), "(corrupt file skipped)")
+
+items = prepare_dbitems(records, vstops).cache()
+tables = {"general": general_delay_curves(items), "specific": stop_pair_curve_sets(items),
+          "default": default_curves(items, sched["routes"])}
+write_curve_tables(tables, str(base/"stats"))
+tables = read_curve_tables(spark, str(base/"stats"))
+print("2) curves:", {k: v.count() for k, v in tables.items()})
+
+now = dt.datetime(2024, 1, 1, 9, 0)
+basis = realtime_basis(records, vstops, now)
+vehicle = ["route_id","route_variant","trip_id","trip_start_date","trip_start_time"]
+fan = (basis.join(F.broadcast(vstops), ["route_id","route_variant"])
+       .where(F.col("stop_index") > F.col("start_stop_index"))
+       .join(F.broadcast(sched["routes"].select("route_id","route_type")), "route_id"))
+lookups = None
+for et, secs in ((1,"arrival_secs"),(2,"departure_secs")):
+    p = fan.select(*vehicle, "route_type","stop_id","stop_sequence",
+        F.lit(et).cast("tinyint").alias("event_type"),
+        (F.to_timestamp("trip_start_date")+F.col(secs)*F.expr("INTERVAL 1 SECOND")).alias("event_dt"),
+        F.col(secs).alias("sched_event_secs"), F.col("stop_index").alias("end_stop_index"),
+        "stop_count","start_stop_index","initial_delay")
+    lookups = p if lookups is None else lookups.unionByName(p)
+live = prediction_rows(
+    predict(lookups, tables["specific"], tables["general"], tables["default"])
+    .where(F.col("prediction_curve").isNotNull()), "vbn", "sched-1", ORIGIN_REALTIME).cache()
+print("3) live predictions:", live.count(),
+      "precisions:", sorted(r.precision_type for r in live.select("precision_type").distinct().collect()))
+
+schedp = scheduled_predictions(spark, sched, vstops, tables, now).cache()
+allpreds = live.unionByName(schedp).cache()
+print("4) scheduled predictions:", schedp.count(), "total:", allpreds.count())
+
+w = (dt.datetime(2024,1,1,8,0), dt.datetime(2024,1,1,12,0))
+stops_here = [r.stop_id for r in live.select("stop_id").distinct().limit(4).collect()]
+board = departure_board(predictions_for_stop(allpreds, stops_here, *w), *w,
+                        all_predictions=allpreds)
+rows = board.select("trip_id","stop_id","origin_type","t50").collect()
+print("5) board rows:", len(rows), "sorted:", [r.t50 for r in rows] == sorted(r.t50 for r in rows))
+tc = transfer_chances(allpreds.where(F.col("event_type")==1).limit(20),
+                      allpreds.where(F.col("event_type")==2).limit(50), sched["stops"],
+                      min_probability=0.0)
+print("6) transfer chances:", tc.count())
+empty = departure_board(predictions_for_stop(allpreds, ["NO_SUCH_STOP"], *w), *w,
+                        all_predictions=allpreds).count()
+print("7) probe unknown stop -> board rows:", empty)
+print("8) autocomplete:", [r.stop_name for r in autocomplete_stops(sched["stops"], "stop 1").limit(3).collect()])
+spark.stop()
