@@ -44,6 +44,7 @@ __all__ = [
     "walk_time_curve",
     "curve_set_interpolate",
     "percentiles",
+    "heat_strip",
     "serialize_compact",
     "deserialize_compact",
 ]
@@ -430,6 +431,20 @@ def walk_time_curve(distance_meters: float) -> Curve:
     y[0] = 0.0
     y[-1] = 1.0
     return simplify(Curve(duration, y, validate=False), 0.01)
+
+
+
+def heat_strip(curve, ref_s: float, window_start_s: float,
+               window_end_s: float, n: int = 120) -> "np.ndarray":
+    """S19 data series: the 120-pixel probability-density strip behind
+    the monitor's PNG data URLs (generate_png_data_url,
+    /root/reference/src/monitor/mod.rs:1214-1262) — probability mass
+    per pixel column across [window_start, window_end), where the
+    curve's x axis is relative seconds around ``ref_s``.  Rendering is
+    presentation; this returns the data row."""
+    edges = np.linspace(window_start_s, window_end_s, n + 1) - ref_s
+    ys = np.interp(edges, curve.xs, curve.ys)
+    return np.diff(ys)
 
 
 def curve_set_interpolate(curve_set: list[tuple[float, Curve]], x: float) -> Curve:
