@@ -126,8 +126,9 @@ def q_simhash(d: S.Dialect) -> str:
 
 def q_simhash_near_pairs(d: S.Dialect) -> str:
     """Near-duplicate pairs by SimHash hamming distance <= 3 (16-bit).
-    Oracle form uses the full self-join; the scale path bands on the
-    fingerprint bytes first (operators/dedup.py)."""
+    This is the quadratic reference form, kept as the ORACLE; the scale
+    path is q_simhash_near_pairs_banded below (the default in
+    operators/dedup.py)."""
     sim = q_simhash(d)
     return f"""
         WITH fp AS ({sim})
@@ -135,6 +136,36 @@ def q_simhash_near_pairs(d: S.Dialect) -> str:
                bit_count({d.xor('a.simhash', 'b.simhash')}) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count({d.xor('a.simhash', 'b.simhash')}) <= 3
+    """
+
+
+def q_simhash_near_pairs_banded(d: S.Dialect) -> str:
+    """Scale path for SimHash near-dup pairs: 4 bands x 4 bits.
+    Pigeonhole: hamming <= 3 flips bits in at most 3 of the 4 bands, so
+    every qualifying pair agrees EXACTLY on >= 1 band — candidates come
+    from a band equi-join (volume scales with near-duplicate density),
+    never the all-pairs product.  Output is identical to
+    q_simhash_near_pairs; the driver runs this Spark plan against the
+    all-pairs oracle, so the hash match proves banding is lossless."""
+    sim = q_simhash(d)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"({d.trunc_num(f'simhash / {1 << (4 * b)}.0')} % 16) AS bv FROM fp"
+        for b in range(4))
+    return f"""
+        WITH fp AS ({sim}),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+                            y.doc_id AS doc_b, y.simhash AS sim_b
+            FROM bands x
+            JOIN bands y ON x.band = y.band AND x.bv = y.bv
+                        AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               bit_count({d.xor('sim_a', 'sim_b')}) AS hamming
+        FROM cand
+        WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= 3
     """
 
 

@@ -49,9 +49,12 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return _run(docs, D.q_simhash)
 
 
-def simhash_near_pairs(docs: DataFrame) -> DataFrame:
-    """Near-duplicate pairs at hamming distance <= 3."""
-    return _run(docs, D.q_simhash_near_pairs)
+def simhash_near_pairs(docs: DataFrame, banded: bool = True) -> DataFrame:
+    """Near-duplicate pairs at hamming distance <= 3.  Default is the
+    banded scale path (band equi-join, lossless by pigeonhole);
+    ``banded=False`` runs the quadratic oracle form."""
+    return _run(docs, D.q_simhash_near_pairs_banded if banded
+                else D.q_simhash_near_pairs)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:

@@ -102,14 +102,18 @@ def departure_board(predictions: DataFrame, min_time, max_time,
         "left_anti")
     d = d.where(F.col("origin_type") != ORIGIN_SCHEDULE).unionByName(sched)
 
-    # F10: drop the trip's final stop (nothing departs from it); the
-    # per-trip max comes from the full table — an aggregate small
-    # enough to broadcast
+    # F10: drop the trip's final stop (nothing departs from it).  The
+    # per-trip max needs the full table, but only for vehicles on this
+    # board — semi-join first so the aggregate is bounded by the board
+    # size, then let AQE pick the join strategy (an unconditional
+    # broadcast of a full-table aggregate would force an unbounded
+    # driver-side build at scale).
     vehicle = ["trip_id", "trip_start_date", "trip_start_time"]
     full = all_predictions if all_predictions is not None else predictions
-    last_stop = full.groupBy(*vehicle).agg(
-        F.max("stop_sequence").alias("max_seq"))
-    d = (d.join(F.broadcast(last_stop), vehicle, "left")
+    last_stop = (full.join(d.select(*vehicle).distinct(), vehicle, "left_semi")
+                 .groupBy(*vehicle).agg(
+                     F.max("stop_sequence").alias("max_seq")))
+    d = (d.join(last_stop, vehicle, "left")
          .where(F.col("stop_sequence") < F.col("max_seq"))
          .drop("max_seq"))
 
@@ -117,9 +121,53 @@ def departure_board(predictions: DataFrame, min_time, max_time,
     return d.orderBy("t50")
 
 
+# Spatial-grid constants for transfer_chances.  Cells must be at least
+# `radius` meters in each direction so one ring of neighbors covers the
+# search radius.  1 deg latitude >= 110574 m everywhere; 1 deg longitude
+# = 111320*cos(lat) m, so a fixed longitude cell width is only valid up
+# to a latitude bound — we size it for |lat| <= ~66.1 deg and collapse
+# higher-latitude bands into a single sentinel longitude bucket (still
+# correct: those rare polar rows pair-check against their whole band,
+# which transit data barely populates).  Antimeridian-crossing pairs
+# (lon +179.99 vs -179.99) are not bridged — same limitation as any
+# fixed-grid scheme; no GTFS feed spans it.
+_POLAR_LAT_DEG = 66.0
+_LON_SENTINEL = 1_000_000_000
+
+
+def _neighbor_cells(lat_col, lon_col, dlat_deg: float, dlon_deg: float,
+                    polar_band: int):
+    """Array of the 3x3 (or polar-collapsed) grid cells around a point,
+    as struct<g_lat:long, g_lon:long> — the arrival side explodes this
+    so the pair join is a plain equi-join on (g_lat, g_lon)."""
+    base_band = F.floor(lat_col / F.lit(dlat_deg)).cast("long")
+    lon_cell = F.floor(lon_col / F.lit(dlon_deg)).cast("long")
+
+    def band_cells(band):
+        polar = F.array(F.struct(
+            band.alias("g_lat"),
+            F.lit(_LON_SENTINEL).cast("long").alias("g_lon")))
+        normal = F.array(*[
+            F.struct(band.alias("g_lat"), (lon_cell + i).alias("g_lon"))
+            for i in (-1, 0, 1)])
+        return F.when(F.abs(band) >= polar_band, polar).otherwise(normal)
+
+    return F.flatten(F.array(*[band_cells(base_band + i)
+                               for i in (-1, 0, 1)]))
+
+
+def _own_cell_cols(lat_col, lon_col, dlat_deg: float, dlon_deg: float,
+                   polar_band: int):
+    band = F.floor(lat_col / F.lit(dlat_deg)).cast("long")
+    lon_cell = F.when(F.abs(band) >= polar_band,
+                      F.lit(_LON_SENTINEL).cast("long")) \
+                .otherwise(F.floor(lon_col / F.lit(dlon_deg)).cast("long"))
+    return band, lon_cell
+
+
 def transfer_chances(arrivals: DataFrame, departures: DataFrame,
-                     stops: DataFrame, min_probability: float = 0.05
-                     ) -> DataFrame:
+                     stops: DataFrame, min_probability: float = 0.05,
+                     radius_m: float = 300.0) -> DataFrame:
     """C13+C14+C15 (+F11): for each (arrival, candidate departure) at
     nearby platforms: walk-time curve from the haversine platform
     distance, convolve into the arrival curve, then transfer
@@ -128,43 +176,73 @@ def transfer_chances(arrivals: DataFrame, departures: DataFrame,
 
     ``arrivals`` / ``departures`` are prediction rows (event_type 1 /
     2) carrying stop_id, prediction_min, prediction_curve.
+
+    Scale path: pairs are generated by an equi-join on a ~radius_m
+    spatial grid cell (arrival side exploded to the 3x3 neighbor ring),
+    so candidate volume scales with local stop density, never the
+    all-pairs product; the exact haversine / time / same-trip
+    predicates run as residual filters on the matched cells only.
     """
+    import math
+
+    dlat_deg = radius_m / 110574.0
+    dlon_deg = radius_m / (111320.0 * math.cos(math.radians(66.1)))
+    polar_band = int(math.floor(_POLAR_LAT_DEG / dlat_deg))
+
     st = stops.select("stop_id", "stop_lat", "stop_lon")
-    a = (arrivals.alias("a")
-         .join(F.broadcast(st.alias("sa")), F.col("a.stop_id") == F.col("sa.stop_id")))
-    dpt = (departures.alias("d")
-           .join(F.broadcast(st.alias("sd")), F.col("d.stop_id") == F.col("sd.stop_id")))
 
-    pairs = a.join(
-        dpt,
-        (F.col("a.trip_id") != F.col("d.trip_id"))
-        & (F.col("d.prediction_max") > F.col("a.prediction_min")),
-    )
-    dist = F.expr(S.haversine_m("sa.stop_lat", "sa.stop_lon",
-                                "sd.stop_lat", "sd.stop_lon"))
-    pairs = pairs.withColumn("walk_m", dist).where(F.col("walk_m") < 300.0)
+    def geo(preds: DataFrame, pfx: str) -> DataFrame:
+        return preds.join(F.broadcast(st), "stop_id").select(
+            F.col("trip_id").alias(pfx + "trip_id"),
+            F.col("stop_id").alias(pfx + "stop_id"),
+            F.col("prediction_min").alias(pfx + "prediction_min"),
+            F.col("prediction_max").alias(pfx + "prediction_max"),
+            F.col("prediction_curve").alias(pfx + "prediction_curve"),
+            F.col("stop_lat").alias(pfx + "lat"),
+            F.col("stop_lon").alias(pfx + "lon"))
 
-    arr_ref = (F.unix_timestamp("a.prediction_min")
-               - curve_x_at_y(F.col("a.prediction_curve"), F.lit(0.0)))
-    dep_ref = (F.unix_timestamp("d.prediction_min")
-               - curve_x_at_y(F.col("d.prediction_curve"), F.lit(0.0)))
+    a = geo(arrivals, "a_").withColumn(
+        "_cell", F.explode(_neighbor_cells(
+            F.col("a_lat"), F.col("a_lon"), dlat_deg, dlon_deg, polar_band)))
+    a = (a.withColumn("g_lat", F.col("_cell.g_lat"))
+         .withColumn("g_lon", F.col("_cell.g_lon")).drop("_cell"))
+
+    d_band, d_lon_cell = _own_cell_cols(
+        F.col("d_lat"), F.col("d_lon"), dlat_deg, dlon_deg, polar_band)
+    dpt = (geo(departures, "d_")
+           .withColumn("g_lat", d_band).withColumn("g_lon", d_lon_cell))
+
+    # each (band, lon) appears at most once in the arrival's neighbor
+    # list, so a pair can match in exactly one cell — no dedup needed
+    pairs = a.join(dpt, ["g_lat", "g_lon"]).where(
+        (F.col("a_trip_id") != F.col("d_trip_id"))
+        & (F.col("d_prediction_max") > F.col("a_prediction_min")))
+    dist = F.expr(S.haversine_m("a_lat", "a_lon", "d_lat", "d_lon"))
+    pairs = pairs.withColumn("walk_m", dist).where(
+        F.col("walk_m") < radius_m)
+
+    arr_ref = (F.unix_timestamp("a_prediction_min")
+               - curve_x_at_y(F.col("a_prediction_curve"), F.lit(0.0)))
+    dep_ref = (F.unix_timestamp("d_prediction_min")
+               - curve_x_at_y(F.col("d_prediction_curve"), F.lit(0.0)))
     pairs = (
         pairs.withColumn("walk_curve", walk_time_curve(F.col("walk_m")))
         .withColumn("arr_with_walk",
-                    convolve_with(F.col("a.prediction_curve"),
+                    convolve_with(F.col("a_prediction_curve"),
                                   F.col("walk_curve")))
         .withColumn("arr_ref_s", arr_ref.cast("long"))
         .withColumn("dep_ref_s", dep_ref.cast("long"))
         .withColumn(
             "p_transfer",
             transfer_probability(F.col("arr_with_walk"), F.col("arr_ref_s"),
-                                 F.col("d.prediction_curve"), F.col("dep_ref_s")))
+                                 F.col("d_prediction_curve"),
+                                 F.col("dep_ref_s")))
     )
     out = pairs.select(
-        F.col("a.trip_id").alias("arrival_trip"),
-        F.col("a.stop_id").alias("arrival_stop"),
-        F.col("d.trip_id").alias("departure_trip"),
-        F.col("d.stop_id").alias("departure_stop"),
+        F.col("a_trip_id").alias("arrival_trip"),
+        F.col("a_stop_id").alias("arrival_stop"),
+        F.col("d_trip_id").alias("departure_trip"),
+        F.col("d_stop_id").alias("departure_stop"),
         F.round("walk_m", 1).alias("walk_m"),
         F.round("p_transfer", 4).alias("p_transfer"),
     )

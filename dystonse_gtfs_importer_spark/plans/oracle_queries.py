@@ -53,6 +53,24 @@ def _sql_pair(template: Callable[[S.Dialect], str], survey_ref: str) -> QueryDef
     return QueryDef(spark=run, oracle=template(S.DUCKDB), survey_ref=survey_ref)
 
 
+def _sql_cross_pair(spark_template: Callable[[S.Dialect], str],
+                    oracle_template: Callable[[S.Dialect], str],
+                    survey_ref: str) -> QueryDef:
+    """Spark runs one derivation, the oracle a DIFFERENT one — the hash
+    match proves the two derivations agree (e.g. a banded scale path vs
+    its quadratic reference form)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..session import configure_for_oracle
+
+        configure_for_oracle(spark)
+        register_views(spark, sf_dir)
+        return spark.sql(spark_template(S.SPARK))
+
+    return QueryDef(spark=run, oracle=oracle_template(S.DUCKDB),
+                    survey_ref=survey_ref)
+
+
 def _epoch_s(ts: str, d: S.Dialect) -> str:
     """Whole-second epoch (truncated) — identical in both engines."""
     if d.name == "spark":
@@ -677,6 +695,9 @@ QUERIES: dict[str, QueryDef] = {
     "minhash_lsh_pairs": _sql_pair(D.q_minhash_lsh_pairs, "dedup-minhash-lsh"),
     "simhash": _sql_pair(D.q_simhash, "dedup-simhash"),
     "simhash_near_pairs": _sql_pair(D.q_simhash_near_pairs, "dedup-simhash"),
+    "simhash_near_pairs_banded": _sql_cross_pair(
+        D.q_simhash_near_pairs_banded, D.q_simhash_near_pairs,
+        "dedup-simhash scale"),
     "ngram_jaccard_pairs": _sql_pair(D.q_ngram_jaccard_pairs, "dedup-jaccard"),
     "cosine_topk": _sql_pair(D.q_cosine_topk, "similarity-ann"),
 }

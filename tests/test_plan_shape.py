@@ -111,6 +111,40 @@ class TestJoinStrategy:
         assert plan.count("BroadcastHashJoin") >= 5, \
             f"ladder should be all-broadcast:\n{plan}"
 
+    def test_transfer_chances_no_cartesian(self, spark):
+        """The transfer pair generator must be a spatial-grid equi-join,
+        never an all-pairs product (the reference runs it per departure
+        board; as a batch operator a cartesian would be the scale
+        bottleneck)."""
+        import datetime as dt
+
+        from dystonse_gtfs_importer_spark.plans.monitor import transfer_chances
+        from dystonse_gtfs_importer_spark.schemas import (
+            ORIGIN_REALTIME, PREDICTIONS,
+        )
+
+        curve = [{"x": -60.0, "y": 0.0}, {"x": 60.0, "y": 1.0}]
+        t = dt.datetime(2024, 1, 1, 8, 0, 0)
+        row = {
+            "source": "t", "event_type": 1, "stop_id": "S1",
+            "prediction_min": t, "prediction_max": t,
+            "route_id": "R", "trip_id": "A",
+            "trip_start_date": dt.date(2024, 1, 1),
+            "trip_start_time": 0, "stop_sequence": 1,
+            "precision_type": 3, "origin_type": ORIGIN_REALTIME,
+            "sample_size": 5, "prediction_curve": curve,
+            "schedule_file_name": "s",
+        }
+        preds = spark.createDataFrame([row], PREDICTIONS)
+        stops = spark.createDataFrame(
+            [("S1", "Main", 53.083, 8.813)],
+            "stop_id string, stop_name string, stop_lat double, "
+            "stop_lon double")
+        out = transfer_chances(preds, preds, stops)
+        plan = plan_of(out)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
     def test_latest_wins_single_shuffle(self, spark, tmp_path):
         from gtfs_fixtures import build_rt_events, build_schedule, write_gtfs_dir
 
