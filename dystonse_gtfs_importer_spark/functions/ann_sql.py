@@ -1,0 +1,165 @@
+"""Dual-dialect ANN templates: the FULL LSH / IVF pipelines rendered
+for both Spark and DuckDB, so the driver hash-verifies the approximate
+result cross-engine (stronger than a recall metric — every candidate,
+cosine, and rank must agree).
+
+Determinism across engines:
+
+* LSH hyperplanes are Python-generated literals (splitmix64 mixing,
+  shared with operators/similarity.py) embedded identically in both
+  dialects; the sign-bit dot is an explicit left-associated 64-term
+  sum, so both engines produce bitwise-equal IEEE doubles.
+* Every value that feeds an ORDER BY / comparison that could flip on
+  last-ulp drift (cosines, centroid components, cell scores) is
+  ROUNDed to 6 decimals on both sides, with an id/cell tie-break.
+* IVF centroids are derived fully in-SQL (lowest-id seeds → one
+  Lloyd mean pass via a dimension series → ordered_list rebuild), so
+  the verified path has NO driver-side collect — this is also the
+  shape that scales: the centroid table is 8 rows joined broadcast.
+
+Reference anchor: the similarity tier itself is an LLM-pipeline
+extension (SURVEY.md LLM ops), not a reference operator.
+"""
+
+from __future__ import annotations
+
+from . import sql_shared as S
+from ..operators.similarity import _hyperplane
+
+DIM = 64
+K = 5
+QUERY_STRIDE = 100
+LSH_PLANES = 4
+LSH_TABLES = 2
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def _plane_dot(d: S.Dialect, emb: str, weights: list[float]) -> str:
+    """Explicit 64-term sum — identical association order in both
+    engines, hence bitwise-equal (no rounding guard needed for the
+    sign test)."""
+    return " + ".join(f"{d.arr_get(emb, str(i))} * {w!r}"
+                      for i, w in enumerate(weights))
+
+
+def _sketch(d: S.Dialect, emb: str, table: int,
+            n_planes: int = LSH_PLANES) -> str:
+    bits = []
+    for p in range(n_planes):
+        dot = _plane_dot(d, emb, _hyperplane(DIM, p, table))
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _cosine(d: S.Dialect, a: str, b: str) -> str:
+    return (f"ROUND({d.arr_dot(a, b)} / "
+            f"(SQRT({d.arr_dot(a, a)}) * SQRT({d.arr_dot(b, b)})), 6)")
+
+
+def _rank_tail(d: S.Dialect, k: int = K) -> str:
+    """Shared scoring tail over a `cand(query_id, cand_id)` CTE and the
+    `cv(vec_id, emb)` corpus CTE."""
+    return f"""
+        scored AS (
+            SELECT cand.query_id, cand.cand_id,
+                   {_cosine(d, 'q.emb', 'c.emb')} AS cosine
+            FROM cand
+            JOIN cv q ON q.vec_id = cand.query_id
+            JOIN cv c ON c.vec_id = cand.cand_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id, cosine, rk FROM ranked WHERE rk <= {k}
+    """
+
+
+def q_ann_lsh_topk(d: S.Dialect) -> str:
+    """Random-hyperplane LSH top-k: bucket on sign-bit sketches across
+    {LSH_TABLES} tables, exact-cosine re-rank of colliding candidates.
+    Corpus sketching is map-only; the candidate join shuffles only
+    (table, bucket, id) — never the all-pairs product."""
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM cv"
+        for t in range(LSH_TABLES))
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM qv"
+        for t in range(LSH_TABLES))
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        cb AS ({cb}),
+        qb AS ({qb}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+            FROM qb q
+            JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                     AND q.vec_id <> c.vec_id
+        ),
+        {_rank_tail(d)}
+    """
+
+
+def q_ann_ivf_topk(d: S.Dialect) -> str:
+    """IVF-Flat top-k, centroids derived in-SQL: seeds = the
+    {IVF_CELLS} lowest-id corpus vectors, one Lloyd mean pass
+    (per-dimension AVG over a dimension series, ROUNDed so engine
+    summation order can't drift), reassign, probe the {IVF_NPROBE}
+    best cells per query, exact-rank the probed subset."""
+    dot_vs = f"ROUND({d.arr_dot('v.emb', 's.emb')}, 6)"
+    dot_vc = f"ROUND({d.arr_dot('v.emb', 'c.cemb')}, 6)"
+    dot_qc = f"ROUND({d.arr_dot('q.emb', 'c.cemb')}, 6)"
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        seeds AS (
+            SELECT emb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM (SELECT * FROM cv ORDER BY vec_id LIMIT {IVF_CELLS}) s0
+        ),
+        assign0 AS (
+            SELECT v.vec_id, v.emb, s.rn - 1 AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {dot_vs} DESC, s.rn) AS pick
+            FROM cv v CROSS JOIN seeds s
+        ),
+        a0 AS (SELECT vec_id, emb, cell FROM assign0 WHERE pick = 1),
+        dims AS (
+            SELECT cell, i, ROUND(AVG({d.arr_get('emb', 'i')}), 6) AS mv
+            FROM a0 CROSS JOIN {d.series(DIM)}
+            GROUP BY cell, i
+        ),
+        cents AS (
+            SELECT cell, {d.ordered_list('mv', 'i')} AS cemb
+            FROM dims GROUP BY cell
+        ),
+        assign1 AS (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {dot_vc} DESC, c.cell) AS pick
+            FROM cv v CROSS JOIN cents c
+        ),
+        a1 AS (SELECT vec_id, cell FROM assign1 WHERE pick = 1),
+        probes AS (
+            SELECT q.vec_id AS query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {dot_qc} DESC, c.cell) AS pr
+            FROM qv q CROSS JOIN cents c
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS cand_id
+            FROM (SELECT query_id, cell FROM probes
+                  WHERE pr <= {IVF_NPROBE}) p
+            JOIN a1 a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ),
+        {_rank_tail(d)}
+    """

@@ -60,6 +60,14 @@ class Dialect:
     def to_double_array(self, arr: str) -> str:
         raise NotImplementedError
 
+    def arr_dot(self, a: str, b: str) -> str:
+        """Dot product of two double-array columns."""
+        raise NotImplementedError
+
+    def ordered_list(self, val: str, ord_col: str) -> str:
+        """Aggregate: array of ``val`` ordered by ``ord_col``."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -94,6 +102,14 @@ class SparkDialect(Dialect):
     def to_double_array(self, arr: str) -> str:
         return f"transform({arr}, v -> CAST(v AS DOUBLE))"
 
+    def arr_dot(self, a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                "0D, (acc, v) -> acc + v)")
+
+    def ordered_list(self, val: str, ord_col: str) -> str:
+        return (f"transform(array_sort(collect_list("
+                f"struct({ord_col} AS o, {val} AS v))), x -> x.v)")
+
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
@@ -126,6 +142,12 @@ class DuckDBDialect(Dialect):
 
     def to_double_array(self, arr: str) -> str:
         return f"CAST({arr} AS DOUBLE[])"
+
+    def arr_dot(self, a: str, b: str) -> str:
+        return f"list_dot_product({a}, {b})"
+
+    def ordered_list(self, val: str, ord_col: str) -> str:
+        return f"list({val} ORDER BY {ord_col})"
 
 
 SPARK = SparkDialect()

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import ann_sql as ANN
 from ..functions import dedup_sql as D
 from ..functions import sql_shared as S
 from ..sources.testdata import register_views
@@ -626,38 +627,14 @@ def _curve_stack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").applyInPandas(build, schema)
 
 
-def _ann_spark(variant: str):
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import pyspark.sql.functions as F
-
-        from ..operators.similarity import ivf_topk, lsh_topk
-        from ..session import configure_for_oracle
-        from ..sources.testdata import load_table
-
-        configure_for_oracle(spark)
-        emb = load_table(spark, sf_dir, "embeddings")
-        q = emb.where(F.col("vec_id") % 100 == 0)
-        # driver-sized parameters: sketch/centroid expressions are
-        # literal-heavy (64 doubles per plane), so keep the codegen
-        # surface small here; quality-tuned settings live in the
-        # recall tests
-        if variant == "lsh":
-            return lsh_topk(emb, q, k=5, n_planes=4, n_tables=2)
-        return ivf_topk(emb, q, k=5, n_cells=8, nprobe=2)
-
-    return run
-
-
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
-    # approximate ANN paths: deterministic but not SQL-expressible →
-    # rows-only driver checks; recall vs the exact `cosine_topk`
-    # oracle-paired query is asserted in tests/test_similarity.py
-    "ann_lsh_topk": QueryDef(spark=_ann_spark("lsh"), oracle=None,
-                             survey_ref="similarity-ann-lsh"),
-    "ann_ivf_topk": QueryDef(spark=_ann_spark("ivf"), oracle=None,
-                             survey_ref="similarity-ann-ivf"),
+    # ANN paths rendered dual-dialect (functions/ann_sql.py): the
+    # driver hash-verifies the FULL approximate result cross-engine;
+    # recall-vs-exact quality is asserted in tests/test_similarity.py
+    "ann_lsh_topk": _sql_pair(ANN.q_ann_lsh_topk, "similarity-ann-lsh"),
+    "ann_ivf_topk": _sql_pair(ANN.q_ann_ivf_topk, "similarity-ann-ivf"),
     "ecdf_curve_focused": QueryDef(spark=_ecdf_focused_spark,
                                    oracle=_ECDF_FOCUSED_ORACLE,
                                    survey_ref="A3 C6"),
