@@ -256,9 +256,14 @@ def resolve_trip(schedule: dict[str, DataFrame], route_type: int,
     headsign, HH:MM departure at a stop) to concrete vehicles
     (journey_data.rs:341-476): filter trips by headsign, join routes
     on name+type, expand candidate service days (−1/0/+1 for trips
-    past midnight), match the scheduled departure to the minute;
-    'first match wins' via ascending sort + limit."""
+    past midnight), check each candidate date against calendar(+dates)
+    validity (the reference's trip_days walk, journey_data.rs:406-476
+    — without this a trip can 'resolve' onto a day it doesn't run),
+    match the scheduled departure to the minute; 'first match wins'
+    via ascending sort + limit."""
     import datetime as dt
+
+    from .scheduled import service_dates
 
     hh, mm = departure_hhmm.split(":")
     target_min = int(hh) * 60 + int(mm)
@@ -282,6 +287,16 @@ def resolve_trip(schedule: dict[str, DataFrame], route_type: int,
                 .where((wall_secs >= 0) & (wall_secs < 86400))
                 .where(F.floor(wall_secs / 60).cast("int") == target_min))
         out = cand if out is None else out.unionByName(cand)
+    if schedule.get("calendar") is not None:
+        valid = service_dates(
+            out.sparkSession, schedule["calendar"],
+            base - dt.timedelta(days=1), base + dt.timedelta(days=1),
+            schedule.get("calendar_dates"))
+        out = out.join(
+            F.broadcast(valid.select(
+                "service_id",
+                F.col("service_date").alias("trip_start_date"))),
+            ["service_id", "trip_start_date"], "left_semi")
     return (out.select("trip_id", "route_id", "route_variant",
                        "trip_start_date", "stop_sequence", "departure_secs")
             .orderBy("trip_id").limit(1))

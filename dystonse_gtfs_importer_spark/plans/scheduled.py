@@ -37,9 +37,17 @@ WEEKDAY_COLS = ("monday", "tuesday", "wednesday", "thursday", "friday",
 
 
 def service_dates(spark, calendar: DataFrame,
-                  from_date: dt.date, to_date: dt.date) -> DataFrame:
+                  from_date: dt.date, to_date: dt.date,
+                  calendar_dates: DataFrame | None = None) -> DataFrame:
     """(service_id, service_date) pairs active per calendar weekday
-    flags and validity range, for dates in [from_date, to_date]."""
+    flags and validity range, for dates in [from_date, to_date].
+
+    ``calendar_dates`` applies the GTFS service exceptions the
+    reference honors via gtfs_structures' trips_for_date
+    (scheduled_predictions_importer.rs:115-116): exception_type 2
+    removes a weekday-active date, type 1 adds a date (including for
+    service_ids that have no calendar.txt row at all — exceptions-only
+    feeds)."""
     n_days = (to_date - from_date).days + 1
     dates = spark.range(n_days).select(
         F.date_add(F.lit(from_date), F.col("id").cast("int")).alias("service_date"))
@@ -49,18 +57,32 @@ def service_dates(spark, calendar: DataFrame,
     for i, c in enumerate(WEEKDAY_COLS):
         this = (dow == i) & F.col(c)
         weekday_flag = this if weekday_flag is None else (weekday_flag | this)
-    return (
+    base = (
         calendar.crossJoin(F.broadcast(dates))
         .where(weekday_flag)
         .where((F.col("service_date") >= F.to_date("start_date", "yyyyMMdd"))
                & (F.col("service_date") <= F.to_date("end_date", "yyyyMMdd")))
         .select("service_id", "service_date")
     )
+    if calendar_dates is None:
+        return base
+    cd = (calendar_dates
+          .withColumn("service_date", F.to_date("date", "yyyyMMdd"))
+          .where((F.col("service_date") >= F.lit(from_date))
+                 & (F.col("service_date") <= F.lit(to_date))))
+    removed = cd.where(F.col("exception_type") == 2).select(
+        "service_id", "service_date")
+    added = cd.where(F.col("exception_type") == 1).select(
+        "service_id", "service_date")
+    return (base.join(F.broadcast(removed),
+                      ["service_id", "service_date"], "left_anti")
+            .unionByName(added).distinct())
 
 
 def scheduled_trip_starts(spark, trips: DataFrame, stop_times: DataFrame,
                           calendar: DataFrame,
-                          from_ts: dt.datetime, to_ts: dt.datetime) -> DataFrame:
+                          from_ts: dt.datetime, to_ts: dt.datetime,
+                          calendar_dates: DataFrame | None = None) -> DataFrame:
     """Vehicles (trip × service day) whose start falls in [from_ts,
     to_ts): the candidate set for schedule-origin predictions.
     Includes yesterday's service day for past-24:00 starts (U1)."""
@@ -71,7 +93,7 @@ def scheduled_trip_starts(spark, trips: DataFrame, stop_times: DataFrame,
     )
     dates = service_dates(spark, calendar,
                           from_ts.date() - dt.timedelta(days=1),
-                          to_ts.date())
+                          to_ts.date(), calendar_dates)
     cand = (
         trips.join(F.broadcast(dates), "service_id")
         .join(F.broadcast(first_dep), "trip_id")
@@ -121,7 +143,8 @@ def scheduled_predictions(
     end = now + PREDICTION_BUFFER
     vehicles = scheduled_trip_starts(
         spark, schedule["trips"], schedule["stop_times"],
-        schedule["calendar"], start, end)
+        schedule["calendar"], start, end,
+        schedule.get("calendar_dates"))
 
     routes = F.broadcast(schedule["routes"].select("route_id", "route_type"))
     vs = F.broadcast(vstops.select(

@@ -69,6 +69,12 @@ CALENDAR = StructType([
     StructField("end_date", StringType()),
 ])
 
+CALENDAR_DATES = StructType([
+    StructField("service_id", StringType(), False),
+    StructField("date", StringType()),              # yyyyMMdd
+    StructField("exception_type", IntegerType()),   # 1=added 2=removed
+])
+
 GTFS_SCHEMAS: dict[str, StructType] = {
     "agency": AGENCY,
     "routes": ROUTES,
@@ -76,7 +82,12 @@ GTFS_SCHEMAS: dict[str, StructType] = {
     "stop_times": STOP_TIMES,
     "stops": STOPS,
     "calendar": CALENDAR,
+    "calendar_dates": CALENDAR_DATES,
 }
+
+# files a feed may legitimately omit (a feed must carry at least one of
+# calendar / calendar_dates; gtfs_structures models both as optional)
+GTFS_OPTIONAL_FILES = {"calendar", "calendar_dates", "agency"}
 
 # one row per stop_time_update event, flattened from FeedMessage
 RT_EVENTS = StructType([

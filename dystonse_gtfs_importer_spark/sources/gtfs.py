@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from ..schemas import GTFS_SCHEMAS
+from ..schemas import GTFS_OPTIONAL_FILES, GTFS_SCHEMAS
 
 
 def gtfs_seconds(col: str) -> F.Column:
@@ -28,19 +28,70 @@ def gtfs_seconds(col: str) -> F.Column:
     ).alias(col.replace("_time", "_secs"))
 
 
+def _read_named(spark: SparkSession, path: str, name: str, schema):
+    """Read one GTFS file mapping columns BY HEADER NAME (real feeds
+    order columns arbitrarily and omit optional ones): absent columns
+    become typed nulls, extra columns are dropped.  Returns the frame
+    plus the set of header names actually present."""
+    import os
+
+    f = f"{path}/{name}.txt"
+    if not os.path.exists(f):
+        if name in GTFS_OPTIONAL_FILES:
+            return spark.createDataFrame([], schema), frozenset()
+        raise FileNotFoundError(f"required GTFS file missing: {f}")
+    raw = spark.read.csv(f, header=True)
+    present = frozenset(raw.columns)
+    cols = [
+        (F.col(fl.name).cast(fl.dataType) if fl.name in present
+         else F.lit(None).cast(fl.dataType)).alias(fl.name)
+        for fl in schema.fields
+    ]
+    return raw.select(cols), present
+
+
 def read_gtfs(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Read a GTFS directory (one CSV per file) with explicit schemas.
-    ``stop_times`` gains ``arrival_secs`` / ``departure_secs`` int
-    columns; raw HH:MM:SS strings are retained."""
+    """Read a GTFS directory (one CSV per file), header-name mapped to
+    the explicit schemas.  ``stop_times`` gains ``arrival_secs`` /
+    ``departure_secs`` int columns; raw HH:MM:SS strings are retained.
+    When trips.txt lacks the non-standard ``route_variant`` column
+    (every vanilla feed), it is derived from the trip's ordered stop
+    sequence exactly as the reference's forked gtfs-structures groups
+    trips (dystonse-gtfs-structures Trip::route_variant)."""
     out: dict[str, DataFrame] = {}
+    headers: dict[str, frozenset] = {}
     for name, schema in GTFS_SCHEMAS.items():
-        df = spark.read.csv(f"{path}/{name}.txt", header=True, schema=schema)
-        out[name] = df
+        out[name], headers[name] = _read_named(spark, path, name, schema)
     st = out["stop_times"]
     out["stop_times"] = st.withColumn(
         "arrival_secs", gtfs_seconds("arrival_time")
     ).withColumn("departure_secs", gtfs_seconds("departure_time"))
+    if "route_variant" not in headers["trips"]:
+        out["trips"] = with_derived_route_variants(
+            out["trips"], out["stop_times"])
     return out
+
+
+def with_derived_route_variants(trips: DataFrame,
+                                stop_times: DataFrame) -> DataFrame:
+    """Derive ``route_variant`` as a stable 64-bit hash of the trip's
+    ordered stop_id list: trips sharing one stop sequence share one
+    variant — the grouping semantics of the reference's forked
+    gtfs-structures (which computes route_variant from the stop
+    sequence when ingesting a feed).
+
+    One shuffle of stop_times by trip_id; the signature join against
+    trips is dimension-sized."""
+    sig = (
+        stop_times.groupBy("trip_id")
+        .agg(F.concat_ws("|", F.expr(
+            "transform(array_sort(collect_list("
+            "struct(stop_sequence, stop_id))), x -> x.stop_id)"
+        )).alias("_stop_sig"))
+        .select("trip_id",
+                F.xxhash64("_stop_sig").alias("route_variant"))
+    )
+    return trips.drop("route_variant").join(sig, "trip_id", "left")
 
 
 def variant_stops(trips: DataFrame, stop_times: DataFrame) -> DataFrame:

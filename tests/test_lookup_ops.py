@@ -113,6 +113,40 @@ class TestResolveTrip:
         assert got[0].trip_id.endswith("night")
         assert str(got[0].trip_start_date) == "2024-01-01"
 
+    def test_non_service_day_rejected(self, spark, world):
+        """J8 fidelity: WD service doesn't run Saturdays — the naive
+        time/headsign match exists, but the service-day check must
+        reject it (journey_data.rs:406-476)."""
+        import datetime as dt
+
+        from dystonse_gtfs_importer_spark.plans.monitor import resolve_trip
+
+        got = resolve_trip(world["sched"], route_type=3,
+                           route_short_name="1", headsign="Head R1",
+                           departure_hhmm="08:00", stop_id="S1",
+                           on_date=dt.date(2024, 1, 6)).collect()
+        assert got == []
+
+    def test_added_service_day_resolves(self, spark, world, tmp_path):
+        """calendar_dates type-1 exception makes the Saturday run."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.plans.monitor import resolve_trip
+        from dystonse_gtfs_importer_spark.schemas import CALENDAR_DATES
+
+        sched = dict(world["sched"])
+        sched["calendar_dates"] = spark.createDataFrame(
+            pd.DataFrame([{"service_id": "WD", "date": "20240106",
+                           "exception_type": 1}]), CALENDAR_DATES)
+        got = resolve_trip(sched, route_type=3,
+                           route_short_name="1", headsign="Head R1",
+                           departure_hhmm="08:00", stop_id="S1",
+                           on_date=dt.date(2024, 1, 6)).collect()
+        assert len(got) == 1
+        assert str(got[0].trip_start_date) == "2024-01-06"
+
     def test_no_match_returns_empty(self, spark, world):
         from dystonse_gtfs_importer_spark.plans.monitor import resolve_trip
 
