@@ -55,7 +55,16 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     """Equi-join with the big side's hot keys spread across ``salt``
     partitions; the small side is replicated ``salt`` times (cost:
     |small| × salt rows shuffled — only use when small ≪ big but too
-    big or too skewed to broadcast)."""
+    big or too skewed to broadcast).
+
+    Only inner/left-flavored joins are supported: replicating the
+    small side ``salt`` times would surface each UNMATCHED small-side
+    row as ``salt`` null-extended duplicates under right/full outer."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}; the replicated "
+            "small side breaks right/full outer semantics")
     big_s = with_salt(big, salt)
     replicas = small.crossJoin(
         F.broadcast(big.sparkSession.range(salt)

@@ -213,9 +213,14 @@ def realtime_basis(records: DataFrame, vstops: DataFrame, now) -> DataFrame:
         "route_id", "route_variant", "stop_id", "stop_index",
         "departure_secs"))
     r = records.join(v, ["route_id", "route_variant", "stop_id"])
+    # the reference's filter_map drops rows lacking a departure delay
+    # BEFORE picking the most recent past departure (real_time.rs:75-88)
+    # — otherwise a null-delay row can win the window and silently
+    # demote the lookup from Specific to SemiSpecific
+    r = r.where(F.col("delay_departure").isNotNull())
     est_dep = (
         F.unix_timestamp(F.to_timestamp("trip_start_date"))
-        + F.col("departure_secs") + F.coalesce("delay_departure", F.lit(0)))
+        + F.col("departure_secs") + F.col("delay_departure"))
     past = r.where(est_dep < F.unix_timestamp(F.lit(now)))
     w = (Window.partitionBy("route_id", "route_variant", "trip_id",
                             "trip_start_date", "trip_start_time")
@@ -243,19 +248,28 @@ def prediction_rows(predicted: DataFrame, source: str,
     route_id, stop_id, stop_sequence, event_type, sched_event_secs,
     prediction_curve, precision_type, sample_size.
     """
+    from ..functions import sql_shared as S
     from ..functions.curve_udfs import curve_x_at_y
 
-    base = F.to_timestamp("trip_start_date")
     min_x = curve_x_at_y(F.col("prediction_curve"), F.lit(0.0))
     max_x = curve_x_at_y(F.col("prediction_curve"), F.lit(1.0))
-    secs_min = (F.col("sched_event_secs") + min_x).cast("long")
-    secs_max = (F.col("sched_event_secs") + max_x).cast("long")
+    # anchor through the C1 noon rule (service_day@12:00 + secs − 12 h)
+    # so ALL schedule-datetime math shares one DST-safe derivation —
+    # equivalent to midnight+secs in a fixed-offset TZ, but correct on
+    # DST-transition days in local-time deployments
+    predicted = (predicted
+                 .withColumn("__secs_min",
+                             (F.col("sched_event_secs") + min_x).cast("long"))
+                 .withColumn("__secs_max",
+                             (F.col("sched_event_secs") + max_x).cast("long")))
     return predicted.select(
         F.lit(source).alias("source"),
         F.col("event_type").cast("tinyint"),
         "stop_id",
-        (base + secs_min * F.expr("INTERVAL 1 SECOND")).alias("prediction_min"),
-        (base + secs_max * F.expr("INTERVAL 1 SECOND")).alias("prediction_max"),
+        F.expr(S.gtfs_noon_datetime("trip_start_date", "__secs_min"))
+         .alias("prediction_min"),
+        F.expr(S.gtfs_noon_datetime("trip_start_date", "__secs_max"))
+         .alias("prediction_max"),
         "route_id",
         "trip_id",
         "trip_start_date",

@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..schemas import RT_EVENTS
+from ..schemas import ORIGIN_SCHEDULE, RT_EVENTS
 from ..sources.gtfs_rt import decode_partition
 
 BINARY_FILE_SCHEMA = (
@@ -149,18 +149,25 @@ def run_import_stream(
     return writer.start()
 
 
-def remove_outdated_predictions(predictions: DataFrame,
+def remove_outdated_predictions(predictions: DataFrame, source: str,
                                 current_schedule: str,
-                                window_start, window_end) -> DataFrame:
-    """ST5/S15: drop schedule-origin predictions written from an OLDER
-    schedule file whose prediction window overlaps [window_start,
-    window_end) — they are superseded by regeneration from the current
-    schedule (delete_outdated_predictions,
-    /root/reference/src/importer/scheduled_predictions_importer.rs:244-265)."""
+                                window_end) -> DataFrame:
+    """ST5/S15: drop SCHEDULE-origin predictions of this ``source``
+    written from an OLDER schedule file whose trip STARTS before
+    ``window_end`` — they were superseded by regeneration from the
+    current schedule (delete_outdated_predictions,
+    /root/reference/src/importer/scheduled_predictions_importer.rs:244-265:
+    ``source = :source AND trip_start < :end AND schedule_file_name !=
+    :current AND origin_type = Schedule``).  Realtime-origin rows and
+    other sources are never touched."""
+    trip_start = (
+        F.unix_timestamp(F.to_timestamp("trip_start_date"))
+        + F.col("trip_start_time"))
     outdated = (
-        (F.col("schedule_file_name") != current_schedule)
-        & (F.col("prediction_min") < F.lit(window_end))
-        & (F.col("prediction_max") > F.lit(window_start))
+        (F.col("source") == source)
+        & (F.col("origin_type") == ORIGIN_SCHEDULE)
+        & (F.col("schedule_file_name") != current_schedule)
+        & (trip_start < F.unix_timestamp(F.lit(window_end)))
     )
     return predictions.where(~outdated)
 

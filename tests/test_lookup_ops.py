@@ -57,32 +57,40 @@ class TestRemoveOutdated:
             remove_outdated_predictions,
         )
 
-        def row(sched, t0, t1):
+        def row(tag, sched, start_secs, origin=2, source="s"):
+            t0 = dt.datetime(2024, 1, 1, 10, 30)
             return {
-                "source": "s", "event_type": 2, "stop_id": "S1",
-                "prediction_min": t0, "prediction_max": t1,
-                "route_id": "R", "trip_id": f"T-{sched}-{t0}",
+                "source": source, "event_type": 2, "stop_id": "S1",
+                "prediction_min": t0,
+                "prediction_max": t0 + dt.timedelta(minutes=10),
+                "route_id": "R", "trip_id": tag,
                 "trip_start_date": dt.date(2024, 1, 1),
-                "trip_start_time": 0, "stop_sequence": 1,
-                "precision_type": 3, "origin_type": 2, "sample_size": 1,
+                "trip_start_time": start_secs, "stop_sequence": 1,
+                "precision_type": 3, "origin_type": origin,
+                "sample_size": 1,
                 "prediction_curve": [{"x": 0.0, "y": 0.0},
                                      {"x": 1.0, "y": 1.0}],
                 "schedule_file_name": sched,
             }
 
-        w0, w1 = dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 1, 12)
+        end = dt.datetime(2024, 1, 1, 12)
         rows = [
-            row("old", dt.datetime(2024, 1, 1, 10, 30),
-                dt.datetime(2024, 1, 1, 10, 40)),   # old + overlaps → drop
-            row("old", dt.datetime(2024, 1, 1, 14, 0),
-                dt.datetime(2024, 1, 1, 14, 5)),    # old, outside → keep
-            row("new", dt.datetime(2024, 1, 1, 10, 30),
-                dt.datetime(2024, 1, 1, 10, 40)),   # current → keep
+            # old schedule file, trip starts before `end` → deleted
+            row("drop-me", "old", 10 * 3600),
+            # old file but trip starts after `end` → kept
+            row("keep-late", "old", 14 * 3600),
+            # old file, early start, REALTIME origin → kept (the
+            # reference restricts to origin_type = Schedule)
+            row("keep-rt", "old", 10 * 3600, origin=1),
+            # old file, early start, different source → kept
+            row("keep-other-src", "old", 10 * 3600, source="s2"),
+            # current schedule file → kept
+            row("keep-current", "new", 10 * 3600),
         ]
         df = spark.createDataFrame(rows, PREDICTIONS)
-        kept = remove_outdated_predictions(df, "new", w0, w1).collect()
-        keys = {(r.schedule_file_name, r.prediction_min.hour) for r in kept}
-        assert keys == {("old", 14), ("new", 10)}
+        kept = remove_outdated_predictions(df, "s", "new", end).collect()
+        assert {r.trip_id for r in kept} == {
+            "keep-late", "keep-rt", "keep-other-src", "keep-current"}
 
 
 class TestResolveTrip:
