@@ -67,27 +67,34 @@ def dedup_prediction_basis(events: DataFrame,
         if state.hasTimedOut:
             state.remove()
             return
-        last = state.get if state.exists else None
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["header_timestamp", "stop_sequence"])
-            for row in pdf.itertuples(index=False):
-                basis = (
-                    int(row.stop_sequence)
-                    if row.stop_sequence is not None and not pd.isna(row.stop_sequence)
-                    else None,
-                    int(row.departure_delay)
-                    if row.departure_delay is not None and not pd.isna(row.departure_delay)
-                    else None,
-                )
-                if basis != last:
-                    out.append(row._asdict())
-                    last = basis
-        if last is not None:
-            state.update(last)
-            state.setTimeoutDuration(ttl_hours * 3600 * 1000)
+        last = tuple(state.get) if state.exists else None
         cols = [f.name for f in RT_EVENTS.fields]
-        yield pd.DataFrame(out, columns=cols)
+        df = pd.concat(list(pdfs), ignore_index=True)
+        if df.empty:
+            yield pd.DataFrame(columns=cols)
+            return
+        df = df.sort_values(["header_timestamp", "stop_sequence"],
+                            ignore_index=True)
+        # keep a row iff its basis differs from the previous row's —
+        # a vectorized shift-compare is equivalent to the reference's
+        # sequential walk because every dropped row's basis EQUALS the
+        # carried state, so the carried state is always the previous
+        # row's basis (per_schedule_importer.rs:266-313); null-safe
+        # equality treats (NaN == NaN) as a match
+        ss, dd = df["stop_sequence"], df["departure_delay"]
+        same_prev = ((ss.eq(ss.shift()) | (ss.isna() & ss.shift().isna()))
+                     & (dd.eq(dd.shift()) | (dd.isna() & dd.shift().isna())))
+        keep = ~same_prev
+
+        def basis_at(i: int):
+            return (None if pd.isna(ss.iloc[i]) else int(ss.iloc[i]),
+                    None if pd.isna(dd.iloc[i]) else int(dd.iloc[i]))
+
+        # row 0 compares against the cross-batch carried basis
+        keep.iloc[0] = last is None or basis_at(0) != last
+        state.update(basis_at(len(df) - 1))
+        state.setTimeoutDuration(ttl_hours * 3600 * 1000)
+        yield df.loc[keep, cols]
 
     return (
         events.groupBy(*VEHICLE_KEY)
@@ -114,14 +121,18 @@ def run_import_stream(
     trigger: dict | None = None,
 ):
     """The full streaming import: files → decode → (optional ST2 dedup)
-    → records ETL → latest-wins merge into a parquet records table.
+    → records ETL → latest-wins merge into a parquet records table
+    partitioned by (source, trip_start_date).
 
-    ``foreachBatch`` makes the merge transactional per micro-batch (the
-    BatchedStatements + MySQL upsert of the reference); on a real
-    cluster the sink would be a Delta MERGE — on plain parquet we
-    rewrite via a staging directory.
+    The merge is PARTITION-SCOPED: only the (source, trip_start_date)
+    partitions present in the micro-batch are read back, merged, and
+    rewritten via dynamic partition overwrite — O(touched partitions)
+    per batch, not O(table).  Untouched partitions' files are never
+    rewritten.  On a cluster with a table format this is a Delta/
+    Iceberg MERGE; dynamic overwrite is the plain-parquet equivalent
+    (the reference upserts per-row into MySQL,
+    importer/mod.rs:579-611).
     """
-    import shutil
     from pathlib import Path
 
     from ..plans.import_etl import build_records, latest_wins_merge
@@ -132,16 +143,34 @@ def run_import_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         recs = build_records(batch_df, trips, stop_times,
-                             source, schedule_file_name)
-        existing = None
-        if Path(records_dir).exists():
-            existing = spark.read.parquet(records_dir)
-        merged = latest_wins_merge(recs, existing=existing)
-        staging = records_dir + f".staging-{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        if Path(records_dir).exists():
-            shutil.rmtree(records_dir)
-        Path(staging).rename(records_dir)
+                             source, schedule_file_name).cache()
+        try:
+            touched = [r.trip_start_date for r in
+                       recs.select("trip_start_date").distinct().collect()]
+            if not touched:
+                return
+            existing = None
+            if Path(records_dir).exists():
+                existing = (
+                    spark.read.parquet(records_dir)
+                    # partition-pruned scan: only touched partitions
+                    .where((F.col("source") == source)
+                           & F.col("trip_start_date").isin(touched)))
+            merged = latest_wins_merge(recs, existing=existing)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                  "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            try:
+                (merged.repartition("source", "trip_start_date")
+                 .write.mode("overwrite")
+                 .partitionBy("source", "trip_start_date")
+                 .parquet(records_dir))
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                               prev)
+        finally:
+            recs.unpersist()
 
     writer = events.writeStream.foreachBatch(sink) \
         .option("checkpointLocation", checkpoint_dir)

@@ -13,9 +13,9 @@ from gtfs_fixtures import build_schedule, write_gtfs_dir
 from dystonse_gtfs_importer_spark.sources.gtfs_rt import encode_feed_message
 
 
-def _feed(ts, seq_delay_pairs, trip="TR1v1n0"):
+def _feed(ts, seq_delay_pairs, trip="TR1v1n0", start_date="20240101"):
     return encode_feed_message(ts, [
-        {"trip_id": trip, "route_id": "R1", "start_date": "20240101",
+        {"trip_id": trip, "route_id": "R1", "start_date": start_date,
          "start_time": "08:00:00",
          "stop_time_updates": [(seq, f"S{seq}", d, d) for seq, d in seq_delay_pairs]},
     ])
@@ -63,6 +63,64 @@ class TestStreamingImport:
         assert recs.count() == 2
         assert recs.where(F.col("stop_sequence") == 1).first().delay_arrival == 90
         assert recs.where(F.col("stop_sequence") == 2).first().delay_arrival == 99
+
+    def test_merge_is_partition_scoped(self, spark, tmp_path):
+        """A micro-batch must rewrite ONLY the (source, trip_start_date)
+        partitions it touches — untouched partitions stay byte-identical
+        (the O(table)-per-batch rewrite would be the scale killer)."""
+        import hashlib
+        from pathlib import Path
+
+        from dystonse_gtfs_importer_spark.sources.gtfs import read_gtfs
+        from dystonse_gtfs_importer_spark.streaming.import_stream import (
+            run_import_stream,
+        )
+
+        g = tmp_path / "gtfs"
+        g.mkdir()
+        write_gtfs_dir(build_schedule(), g)
+        sched = read_gtfs(spark, str(g))
+        trips = sched["trips"].cache()
+        stop_times = sched["stop_times"].cache()
+
+        rt = tmp_path / "rt"
+        rt.mkdir()
+        records_dir = str(tmp_path / "records")
+        ckpt = str(tmp_path / "ckpt")
+
+        # batch 1 covers two service days
+        (rt / "f1.pb").write_bytes(_feed(1704096000, [(1, 60), (2, 70)]))
+        (rt / "f2.pb").write_bytes(
+            _feed(1704182400, [(1, 50)], start_date="20240102"))
+        q = run_import_stream(spark, str(rt), trips, stop_times,
+                              "test", "sched", records_dir, ckpt)
+        q.awaitTermination(120)
+
+        day1 = Path(records_dir) / "source=test" / "trip_start_date=2024-01-01"
+        day2 = Path(records_dir) / "source=test" / "trip_start_date=2024-01-02"
+        assert day1.is_dir() and day2.is_dir()
+
+        def snapshot(d: Path):
+            return {p.name: hashlib.md5(p.read_bytes()).hexdigest()
+                    for p in d.glob("*.parquet")}
+
+        before = snapshot(day1)
+        assert before
+
+        # batch 2 touches only day 2
+        (rt / "f3.pb").write_bytes(
+            _feed(1704182600, [(1, 80)], start_date="20240102"))
+        q = run_import_stream(spark, str(rt), trips, stop_times,
+                              "test", "sched", records_dir, ckpt)
+        q.awaitTermination(120)
+
+        assert snapshot(day1) == before, "untouched partition was rewritten"
+        recs = spark.read.parquet(records_dir)
+        d2 = recs.where(F.col("trip_start_date") == dt.date(2024, 1, 2))
+        assert d2.count() == 1
+        assert d2.first().delay_arrival == 80
+        d1 = recs.where(F.col("trip_start_date") == dt.date(2024, 1, 1))
+        assert d1.count() == 2
 
     def test_prediction_basis_dedup(self, spark, tmp_path):
         from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
