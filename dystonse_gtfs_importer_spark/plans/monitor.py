@@ -251,7 +251,7 @@ def transfer_chances(arrivals: DataFrame, departures: DataFrame,
 
 def resolve_trip(schedule: dict[str, DataFrame], route_type: int,
                  route_short_name: str, headsign: str,
-                 departure_hhmm: str, stop_id: str, on_date) -> DataFrame:
+                 departure_hhmm: str, stop_id, on_date) -> DataFrame:
     """J8: resolve a journey-URL descriptor (route type + short name,
     headsign, HH:MM departure at a stop) to concrete vehicles
     (journey_data.rs:341-476): filter trips by headsign, join routes
@@ -268,11 +268,12 @@ def resolve_trip(schedule: dict[str, DataFrame], route_type: int,
     hh, mm = departure_hhmm.split(":")
     target_min = int(hh) * 60 + int(mm)
 
+    stop_ids = [stop_id] if isinstance(stop_id, str) else list(stop_id)
     routes = schedule["routes"].where(
         (F.col("route_type") == route_type)
         & (F.col("route_short_name") == route_short_name))
     trips = schedule["trips"].where(F.col("trip_headsign") == headsign)
-    st = schedule["stop_times"].where(F.col("stop_id") == stop_id)
+    st = schedule["stop_times"].where(F.col("stop_id").isin(stop_ids))
 
     j = (trips.join(F.broadcast(routes), "route_id")
          .join(st, "trip_id"))
@@ -298,7 +299,8 @@ def resolve_trip(schedule: dict[str, DataFrame], route_type: int,
                 F.col("service_date").alias("trip_start_date"))),
             ["service_id", "trip_start_date"], "left_semi")
     return (out.select("trip_id", "route_id", "route_variant",
-                       "trip_start_date", "stop_sequence", "departure_secs")
+                       "trip_start_date", "stop_id", "stop_sequence",
+                       "departure_secs")
             .orderBy("trip_id").limit(1))
 
 
