@@ -68,6 +68,63 @@ def variant_draw_groups(vstops: DataFrame) -> list[dict]:
     return groups
 
 
+def stop_pair_curve_series(specific: DataFrame,
+                           general: DataFrame) -> DataFrame:
+    """S19: the plot-ready data series behind the stop-pair curve page
+    (draw_curves_for_stop_pair,
+    /root/reference/src/analyser/curve_visualisation.rs:381-463) —
+    per (route, variant, stop pair, time slot): the general DEPARTURE
+    curve at the start stop, the general ARRIVAL curve at the end
+    stop, and every focus curve of the pair's curve set, each exploded
+    to (x, y_pct) points exactly as the reference feeds gnuplot (y
+    scaled ×100).  Rendering is a declared non-goal; this is the data.
+
+    Map-only explodes plus two dimension joins — no aggregation
+    shuffle at any scale.
+    """
+    pair_keys = ["route_id", "route_variant", "time_slot",
+                 "start_stop_index", "end_stop_index"]
+
+    def points(df: DataFrame, series, event_type, focus,
+               extra_keys) -> DataFrame:
+        return df.select(
+            *extra_keys,
+            series.alias("series"),
+            event_type.cast("tinyint").alias("event_type"),
+            focus.cast("double").alias("focus"),
+            F.col("sample_size").cast("long").alias("sample_size"),
+            F.explode("curve").alias("pt"),
+        ).select(*extra_keys, "series", "event_type", "focus",
+                 "sample_size",
+                 F.col("pt.x").cast("double").alias("x"),
+                 (F.col("pt.y") * 100.0).cast("double").alias("y_pct"))
+
+    sets = points(specific, F.lit("curve_set"), F.col("event_type"),
+                  F.col("focus"), pair_keys)
+
+    pairs = specific.select(*pair_keys).distinct()
+    gen = general.select("route_id", "route_variant", "event_type",
+                         "time_slot", "stop_index", "curve", "sample_size")
+    dep_start = points(
+        pairs.join(gen, (gen.event_type == 2)
+                   & (gen.stop_index == F.col("start_stop_index"))
+                   & (gen.route_id == pairs.route_id)
+                   & (gen.route_variant == pairs.route_variant)
+                   & (gen.time_slot == pairs.time_slot))
+        .drop(gen.route_id).drop(gen.route_variant).drop(gen.time_slot),
+        F.lit("departure_at_start"), F.lit(2), F.lit(None), pair_keys)
+    arr_end = points(
+        pairs.join(gen, (gen.event_type == 1)
+                   & (gen.stop_index == F.col("end_stop_index"))
+                   & (gen.route_id == pairs.route_id)
+                   & (gen.route_variant == pairs.route_variant)
+                   & (gen.time_slot == pairs.time_slot))
+        .drop(gen.route_id).drop(gen.route_variant).drop(gen.time_slot),
+        F.lit("arrival_at_end"), F.lit(1), F.lit(None), pair_keys)
+
+    return sets.unionByName(dep_start).unionByName(arr_end)
+
+
 def trip_point_series(records: DataFrame, vstops: DataFrame,
                       min_rows: int = 10) -> DataFrame:
     """A13: per (service day, trip) the ordered (stop position, delay)

@@ -105,6 +105,43 @@ class TestVisualSchedule:
         assert idxs == sorted(idxs)
 
 
+class TestStopPairCurveSeries:
+    def test_plot_series_shapes(self, spark):
+        """S19: curve-set + general curves exploded to plot points
+        (draw_curves_for_stop_pair data, curve_visualisation.rs:381-463)."""
+        from dystonse_gtfs_importer_spark.plans.visual_schedule import (
+            stop_pair_curve_series,
+        )
+        from dystonse_gtfs_importer_spark.schemas import CURVE_TYPE
+
+        curve = [{"x": -60.0, "y": 0.0}, {"x": 60.0, "y": 1.0}]
+        specific = spark.createDataFrame(
+            [("R1", 1, 2, 3, 0, 4, 0.0, curve, 30),
+             ("R1", 1, 2, 3, 0, 4, 25.0, curve, 30)],
+            "route_id string, route_variant long, event_type tinyint, "
+            "time_slot int, start_stop_index int, end_stop_index int, "
+            f"focus float, curve {CURVE_TYPE.simpleString()}, "
+            "sample_size long")
+        general = spark.createDataFrame(
+            [("R1", 1, 2, 3, 0, curve, 40),    # departure at start
+             ("R1", 1, 1, 3, 4, curve, 41),    # arrival at end
+             ("R1", 1, 1, 3, 0, curve, 42)],   # arrival at START: excluded
+            "route_id string, route_variant long, event_type tinyint, "
+            f"time_slot int, stop_index int, "
+            f"curve {CURVE_TYPE.simpleString()}, sample_size long")
+        out = stop_pair_curve_series(specific, general).collect()
+        assert {r.series for r in out} == {
+            "curve_set", "departure_at_start", "arrival_at_end"}
+        # (2 focus curves + 2 matched general curves) × 2 points each
+        assert len(out) == 8
+        assert {r.y_pct for r in out} == {0.0, 100.0}   # percent scale
+        assert {r.focus for r in out if r.series == "curve_set"} == {0.0, 25.0}
+        assert all(r.sample_size == 40 for r in out
+                   if r.series == "departure_at_start")
+        assert all(r.sample_size == 41 for r in out
+                   if r.series == "arrival_at_end")
+
+
 class TestCountStats:
     def test_buckets_and_sanity_filter(self, spark, world):
         from dystonse_gtfs_importer_spark.plans.count_stats import count_stats
