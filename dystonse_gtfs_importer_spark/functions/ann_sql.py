@@ -107,6 +107,30 @@ def q_ann_lsh_topk(d: S.Dialect) -> str:
     """
 
 
+def q_cosine_near_dup_pairs(d: S.Dialect, threshold: float = 0.35) -> str:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    ROUND(cosine, 6) >= threshold.  This exact form is the oracle
+    (quadratic, fine at verification scale); the scale path is
+    ``operators.similarity.cosine_near_dup`` which prefilters
+    candidates through the same LSH buckets as lsh_topk.  The default
+    threshold is tuned to the driver's synthetic random embeddings
+    (pair cosines top out near 0.5); real near-duplicates sit at
+    0.9+, where LSH collision probability is far higher."""
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_cosine(d, 'a.emb', 'b.emb')} AS cosine
+            FROM cv a JOIN cv b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine FROM scored
+        WHERE cosine >= {threshold}
+    """
+
+
 def q_ann_ivf_topk(d: S.Dialect) -> str:
     """IVF-Flat top-k, centroids derived in-SQL: seeds = the
     {IVF_CELLS} lowest-id corpus vectors, one Lloyd mean pass

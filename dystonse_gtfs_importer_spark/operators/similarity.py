@@ -137,6 +137,49 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "cand_id", "cosine", "rk"))
 
 
+def cosine_near_dup(corpus: DataFrame, threshold: float = 0.92,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                    exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
+    threshold).
+
+    Scale path (default): candidates must share a random-hyperplane
+    LSH bucket in >= 1 of ``n_tables`` tables — sketching is map-only,
+    the bucket self-join shuffles (table, bucket, id) pairs, and the
+    exact cosine threshold re-checks every candidate.  High-cosine
+    pairs collide with probability (1-θ/π)^planes per table, so
+    recall is tunable via n_planes/n_tables.  ``exact=True`` runs the
+    quadratic oracle form (functions/ann_sql.py::q_cosine_near_dup_pairs
+    is its dual-dialect twin)."""
+    c = corpus.select(F.col(id_col).alias("vec_a"),
+                      F.col(vec_col).alias("a_vec"))
+    c2 = corpus.select(F.col(id_col).alias("vec_b"),
+                       F.col(vec_col).alias("b_vec"))
+    if exact:
+        cand = c.crossJoin(c2).where(F.col("vec_a") < F.col("vec_b"))
+    else:
+        sides = []
+        for alias_id, alias_vec in (("vec_a", "a_vec"), ("vec_b", "b_vec")):
+            side = corpus.select(F.col(id_col).alias(alias_id),
+                                 F.col(vec_col).alias(alias_vec))
+            buckets = None
+            for t in range(n_tables):
+                sk = _sketch_expr(alias_vec, dim, n_planes, t)
+                b = side.select(alias_id, alias_vec,
+                                F.lit(t).alias("tbl"), sk.alias("bucket"))
+                buckets = b if buckets is None else buckets.unionByName(b)
+            sides.append(buckets)
+        cand = (sides[0].join(sides[1], ["tbl", "bucket"])
+                .where(F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "a_vec", "vec_b", "b_vec")
+                .dropDuplicates(["vec_a", "vec_b"]))
+    return (cand.withColumn("cosine",
+                            F.round(_cosine("a_vec", "b_vec"), 6))
+            .where(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_cells: int = 16, nprobe: int = 4) -> DataFrame:

@@ -635,6 +635,8 @@ QUERIES: dict[str, QueryDef] = {
     # recall-vs-exact quality is asserted in tests/test_similarity.py
     "ann_lsh_topk": _sql_pair(ANN.q_ann_lsh_topk, "similarity-ann-lsh"),
     "ann_ivf_topk": _sql_pair(ANN.q_ann_ivf_topk, "similarity-ann-ivf"),
+    "cosine_near_dup": _sql_pair(ANN.q_cosine_near_dup_pairs,
+                                 "dedup-embedding-cosine"),
     "ecdf_curve_focused": QueryDef(spark=_ecdf_focused_spark,
                                    oracle=_ECDF_FOCUSED_ORACLE,
                                    survey_ref="A3 C6"),

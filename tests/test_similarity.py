@@ -93,6 +93,39 @@ class TestIVF:
         assert rec > 0.5, f"IVF recall {rec:.2f} too low"
 
 
+class TestCosineNearDup:
+    def test_lsh_path_subset_of_exact_with_recall(self, embeddings):
+        from dystonse_gtfs_importer_spark.operators.similarity import (
+            cosine_near_dup,
+        )
+
+        # synthetic random embeddings: pair cosines top out near 0.5,
+        # so 0.35 plays the role of "near duplicate" here; with planes
+        # few enough for that angle (collision prob per table
+        # (1-θ/π)^planes), recall stays high
+        thresh = 0.35
+        exact_pairs = {(r.vec_a, r.vec_b) for r in
+                       cosine_near_dup(embeddings, thresh,
+                                       exact=True).collect()}
+        assert exact_pairs, "threshold too high for fixture data"
+        lsh_pairs = {(r.vec_a, r.vec_b) for r in
+                     cosine_near_dup(embeddings, thresh,
+                                     n_planes=3, n_tables=6).collect()}
+        # every LSH pair passes the exact threshold (no false positives)
+        assert lsh_pairs <= exact_pairs
+        # high-cosine pairs collide with high probability
+        recall = len(lsh_pairs) / len(exact_pairs)
+        assert recall >= 0.5, (recall, len(exact_pairs))
+
+    def test_exact_is_symmetric_free(self, embeddings):
+        from dystonse_gtfs_importer_spark.operators.similarity import (
+            cosine_near_dup,
+        )
+
+        out = cosine_near_dup(embeddings, 0.35, exact=True).collect()
+        assert all(r.vec_a < r.vec_b for r in out)
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         from dystonse_gtfs_importer_spark.operators.multimodal import (
