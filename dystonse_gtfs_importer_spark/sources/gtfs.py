@@ -50,14 +50,37 @@ def _read_named(spark: SparkSession, path: str, name: str, schema):
     return raw.select(cols), present
 
 
+def _maybe_unzip(path: str) -> str:
+    """Accept a GTFS .zip like the reference's gtfs_structures loader
+    (main.rs:399-404): extract driver-side (the static schedule is a
+    dimension, MBs not TBs) and return the directory, handling the
+    common single-top-level-folder zip layout."""
+    import os
+    import tempfile
+    import zipfile
+
+    if not (path.endswith(".zip") and os.path.isfile(path)):
+        return path
+    tmp = tempfile.mkdtemp(prefix="gtfs_zip_")
+    with zipfile.ZipFile(path) as z:
+        z.extractall(tmp)
+    entries = os.listdir(tmp)
+    if "stop_times.txt" not in entries and len(entries) == 1 \
+            and os.path.isdir(os.path.join(tmp, entries[0])):
+        return os.path.join(tmp, entries[0])
+    return tmp
+
+
 def read_gtfs(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Read a GTFS directory (one CSV per file), header-name mapped to
-    the explicit schemas.  ``stop_times`` gains ``arrival_secs`` /
-    ``departure_secs`` int columns; raw HH:MM:SS strings are retained.
-    When trips.txt lacks the non-standard ``route_variant`` column
-    (every vanilla feed), it is derived from the trip's ordered stop
-    sequence exactly as the reference's forked gtfs-structures groups
-    trips (dystonse-gtfs-structures Trip::route_variant)."""
+    """Read a GTFS directory or .zip (one CSV per file), header-name
+    mapped to the explicit schemas.  ``stop_times`` gains
+    ``arrival_secs`` / ``departure_secs`` int columns; raw HH:MM:SS
+    strings are retained.  When trips.txt lacks the non-standard
+    ``route_variant`` column (every vanilla feed), it is derived from
+    the trip's ordered stop sequence exactly as the reference's forked
+    gtfs-structures groups trips (dystonse-gtfs-structures
+    Trip::route_variant)."""
+    path = _maybe_unzip(path)
     out: dict[str, DataFrame] = {}
     headers: dict[str, frozenset] = {}
     for name, schema in GTFS_SCHEMAS.items():

@@ -139,6 +139,28 @@ class TestVanillaFeed:
         counts = vs.groupBy("route_id", "route_variant").count().collect()
         assert all(r["count"] == 8 for r in counts)
 
+    def test_zip_feed_reads_like_directory(self, spark, vanilla_dir,
+                                           tmp_path):
+        """S1: a .zip feed (the reference's input format) must load
+        identically to the extracted directory."""
+        import os
+        import zipfile
+
+        from dystonse_gtfs_importer_spark.sources.gtfs import read_gtfs
+
+        zpath = str(tmp_path / "feed.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for f in os.listdir(vanilla_dir):
+                z.write(os.path.join(vanilla_dir, f), f)
+        a = read_gtfs(spark, zpath)
+        b = read_gtfs(spark, vanilla_dir)
+        assert a["trips"].count() == b["trips"].count()
+        assert (a["stop_times"].select("trip_id", "stop_sequence",
+                                       "arrival_secs")
+                .exceptAll(b["stop_times"].select(
+                    "trip_id", "stop_sequence", "arrival_secs"))
+                .count() == 0)
+
     def test_header_order_independent(self, spark, vanilla_dir, tmp_path):
         """Same feed with trips columns in standard order must produce
         identical variants (name-based mapping, not positional)."""
