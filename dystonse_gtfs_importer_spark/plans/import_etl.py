@@ -70,6 +70,12 @@ def build_records(
             F.col("arrival_delay").isNotNull()
             | F.col("departure_delay").isNotNull()                # F4
         )
+        # the reference skips updates whose trip descriptor lacks a
+        # parseable start (GtfsDateTime::from_trip_descriptor errors,
+        # per_schedule_importer.rs:159); a null vehicle key would also
+        # poison the (source, trip_start_date) partition layout
+        .where(F.col("trip_start_date").isNotNull()
+               & F.col("trip_start_time").isNotNull())
     )
 
     return joined.select(

@@ -69,7 +69,9 @@ def dedup_prediction_basis(events: DataFrame,
             return
         last = tuple(state.get) if state.exists else None
         cols = [f.name for f in RT_EVENTS.fields]
-        df = pd.concat(list(pdfs), ignore_index=True)
+        frames = list(pdfs)
+        df = (pd.concat(frames, ignore_index=True) if frames
+              else pd.DataFrame(columns=cols))
         if df.empty:
             yield pd.DataFrame(columns=cols)
             return

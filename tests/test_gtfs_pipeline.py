@@ -74,6 +74,26 @@ class TestImportEtl:
             F.col("delay_arrival").isNull()
             & F.col("delay_departure").isNull()).count() == 0
 
+    def test_null_trip_start_dropped(self, spark, schedule_dfs):
+        """Updates whose trip descriptor lacks a parseable start are
+        skipped (GtfsDateTime::from_trip_descriptor errors,
+        per_schedule_importer.rs:159) — and a null key would poison the
+        (source, trip_start_date) partition layout."""
+        from dystonse_gtfs_importer_spark.plans.import_etl import build_records
+        from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
+
+        rows = [
+            ("f", 1704096000, "TR1v1n0", "R1", None, "08:00:00",
+             1, "S1", 60, 60),          # no start_date → dropped
+            ("f", 1704096000, "TR1v1n0", "R1", "20240101", "08:00:00",
+             1, "S1", 60, 60),          # valid twin → kept
+        ]
+        rt = spark.createDataFrame(rows, RT_EVENTS)
+        recs = build_records(rt, schedule_dfs["trips"],
+                             schedule_dfs["stop_times"], "s", "f").collect()
+        assert len(recs) == 1
+        assert recs[0].trip_start_date is not None
+
     def test_latest_wins_unique_pk(self, records):
         from dystonse_gtfs_importer_spark.schemas import RECORDS_PK
 
