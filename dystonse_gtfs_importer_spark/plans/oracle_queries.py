@@ -269,6 +269,26 @@ def q_forward_fill(d: S.Dialect) -> str:
     """
 
 
+def q_median_rank(d: S.Dialect) -> str:
+    # W3 analog: the departure board orders vehicles by their MEDIAN
+    # predicted time (monitor/mod.rs:545); here per-user medians are
+    # ranked with a deterministic tie-break so the ordering itself is
+    # hash-verifiable (exact interpolated median in both engines)
+    med = ("percentile(value, 0.5)" if d.name == "spark"
+           else "quantile_cont(value, 0.5)")
+    return f"""
+        WITH m AS (
+            SELECT user_id, ROUND({med}, 4) AS median_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, median_value, n,
+               ROW_NUMBER() OVER (
+                   ORDER BY median_value DESC, user_id) AS rk
+        FROM m
+    """
+
+
 def q_non_final_stops(d: S.Dialect) -> str:
     # W4 + F10: drop each trip's final stop via per-trip max(sequence)
     return """
@@ -653,6 +673,7 @@ QUERIES: dict[str, QueryDef] = {
     "spatial_neighbors": _sql_pair(q_spatial_neighbors, "J6 C12"),
     "latest_wins": _sql_pair(q_latest_wins, "W2 ST3 S12"),
     "forward_fill": _sql_pair(q_forward_fill, "W1"),
+    "median_rank": _sql_pair(q_median_rank, "W3 O1"),
     "non_final_stops": _sql_pair(q_non_final_stops, "W4 F10"),
     "time_slot_histogram": _sql_pair(q_time_slot_histogram, "C4 F7 A11"),
     "route_sections": _sql_pair(q_route_sections, "C5 W5"),

@@ -157,6 +157,59 @@ class TestStreamingImport:
         assert bases == [(1, 60), (2, 60), (2, 72)]
 
 
+class TestEventTimeWindows:
+    def test_watermark_windowed_counts(self, spark, tmp_path):
+        """ST7 streaming form: event-time windows + watermark, append
+        mode — results must match the same plan run in batch."""
+        import json
+
+        src = tmp_path / "ev"
+        src.mkdir()
+        base = 1704096000  # 2024-01-01T08:00Z
+        rows = []
+        for i in range(20):
+            rows.append({"user_id": i % 3, "event_type": "click",
+                         "ts": (base + i * 300) * 1000000,
+                         "value": float(i)})
+        # a late-but-within-watermark row and an on-time tail far
+        # enough ahead to close the first hour's window
+        rows.append({"user_id": 1, "event_type": "click",
+                     "ts": (base + 60) * 1000000, "value": 100.0})
+        rows.append({"user_id": 1, "event_type": "click",
+                     "ts": (base + 4 * 3600) * 1000000, "value": 1.0})
+        (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+        schema = ("user_id long, event_type string, ts long, "
+                  "value double")
+        to_ts = lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.col("ts")))
+
+        from dystonse_gtfs_importer_spark.streaming.windows import (
+            windowed_event_counts,
+        )
+
+        batch = windowed_event_counts(
+            to_ts(spark.read.schema(schema).json(str(src))))
+        stream = windowed_event_counts(
+            to_ts(spark.readStream.schema(schema).json(str(src))))
+        assert stream.isStreaming
+        q = (stream.writeStream.format("memory").queryName("winagg")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r.window_start_s, r.event_type): (r.n, r.sum_value)
+               for r in spark.sql("SELECT * FROM winagg").collect()}
+        want = {(r.window_start_s, r.event_type): (r.n, r.sum_value)
+                for r in batch.collect()
+                # append mode only emits windows the watermark closed
+                if r.window_start_s in {k[0] for k in got}}
+        assert got == want and got, (got, want)
+        # the within-watermark late row landed in the first window
+        first = min(got)
+        assert got[first][0] >= 13    # 12 on-time + 1 late
+
+
 class TestCleanup:
     def test_ttl_filter(self, spark):
         from dystonse_gtfs_importer_spark.streaming.import_stream import (
