@@ -169,6 +169,63 @@ def q_simhash_near_pairs_banded(d: S.Dialect) -> str:
     """
 
 
+WINNOW_K = 5      # k-gram length (characters)
+WINNOW_W = 4      # winnowing window (consecutive k-gram hashes)
+
+
+def winnow_cte(d: S.Dialect, k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """MOSS-style winnowing fingerprints: hash every character k-gram
+    of the lowercased text (rolling window), then keep the MINIMUM
+    hash of each window of ``w`` consecutive positions — a document's
+    fingerprint set is position-independent and robust to small edits
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03).  All set arithmetic is
+    windowed SQL, identical in both engines (binary collation MIN
+    over hex md5)."""
+    return f"""
+        grams AS (
+            SELECT doc_id, i,
+                   MD5(SUBSTR(lower(text), i + 1, {k})) AS h
+            FROM (
+                SELECT doc_id, text,
+                       {d.explode_range(f'GREATEST(length(text) - {k} + 1, 0)')} AS i
+                FROM documents
+            ) g
+        ),
+        winnowed AS (
+            SELECT DISTINCT doc_id,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                AND {w - 1} FOLLOWING) AS fp
+            FROM grams
+        )
+    """
+
+
+def q_winnow_fingerprint_stats(d: S.Dialect) -> str:
+    """Per-document winnowing fingerprint cardinality (the sketch a
+    plagiarism/near-dup index stores)."""
+    return f"""
+        WITH {winnow_cte(d)}
+        SELECT doc_id, COUNT(*) AS n_fingerprints
+        FROM winnowed GROUP BY doc_id
+    """
+
+
+def q_winnow_near_pairs(d: S.Dialect, min_shared: int = 3) -> str:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — candidates come from the fingerprint equi-join (shared-sketch
+    pairs only, the inverted-index shape), never an all-pairs scan."""
+    return f"""
+        WITH {winnow_cte(d)}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+        FROM winnowed a
+        JOIN winnowed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_shared}
+    """
+
+
 def q_ngram_jaccard_pairs(d: S.Dialect, threshold: float = 0.5) -> str:
     """Exact token-set Jaccard similarity >= threshold via
     intersection equi-join (shared-token pairs only)."""

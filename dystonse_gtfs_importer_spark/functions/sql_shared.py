@@ -46,6 +46,10 @@ class Dialect:
         """Subquery producing integers 0..n-1 in column ``col``."""
         raise NotImplementedError
 
+    def explode_range(self, n_expr: str) -> str:
+        """Generator expression: one row per integer in [0, n_expr)."""
+        raise NotImplementedError
+
     def explode_tokens(self, text: str) -> str:
         """Generator expression: one row per lowercase whitespace token."""
         raise NotImplementedError
@@ -90,6 +94,9 @@ class SparkDialect(Dialect):
     def series(self, n: int, col: str = "i") -> str:
         return f"(SELECT explode(sequence(0, {n - 1})) AS {col})"
 
+    def explode_range(self, n_expr: str) -> str:
+        return f"explode(sequence(0, ({n_expr}) - 1))"
+
     def explode_tokens(self, text: str) -> str:
         return f"explode(split(lower({text}), ' +'))"
 
@@ -130,6 +137,9 @@ class DuckDBDialect(Dialect):
 
     def series(self, n: int, col: str = "i") -> str:
         return f"(SELECT unnest(range({n})) AS {col})"
+
+    def explode_range(self, n_expr: str) -> str:
+        return f"unnest(range({n_expr}))"
 
     def explode_tokens(self, text: str) -> str:
         return f"unnest(string_split_regex(lower({text}), ' +'))"

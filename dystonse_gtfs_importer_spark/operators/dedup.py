@@ -60,3 +60,14 @@ def simhash_near_pairs(docs: DataFrame, banded: bool = True) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact token-set Jaccard pairs >= threshold."""
     return _run(docs, lambda d: D.q_ngram_jaccard_pairs(d, threshold))
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-document winnowing (rolling k-gram) fingerprint counts."""
+    return _run(docs, D.q_winnow_fingerprint_stats)
+
+
+def winnow_near_pairs(docs: DataFrame, min_shared: int = 3) -> DataFrame:
+    """Pairs sharing >= min_shared winnowing fingerprints (inverted-
+    index equi-join, no all-pairs scan)."""
+    return _run(docs, lambda d: D.q_winnow_near_pairs(d, min_shared))

@@ -699,6 +699,10 @@ QUERIES: dict[str, QueryDef] = {
         D.q_simhash_near_pairs_banded, D.q_simhash_near_pairs,
         "dedup-simhash scale"),
     "ngram_jaccard_pairs": _sql_pair(D.q_ngram_jaccard_pairs, "dedup-jaccard"),
+    "winnow_fingerprints": _sql_pair(D.q_winnow_fingerprint_stats,
+                                     "fingerprint-winnow"),
+    "winnow_near_pairs": _sql_pair(D.q_winnow_near_pairs,
+                                   "fingerprint-winnow pairs"),
     "cosine_topk": _sql_pair(D.q_cosine_topk, "similarity-ann"),
 }
 

@@ -34,6 +34,33 @@ class TestDedupApply:
         assert out.where(F.col("doc_id").isin([0, 1, 2])).count() == 3
 
 
+class TestWinnowing:
+    def test_shift_robust_fingerprints(self, spark):
+        """Winnowing (rolling k-gram min-hash) is position-independent:
+        a shifted copy shares most fingerprints, unrelated text none."""
+        from dystonse_gtfs_importer_spark.operators.dedup import (
+            winnow_fingerprints, winnow_near_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = spark.createDataFrame([
+            (1, base),
+            (2, "PREFIX padding words here " + base),   # shifted copy
+            (3, "completely different content about spark physical plans"),
+        ], "doc_id long, text string")
+
+        fps = {r.doc_id: r.n_fingerprints
+               for r in winnow_fingerprints(docs).collect()}
+        assert all(fps[d] > 0 for d in (1, 2, 3))
+
+        pairs = {(r.doc_a, r.doc_b): r.n_shared
+                 for r in winnow_near_pairs(docs, min_shared=3).collect()}
+        assert (1, 2) in pairs
+        # the shifted copy shares most of the shorter doc's sketch
+        assert pairs[(1, 2)] >= fps[1] * 0.6
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 class TestCleanCorpus:
     def test_pipeline_and_report(self, spark, docs):
         from dystonse_gtfs_importer_spark.plans.corpus import (
