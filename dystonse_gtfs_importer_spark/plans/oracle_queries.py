@@ -156,7 +156,39 @@ def q_rollup_ladder(d: S.Dialect) -> str:
 # ---------------------------------------------------------------------------
 
 def q_stop_pair_counts(d: S.Dialect) -> str:
-    # J5: per-vehicle stop-pair self-join with theta < on sequence
+    # J5: per-vehicle stop-pair counts.  The oracle keeps the textbook
+    # self-join (theta < on sequence); the Spark side exploits the tiny
+    # linenumber domain with SUFFICIENT STATISTICS: per order, (count,
+    # sum) per linenumber in ONE aggregation, then each (i<j) pair
+    # contributes n_i·n_j pairs with delta sum n_i·s_j − n_j·s_i —
+    # duplicate linenumbers handled exactly.  One shuffle instead of a
+    # double-sorted self-join; the hash match proves the derivations
+    # equal.
+    if d.name == "spark":
+        ks = range(1, 8)
+        stats = ", ".join(
+            f"SUM(CASE WHEN l_linenumber = {k} THEN 1 ELSE 0 END) AS n{k}, "
+            f"SUM(CASE WHEN l_linenumber = {k} THEN l_extendedprice END) AS s{k}"
+            for k in ks)
+        combos = ", ".join(
+            f"struct(CAST({i} AS INT) AS seq_from, CAST({j} AS INT) AS seq_to, "
+            f"n{i} * n{j} AS np, n{i} * s{j} - n{j} * s{i} AS sd)"
+            for i in ks for j in ks if i < j)
+        return f"""
+            WITH piv AS (
+                SELECT l_orderkey, {stats}
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            pairs AS (
+                SELECT pr.seq_from, pr.seq_to, pr.np, pr.sd
+                FROM piv
+                LATERAL VIEW explode(filter(array({combos}),
+                    x -> x.np > 0)) t AS pr
+            )
+            SELECT seq_from, seq_to, SUM(np) AS n_pairs,
+                   ROUND(SUM(sd) / SUM(np), 4) AS avg_price_delta
+            FROM pairs GROUP BY 1, 2
+        """
     return """
         SELECT a.l_linenumber AS seq_from, b.l_linenumber AS seq_to,
                COUNT(*) AS n_pairs,

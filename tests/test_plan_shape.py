@@ -178,6 +178,24 @@ class TestAggShape:
         assert plan.index("HashAggregate") < plan.index("Exchange"), \
             "expected partial aggregate above (before) the shuffle in plan"
 
+    def test_stop_pair_counts_no_self_join_sort(self, spark, sf_smoke):
+        """J5's Spark derivation uses per-order sufficient statistics:
+        one fact shuffle, no sorted self-join (the oracle keeps the
+        join form; the driver hash-match proves them equal)."""
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_stop_pair_counts,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(q_stop_pair_counts(S.SPARK))
+        plan = plan_of(df)
+        assert "SortMergeJoin" not in plan and "Join" not in plan, plan
+        assert plan.count("Sort ") == 0, plan
+
     def test_ecdf_single_shuffle(self, spark, sf_smoke):
         from dystonse_gtfs_importer_spark.plans.analyse import ecdf_curve_points
         from dystonse_gtfs_importer_spark.sources.testdata import load_table
