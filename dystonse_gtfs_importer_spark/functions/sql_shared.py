@@ -271,6 +271,20 @@ def token_count(text: str, d: Dialect) -> str:
     return f"(CASE WHEN LENGTH(TRIM({text})) = 0 THEN 0 ELSE {spaces} + 1 END)"
 
 
+# BPE-ish pre-tokenizer classes (GPT-2-style, simplified): a token is
+# an optionally space-prefixed run of letters, digits, or "other"
+# (punctuation etc.).  Kept free of backslash classes so the pattern
+# is literally identical under Java regex (Spark) and RE2 (DuckDB).
+BPE_TOKEN_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_token_count(text: str, d: Dialect) -> str:
+    """Subword-ish token count: number of BPE-pre-tokenizer matches in
+    the lowercased text (an upper bound on BPE merge output, the
+    budget metric an LLM-data pipeline gates on)."""
+    return d.regexp_count(f"LOWER({text})", BPE_TOKEN_PATTERN)
+
+
 def word_occurrences(text: str, word: str) -> str:
     """Whole-word, case-insensitive occurrence count (non-overlapping),
     via pad-and-replace so it is identical SQL in both engines.

@@ -483,8 +483,11 @@ def q_value_percentiles(d: S.Dialect) -> str:
 
 def q_token_stats(d: S.Dialect) -> str:
     tc = S.token_count("text", d)
+    bpe = S.bpe_token_count("text", d)
     return f"""
-        SELECT doc_id, {tc} AS n_tokens, LENGTH(text) AS n_chars_actual
+        SELECT doc_id, {tc} AS n_tokens,
+               CAST({bpe} AS BIGINT) AS n_bpe_tokens,
+               LENGTH(text) AS n_chars_actual
         FROM documents
     """
 
