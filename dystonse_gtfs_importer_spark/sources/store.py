@@ -43,6 +43,29 @@ def read_records(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   bucket_cols: list[str], n_buckets: int = 64,
+                   mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and sorted) by ``bucket_cols`` — the
+    co-located-join tuning knob for fact⋈fact joins too big to
+    broadcast: two tables bucketed the same way join with ZERO
+    exchanges (pinned by the plan-shape test).  Bucket metadata lives
+    in the session catalog; ``path`` keeps the files out of the
+    default warehouse."""
+    (df.write.mode(mode)
+     .bucketBy(n_buckets, *bucket_cols)
+     .sortBy(*bucket_cols)
+     .option("path", path)
+     .format("parquet")
+     .saveAsTable(table))
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back through the catalog (the bucketing
+    spec only survives catalog reads, not raw path reads)."""
+    return spark.table(table)
+
+
 def write_curve_tables(tables: dict[str, DataFrame], base: str,
                        mode: str = "overwrite") -> None:
     """S16: the DelayStatistics tree as three parquet tables."""

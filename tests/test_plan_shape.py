@@ -164,6 +164,44 @@ class TestJoinStrategy:
         assert n_exchanges(merged) == 1, plan_of(merged)
 
 
+class TestBucketedJoin:
+    def test_cobucketed_join_has_no_exchange(self, spark, sf_smoke,
+                                             tmp_path):
+        """Fact⋈fact co-location: two tables bucketed identically on
+        the join key must join without any shuffle exchange — the
+        100 TB answer when neither side broadcasts."""
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+        from dystonse_gtfs_importer_spark.sources.store import (
+            read_bucketed, write_bucketed,
+        )
+
+        li = load_table(spark, sf_smoke, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        orders = load_table(spark, sf_smoke, "orders").select(
+            "o_orderkey", "o_totalprice")
+        try:
+            write_bucketed(li, "b_li", str(tmp_path / "b_li"),
+                           ["l_orderkey"], n_buckets=8)
+            write_bucketed(orders, "b_orders", str(tmp_path / "b_orders"),
+                           ["o_orderkey"], n_buckets=8)
+            a = read_bucketed(spark, "b_li")
+            b = read_bucketed(spark, "b_orders")
+            joined = a.join(b, a.l_orderkey == b.o_orderkey)
+            # defeat AQE's broadcast fallback to test the bucketed path
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                assert n_exchanges(joined) == 0, plan_of(joined)
+            finally:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            # and it still returns the right rows
+            assert joined.count() == li.join(
+                orders, li.l_orderkey == orders.o_orderkey).count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_li")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 class TestAggShape:
     def test_partial_aggregation_before_shuffle(self, spark, sf_smoke):
         from dystonse_gtfs_importer_spark.sources.testdata import load_table
