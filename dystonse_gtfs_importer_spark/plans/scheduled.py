@@ -29,6 +29,7 @@ import datetime as dt
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..functions import sql_shared as SQL
 from ..schemas import ORIGIN_SCHEDULE
 
 PREDICTION_BUFFER = dt.timedelta(days=7, hours=12)   # :30
@@ -97,10 +98,12 @@ def scheduled_trip_starts(spark, trips: DataFrame, stop_times: DataFrame,
     cand = (
         trips.join(F.broadcast(dates), "service_id")
         .join(F.broadcast(first_dep), "trip_id")
+        # C1 noon rule — the one DST-safe schedule-datetime derivation
+        # shared with prediction_rows/event_times
         .withColumn(
             "start_ts",
-            F.to_timestamp("service_date")
-            + F.col("trip_start_time") * F.expr("INTERVAL 1 SECOND"))
+            F.expr(SQL.gtfs_noon_datetime("service_date",
+                                          "trip_start_time")))
     )
     return (
         cand.where((F.col("start_ts") >= F.lit(from_ts))
@@ -118,9 +121,8 @@ def resume_point(predictions: DataFrame | None) -> dt.datetime | None:
         return None
     row = (
         predictions.where(F.col("origin_type") == ORIGIN_SCHEDULE)
-        .agg(F.max(
-            F.to_timestamp("trip_start_date")
-            + F.col("trip_start_time") * F.expr("INTERVAL 1 SECOND")).alias("m"))
+        .agg(F.max(F.expr(SQL.gtfs_noon_datetime(
+            "trip_start_date", "trip_start_time"))).alias("m"))
         .first()
     )
     return row.m
@@ -160,8 +162,8 @@ def scheduled_predictions(
             "trip_id", "trip_start_date", "trip_start_time",
             "stop_id", "stop_sequence",
             F.lit(et_id).cast("tinyint").alias("event_type"),
-            (F.to_timestamp("trip_start_date")
-             + F.col(secs) * F.expr("INTERVAL 1 SECOND")).alias("event_dt"),
+            F.expr(SQL.gtfs_noon_datetime("trip_start_date", secs))
+             .alias("event_dt"),
             F.col(secs).alias("sched_event_secs"),
             F.col("stop_index").alias("end_stop_index"),
             "stop_count",
