@@ -40,14 +40,49 @@ def near_dup_ids(docs: DataFrame, est_threshold: float = 0.8) -> DataFrame:
             .select(F.col("doc_b").alias("doc_id")).distinct())
 
 
+def winnow_dup_ids(docs: DataFrame, min_shared: int = 8) -> DataFrame:
+    """doc_ids to drop by winnowing-fingerprint overlap (shift-robust
+    rolling-hash sketches — catches near-copies token-level MinHash
+    misses, e.g. heavy boilerplate wrapping); higher id loses."""
+    from ..operators.dedup import winnow_near_pairs
+
+    pairs = winnow_near_pairs(docs, min_shared=min_shared)
+    return pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+
+
+def embedding_dup_ids(docs: DataFrame, embeddings: DataFrame,
+                      threshold: float = 0.92,
+                      id_col: str = "doc_id") -> DataFrame:
+    """doc_ids to drop by embedding-cosine near-duplication (semantic
+    near-dups that share no surface text); higher id loses.
+    ``embeddings`` carries (vec_id, embedding) with vec_id == doc_id."""
+    from ..operators.similarity import cosine_near_dup
+
+    pairs = cosine_near_dup(embeddings, threshold)
+    return (pairs.join(F.broadcast(docs.select(F.col(id_col))),
+                       pairs.vec_b == F.col(id_col), "left_semi")
+            .select(F.col("vec_b").alias("doc_id")).distinct())
+
+
 def clean_corpus(docs: DataFrame, lang: str | None = None,
                  min_quality: float = 0.2, min_tokens: int = 5,
-                 near_dup_threshold: float = 0.8) -> DataFrame:
+                 near_dup_threshold: float = 0.8,
+                 winnow_min_shared: int | None = None,
+                 embeddings: DataFrame | None = None,
+                 embedding_threshold: float = 0.92) -> DataFrame:
     """The full cleaning pass. Returns surviving documents with
     annotation columns; order of operations mirrors production
-    pipelines (cheap exact dedup before quadratic-ish near-dup)."""
+    pipelines (cheap exact dedup before quadratic-ish near-dup, then
+    optional shift-robust winnowing and semantic embedding tiers)."""
     step1 = dedup_keep_canonical(docs)
     drops = near_dup_ids(step1, near_dup_threshold)
+    if winnow_min_shared is not None:
+        drops = drops.unionByName(
+            winnow_dup_ids(step1, winnow_min_shared)).distinct()
+    if embeddings is not None:
+        drops = drops.unionByName(
+            embedding_dup_ids(step1, embeddings,
+                              embedding_threshold)).distinct()
     step2 = step1.join(drops, "doc_id", "left_anti")
     step3 = annotate(step2)
     cond = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)

@@ -61,6 +61,48 @@ class TestWinnowing:
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+class TestExtraDedupTiers:
+    def test_winnow_and_embedding_tiers(self, spark):
+        """clean_corpus optional tiers: shift-robust winnowing catches
+        a boilerplate-wrapped copy; embedding cosine catches a
+        semantic dup sharing no surface text. Min-id canonical wins."""
+        from dystonse_gtfs_importer_spark.plans.corpus import clean_corpus
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the quiet green hills tonight")
+        docs = spark.createDataFrame([
+            (1, base),
+            (2, "HEADER boilerplate wrapper text " + base),   # winnow dup
+            (3, "an entirely different sentence about query planning"),
+        ], "doc_id long, text string")
+
+        def vec(one_at):
+            v = [0.0] * 64
+            v[one_at] = 1.0
+            return v
+
+        emb = spark.createDataFrame(
+            [(1, vec(0)), (2, vec(1)), (3, vec(0))],   # 3 ≈ 1 semantically
+            "vec_id long, embedding array<float>")
+
+        out = clean_corpus(docs, min_quality=0.0, min_tokens=1,
+                           near_dup_threshold=1.01,   # disable minhash tier
+                           winnow_min_shared=3,
+                           embeddings=emb, embedding_threshold=0.9)
+        survivors = {r.doc_id for r in out.collect()}
+        assert survivors == {1}
+
+    def test_tiers_off_by_default(self, spark):
+        from dystonse_gtfs_importer_spark.plans.corpus import clean_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "totally unrelated words forming another doc here")],
+            "doc_id long, text string")
+        out = clean_corpus(docs, min_quality=0.0, min_tokens=1)
+        assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
 class TestCleanCorpus:
     def test_pipeline_and_report(self, spark, docs):
         from dystonse_gtfs_importer_spark.plans.corpus import (
