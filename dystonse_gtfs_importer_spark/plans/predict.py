@@ -236,6 +236,46 @@ def realtime_basis(records: DataFrame, vstops: DataFrame, now) -> DataFrame:
     )
 
 
+def prediction_lookups(basis: DataFrame, vstops: DataFrame,
+                       stop_times: DataFrame, routes: DataFrame
+                       ) -> DataFrame:
+    """Fan a realtime PredictionBasis out to every UPCOMING stop event
+    of its vehicle — the lookup rows ``predict()`` consumes (the
+    make_prediction loop over the trip's stop_times from the current
+    position, per_schedule_importer.rs:240-330).
+
+    Event seconds come from the trip's OWN stop_times; ``vstops``
+    supplies only the variant geometry (stop_index / stop_count).  All
+    joins are broadcast — the basis stream is the fact side."""
+    from ..functions import sql_shared as S
+
+    vehicle = ["route_id", "route_variant", "trip_id",
+               "trip_start_date", "trip_start_time"]
+    own_st = F.broadcast(stop_times.select(
+        "trip_id", "stop_sequence", "stop_id",
+        "arrival_secs", "departure_secs"))
+    vs = F.broadcast(vstops.select(
+        "route_id", "route_variant", "stop_sequence",
+        "stop_index", "stop_count"))
+    fan = (basis.join(own_st, "trip_id")
+           .join(vs, ["route_id", "route_variant", "stop_sequence"])
+           .where(F.col("stop_index") > F.col("start_stop_index"))
+           .join(F.broadcast(routes.select("route_id", "route_type")),
+                 "route_id"))
+    out = None
+    for et, secs in ((1, "arrival_secs"), (2, "departure_secs")):
+        p = fan.select(
+            *vehicle, "route_type", "stop_id", "stop_sequence",
+            F.lit(et).cast("tinyint").alias("event_type"),
+            F.expr(S.gtfs_noon_datetime("trip_start_date", secs))
+             .alias("event_dt"),
+            F.col(secs).alias("sched_event_secs"),
+            F.col("stop_index").alias("end_stop_index"),
+            "stop_count", "start_stop_index", "initial_delay")
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
 def prediction_rows(predicted: DataFrame, source: str,
                     schedule_file_name: str, origin_type: int) -> DataFrame:
     """``make_prediction`` materialization

@@ -149,12 +149,22 @@ def scheduled_predictions(
         schedule.get("calendar_dates"))
 
     routes = F.broadcast(schedule["routes"].select("route_id", "route_type"))
+    # event SECONDS must come from the trip's OWN stop_times (the
+    # reference iterates trip.stop_times,
+    # scheduled_predictions_importer.rs save path) — vstops carries the
+    # representative trip's absolute times, which would shift every
+    # other trip of the variant by its start-time difference; vstops
+    # supplies only the variant geometry (stop_index / stop_count)
+    own_st = F.broadcast(schedule["stop_times"].select(
+        "trip_id", "stop_sequence", "stop_id",
+        "arrival_secs", "departure_secs"))
     vs = F.broadcast(vstops.select(
-        "route_id", "route_variant", "stop_sequence", "stop_id",
-        "stop_index", "stop_count", "arrival_secs", "departure_secs"))
+        "route_id", "route_variant", "stop_sequence",
+        "stop_index", "stop_count"))
 
-    base = vehicles.join(routes, "route_id").join(
-        vs, ["route_id", "route_variant"])
+    base = (vehicles.join(routes, "route_id")
+            .join(own_st, "trip_id")
+            .join(vs, ["route_id", "route_variant", "stop_sequence"]))
     lookups = None
     for et_id, secs in ((1, "arrival_secs"), (2, "departure_secs")):
         part = base.select(

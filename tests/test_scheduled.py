@@ -80,6 +80,32 @@ class TestScheduledPredictions:
         ets = {r.event_type for r in preds.select("event_type").distinct().collect()}
         assert ets == {1, 2}
 
+    def test_event_times_use_trips_own_schedule(self, spark, world):
+        """Every trip of a variant must anchor predictions at ITS OWN
+        scheduled seconds, not the variant representative's (the
+        reference iterates trip.stop_times): two fixture trips of
+        variant 1 start exactly 10×6 min apart, so their seq-1
+        departure predictions shift by exactly 3600 s."""
+        from dystonse_gtfs_importer_spark.plans.scheduled import (
+            scheduled_predictions,
+        )
+
+        now = dt.datetime(2024, 1, 1, 7, 0)
+        preds = scheduled_predictions(
+            spark, world["sched"], world["vstops"], world["tables"], now,
+        ).where((F.col("trip_start_date") == dt.date(2024, 1, 1))
+                & (F.col("event_type") == 2)
+                & (F.col("stop_sequence") == 1))
+        rows = {r.trip_id: r for r in preds.where(
+            F.col("trip_id").isin("TR1v1n0", "TR1v1n10")).collect()}
+        assert set(rows) == {"TR1v1n0", "TR1v1n10"}
+        a, b = rows["TR1v1n0"], rows["TR1v1n10"]
+        assert b.trip_start_time - a.trip_start_time == 3600
+        # same variant + same time slot ⇒ same curve ⇒ the anchor
+        # shift is exactly the schedule shift
+        assert (b.prediction_min - a.prediction_min
+                ).total_seconds() == 3600.0
+
     def test_resume_point_skips_written(self, spark, world):
         from dystonse_gtfs_importer_spark.plans.scheduled import (
             resume_point, scheduled_predictions,

@@ -65,18 +65,8 @@ print("2) curves:", {k: v.count() for k, v in tables.items()})
 
 now = dt.datetime(2024, 1, 1, 9, 0)
 basis = realtime_basis(records, vstops, now)
-vehicle = ["route_id","route_variant","trip_id","trip_start_date","trip_start_time"]
-fan = (basis.join(F.broadcast(vstops), ["route_id","route_variant"])
-       .where(F.col("stop_index") > F.col("start_stop_index"))
-       .join(F.broadcast(sched["routes"].select("route_id","route_type")), "route_id"))
-lookups = None
-for et, secs in ((1,"arrival_secs"),(2,"departure_secs")):
-    p = fan.select(*vehicle, "route_type","stop_id","stop_sequence",
-        F.lit(et).cast("tinyint").alias("event_type"),
-        (F.to_timestamp("trip_start_date")+F.col(secs)*F.expr("INTERVAL 1 SECOND")).alias("event_dt"),
-        F.col(secs).alias("sched_event_secs"), F.col("stop_index").alias("end_stop_index"),
-        "stop_count","start_stop_index","initial_delay")
-    lookups = p if lookups is None else lookups.unionByName(p)
+from dystonse_gtfs_importer_spark.plans.predict import prediction_lookups
+lookups = prediction_lookups(basis, vstops, sched["stop_times"], sched["routes"])
 live = prediction_rows(
     predict(lookups, tables["specific"], tables["general"], tables["default"])
     .where(F.col("prediction_curve").isNotNull()), "vbn", "sched-1", ORIGIN_REALTIME).cache()
@@ -101,4 +91,22 @@ empty = departure_board(predictions_for_stop(allpreds, ["NO_SUCH_STOP"], *w), *w
                         all_predictions=allpreds).count()
 print("7) probe unknown stop -> board rows:", empty)
 print("8) autocomplete:", [r.stop_name for r in autocomplete_stops(sched["stops"], "stop 1").limit(3).collect()])
+
+# 9) multi-leg journey: stop -> trip -> stop with per-leg probabilities
+from dystonse_gtfs_importer_spark.plans.journey import journey_probabilities
+start_stop = sched["stops"].where(F.col("stop_id") == "S1").first().stop_name
+alight_name = sched["stops"].where(F.col("stop_id") == "S3").first().stop_name
+try:
+    # trip TR1v1n10 departs S1 at 09:10:30 — inside the scheduled-
+    # predictions window (which starts at `now` = 09:00)
+    legs = journey_probabilities(
+        sched, allpreds,
+        [start_stop,
+         {"route_type": 3, "route_short_name": "1",
+          "headsign": "Head R1", "departure_hhmm": "09:00"},
+         alight_name],
+        dt.datetime(2024, 1, 1, 8, 55))
+    print("9) journey legs:", [(l["component"], l["prob"]) for l in legs])
+except LookupError as e:
+    print("9) journey: no prediction coverage on fixture —", e)
 spark.stop()
