@@ -74,26 +74,14 @@ class TestEndToEnd:
         assert basis.count() > 0
 
         # 4. lookups: every later stop × both event types for vehicles
-        #    with a basis (the make_prediction fan-out)
-        vehicle = ["route_id", "route_variant", "trip_id",
-                   "trip_start_date", "trip_start_time"]
-        routes = F.broadcast(
-            flow["sched"]["routes"].select("route_id", "route_type"))
-        vs = F.broadcast(flow["vstops"])
-        fan = (basis.join(vs, ["route_id", "route_variant"])
-               .where(F.col("stop_index") > F.col("start_stop_index"))
-               .join(routes, "route_id"))
-        lookups = None
-        for et, secs in ((1, "arrival_secs"), (2, "departure_secs")):
-            part = fan.select(
-                *vehicle, "route_type", "stop_id", "stop_sequence",
-                F.lit(et).cast("tinyint").alias("event_type"),
-                (F.to_timestamp("trip_start_date")
-                 + F.col(secs) * F.expr("INTERVAL 1 SECOND")).alias("event_dt"),
-                F.col(secs).alias("sched_event_secs"),
-                F.col("stop_index").alias("end_stop_index"),
-                "stop_count", "start_stop_index", "initial_delay")
-            lookups = part if lookups is None else lookups.unionByName(part)
+        #    with a basis (the make_prediction fan-out, library op)
+        from dystonse_gtfs_importer_spark.plans.predict import (
+            prediction_lookups,
+        )
+
+        lookups = prediction_lookups(basis, flow["vstops"],
+                                     flow["sched"]["stop_times"],
+                                     flow["sched"]["routes"])
 
         predicted = predict(lookups, flow["tables"]["specific"],
                             flow["tables"]["general"],
