@@ -1,0 +1,98 @@
+"""Corpus sampling + vocabulary templates, dialect-rendered.
+
+Training-data pipelines subsample and inventory their corpus before
+anything else; these are the standard shapes, written once and
+rendered for both engines (Spark runs them, DuckDB verifies them):
+
+* ``q_hash_bernoulli_sample`` — deterministic per-stratum Bernoulli
+  sampling by seeded MD5.  MAP-ONLY: at 100 TB this is the sampling
+  path (no shuffle, no state, retry-safe because the coin flip is a
+  pure function of the row key).  Rates are encoded as 8-hex-char
+  thresholds compared lexicographically — lowercase hex under binary
+  collation orders identically in every engine, avoiding hex→int
+  conversion differences.
+* ``q_stratified_sample`` — exact per-stratum quotas (proportional
+  with a floor) via a seeded-hash ROW_NUMBER per stratum.  One
+  shuffle on the stratum key; use the Bernoulli form instead when a
+  stratum is huge and exact quotas aren't required (window-rank over
+  a hot stratum funnels it through one partition).
+* ``q_vocab_topk`` — term/document frequency vocabulary, top-k by
+  term frequency.  Partial (map-side) aggregation handles the heavy
+  token stream; the final rank only sees the aggregated vocabulary.
+  At 100 TB the global top-k over a billion-term vocabulary would use
+  orderBy+limit (TakeOrdered, no single-partition window) or a
+  count-min sketch; the windowed form here keeps the oracle exact.
+"""
+
+from __future__ import annotations
+
+from . import sql_shared as S
+
+# lang → keep-probability as an 8-hex-char md5-prefix threshold
+# (value = floor(rate * 16^8) in hex; 2^32 granularity)
+SAMPLE_RATES_HEX = {
+    "en": "33333333",   # 0.20
+    "de": "80000000",   # 0.50
+}
+DEFAULT_RATE_HEX = "1999999a"  # 0.10
+
+
+def _rate_case(lang_col: str = "lang") -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'"
+                     for k, v in SAMPLE_RATES_HEX.items())
+    return f"(CASE {lang_col} {whens} ELSE '{DEFAULT_RATE_HEX}' END)"
+
+
+def q_hash_bernoulli_sample(d: S.Dialect, seed: str = "bern1") -> str:
+    """Map-only deterministic sample: keep a row iff the first 8 hex
+    chars of md5(seed # doc_id) fall below the stratum's threshold."""
+    u = f"SUBSTR(MD5(CONCAT('{seed}#', CAST(doc_id AS STRING))), 1, 8)"
+    return f"""
+        SELECT doc_id, lang, {u} AS u_hex
+        FROM documents
+        WHERE {u} < {_rate_case()}
+    """
+
+
+def q_stratified_sample(d: S.Dialect, rate: float = 0.2, floor: int = 10,
+                        seed: str = "strat1") -> str:
+    """Exact proportional quota per language stratum (with a minimum),
+    rows chosen by seeded-hash rank so the sample is deterministic."""
+    h = f"MD5(CONCAT('{seed}#', CAST(doc_id AS STRING)))"
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY {h}, doc_id) AS sample_rank,
+                   COUNT(*) OVER (PARTITION BY lang) AS stratum_size
+            FROM documents
+        )
+        SELECT doc_id, lang, sample_rank, stratum_size
+        FROM ranked
+        WHERE sample_rank <= GREATEST({floor},
+              CAST(CEIL({rate} * stratum_size) AS BIGINT))
+    """
+
+
+def q_vocab_topk(d: S.Dialect, k: int = 100) -> str:
+    """Vocabulary inventory: term frequency + document frequency per
+    token, top-k by tf (token tie-break for a stable cross-engine
+    order)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, {d.explode_tokens('text')} AS tok
+                FROM documents
+            ) t WHERE tok <> ''
+        ),
+        stats AS (
+            SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY tok
+        ),
+        ranked AS (
+            SELECT tok, tf, df,
+                   ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rank
+            FROM stats
+        )
+        SELECT tok, tf, df, rank FROM ranked WHERE rank <= {k}
+    """

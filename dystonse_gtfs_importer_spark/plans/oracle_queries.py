@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import ann_sql as ANN
 from ..functions import dedup_sql as D
+from ..functions import sampling_sql as SAMP
 from ..functions import sql_shared as S
 from ..sources.testdata import register_views
 
@@ -682,6 +683,66 @@ def _curve_stack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").applyInPandas(build, schema)
 
 
+# ---------------------------------------------------------------------------
+# near-dup clustering: iterative large-star/small-star CC on the Spark
+# side vs a recursive-CTE min-label fixpoint in DuckDB — two entirely
+# different derivations of the same partition, hash-matched.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_EDGE_THRESHOLD = 0.875  # exact 1/8 multiple: no float drift
+
+
+def _dedup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import connected_components
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    pairs = (spark.sql(D.q_minhash_lsh_pairs(S.SPARK))
+             .where(F.col("est_jaccard") >= _CLUSTER_EDGE_THRESHOLD))
+    docs = spark.table("documents")
+    cc = connected_components(pairs, "doc_a", "doc_b",
+                              nodes=docs.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return (cc.select(F.col("node").alias("doc_id"),
+                      F.col("component").alias("cluster_id"))
+            .withColumn("cluster_size", F.count("*").over(w)))
+
+
+def _dedup_clusters_oracle() -> str:
+    pairs = D.q_minhash_lsh_pairs(S.DUCKDB)
+    return f"""
+        WITH RECURSIVE
+        pairs AS (
+            SELECT doc_a, doc_b FROM ({pairs}) p
+            WHERE est_jaccard >= {_CLUSTER_EDGE_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+        ),
+        comp AS (
+            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        labeled AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM labeled
+    """
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
@@ -739,6 +800,14 @@ QUERIES: dict[str, QueryDef] = {
     "winnow_near_pairs": _sql_pair(D.q_winnow_near_pairs,
                                    "fingerprint-winnow pairs"),
     "cosine_topk": _sql_pair(D.q_cosine_topk, "similarity-ann"),
+    "dedup_clusters": QueryDef(spark=_dedup_clusters_spark,
+                               oracle=_dedup_clusters_oracle(),
+                               survey_ref="dedup-clustering scale"),
+    "vocab_topk": _sql_pair(SAMP.q_vocab_topk, "text-analysis vocab"),
+    "stratified_sample": _sql_pair(SAMP.q_stratified_sample,
+                                   "sampling-stratified"),
+    "hash_bernoulli_sample": _sql_pair(SAMP.q_hash_bernoulli_sample,
+                                       "sampling-bernoulli map-only"),
 }
 
 
