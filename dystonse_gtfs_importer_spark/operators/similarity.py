@@ -180,59 +180,64 @@ def cosine_near_dup(corpus: DataFrame, threshold: float = 0.92,
             .select("vec_a", "vec_b", "cosine"))
 
 
+def _nearest_cell(side: DataFrame, key: str, vec: str,
+                  centroids: DataFrame, n: int = 1) -> DataFrame:
+    """Rank broadcast centroids per row by dot product; keep the top
+    ``n`` cells.  Tie-break on cell id (matches scanning cells in
+    order and keeping the first strict maximum)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc("cell_score"), F.asc("cell"))
+    return (side.crossJoin(F.broadcast(centroids))
+            .withColumn("cell_score", F.expr(DOT.format(a=vec, b="cent")))
+            .withColumn("pr", F.row_number().over(w))
+            .where(F.col("pr") <= n)
+            .drop("cent", "cell_score", "pr"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              n_cells: int = 16, nprobe: int = 4) -> DataFrame:
     """IVF-Flat: assign corpus vectors to their nearest centroid
     (deterministically seeded from the first ``n_cells`` corpus rows by
-    id, refined by one mean pass), probe the ``nprobe`` closest cells
-    per query, exact-rank the probed subset."""
+    id, refined by one Lloyd mean pass), probe the ``nprobe`` closest
+    cells per query, exact-rank the probed subset.
+
+    Fully distributed: seeds and refined centroids stay DataFrames
+    (n_cells rows, broadcast into the assignment joins) — no driver
+    ``collect`` anywhere, unlike literal-embedding variants whose plans
+    grow with n_cells × dim.  The dual-dialect twin
+    (functions/ann_sql.py::q_ann_ivf_topk) is the driver-verified form.
+    """
     from pyspark.sql.window import Window
 
     c = corpus.select(F.col(id_col).alias("cand_id"),
                       F.col(vec_col).alias("c_vec"))
 
-    # seeds: lowest-id vectors (deterministic); one refinement pass
-    seeds = [r.c_vec for r in
-             c.orderBy("cand_id").limit(n_cells).collect()]
+    # seeds: the n_cells lowest-id vectors (deterministic, tiny)
+    w_seed = Window.orderBy("cand_id")
+    seeds = (c.orderBy("cand_id").limit(n_cells)
+             .withColumn("cell", F.row_number().over(w_seed) - 1)
+             .select("cell", F.expr("transform(c_vec, v -> CAST(v AS DOUBLE))")
+                     .alias("cent")))
 
-    def centroid_arr(vec) -> str:
-        return "array(" + ",".join(f"{float(v)}D" for v in vec) + ")"
+    assigned = _nearest_cell(c, "cand_id", "c_vec", seeds)
 
-    def nearest_cell(vec_col_name: str, centroids) -> F.Column:
-        best = None
-        for i, cent in enumerate(centroids):
-            d = F.expr(DOT.format(a=vec_col_name, b=centroid_arr(cent)))
-            best = F.struct(d.alias("s"), F.lit(i).alias("cell")) if best is None \
-                else F.when(d > best["s"],
-                            F.struct(d.alias("s"), F.lit(i).alias("cell"))).otherwise(best)
-        return best["cell"]
+    # one Lloyd pass: per-cell element-wise mean → refined centroids
+    refined = (
+        assigned.select("cell", F.posexplode("c_vec").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), "
+                    "x -> x.m)").alias("cent")))
 
-    assigned = c.withColumn("cell", nearest_cell("c_vec", seeds))
-    # one mean pass → refined centroids
-    refined_rows = (
-        assigned.groupBy("cell")
-        .agg(*[F.avg(F.expr(f"CAST(c_vec[{i}] AS DOUBLE)")).alias(f"d{i}")
-               for i in range(len(seeds[0]))])
-        .collect())
-    refined = {r.cell: [r[f"d{i}"] for i in range(len(seeds[0]))]
-               for r in refined_rows}
-    centroids = [refined.get(i, list(map(float, seeds[i])))
-                 for i in range(len(seeds))]
-
-    assigned = c.withColumn("cell", nearest_cell("c_vec", centroids))
+    assigned = _nearest_cell(c, "cand_id", "c_vec", refined)
 
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
-    probes = None
-    for i, cent in enumerate(centroids):
-        p = q.withColumn("cell", F.lit(i)).withColumn(
-            "cell_score", F.expr(DOT.format(a="q_vec", b=centroid_arr(cent))))
-        probes = p if probes is None else probes.unionByName(p)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cell_score"))
-    probed = (probes.withColumn("pr", F.row_number().over(w))
-              .where(F.col("pr") <= nprobe)
-              .select("query_id", "q_vec", "cell"))
+    probed = _nearest_cell(q, "query_id", "q_vec", refined, n=nprobe) \
+        .select("query_id", "q_vec", "cell")
 
     cand = (assigned.join(F.broadcast(probed), "cell")
             .where(F.col("query_id") != F.col("cand_id")))
