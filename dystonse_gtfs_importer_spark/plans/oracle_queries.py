@@ -171,24 +171,30 @@ def q_stop_pair_counts(d: S.Dialect) -> str:
             f"SUM(CASE WHEN l_linenumber = {k} THEN 1 ELSE 0 END) AS n{k}, "
             f"SUM(CASE WHEN l_linenumber = {k} THEN l_extendedprice END) AS s{k}"
             for k in ks)
+        # all 21 pair contributions as COLUMNS of one global reduce
+        # (partial-aggregatable, collapses to a single row before the
+        # final explode) — never materializes per-order pair rows.
+        # SUM skips the NULL sd of orders missing a side, whose np
+        # contribution is 0 anyway.
+        aggs = ", ".join(
+            f"SUM(n{i} * n{j}) AS np_{i}_{j}, "
+            f"SUM(n{i} * s{j} - n{j} * s{i}) AS sd_{i}_{j}"
+            for i in ks for j in ks if i < j)
         combos = ", ".join(
             f"struct(CAST({i} AS INT) AS seq_from, CAST({j} AS INT) AS seq_to, "
-            f"n{i} * n{j} AS np, n{i} * s{j} - n{j} * s{i} AS sd)"
+            f"np_{i}_{j} AS np, sd_{i}_{j} AS sd)"
             for i in ks for j in ks if i < j)
         return f"""
             WITH piv AS (
                 SELECT l_orderkey, {stats}
                 FROM lineitem GROUP BY l_orderkey
             ),
-            pairs AS (
-                SELECT pr.seq_from, pr.seq_to, pr.np, pr.sd
-                FROM piv
-                LATERAL VIEW explode(filter(array({combos}),
-                    x -> x.np > 0)) t AS pr
-            )
-            SELECT seq_from, seq_to, SUM(np) AS n_pairs,
-                   ROUND(SUM(sd) / SUM(np), 4) AS avg_price_delta
-            FROM pairs GROUP BY 1, 2
+            tot AS (SELECT {aggs} FROM piv)
+            SELECT pr.seq_from, pr.seq_to, pr.np AS n_pairs,
+                   ROUND(pr.sd / pr.np, 4) AS avg_price_delta
+            FROM tot
+            LATERAL VIEW explode(filter(array({combos}),
+                x -> x.np > 0)) t AS pr
         """
     return """
         SELECT a.l_linenumber AS seq_from, b.l_linenumber AS seq_to,
