@@ -1,0 +1,403 @@
+"""Command-line facade mirroring the reference's four-mode CLI.
+
+The reference binary dispatches ``import`` / ``analyse`` / ``predict``
+/ ``monitor`` subcommands over a data directory and a MySQL pool
+(``/root/reference/src/main.rs:123-251``).  This CLI keeps the same
+command tree and flags over the Spark engine; the database is replaced
+by the parquet lake layout under ``--dir``:
+
+    <dir>/schedules/   GTFS feeds (directories or .zip), named so the
+                       alphabetical order is chronological (O1)
+    <dir>/rt/          GTFS-RT protobuf dumps (.pb / .zip)
+    <dir>/records/     the records table (partitioned parquet)
+    <dir>/stats/       curve statistics tables (general/specific/default)
+    <dir>/predictions/ the predictions table
+
+DB connection flags of the reference (-u/-p/--host/--port/--database)
+are intentionally absent: storage is the lake, and a JDBC sink exists
+as ``sources.store.write_jdbc`` for deployments that need one.
+``monitor`` serves data frames (board/autocomplete), not HTML — the
+web layer is a declared non-goal (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dystonse-gtfs-importer-spark",
+        description="PySpark re-expression of the dystonse GTFS "
+                    "delay-statistics engine.")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-s", "--source", required=True,
+                   help="source identifier for the data sets")
+    p.add_argument("--dir", required=True,
+                   help="data directory (schedules/, rt/, records/, ...)")
+    p.add_argument("--schedule",
+                   help="explicit GTFS schedule path (else newest under "
+                        "<dir>/schedules)")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    imp = sub.add_parser("import", help="process GTFS-RT files")
+    imp.add_argument("-r", "--record", action="store_true")
+    imp.add_argument("-p", "--predict", action="store_true")
+    imp.add_argument("-c", "--cleanup", action="store_true")
+    isub = imp.add_subparsers(dest="imode", required=True)
+    ib = isub.add_parser("batch", help="import all files present now")
+    ib.add_argument("batch_dir", nargs="?", default=None)
+    im = isub.add_parser("manual", help="explicit schedule + rt files")
+    im.add_argument("manual_schedule")
+    im.add_argument("rt_files", nargs="+")
+    ia = isub.add_parser("automatic",
+                         help="streaming import (runs until stopped)")
+    ia.add_argument("--once", action="store_true",
+                    help="drain available files and stop (availableNow)")
+
+    ana = sub.add_parser("analyse", help="statistical analyses")
+    asub = ana.add_subparsers(dest="amode", required=True)
+    ac = asub.add_parser("count")
+    ac.add_argument("-i", "--interval", default="1h")
+    for name in ("compute-curves", "compute-specific-curves",
+                 "compute-default-curves"):
+        cc = asub.add_parser(name)
+        cc.add_argument("-r", "--route-ids", nargs="*", default=None)
+        cc.add_argument("-a", "--all", action="store_true")
+        if name == "compute-curves":
+            cc.add_argument("-d", "--default-only", action="store_true")
+    dc = asub.add_parser("draw-curves",
+                         help="stop-pair curve data series from stats")
+    dc.add_argument("-r", "--route-ids", nargs="*", default=None)
+    gr = asub.add_parser("graph", help="visual-schedule point series")
+    gr.add_argument("-r", "--route-ids", nargs="*", default=None)
+
+    prd = sub.add_parser("predict", help="delay prediction lookups")
+    psub = prd.add_subparsers(dest="pmode", required=True)
+    ps = psub.add_parser("start", help="scheduled-prediction batch pass")
+    ps.add_argument("--now", default=None, help="ISO datetime override")
+    pq = psub.add_parser("single", help="one prediction lookup")
+    pq.add_argument("--route-id", required=True)
+    pq.add_argument("--trip-id", required=True)
+    pq.add_argument("--event-type", choices=["arrival", "departure"],
+                    default="departure")
+    pq.add_argument("--date-time", required=True, help="ISO datetime")
+    pq.add_argument("--end-stop-sequence", type=int, required=True)
+    pq.add_argument("--start-stop-sequence", type=int, default=None)
+    pq.add_argument("--initial-delay", type=float, default=None)
+
+    mon = sub.add_parser("monitor", help="departure-board data")
+    msub = mon.add_subparsers(dest="mmode", required=True)
+    mb = msub.add_parser("board")
+    mb.add_argument("--stop-name", required=True)
+    mb.add_argument("--when", required=True, help="ISO datetime")
+    mb.add_argument("--window-hours", type=float, default=2.0)
+    ma = msub.add_parser("autocomplete")
+    ma.add_argument("query")
+    return p
+
+
+def _say(args, *msg) -> None:
+    if args.verbose:
+        print(*msg, file=sys.stderr)
+
+
+def _schedule_path(args) -> str:
+    if args.schedule:
+        return args.schedule
+    root = Path(args.dir) / "schedules"
+    feeds = sorted(root.iterdir()) if root.exists() else []
+    if not feeds:
+        raise SystemExit(f"no schedule under {root} and no --schedule")
+    return str(feeds[-1])  # alphabetical = chronological; newest wins
+
+
+def _load_schedule(spark, args):
+    from .sources.gtfs import read_gtfs, variant_stops
+
+    path = _schedule_path(args)
+    _say(args, f"loading schedule {path}")
+    sched = read_gtfs(spark, path)
+    vstops = variant_stops(sched["trips"], sched["stop_times"])
+    return sched, vstops, Path(path).name
+
+
+def _records_dir(args) -> str:
+    return str(Path(args.dir) / "records")
+
+
+def _read_records(spark, args):
+    from .sources.store import read_records
+
+    return read_records(spark, _records_dir(args)) \
+        .where(F.col("source") == args.source)
+
+
+def _read_stats(spark, args):
+    from .sources.store import read_curve_tables
+
+    return read_curve_tables(spark, str(Path(args.dir) / "stats"))
+
+
+def cmd_import(spark, args) -> int:
+    from .plans.import_etl import build_records, latest_wins_merge
+    from .sources.gtfs_rt import read_gtfs_rt
+    from .sources.store import write_records
+
+    if not (args.record or args.predict or args.cleanup):
+        raise SystemExit("import needs at least one of -r / -p / -c")
+
+    if args.imode == "automatic":
+        from .streaming.import_stream import run_import_stream
+
+        sched, _, sched_name = _load_schedule(spark, args)
+        q = run_import_stream(
+            spark, str(Path(args.dir) / "rt"), sched["trips"],
+            sched["stop_times"], args.source, sched_name,
+            _records_dir(args), str(Path(args.dir) / "_checkpoint"),
+            trigger=({"availableNow": True} if args.once
+                     else {"processingTime": "30 seconds"}))
+        q.awaitTermination()
+        return 0
+
+    sched_arg = getattr(args, "manual_schedule", None)
+    if sched_arg:
+        args.schedule = sched_arg
+    sched, vstops, sched_name = _load_schedule(spark, args)
+
+    if args.imode == "manual":
+        rt = None
+        for f in args.rt_files:
+            part = read_gtfs_rt(spark, f, pattern=Path(f).name)
+            rt = part if rt is None else rt.unionByName(part)
+    else:
+        rt_dir = Path(args.batch_dir or args.dir) / "rt"
+        rt = read_gtfs_rt(spark, str(rt_dir))
+
+    if args.record:
+        recs = build_records(rt, sched["trips"], sched["stop_times"],
+                             args.source, sched_name)
+        existing = None
+        if Path(_records_dir(args)).exists():
+            existing = spark.read.parquet(_records_dir(args))
+        merged = latest_wins_merge(recs, existing=existing)
+        write_records(merged, _records_dir(args))
+        _say(args, f"records table now {merged.count()} rows")
+
+    if args.predict:
+        from .plans.predict import (
+            predict, prediction_lookups, prediction_rows, realtime_basis,
+        )
+        from .schemas import ORIGIN_REALTIME
+        from .sources.store import write_predictions
+
+        tables = _read_stats(spark, args)
+        records = _read_records(spark, args)
+        now = dt.datetime.now()
+        basis = realtime_basis(records, vstops, now)
+        lookups = prediction_lookups(basis, vstops, sched["stop_times"],
+                                     sched["routes"])
+        predicted = predict(lookups, tables["specific"], tables["general"],
+                            tables["default"]) \
+            .where(F.col("prediction_curve").isNotNull())
+        preds = prediction_rows(predicted, args.source, sched_name,
+                                ORIGIN_REALTIME)
+        write_predictions(preds, str(Path(args.dir) / "predictions"),
+                          mode="append")
+        _say(args, f"wrote {preds.count()} prediction rows")
+
+    if args.cleanup:
+        from .streaming.import_stream import (
+            cleanup_predictions, remove_outdated_predictions,
+        )
+
+        pdir = Path(args.dir) / "predictions"
+        if pdir.exists():
+            now = dt.datetime.now()
+            preds = spark.read.parquet(str(pdir))
+            kept = remove_outdated_predictions(
+                preds, args.source, sched_name,
+                window_end=now + dt.timedelta(hours=25))
+            kept = cleanup_predictions(kept, now)
+            # detach from the files about to be overwritten
+            kept = kept.localCheckpoint(eager=True)
+            kept.write.mode("overwrite").parquet(str(pdir))
+            _say(args, "cleanup done")
+    return 0
+
+
+def cmd_analyse(spark, args) -> int:
+    from .plans.analyse_gtfs import (
+        default_curves, general_delay_curves, prepare_dbitems,
+        stop_pair_curve_sets,
+    )
+    from .sources.store import write_csv_report, write_curve_tables
+
+    if args.amode == "count":
+        from .plans.count_stats import count_stats
+
+        n = {"m": "minute", "h": "hour", "d": "day"}
+        unit = n.get(args.interval[-1], "hour")
+        qty = args.interval[:-1] or "1"
+        out = count_stats(_read_records(spark, args),
+                          bucket=f"{qty} {unit}")
+        for r in out.collect():
+            print(r.bucket_start, r.n_records, r.avg_delay_arrival, sep="\t")
+        return 0
+
+    sched, vstops, _ = _load_schedule(spark, args)
+
+    if args.amode == "draw-curves":
+        from .plans.visual_schedule import stop_pair_curve_series
+
+        tables = _read_stats(spark, args)
+        spec = tables["specific"]
+        if args.route_ids:
+            spec = spec.where(F.col("route_id").isin(args.route_ids))
+        series = stop_pair_curve_series(spec)
+        write_csv_report(series, str(Path(args.dir) / "curves_csv"))
+        print(f"{series.count()} curve points -> {args.dir}/curves_csv")
+        return 0
+
+    if args.amode == "graph":
+        from .plans.visual_schedule import trip_point_series
+
+        records = _read_records(spark, args)
+        series = trip_point_series(records, vstops, args.route_ids)
+        write_csv_report(series, str(Path(args.dir) / "graph_csv"))
+        print(f"{series.count()} graph points -> {args.dir}/graph_csv")
+        return 0
+
+    # compute-curves family (analyser/mod.rs:143-189)
+    records = _read_records(spark, args)
+    if args.route_ids:
+        records = records.where(F.col("route_id").isin(args.route_ids))
+    items = prepare_dbitems(records, vstops).cache()
+    try:
+        tables = {}
+        want_specific = args.amode in ("compute-curves",
+                                       "compute-specific-curves") \
+            and not getattr(args, "default_only", False)
+        want_default = args.amode in ("compute-curves",
+                                      "compute-default-curves") \
+            or getattr(args, "default_only", False)
+        if want_specific:
+            tables["specific"] = stop_pair_curve_sets(items)
+            tables["general"] = general_delay_curves(items)
+        if want_default:
+            tables["default"] = default_curves(items, sched["routes"])
+        write_curve_tables(tables, str(Path(args.dir) / "stats"))
+        for name, df in tables.items():
+            print(f"{name}: {df.count()} curve rows")
+    finally:
+        items.unpersist()
+    return 0
+
+
+def cmd_predict(spark, args) -> int:
+    from .plans.predict import curve_percentiles, predict
+    from .schemas import EVENT_ARRIVAL, EVENT_DEPARTURE
+
+    sched, vstops, sched_name = _load_schedule(spark, args)
+    tables = _read_stats(spark, args)
+
+    if args.pmode == "start":
+        from .plans.scheduled import scheduled_predictions
+        from .sources.store import write_predictions
+
+        now = (dt.datetime.fromisoformat(args.now) if args.now
+               else dt.datetime.now())
+        pdir = Path(args.dir) / "predictions"
+        existing = (spark.read.parquet(str(pdir)) if pdir.exists()
+                    else None)
+        preds = scheduled_predictions(spark, sched, vstops, tables, now,
+                                      existing_predictions=existing,
+                                      source=args.source,
+                                      schedule_file_name=sched_name)
+        write_predictions(preds, str(pdir), mode="append")
+        print(f"wrote {preds.count()} scheduled prediction rows")
+        return 0
+
+    # single lookup (predictor/mod.rs:33-87)
+    et = EVENT_ARRIVAL if args.event_type == "arrival" else EVENT_DEPARTURE
+    when = dt.datetime.fromisoformat(args.date_time)
+    geom = (vstops.where((F.col("route_id") == args.route_id))
+            .join(sched["trips"].where(F.col("trip_id") == args.trip_id)
+                  .select("route_id", "route_variant").distinct(),
+                  ["route_id", "route_variant"]))
+    end = geom.where(F.col("stop_sequence") == args.end_stop_sequence) \
+        .select("route_variant", "stop_index", "stop_count").first()
+    if end is None:
+        raise SystemExit("trip/stop_sequence not found in schedule")
+    route_type = sched["routes"].where(F.col("route_id") == args.route_id) \
+        .select("route_type").first().route_type
+
+    row = {
+        "route_id": args.route_id, "route_variant": end.route_variant,
+        "route_type": int(route_type), "event_type": et,
+        "event_dt": when, "end_stop_index": end.stop_index,
+        "stop_count": end.stop_count,
+    }
+    if args.start_stop_sequence is not None:
+        start = geom.where(
+            F.col("stop_sequence") == args.start_stop_sequence) \
+            .select("stop_index").first()
+        if start is None:
+            raise SystemExit("start stop_sequence not found")
+        row["start_stop_index"] = start.stop_index
+        row["initial_delay"] = args.initial_delay
+    lookups = spark.createDataFrame([row])
+    out = predict(lookups, tables["specific"], tables["general"],
+                  tables["default"])
+    out = out.withColumn("percentiles",
+                         curve_percentiles(F.col("prediction_curve")))
+    r = out.first()
+    print(f"precision_type={r.precision_type} "
+          f"sample_size={r.sample_size} percentiles={r.percentiles}")
+    return 0
+
+
+def cmd_monitor(spark, args) -> int:
+    sched, _, _ = _load_schedule(spark, args)
+
+    if args.mmode == "autocomplete":
+        from .plans.monitor import autocomplete_stops
+
+        for r in autocomplete_stops(sched["stops"], args.query).collect():
+            print(r.stop_name)
+        return 0
+
+    from .plans.monitor import (
+        departure_board, extended_stops, predictions_for_stop,
+    )
+
+    preds = spark.read.parquet(str(Path(args.dir) / "predictions"))
+    when = dt.datetime.fromisoformat(args.when)
+    until = when + dt.timedelta(hours=args.window_hours)
+    ext = extended_stops(sched["stops"], args.stop_name)
+    stop_ids = [r.stop_id for r in ext.collect()]
+    at_stop = predictions_for_stop(preds, stop_ids, when, until)
+    board = departure_board(at_stop, when, until, all_predictions=preds)
+    for r in board.collect():
+        print(r.trip_id, r.stop_id, r.t50, sep="\t")
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark(app_name="dystonse-cli")
+    dispatch = {"import": cmd_import, "analyse": cmd_analyse,
+                "predict": cmd_predict, "monitor": cmd_monitor}
+    return dispatch[args.mode](spark, args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())
