@@ -241,3 +241,48 @@ class TestAggShape:
         ev = load_table(spark, sf_smoke, "events")
         df = ecdf_curve_points(ev, ["event_type"], "value")
         assert n_exchanges(df) == 1, plan_of(df)
+
+
+class TestSamplingAndGraphPlans:
+    def test_bernoulli_sample_is_map_only(self, spark, sf_smoke):
+        """The 100 TB sampling path must not shuffle: filter on a
+        seeded hash, pushed into the scan pipeline."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP, sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(SAMP.q_hash_bernoulli_sample(S.SPARK))
+        assert n_exchanges(df) == 0, plan_of(df)
+
+    def test_vocab_topk_partial_aggregates(self, spark, sf_smoke):
+        """The token stream aggregates map-side before its shuffle; the
+        global rank window only ever sees the aggregated vocabulary."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP, sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(SAMP.q_vocab_topk(S.SPARK)))
+        assert "HashAggregate" in plan
+        assert plan.index("HashAggregate") < plan.index("Exchange"), plan
+
+    def test_cc_round_is_two_shuffles(self, spark):
+        """One large-star round = a groupBy-min plus an equi-join;
+        anything more means the iteration won't scale."""
+        from dystonse_gtfs_importer_spark.operators.graph import (
+            _canonical, _large_star,
+        )
+
+        e = _canonical(spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 30)], "u long, v long")
+            .localCheckpoint(eager=True))
+        plan = plan_of(_large_star(e))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
