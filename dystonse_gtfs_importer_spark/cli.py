@@ -71,6 +71,10 @@ def _parser() -> argparse.ArgumentParser:
         cc.add_argument("-a", "--all", action="store_true")
         if name == "compute-curves":
             cc.add_argument("-d", "--default-only", action="store_true")
+            cc.add_argument("--incremental-day", metavar="YYYY-MM-DD",
+                            help="fold ONE closed service day into the "
+                                 "stored curve bases instead of "
+                                 "recomputing from all history")
     dc = asub.add_parser("draw-curves",
                          help="stop-pair curve data series from stats")
     dc.add_argument("-r", "--route-ids", nargs="*", default=None)
@@ -274,6 +278,19 @@ def cmd_analyse(spark, args) -> int:
         return 0
 
     # compute-curves family (analyser/mod.rs:143-189)
+    if getattr(args, "incremental_day", None):
+        from .plans.incremental import incremental_analyse
+
+        delta = _read_records(spark, args).where(
+            F.col("trip_start_date") == args.incremental_day)
+        items = prepare_dbitems(delta, vstops)
+        tables = incremental_analyse(spark, str(Path(args.dir) / "stats"),
+                                     items, sched["routes"])
+        write_curve_tables(tables, str(Path(args.dir) / "stats"))
+        for name, df in tables.items():
+            print(f"{name}: {df.count()} curve rows (incremental)")
+        return 0
+
     records = _read_records(spark, args)
     if args.route_ids:
         records = records.where(F.col("route_id").isin(args.route_ids))

@@ -160,22 +160,25 @@ def forward_fill_projection(records: DataFrame, vstops: DataFrame) -> DataFrame:
 # general_delay (SemiSpecific, A3)
 # ---------------------------------------------------------------------------
 
-def general_delay_curves(items: DataFrame) -> DataFrame:
-    """Per (route, variant, event_type, time_slot incl DEFAULT,
-    stop_index): unfocused make_curve over delays, ≥20 rows,
-    simplify(0.01) (specific_curves.rs:356-369).
+GENERAL_KEYS = ["route_id", "route_variant", "event_type", "time_slot",
+                "stop_index"]
 
-    Scale: delays are pre-aggregated to (delay, count) *before* the
-    curve shuffle (map-side combine for the UDAF) — the shuffle volume
-    is distinct delay values per group, not record volume; the kernel
-    uses the multiplicity form ``make_curve_counted``.
-    """
+
+def general_delay_counted(items: DataFrame) -> DataFrame:
+    """The mergeable sufficient statistic behind general curves:
+    (group keys, delay, cnt).  Associative/commutative under
+    count-summing, so deltas from disjoint record slices merge exactly
+    (plans/incremental.py)."""
     events = _with_default_slot(_unpivot_events(items))
-    keys = ["route_id", "route_variant", "event_type", "time_slot",
-            "stop_index"]
-    counted = events.groupBy(*keys, "delay").agg(F.count("*").alias("cnt"))
+    return events.groupBy(*GENERAL_KEYS, "delay").agg(
+        F.count("*").alias("cnt"))
+
+
+def general_curves_from_counted(counted: DataFrame) -> DataFrame:
+    """Derive the general curve table from its (delay, cnt) basis."""
+    keys = GENERAL_KEYS
     out_schema = StructType(
-        [events.schema[k] for k in keys] + [
+        [counted.schema[k] for k in keys] + [
             StructField("curve", CURVE_TYPE),
             StructField("sample_size", LongType()),
         ])
@@ -199,11 +202,28 @@ def general_delay_curves(items: DataFrame) -> DataFrame:
     return counted.groupBy(*keys).applyInPandas(build, out_schema)
 
 
+def general_delay_curves(items: DataFrame) -> DataFrame:
+    """Per (route, variant, event_type, time_slot incl DEFAULT,
+    stop_index): unfocused make_curve over delays, ≥20 rows,
+    simplify(0.01) (specific_curves.rs:356-369).
+
+    Scale: delays are pre-aggregated to (delay, count) *before* the
+    curve shuffle (map-side combine for the UDAF) — the shuffle volume
+    is distinct delay values per group, not record volume; the kernel
+    uses the multiplicity form ``make_curve_counted``.
+    """
+    return general_curves_from_counted(general_delay_counted(items))
+
+
 # ---------------------------------------------------------------------------
 # specific curve sets (stop pairs, J4 + A3 + C8)
 # ---------------------------------------------------------------------------
 
-def stop_pair_curve_sets(items: DataFrame) -> DataFrame:
+PAIR_KEYS = ["route_id", "route_variant", "event_type", "time_slot",
+             "start_stop_index", "end_stop_index"]
+
+
+def stop_pair_counted(items: DataFrame) -> DataFrame:
     """J4: vehicle-matched (start, end) stop pairs → per-pair CurveSets.
 
     Start side contributes its *departure* delay; end side the delay of
@@ -245,16 +265,20 @@ def stop_pair_curve_sets(items: DataFrame) -> DataFrame:
         )
     )
 
-    keys = ["route_id", "route_variant", "event_type", "time_slot",
-            "start_stop_index", "end_stop_index"]
     # map-side combine: 12 s rounding makes the pair space discrete
     # (≤ 500² per group, far fewer in practice) — shuffle (pair, count)
     # instead of one row per vehicle pair; the kernel re-expands
-    # locally, preserving exact index-window semantics
-    counted = pairs.groupBy(*keys, "d_start", "d_end").agg(
+    # locally, preserving exact index-window semantics.  The result is
+    # the mergeable sufficient statistic (plans/incremental.py).
+    return pairs.groupBy(*PAIR_KEYS, "d_start", "d_end").agg(
         F.count("*").alias("cnt"))
+
+
+def stop_pair_curves_from_counted(counted: DataFrame) -> DataFrame:
+    """Derive the specific CurveSet table from its pair-count basis."""
+    keys = PAIR_KEYS
     out_schema = StructType(
-        [pairs.schema[k] for k in keys] + [
+        [counted.schema[k] for k in keys] + [
             StructField("focus", FloatType()),
             StructField("curve", CURVE_TYPE),
             StructField("sample_size", LongType()),
@@ -284,11 +308,32 @@ def stop_pair_curve_sets(items: DataFrame) -> DataFrame:
     return counted.groupBy(*keys).applyInPandas(build, out_schema)
 
 
+def stop_pair_curve_sets(items: DataFrame) -> DataFrame:
+    """The full J4 pipeline: pair basis → per-pair CurveSets."""
+    return stop_pair_curves_from_counted(stop_pair_counted(items))
+
+
 # ---------------------------------------------------------------------------
 # default curves (General ladder, A6)
 # ---------------------------------------------------------------------------
 
-def default_curves(items: DataFrame, routes: DataFrame) -> DataFrame:
+LEAF_KEYS = ["route_type", "route_variant", "route_section",
+             "time_slot", "event_type"]
+
+
+def default_leaf_counted(items: DataFrame, routes: DataFrame) -> DataFrame:
+    """Leaf-level (delay, cnt) basis of the default-curve rollup —
+    mergeable across record slices (plans/incremental.py)."""
+    rt = F.broadcast(routes.select("route_id", "route_type"))
+    events = _unpivot_events(items).join(rt, "route_id").withColumn(
+        "route_section",
+        F.expr(S.route_section("stop_index", "stop_count", S.SPARK)))
+    # map-side combine: shuffle (delay, count), not raw records
+    return events.groupBy(*LEAF_KEYS, "delay").agg(
+        F.count("*").alias("cnt"))
+
+
+def default_curves_from_counted(counted: DataFrame) -> DataFrame:
     """The hierarchical default-curve rollup
     (/root/reference/src/analyser/default_curves.rs:42-248):
 
@@ -303,18 +348,9 @@ def default_curves(items: DataFrame, routes: DataFrame) -> DataFrame:
     Output: one table with nullable dimension columns — the Spark
     grouping-sets shape of the reference's fallback ladder.
     """
-    rt = F.broadcast(routes.select("route_id", "route_type"))
-    events = _unpivot_events(items).join(rt, "route_id").withColumn(
-        "route_section",
-        F.expr(S.route_section("stop_index", "stop_count", S.SPARK)))
-
-    leaf_keys = ["route_type", "route_variant", "route_section",
-                 "time_slot", "event_type"]
-    # map-side combine: shuffle (delay, count), not raw records
-    counted = events.groupBy(*leaf_keys, "delay").agg(
-        F.count("*").alias("cnt"))
+    leaf_keys = LEAF_KEYS
     leaf_schema = StructType(
-        [events.schema[k] for k in leaf_keys] + [
+        [counted.schema[k] for k in leaf_keys] + [
             StructField("curve", CURVE_TYPE),
             StructField("sample_size", LongType()),
         ])
@@ -378,3 +414,8 @@ def default_curves(items: DataFrame, routes: DataFrame) -> DataFrame:
         return out.select(*dims, "curve", "sample_size", "precision_type")
 
     return pad(general).unionByName(pad(fallback)).unionByName(pad(supergeneral))
+
+
+def default_curves(items: DataFrame, routes: DataFrame) -> DataFrame:
+    """The full A6 pipeline: leaf basis → fallback ladder."""
+    return default_curves_from_counted(default_leaf_counted(items, routes))

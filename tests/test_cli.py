@@ -102,3 +102,10 @@ class TestCli:
     def test_08_import_cleanup(self, spark, lake):
         assert _run(spark, lake, "import", "-c", "batch") == 0
         assert spark.read.parquet(str(lake / "predictions")).count() >= 0
+
+    def test_09_analyse_incremental_day(self, spark, lake, capsys):
+        assert _run(spark, lake, "analyse", "compute-curves",
+                    "--incremental-day", "2024-01-01") == 0
+        out = capsys.readouterr().out
+        assert "(incremental)" in out
+        assert (lake / "stats" / "basis" / "general").exists()
