@@ -25,6 +25,7 @@ cannot upsert portably.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -41,6 +42,46 @@ def write_records(records: DataFrame, path: str, mode: str = "overwrite"
 
 def read_records(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_partitions(spark: SparkSession, path: str,
+                       partition_values: list[str] | None = None,
+                       target_rows_per_file: int = 5_000_000) -> int:
+    """Rewrite small-file partitions of the records table into few
+    sorted files — the maintenance job every micro-batch sink needs.
+
+    Each streaming batch writes at least one file per touched
+    ``(source, trip_start_date)`` partition, so a day accumulates
+    O(batches) small files; scans then pay per-file open/footer cost
+    and lose run-length locality.  Compaction reads ONLY the named
+    ``trip_start_date`` partition values (partition-pruned scan;
+    default: all), re-sorts rows by the read pattern (route, variant,
+    trip, stop) and rewrites via dynamic partition overwrite — an
+    Iceberg/Delta ``rewrite_data_files`` on plain parquet.  Returns
+    the number of rows compacted.  Run it on CLOSED days only: the
+    overwrite is not atomic for concurrent readers of that partition.
+    """
+    df = spark.read.parquet(path)
+    if partition_values is not None:
+        df = df.where(F.col("trip_start_date").isin(partition_values))
+    n = df.count()
+    if n == 0:
+        return 0
+    files_wanted = max(1, n // target_rows_per_file)
+    compacted = (
+        df.repartition(files_wanted, "source", "trip_start_date")
+        .sortWithinPartitions("route_id", "route_variant", "trip_id",
+                              "stop_sequence")
+        .localCheckpoint(eager=True))  # detach from files being replaced
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (compacted.write.mode("overwrite")
+         .partitionBy("source", "trip_start_date").parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
 
 
 def write_bucketed(df: DataFrame, table: str, path: str,
