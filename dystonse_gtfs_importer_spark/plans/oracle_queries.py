@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import ann_sql as ANN
 from ..functions import dedup_sql as D
 from ..functions import sampling_sql as SAMP
+from ..functions import sketch_sql as SK
 from ..functions import sql_shared as S
 from ..sources.testdata import register_views
 
@@ -814,6 +815,8 @@ QUERIES: dict[str, QueryDef] = {
                                    "sampling-stratified"),
     "hash_bernoulli_sample": _sql_pair(SAMP.q_hash_bernoulli_sample,
                                        "sampling-bernoulli map-only"),
+    "countmin_heavy_hitters": _sql_pair(SK.q_countmin_heavy_hitters,
+                                        "sketch-countmin"),
 }
 
 
