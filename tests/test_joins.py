@@ -1,0 +1,117 @@
+"""Generic temporal joins (operators/joins.py) checked against naive
+reference implementations on adversarial shapes: exact-tie timestamps,
+no-match rows, duplicate left rows, cross-bucket intervals."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from dystonse_gtfs_importer_spark.operators.joins import (
+    asof_join,
+    interval_join,
+)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [("A", _ts(9, 0), 10.0), ("A", _ts(9, 30), 11.0),
+            ("A", _ts(10, 0), 12.0), ("B", _ts(9, 15), 20.0)]
+    return spark.createDataFrame(
+        rows, "sym string, qts timestamp, px double")
+
+
+class TestAsofJoin:
+    def test_backward_matches_latest_at_or_before(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 30)),   # exact tie -> 11.0
+             ("A", _ts(9, 59)),   # between -> 11.0
+             ("A", _ts(8, 0)),    # before all -> null
+             ("B", _ts(12, 0))],  # -> 20.0
+            "sym string, tts timestamp")
+        out = asof_join(trades, quotes, "tts", "qts", by=["sym"])
+        got = {(r.sym, r.tts): r.px_asof for r in out.collect()}
+        assert got == {("A", _ts(9, 30)): 11.0, ("A", _ts(9, 59)): 11.0,
+                       ("A", _ts(8, 0)): None, ("B", _ts(12, 0)): 20.0}
+
+    def test_forward_direction(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 31)), ("A", _ts(11, 0))],
+            "sym string, tts timestamp")
+        out = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                        direction="forward")
+        got = {r.tts: r.px_asof for r in out.collect()}
+        assert got == {_ts(9, 31): 12.0, _ts(11, 0): None}
+
+    def test_duplicate_left_rows_survive(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 45))] * 3, "sym string, tts timestamp")
+        out = asof_join(trades, quotes, "tts", "qts", by=["sym"])
+        assert out.count() == 3
+        assert {r.px_asof for r in out.collect()} == {11.0}
+
+    def test_matches_window_reference(self, spark, sf_smoke):
+        """Cross-check on real data: MAX_BY form == windowed form."""
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            load_table,
+        )
+
+        events = load_table(spark, sf_smoke, "events") \
+            .select("event_id", "user_id", "ts").limit(500)
+        orders = load_table(spark, sf_smoke, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderdate")
+        # equi-key as-of: match each event to its user's newest order
+        out = asof_join(
+            events.withColumnRenamed("user_id", "o_custkey"),
+            orders, "ts", "o_orderdate", by=["o_custkey"],
+            value_cols=["o_orderkey"])
+        from pyspark.sql.window import Window
+
+        j = events.join(orders,
+                        (events.user_id == orders.o_custkey)
+                        & (orders.o_orderdate <= events.ts), "left")
+        w = Window.partitionBy("event_id").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey"))
+        ref = (j.withColumn("rn", F.row_number().over(w))
+               .where("rn = 1").select("event_id", "o_orderkey"))
+        got_m = {r.event_id: r.o_orderkey_asof for r in out.collect()}
+        ref_m = {r.event_id: r.o_orderkey for r in ref.collect()}
+        assert got_m == ref_m
+
+
+class TestIntervalJoin:
+    def test_containment_with_cross_bucket_intervals(self, spark):
+        events = spark.createDataFrame(
+            [(1, _ts(9, 30)), (2, _ts(10, 30)), (3, _ts(13, 0))],
+            "event_id int, ts timestamp")
+        ivs = spark.createDataFrame(
+            [("long", _ts(9, 0), _ts(11, 0)),    # spans 3 buckets
+             ("short", _ts(10, 15), _ts(10, 45)),
+             ("empty", _ts(10, 30), _ts(10, 30))],  # zero-length
+            "name string, t0 timestamp, t1 timestamp")
+        out = interval_join(events, ivs, "ts", "t0", "t1")
+        got = sorted((r.event_id, r.name) for r in out.collect())
+        assert got == [(1, "long"), (2, "long"), (2, "short")]
+
+    def test_equals_naive_theta_join(self, spark):
+        events = spark.createDataFrame(
+            [(i, _ts(8 + i % 10, (i * 7) % 60)) for i in range(100)],
+            "event_id int, ts timestamp")
+        ivs = spark.createDataFrame(
+            [(i, _ts(8 + i % 8, 0), _ts(8 + i % 8, 1 + (i * 13) % 59))
+             for i in range(30)],
+            "iv_id int, t0 timestamp, t1 timestamp")
+        fast = sorted((r.event_id, r.iv_id) for r in
+                      interval_join(events, ivs, "ts", "t0", "t1",
+                                    bucket_s=600).collect())
+        naive = sorted((r.event_id, r.iv_id) for r in
+                       events.crossJoin(ivs).where(
+                           (F.col("ts") >= F.col("t0"))
+                           & (F.col("ts") < F.col("t1"))).collect())
+        assert fast == naive and len(fast) > 0
