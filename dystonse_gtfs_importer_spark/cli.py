@@ -190,7 +190,11 @@ def cmd_import(spark, args) -> int:
         if Path(_records_dir(args)).exists():
             existing = spark.read.parquet(_records_dir(args))
         merged = latest_wins_merge(recs, existing=existing)
+        if existing is not None:
+            # detach from the files about to be overwritten
+            merged = merged.localCheckpoint(eager=True)
         write_records(merged, _records_dir(args))
+        spark.catalog.refreshByPath(_records_dir(args))
         _say(args, f"records table now {merged.count()} rows")
 
     if args.predict:
@@ -260,10 +264,11 @@ def cmd_analyse(spark, args) -> int:
         from .plans.visual_schedule import stop_pair_curve_series
 
         tables = _read_stats(spark, args)
-        spec = tables["specific"]
+        spec, gen = tables["specific"], tables["general"]
         if args.route_ids:
             spec = spec.where(F.col("route_id").isin(args.route_ids))
-        series = stop_pair_curve_series(spec)
+            gen = gen.where(F.col("route_id").isin(args.route_ids))
+        series = stop_pair_curve_series(spec, gen)
         write_csv_report(series, str(Path(args.dir) / "curves_csv"))
         print(f"{series.count()} curve points -> {args.dir}/curves_csv")
         return 0
@@ -272,7 +277,17 @@ def cmd_analyse(spark, args) -> int:
         from .plans.visual_schedule import trip_point_series
 
         records = _read_records(spark, args)
-        series = trip_point_series(records, vstops, args.route_ids)
+        if args.route_ids:
+            records = records.where(F.col("route_id").isin(args.route_ids))
+        series = trip_point_series(records, vstops)
+        # flatten the per-trip point arrays for the CSV sink (the
+        # reference writes one gnuplot row per point)
+        series = series.select(
+            "route_id", "route_variant", "trip_start_date", "trip_id",
+            F.posexplode("points").alias("pos", "pt"),
+        ).select("route_id", "route_variant", "trip_start_date", "trip_id",
+                 "pos", "pt.stop_index", "pt.delay_arrival",
+                 "pt.delay_departure")
         write_csv_report(series, str(Path(args.dir) / "graph_csv"))
         print(f"{series.count()} graph points -> {args.dir}/graph_csv")
         return 0

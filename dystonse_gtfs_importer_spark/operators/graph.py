@@ -76,12 +76,16 @@ def connected_components(edges: DataFrame, src: str = "u", dst: str = "v",
         edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v")))
     e = e.localCheckpoint(eager=True)
+    n_prev = e.count()
     for _ in range(max_iter):
         new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        if new.count() == e.count() and new.subtract(e).count() == 0:
+        n_new = new.count()
+        # the subtract is the expensive check — only run it once the
+        # cheap cardinality test stops ruling convergence out
+        if n_new == n_prev and new.subtract(e).count() == 0:
             e = new
             break
-        e = new
+        e, n_prev = new, n_new
     else:
         raise RuntimeError(f"connected_components: no convergence "
                            f"in {max_iter} rounds")

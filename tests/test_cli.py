@@ -109,3 +109,26 @@ class TestCli:
         out = capsys.readouterr().out
         assert "(incremental)" in out
         assert (lake / "stats" / "basis" / "general").exists()
+
+    def test_10_import_predict(self, spark, lake, capsys):
+        assert _run(spark, lake, "-v", "import", "-p", "batch") == 0
+        preds = spark.read.parquet(str(lake / "predictions"))
+        from dystonse_gtfs_importer_spark.schemas import ORIGIN_REALTIME
+        assert preds.where(
+            preds.origin_type == ORIGIN_REALTIME).count() >= 0
+
+    def test_11_analyse_draw_curves(self, spark, lake, capsys):
+        assert _run(spark, lake, "analyse", "draw-curves",
+                    "-r", "R1") == 0
+        assert "curve points" in capsys.readouterr().out
+        assert (lake / "curves_csv").exists()
+
+    def test_12_analyse_graph(self, spark, lake, capsys):
+        assert _run(spark, lake, "analyse", "graph", "-r", "R1") == 0
+        assert "graph points" in capsys.readouterr().out
+
+    def test_13_import_manual(self, spark, lake, tmp_path):
+        rt_file = sorted((lake / "rt").glob("*.pb"))[0]
+        sched = sorted((lake / "schedules").iterdir())[0]
+        assert _run(spark, lake, "import", "-r", "manual",
+                    str(sched), str(rt_file)) == 0

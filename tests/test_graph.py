@@ -64,3 +64,33 @@ def test_edge_orientation_invariance(spark):
     fwd = _cc(spark, [(1, 2), (2, 3), (3, 4), (8, 9)])
     rev = _cc(spark, [(2, 1), (3, 2), (4, 3), (9, 8)])
     assert fwd == rev == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property check: 20 seeded random graphs vs a driver-side
+    union-find reference."""
+    import random
+
+    def uf_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {x: find(x) for x in range(n_nodes)}
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n = rng.randint(2, 40)
+        m = rng.randint(0, n * 2)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        want = uf_components(n, edges)
+        got = _cc(spark, edges, nodes=list(range(n)))
+        assert got == want, f"trial {trial}: n={n} edges={edges}"
