@@ -96,3 +96,48 @@ def q_vocab_topk(d: S.Dialect, k: int = 100) -> str:
         )
         SELECT tok, tf, df, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def q_tfidf_topk(d: S.Dialect, per_doc: int = 3) -> str:
+    """Per-document top TF-IDF terms — the classic relevance score a
+    training-data pipeline uses for keyword extraction and topic
+    tagging: (doc_id, tok, tf, df, tfidf, term_rank).
+
+    Scale shape: the only heavy aggregation is the (doc, term) tf
+    groupBy, which partial-aggregates the raw token stream; df is
+    derived FROM the tf table (never a second pass over tokens), the
+    corpus size N is a broadcast scalar, and the top-k window
+    partitions by doc_id so no single partition sees more than one
+    document's terms.  Ranking uses the ROUNDed score plus the token
+    as tie-break, keeping the cross-engine order deterministic.
+    """
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, {d.explode_tokens('text')} AS tok
+                FROM documents
+            ) t WHERE tok <> ''
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                   ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                       AS tfidf
+            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, tok, tf, df, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, tok) AS term_rank
+            FROM scored
+        )
+        SELECT doc_id, tok, tf, df, tfidf, term_rank
+        FROM ranked WHERE term_rank <= {per_doc}
+    """

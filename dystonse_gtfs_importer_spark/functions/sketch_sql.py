@@ -1,4 +1,4 @@
-"""Count-min sketch over the token stream, dialect-rendered.
+"""Count-min and HyperLogLog sketches, dialect-rendered.
 
 The classic heavy-hitter sketch (Cormode/Muthukrishnan '05) as a
 first-class relational operator: ``depth`` seeded MD5 hash rows map
@@ -10,11 +10,23 @@ the DuckDB oracle hash-matches the Spark run exactly — the driver
 verifies both the sketch construction AND its estimation guarantee
 (estimate >= truth, overcount bounded by row collisions).
 
-At 100 TB the sketch is THE way to get approximate vocabulary heavy
-hitters without shuffling the full billion-term vocabulary: the
-sketch table is depth×width rows regardless of corpus size, and
-merging shards is cell-wise addition (associative, like the curve
-bases in plans/incremental.py).
+``q_hll_distinct`` is the same idea for COUNT(DISTINCT): a full
+HyperLogLog (Flajolet '07) built relationally — seeded MD5 splits
+into a register index and a 48-bit suffix, registers are MAX(rho)
+over a groupBy, and the harmonic-mean estimate (with the
+small-range linear-counting correction) comes out of one more
+aggregation.  The float-drift trap is the harmonic sum Σ 2^-M:
+summed as doubles its value depends on accumulation order, so both
+dialects sum the EXACT integer 2^(49-M) as BIGINT and divide once
+at the end — the estimate is bit-identical cross-engine and the
+driver hash-verifies estimate AND error, not just a tolerance bit.
+
+At 100 TB the sketches are THE way to get approximate vocabulary
+heavy hitters / user cardinalities without shuffling the full
+stream: the sketch tables are O(width) rows regardless of corpus
+size, and merging shards is cell-wise addition (CMS) or
+register-wise MAX (HLL) — associative, like the curve bases in
+plans/incremental.py.
 """
 
 from __future__ import annotations
@@ -85,3 +97,100 @@ def q_countmin_heavy_hitters(d: S.Dialect, k: int = 20,
                cms_estimate - true_tf AS overcount
         FROM est
     """
+
+HLL_M = 256        # registers: first 2 hex nibbles of the hash
+HLL_RHO_MAX = 49   # 48-bit suffix -> leading-zero rank in [1, 49]
+_POW2_49 = 1 << 49
+
+
+def _hll_w(h: str) -> str:
+    """The 48-bit hash suffix (hex chars 3..14) as one BIGINT."""
+    from .dedup_sql import _nibble
+
+    terms = " + ".join(
+        f"{_nibble(f'SUBSTR({h}, {pos}, 1)')}"
+        f" * CAST({16 ** (14 - pos)} AS BIGINT)"
+        for pos in range(3, 15))
+    return f"({terms})"
+
+
+def _hll_rho(w: str) -> str:
+    """rho(w) = leading zeros of the 48-bit suffix + 1 — a pure
+    integer CASE ladder, no log2/float anywhere."""
+    whens = " ".join(
+        f"WHEN {w} >= {1 << (48 - k)} THEN {k}" for k in range(1, 49))
+    return f"(CASE {whens} ELSE {HLL_RHO_MAX} END)"
+
+
+def q_hll_distinct(d: S.Dialect, seed: str = "hll1") -> str:
+    """Per-event-type HyperLogLog cardinality vs exact truth:
+    (event_type, n_exact, hll_est, rel_err_pct).
+
+    Scale shape: the register build is ONE partial-aggregatable
+    groupBy whose output is <= groups x 256 rows no matter how many
+    input rows — at 100 TB this replaces COUNT(DISTINCT)'s full
+    repartition of the raw keys.  The exact COUNT(DISTINCT) column
+    exists only so the driver can verify the estimate's error; the
+    production path would emit the sketch alone.
+    """
+    # every float literal CAST to DOUBLE: Spark folds bare decimal
+    # literals into DECIMAL arithmetic, whose rounding diverges from
+    # DuckDB's double path
+    alpha = ("(CAST(0.7213 AS DOUBLE) "
+             "/ (1.0 + CAST(1.079 AS DOUBLE) / 256.0))")
+    return f"""
+        WITH h AS (
+            SELECT event_type,
+                   MD5(CONCAT('{seed}#', CAST(user_id AS STRING))) AS hx
+            FROM events
+        ),
+        bw AS (
+            SELECT event_type,
+                   ({_nibble_ref("SUBSTR(hx, 1, 1)")} * 16
+                    + {_nibble_ref("SUBSTR(hx, 2, 1)")}) AS bucket,
+                   {_hll_w('hx')} AS w
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, bucket, MAX({_hll_rho('w')}) AS mr
+            FROM bw GROUP BY event_type, bucket
+        ),
+        agg AS (
+            SELECT event_type,
+                   SUM(CAST(POWER(2.0, {HLL_RHO_MAX} - mr) AS BIGINT))
+                       AS t_present,
+                   COUNT(*) AS n_buckets
+            FROM regs GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type,
+                   ({HLL_M} - n_buckets) AS v_zero,
+                   {alpha} * {HLL_M * HLL_M} * CAST({_POW2_49} AS DOUBLE)
+                     / (t_present + ({HLL_M} - n_buckets) * {_POW2_49})
+                       AS e_raw
+            FROM agg
+        ),
+        fin AS (
+            SELECT event_type, v_zero,
+                   CASE WHEN e_raw <= {int(2.5 * HLL_M)} AND v_zero > 0
+                        THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / v_zero)
+                        ELSE e_raw END AS e
+            FROM est
+        ),
+        truth AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT t.event_type, t.n_exact,
+               ROUND(f.e, 2) AS hll_est,
+               ROUND(CAST(100 AS DOUBLE) * (f.e - t.n_exact) / t.n_exact, 2)
+                   AS rel_err_pct
+        FROM truth t JOIN fin f ON t.event_type = f.event_type
+        ORDER BY t.event_type
+    """
+
+
+def _nibble_ref(c: str) -> str:
+    from .dedup_sql import _nibble
+
+    return _nibble(c)

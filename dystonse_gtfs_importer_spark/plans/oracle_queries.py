@@ -817,6 +817,8 @@ QUERIES: dict[str, QueryDef] = {
                                        "sampling-bernoulli map-only"),
     "countmin_heavy_hitters": _sql_pair(SK.q_countmin_heavy_hitters,
                                         "sketch-countmin"),
+    "hll_distinct": _sql_pair(SK.q_hll_distinct, "sketch-hll A8"),
+    "tfidf_topk": _sql_pair(SAMP.q_tfidf_topk, "text-analysis tfidf"),
 }
 
 

@@ -286,3 +286,37 @@ class TestSamplingAndGraphPlans:
         plan = plan_of(_large_star(e))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSketchAndTfidfPlans:
+    def test_hll_register_build_partial_aggregates(self, spark, sf_smoke):
+        """The register groupBy must map-side combine: the shuffle
+        carries at most groups x 256 register rows, never raw keys."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sketch_sql as SK, sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(SK.q_hll_distinct(S.SPARK)))
+        assert "partial_max" in plan, plan
+        # the estimate must stay integer-exact up to the single final
+        # division: no DECIMAL arithmetic may sneak into the plan
+        assert "as decimal" not in plan, plan
+
+    def test_tfidf_no_token_resort(self, spark, sf_smoke):
+        """tf partial-aggregates the token stream, df derives from the
+        tf table; nothing in the plan may cross-product."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP, sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(SAMP.q_tfidf_topk(S.SPARK)))
+        assert "CartesianProduct" not in plan
+        assert "partial_count" in plan, plan

@@ -1,0 +1,84 @@
+"""Sketch queries (functions/sketch_sql.py): HyperLogLog distinct.
+
+The driver hash-matches Spark vs DuckDB; these tests add a THIRD
+independent derivation — a plain-Python HLL over hashlib.md5 — so the
+relational register build is pinned against a reference that shares
+no SQL with either engine, plus the estimator's error guarantee.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from dystonse_gtfs_importer_spark.functions import sketch_sql as SK
+from dystonse_gtfs_importer_spark.functions import sql_shared as S
+from dystonse_gtfs_importer_spark.sources.testdata import (
+    load_table,
+    register_views,
+)
+
+
+def _py_regs(values, seed="hll1", m=256, rho_max=49):
+    regs = [0] * m
+    for v in values:
+        hx = hashlib.md5(f"{seed}#{v}".encode()).hexdigest()
+        bucket = int(hx[:2], 16)
+        w = int(hx[2:14], 16)
+        rho = rho_max - w.bit_length() if w else rho_max
+        regs[bucket] = max(regs[bucket], rho)
+    return regs
+
+
+def _py_estimate(regs, m=256, rho_max=49):
+    alpha = 0.7213 / (1 + 1.079 / 256.0)
+    t = sum(1 << (rho_max - r) for r in regs)
+    e_raw = alpha * m * m * float(1 << rho_max) / t
+    v_zero = regs.count(0)
+    if e_raw <= 2.5 * m and v_zero > 0:
+        return m * math.log(m / v_zero)
+    return e_raw
+
+
+def _py_hll(values):
+    return _py_estimate(_py_regs(values))
+
+
+class TestHll:
+    def test_matches_python_reference(self, spark, sf_smoke):
+        register_views(spark, sf_smoke)
+        got = {r.event_type: (r.n_exact, r.hll_est)
+               for r in spark.sql(SK.q_hll_distinct(S.SPARK)).collect()}
+
+        ev = load_table(spark, sf_smoke, "events") \
+            .select("event_type", "user_id").collect()
+        by_type: dict[str, list] = {}
+        for r in ev:
+            by_type.setdefault(r.event_type, []).append(r.user_id)
+
+        assert set(got) == set(by_type)
+        for et, users in by_type.items():
+            n_exact, hll_est = got[et]
+            assert n_exact == len(set(users))
+            assert hll_est == round(_py_hll(users), 2), et
+
+    def test_error_within_bound(self, spark, sf_smoke):
+        # standard error for m=256 is 1.04/sqrt(256) = 6.5 %; assert
+        # a generous 3-sigma envelope so the test never flakes
+        register_views(spark, sf_smoke)
+        for r in spark.sql(SK.q_hll_distinct(S.SPARK)).collect():
+            assert abs(r.rel_err_pct) < 19.5, r
+
+    def test_registers_merge_by_max(self, spark, sf_smoke):
+        """Shard-merge associativity: the sketch of a union equals the
+        register-wise MAX of per-shard sketches (what makes HLL safe
+        to compute per-partition and combine at 100 TB)."""
+        register_views(spark, sf_smoke)
+        ev = load_table(spark, sf_smoke, "events") \
+            .select("user_id").limit(400).collect()
+        users = [r.user_id for r in ev]
+        whole = _py_regs(users)
+        a, b = _py_regs(users[:137]), _py_regs(users[137:])
+        merged = [max(x, y) for x, y in zip(a, b)]
+        assert merged == whole
+        assert _py_estimate(merged) == _py_estimate(whole)
