@@ -363,3 +363,25 @@ def quality_score(text: str, d: Dialect) -> str:
     alpha_ratio = f"(CASE WHEN {n} = 0 THEN 0.0 ELSE CAST({alpha} AS DOUBLE) / {n} END)"
     stop_signal = f"LEAST(1.0, {stopword_count(text)} / 10.0)"
     return f"ROUND(({length_signal} + {alpha_ratio} + {stop_signal}) / 3.0, 4)"
+
+
+def url_encode(s: str) -> str:
+    """C19 percent-encode (monitor/mod.rs:25-27,140): Spark's
+    ``url_encode`` is application/x-www-form-urlencoded (space → '+'),
+    the same convention the reference's serde_urlencoded uses for
+    query strings."""
+    return f"url_encode({s})"
+
+
+def url_decode(s: str) -> str:
+    """C19 inverse (journey_data.rs:18-20,192)."""
+    return f"url_decode({s})"
+
+
+def data_url(mime: str, content: str) -> str:
+    """C22 base64 data-URL of a binary column
+    (generate_png_data_url, monitor/mod.rs:1260-1261).  base64() emits
+    MIME-chunked output in some engines; strip any line breaks so the
+    URL is a single token."""
+    b64 = f"REPLACE(REPLACE(base64({content}), CHR(13), ''), CHR(10), '')"
+    return f"CONCAT('data:', {mime}, ';base64,', {b64})"

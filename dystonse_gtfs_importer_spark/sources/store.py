@@ -144,18 +144,54 @@ def write_predictions(predictions: DataFrame, path: str,
      .parquet(path))
 
 
+def retry_with_backoff(fn, retries: int = 5, base_sleep_s: float = 5.0,
+                       retryable=lambda exc: True, sleep=None):
+    """ST6: run ``fn()``, retrying transient sink failures.
+
+    The reference retries MySQL deadlocks (error 1213) after a fixed
+    5 s sleep (batched_statements.rs:59-96) and initial connects with
+    Fibonacci backoff (main.rs:214-217); this wrapper generalizes both:
+    sleep times follow the Fibonacci sequence scaled by
+    ``base_sleep_s`` (5, 5, 10, 15, 25 s…).  ``retryable`` filters
+    which exceptions warrant a retry (a deadlock is, a schema mismatch
+    is not); anything else — or exhaustion — re-raises.  ``sleep`` is
+    injectable for tests."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    fib_prev, fib_cur = 1, 1
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — filtered by retryable
+            if attempt >= retries or not retryable(exc):
+                raise
+            sleep(base_sleep_s * fib_prev)
+            fib_prev, fib_cur = fib_cur, fib_prev + fib_cur
+
+
 def write_jdbc(df: DataFrame, url: str, table: str,
                mode: str = "append", batchsize: int = 1000,
-               properties: dict | None = None) -> None:
+               properties: dict | None = None,
+               retries: int = 0, retryable=lambda exc: True) -> None:
     """S12/S13 JDBC sink: 1000-row batches like the reference's
-    BatchedStatements.  Run latest_wins_merge first — INSERT-only."""
-    writer = (df.write.format("jdbc")
-              .option("url", url)
-              .option("dbtable", table)
-              .option("batchsize", str(batchsize)))
-    for k, v in (properties or {}).items():
-        writer = writer.option(k, v)
-    writer.mode(mode).save()
+    BatchedStatements.  Run latest_wins_merge first — INSERT-only.
+    ``retries`` > 0 adds the ST6 deadlock-retry behavior around the
+    whole write (Spark's JDBC writer is all-or-nothing per task, so
+    batch-level retry granularity lives in task re-attempts)."""
+    def _write() -> None:
+        writer = (df.write.format("jdbc")
+                  .option("url", url)
+                  .option("dbtable", table)
+                  .option("batchsize", str(batchsize)))
+        for k, v in (properties or {}).items():
+            writer = writer.option(k, v)
+        writer.mode(mode).save()
+
+    if retries > 0:
+        retry_with_backoff(_write, retries=retries, retryable=retryable)
+    else:
+        _write()
 
 
 def write_csv_report(df: DataFrame, path: str, sep: str = ";") -> None:

@@ -110,6 +110,41 @@ def dedup_prediction_basis(events: DataFrame,
     )
 
 
+class Pinger:
+    """S21: GET a liveness URL at most once per minute after each
+    import iteration (ping_url, importer/mod.rs:268-292).  A pure
+    driver-side side-effect — never ships to executors.  ``http_get``
+    and ``clock`` are injectable so tests (and offline runs) need no
+    network; failures are swallowed like the reference's
+    ``let _ = reqwest::…``."""
+
+    def __init__(self, url: str, min_interval_s: float = 60.0,
+                 http_get=None, clock=None):
+        import time as _time
+
+        def _default_get(u: str) -> None:
+            import urllib.request
+            urllib.request.urlopen(u, timeout=10).close()
+
+        self.url = url
+        self.min_interval_s = min_interval_s
+        self.http_get = http_get or _default_get
+        self.clock = clock or _time.monotonic
+        self._last: float | None = None
+
+    def ping(self) -> bool:
+        """Fire if the rate limit allows; returns whether it fired."""
+        now = self.clock()
+        if self._last is not None and now - self._last < self.min_interval_s:
+            return False
+        self._last = now
+        try:
+            self.http_get(self.url)
+        except Exception:  # noqa: BLE001 — liveness ping must never fail the batch
+            pass
+        return True
+
+
 def run_import_stream(
     spark: SparkSession,
     rt_dir: str,
@@ -121,6 +156,7 @@ def run_import_stream(
     checkpoint_dir: str,
     dedup_basis: bool = False,
     trigger: dict | None = None,
+    pinger: Pinger | None = None,
 ):
     """The full streaming import: files → decode → (optional ST2 dedup)
     → records ETL → latest-wins merge into a parquet records table
@@ -173,6 +209,8 @@ def run_import_stream(
                                prev)
         finally:
             recs.unpersist()
+            if pinger is not None:
+                pinger.ping()
 
     writer = events.writeStream.foreachBatch(sink) \
         .option("checkpointLocation", checkpoint_dir)
