@@ -1,0 +1,130 @@
+"""PII scrubbing + repetition quality signals, dialect-rendered.
+
+Two more standard LLM-training-data pipeline stages over the
+``documents`` table, written once and run on both engines (Spark
+executes, DuckDB verifies):
+
+* ``q_pii_scan`` — regex detection + redaction of personally
+  identifiable information (URLs, emails, IPv4 addresses,
+  international phone numbers).  MAP-ONLY: every column is a scalar
+  expression over one row, so at 100 TB this is a pure scan stage —
+  no shuffle, stays entirely inside whole-stage codegen (no Python).
+  Redaction is SEQUENTIAL (URL → email → IP → phone) and each count
+  is taken on the text as already redacted by the previous stages, so
+  an email inside a URL is counted once, as the URL that swallowed
+  it.  The patterns deliberately use only constructs with identical
+  semantics in Java regex and RE2 (character classes, counted
+  repetition — no backrefs, no lookaround, no escapes).
+
+* ``q_repetition_signals`` — Gopher-style repetition filters (Rae et
+  al. 2021 §A1.1): fraction of tokens claimed by the most frequent
+  token, duplicate-token fraction, and the same two signals over
+  adjacent-token bigrams.  Scale shape: one partial-aggregatable
+  groupBy (doc_id, token) over the exploded stream, then a per-doc
+  rollup — the heavy token stream is combined map-side, and nothing
+  ever groups by token alone (no hot-vocabulary skew key).
+"""
+
+from __future__ import annotations
+
+from . import sql_shared as S
+
+# (name, pattern, replacement) — applied in order; counts are taken on
+# the running redacted text so overlapping categories don't double-count
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+",
+     "<EMAIL>"),
+    ("ip", "([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "[+][0-9][0-9 /()-]{5,}[0-9]", "<PHONE>"),
+)
+
+
+def q_pii_scan(d: S.Dialect) -> str:
+    """Per document: per-category redaction counts, total, a clean
+    flag, and the MD5 of the fully redacted text (the hash lets the
+    driver verify the redacted *content* cross-engine without hauling
+    the text through the comparator)."""
+    stages = []
+    prev = "text"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        cur = f"t{i}"
+        stages.append(
+            f"{d.regexp_count(prev, pat)} AS n_{name}, "
+            f"{d.regexp_replace_all(prev, pat, repl)} AS {cur}")
+        prev = cur
+    s0, s1, s2, s3 = stages
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+        WITH u AS (SELECT doc_id, {s0} FROM documents),
+        e AS (SELECT doc_id, n_url, {s1} FROM u),
+        i AS (SELECT doc_id, n_url, n_email, {s2} FROM e),
+        p AS (SELECT doc_id, n_url, n_email, n_ip, {s3} FROM i)
+        SELECT doc_id,
+               CAST(n_url AS BIGINT) AS n_url,
+               CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_ip AS BIGINT) AS n_ip,
+               CAST(n_phone AS BIGINT) AS n_phone,
+               CAST({total} AS BIGINT) AS n_pii,
+               CAST(({total}) = 0 AS INT) AS is_clean,
+               MD5(t3) AS redacted_hash
+        FROM p
+    """
+
+
+def q_repetition_signals(d: S.Dialect) -> str:
+    """Per document: token/bigram repetition ratios (the Gopher
+    duplicate-fraction gates).  ROUND(…, 4) keeps cross-engine float
+    formatting out of the hash; zero-token documents emit zero
+    fractions rather than NULL so the gate below composes with a
+    plain ``<`` comparison."""
+    toks = d.token_array("text")
+    bigrams = d.bigram_list("toks")
+
+    def frac(num: str, den: str) -> str:
+        return (f"ROUND(CASE WHEN {den} = 0 THEN 0.0 "
+                f"ELSE CAST({num} AS DOUBLE) / {den} END, 4)")
+
+    return f"""
+        WITH arrs AS (
+            SELECT doc_id, {toks} AS toks FROM documents
+        ),
+        tok_rows AS (
+            SELECT doc_id, {d.explode_arr('toks')} AS tok FROM arrs
+        ),
+        tok_counts AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM tok_rows GROUP BY doc_id, tok
+        ),
+        tok_agg AS (
+            SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok_c,
+                   COUNT(*) AS n_distinct_toks
+            FROM tok_counts GROUP BY doc_id
+        ),
+        bg_rows AS (
+            SELECT doc_id, {d.explode_arr(bigrams)} AS bg FROM arrs
+        ),
+        bg_counts AS (
+            SELECT doc_id, bg, COUNT(*) AS c
+            FROM bg_rows GROUP BY doc_id, bg
+        ),
+        bg_agg AS (
+            SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bg_c,
+                   COUNT(*) AS n_distinct_bgs
+            FROM bg_counts GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+               {frac('COALESCE(t.top_tok_c, 0)', 'COALESCE(t.n_tokens, 0)')}
+                   AS top_token_frac,
+               {frac('COALESCE(t.n_tokens - t.n_distinct_toks, 0)',
+                     'COALESCE(t.n_tokens, 0)')} AS dup_token_frac,
+               CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               {frac('COALESCE(b.top_bg_c, 0)', 'COALESCE(b.n_bigrams, 0)')}
+                   AS top_bigram_frac,
+               {frac('COALESCE(b.n_bigrams - b.n_distinct_bgs, 0)',
+                     'COALESCE(b.n_bigrams, 0)')} AS dup_bigram_frac
+        FROM arrs a
+        LEFT JOIN tok_agg t ON a.doc_id = t.doc_id
+        LEFT JOIN bg_agg b ON a.doc_id = b.doc_id
+    """

@@ -72,6 +72,19 @@ class Dialect:
         """Aggregate: array of ``val`` ordered by ``ord_col``."""
         raise NotImplementedError
 
+    def token_array(self, text: str) -> str:
+        """Array of non-empty lowercase whitespace tokens."""
+        raise NotImplementedError
+
+    def bigram_list(self, arr: str) -> str:
+        """Array of space-joined adjacent pairs of ``arr`` (empty for
+        arrays shorter than 2)."""
+        raise NotImplementedError
+
+    def explode_arr(self, arr: str) -> str:
+        """Generator expression: one row per element of ``arr``."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -117,6 +130,18 @@ class SparkDialect(Dialect):
         return (f"transform(array_sort(collect_list("
                 f"struct({ord_col} AS o, {val} AS v))), x -> x.v)")
 
+    def token_array(self, text: str) -> str:
+        return f"filter(split(lower({text}), ' +'), t -> t <> '')"
+
+    def bigram_list(self, arr: str) -> str:
+        # sequence(0, -1) would DESCEND in Spark — guard short arrays
+        return (f"CASE WHEN size({arr}) < 2 THEN array() "
+                f"ELSE transform(sequence(0, size({arr}) - 2), "
+                f"i -> concat({arr}[i], ' ', {arr}[i + 1])) END")
+
+    def explode_arr(self, arr: str) -> str:
+        return f"explode({arr})"
+
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
@@ -158,6 +183,18 @@ class DuckDBDialect(Dialect):
 
     def ordered_list(self, val: str, ord_col: str) -> str:
         return f"list({val} ORDER BY {ord_col})"
+
+    def token_array(self, text: str) -> str:
+        return (f"list_filter(string_split_regex(lower({text}), ' +'), "
+                f"t -> t <> '')")
+
+    def bigram_list(self, arr: str) -> str:
+        # DuckDB arrays are 1-based; range(n<=0) is already empty
+        return (f"list_transform(range(len({arr}) - 1), "
+                f"i -> {arr}[i + 1] || ' ' || {arr}[i + 2])")
+
+    def explode_arr(self, arr: str) -> str:
+        return f"unnest({arr})"
 
 
 SPARK = SparkDialect()

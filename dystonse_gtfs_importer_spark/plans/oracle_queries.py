@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import ann_sql as ANN
 from ..functions import dedup_sql as D
+from ..functions import pii_sql as PII
 from ..functions import sampling_sql as SAMP
 from ..functions import sketch_sql as SK
 from ..functions import sql_shared as S
@@ -819,6 +820,9 @@ QUERIES: dict[str, QueryDef] = {
                                         "sketch-countmin"),
     "hll_distinct": _sql_pair(SK.q_hll_distinct, "sketch-hll A8"),
     "tfidf_topk": _sql_pair(SAMP.q_tfidf_topk, "text-analysis tfidf"),
+    "pii_scan": _sql_pair(PII.q_pii_scan, "text-pii map-only"),
+    "repetition_signals": _sql_pair(PII.q_repetition_signals,
+                                    "text-quality gopher-repetition"),
 }
 
 
