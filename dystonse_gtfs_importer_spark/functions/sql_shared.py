@@ -85,6 +85,16 @@ class Dialect:
         """Generator expression: one row per element of ``arr``."""
         raise NotImplementedError
 
+    def arr_len(self, arr: str) -> str:
+        """Element count of an array expression."""
+        raise NotImplementedError
+
+    def arr_slice_join(self, arr: str, idx0: str, n: int,
+                       sep: str = " ") -> str:
+        """``n`` elements of ``arr`` starting at 0-based ``idx0``,
+        joined with ``sep`` — the word-n-gram constructor."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -142,6 +152,14 @@ class SparkDialect(Dialect):
     def explode_arr(self, arr: str) -> str:
         return f"explode({arr})"
 
+    def arr_len(self, arr: str) -> str:
+        return f"size({arr})"
+
+    def arr_slice_join(self, arr: str, idx0: str, n: int,
+                       sep: str = " ") -> str:
+        # slice() takes a 1-based start index
+        return f"array_join(slice({arr}, ({idx0}) + 1, {n}), '{sep}')"
+
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
@@ -195,6 +213,15 @@ class DuckDBDialect(Dialect):
 
     def explode_arr(self, arr: str) -> str:
         return f"unnest({arr})"
+
+    def arr_len(self, arr: str) -> str:
+        return f"len({arr})"
+
+    def arr_slice_join(self, arr: str, idx0: str, n: int,
+                       sep: str = " ") -> str:
+        # list_slice is 1-based with an INCLUSIVE end index
+        return (f"array_to_string(list_slice({arr}, ({idx0}) + 1, "
+                f"({idx0}) + {n}), '{sep}')")
 
 
 SPARK = SparkDialect()

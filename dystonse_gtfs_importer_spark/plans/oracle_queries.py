@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import ann_sql as ANN
+from ..functions import decontam_sql as DC
 from ..functions import dedup_sql as D
 from ..functions import pii_sql as PII
 from ..functions import sampling_sql as SAMP
@@ -820,6 +821,10 @@ QUERIES: dict[str, QueryDef] = {
                                         "sketch-countmin"),
     "hll_distinct": _sql_pair(SK.q_hll_distinct, "sketch-hll A8"),
     "tfidf_topk": _sql_pair(SAMP.q_tfidf_topk, "text-analysis tfidf"),
+    "decontaminate": _sql_pair(DC.q_decontaminate,
+                               "decontamination ngram-overlap"),
+    "token_shard_packing": _sql_pair(DC.q_token_shard_packing,
+                                     "shard-packing prefix-sum"),
     "pii_scan": _sql_pair(PII.q_pii_scan, "text-pii map-only"),
     "repetition_signals": _sql_pair(PII.q_repetition_signals,
                                     "text-quality gopher-repetition"),
