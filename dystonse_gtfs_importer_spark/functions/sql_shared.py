@@ -95,6 +95,10 @@ class Dialect:
         joined with ``sep`` — the word-n-gram constructor."""
         raise NotImplementedError
 
+    def arr_join(self, arr: str, sep: str = " ") -> str:
+        """All elements of ``arr`` joined with ``sep`` ('' if empty)."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -219,9 +223,11 @@ class DuckDBDialect(Dialect):
 
     def arr_slice_join(self, arr: str, idx0: str, n: int,
                        sep: str = " ") -> str:
-        # list_slice is 1-based with an INCLUSIVE end index
-        return (f"array_to_string(list_slice({arr}, ({idx0}) + 1, "
-                f"({idx0}) + {n}), '{sep}')")
+        # list_slice is 1-based with an INCLUSIVE end index; DuckDB's
+        # array_to_string yields NULL on an empty slice where Spark's
+        # array_join yields '' — pin the '' semantics
+        return (f"COALESCE(array_to_string(list_slice({arr}, ({idx0}) + 1, "
+                f"({idx0}) + {n}), '{sep}'), '')")
 
 
 SPARK = SparkDialect()
