@@ -31,6 +31,8 @@ NGRAM_N = 5          # word n-gram length for the overlap check
 EVAL_STRIDE = 50     # doc_id % stride == 0 -> held-out eval set
 MIN_HITS = 3         # shared-ngram count that flags contamination
 SHARD_TOKEN_BUDGET = 1000
+BP_NGRAM_N = 3       # boilerplate span length (tokens)
+BP_MIN_DOCS = 5      # n-gram in >= this many docs -> boilerplate
 
 
 def _word_ngram_cte(d: S.Dialect, n: int = NGRAM_N) -> str:
@@ -42,7 +44,7 @@ def _word_ngram_cte(d: S.Dialect, n: int = NGRAM_N) -> str:
             SELECT doc_id, {d.token_array('text')} AS ta FROM documents
         ),
         grams AS (
-            SELECT doc_id, MD5({d.arr_slice_join('ta', 'i', n)}) AS h
+            SELECT doc_id, i, MD5({d.arr_slice_join('ta', 'i', n)}) AS h
             FROM (
                 SELECT doc_id, ta,
                        {d.explode_range(f'{d.arr_len("ta")} - {n - 1}')} AS i
@@ -80,6 +82,58 @@ def q_decontaminate(d: S.Dialect, n: int = NGRAM_N,
         FROM documents doc
         LEFT JOIN hits h ON h.doc_id = doc.doc_id
         WHERE doc.doc_id % {stride} <> 0
+    """
+
+
+def q_boilerplate_scrub(d: S.Dialect, n: int = BP_NGRAM_N,
+                        min_docs: int = BP_MIN_DOCS) -> str:
+    """Frequent-n-gram span removal (the Lee-et-al-style "remove
+    repeated spans from the training corpus" step, word-level): any
+    token covered by an n-gram that occurs in >= ``min_docs`` distinct
+    documents is dropped; the survivors are re-joined in order.
+
+    Scale shape: the frequent-gram table is a heavy-hitter set (tiny
+    by construction — doc-frequency >= min_docs bounds it by
+    |corpus|/min_docs, in practice sub-MB), so the gram->frequent join
+    broadcasts; the position explode is map-only; the coverage
+    anti-join and the ordered re-join are co-partitioned on doc_id —
+    one doc-keyed shuffle end to end.
+    """
+    return f"""
+        WITH {_word_ngram_cte(d, n)},
+        freq AS (
+            SELECT h FROM grams GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+        ),
+        cov AS (
+            SELECT DISTINCT g.doc_id, g.i + s.j AS pos
+            FROM grams g JOIN freq f ON g.h = f.h
+            CROSS JOIN {d.series(n, 'j')} s
+        ),
+        toks_pos AS (
+            SELECT doc_id, i AS pos, {d.arr_get('ta', 'i')} AS tok
+            FROM (
+                SELECT doc_id, ta, {d.explode_range(d.arr_len('ta'))} AS i
+                FROM toks WHERE {d.arr_len('ta')} >= 1
+            ) x
+        ),
+        kept AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   {d.arr_join(d.ordered_list('t.tok', 't.pos'))}
+                       AS clean_text
+            FROM toks_pos t
+            LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.pos IS NULL
+            GROUP BY t.doc_id
+        )
+        SELECT t0.doc_id,
+               CAST({d.arr_len('t0.ta')} AS BIGINT) AS n_tokens,
+               CAST({d.arr_len('t0.ta')} - COALESCE(k.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(k.clean_text, '') AS clean_text
+        FROM toks t0
+        LEFT JOIN kept k ON k.doc_id = t0.doc_id
     """
 
 

@@ -164,6 +164,9 @@ class SparkDialect(Dialect):
         # slice() takes a 1-based start index
         return f"array_join(slice({arr}, ({idx0}) + 1, {n}), '{sep}')"
 
+    def arr_join(self, arr: str, sep: str = " ") -> str:
+        return f"array_join({arr}, '{sep}')"
+
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
@@ -228,6 +231,11 @@ class DuckDBDialect(Dialect):
         # array_join yields '' — pin the '' semantics
         return (f"COALESCE(array_to_string(list_slice({arr}, ({idx0}) + 1, "
                 f"({idx0}) + {n}), '{sep}'), '')")
+
+    def arr_join(self, arr: str, sep: str = " ") -> str:
+        # DuckDB's array_to_string is NULL on an empty list; Spark's
+        # array_join is '' — pin the '' semantics
+        return f"COALESCE(array_to_string({arr}, '{sep}'), '')"
 
 
 SPARK = SparkDialect()

@@ -825,6 +825,8 @@ QUERIES: dict[str, QueryDef] = {
                                "decontamination ngram-overlap"),
     "token_shard_packing": _sql_pair(DC.q_token_shard_packing,
                                      "shard-packing prefix-sum"),
+    "boilerplate_scrub": _sql_pair(DC.q_boilerplate_scrub,
+                                   "dedup-span frequent-ngram removal"),
     "pii_scan": _sql_pair(PII.q_pii_scan, "text-pii map-only"),
     "repetition_signals": _sql_pair(PII.q_repetition_signals,
                                     "text-quality gopher-repetition"),

@@ -77,6 +77,39 @@ class TestDecontaminate:
         assert s_rows == [(1, 0, 0), (2, 0, 0)]
 
 
+class TestBoilerplateScrub:
+    def test_spans_removed_tokens_kept_in_order(self, spark):
+        boiler = "please subscribe now"
+        rows = [(i, f"unique{i} {boiler} tail{i} word{i}", "s")
+                for i in range(DC.BP_MIN_DOCS)]
+        rows += [
+            (90, boiler, "s"),                    # fully boilerplate -> ''
+            (91, "two tokens", "s"),              # < n, untouched
+            (92, "subscribe now maybe later ok", "s"),  # no full 3-gram hit
+        ]
+        s_rows, d_rows = _run_both(spark, _mk_docs(rows),
+                                   DC.q_boilerplate_scrub)
+        assert s_rows == d_rows
+        by_id = {r[0]: r for r in s_rows}
+        assert len(by_id) == len(rows)
+        for i in range(DC.BP_MIN_DOCS):
+            assert by_id[i] == (i, 6, 3, f"unique{i} tail{i} word{i}")
+        assert by_id[90] == (90, 3, 3, "")
+        assert by_id[91] == (91, 2, 0, "two tokens")
+        assert by_id[92] == (92, 5, 0, "subscribe now maybe later ok")
+
+    def test_overlapping_spans_union_coverage(self, spark):
+        # "a b c d" where both "a b c" and "b c d" are frequent:
+        # coverage is the union, not double-removal
+        rows = [(i, f"x{i} a b c d y{i}", "s")
+                for i in range(DC.BP_MIN_DOCS)]
+        s_rows, d_rows = _run_both(spark, _mk_docs(rows),
+                                   DC.q_boilerplate_scrub)
+        assert s_rows == d_rows
+        for i, r in sorted((r[0], r) for r in s_rows):
+            assert r == (i, 6, 4, f"x{i} y{i}")
+
+
 class TestShardPacking:
     @pytest.fixture(scope="class")
     def packed(self, spark):
