@@ -169,35 +169,33 @@ def q_stop_pair_counts(d: S.Dialect) -> str:
     # double-sorted self-join; the hash match proves the derivations
     # equal.
     if d.name == "spark":
+        # The stats live in two 7-element ARRAYS and the 21 (i<j)
+        # combinations come from a constant pair table, so the
+        # analyzed/codegen'd tree stays small (the earlier 42-column
+        # global-reduce variant spent ~3 s in the analyzer and ~1 s/run
+        # in the generated aggregate at sf0.1 for identical results and
+        # the identical single orderkey-keyed shuffle).
         ks = range(1, 8)
-        stats = ", ".join(
-            f"SUM(CASE WHEN l_linenumber = {k} THEN 1 ELSE 0 END) AS n{k}, "
-            f"SUM(CASE WHEN l_linenumber = {k} THEN l_extendedprice END) AS s{k}"
-            for k in ks)
-        # all 21 pair contributions as COLUMNS of one global reduce
-        # (partial-aggregatable, collapses to a single row before the
-        # final explode) — never materializes per-order pair rows.
-        # SUM skips the NULL sd of orders missing a side, whose np
-        # contribution is 0 anyway.
-        aggs = ", ".join(
-            f"SUM(n{i} * n{j}) AS np_{i}_{j}, "
-            f"SUM(n{i} * s{j} - n{j} * s{i}) AS sd_{i}_{j}"
-            for i in ks for j in ks if i < j)
-        combos = ", ".join(
-            f"struct(CAST({i} AS INT) AS seq_from, CAST({j} AS INT) AS seq_to, "
-            f"np_{i}_{j} AS np, sd_{i}_{j} AS sd)"
-            for i in ks for j in ks if i < j)
+        ns = ", ".join(f"SUM(IF(l_linenumber = {k}, 1, 0))" for k in ks)
+        ss = ", ".join(
+            f"SUM(IF(l_linenumber = {k}, l_extendedprice, 0D))" for k in ks)
+        pairs = ", ".join(
+            f"struct({i} AS i, {j} AS j)" for i in ks for j in ks if i < j)
         return f"""
             WITH piv AS (
-                SELECT l_orderkey, {stats}
+                SELECT l_orderkey, array({ns}) AS ns, array({ss}) AS ss
                 FROM lineitem GROUP BY l_orderkey
             ),
-            tot AS (SELECT {aggs} FROM piv)
-            SELECT pr.seq_from, pr.seq_to, pr.np AS n_pairs,
-                   ROUND(pr.sd / pr.np, 4) AS avg_price_delta
-            FROM tot
-            LATERAL VIEW explode(filter(array({combos}),
-                x -> x.np > 0)) t AS pr
+            contrib AS (
+                SELECT p.i AS seq_from, p.j AS seq_to,
+                       ns[p.i - 1] * ns[p.j - 1] AS np,
+                       ns[p.i - 1] * ss[p.j - 1]
+                           - ns[p.j - 1] * ss[p.i - 1] AS sd
+                FROM piv LATERAL VIEW explode(array({pairs})) t AS p
+            )
+            SELECT seq_from, seq_to, SUM(np) AS n_pairs,
+                   ROUND(SUM(sd) / SUM(np), 4) AS avg_price_delta
+            FROM contrib GROUP BY seq_from, seq_to HAVING SUM(np) > 0
         """
     return """
         SELECT a.l_linenumber AS seq_from, b.l_linenumber AS seq_to,
