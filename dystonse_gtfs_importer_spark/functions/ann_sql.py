@@ -131,6 +131,62 @@ def q_cosine_near_dup_pairs(d: S.Dialect, threshold: float = 0.35) -> str:
     """
 
 
+SEMDEDUP_THETA = 0.3
+
+
+def q_semdedup_keep(d: S.Dialect, theta: float = SEMDEDUP_THETA) -> str:
+    """SemDeDup-style semantic dedup decision: embeddings whose cosine
+    to a LOWER-id LSH-bucket neighbor is >= ``theta`` are dropped; the
+    lowest id of each near-duplicate neighborhood survives (greedy
+    deterministic representative — pinned semantics; the
+    connected-component survivor variant is ``dedup_clusters``).
+
+    The candidate set is LSH-bucket-limited on BOTH engines (the
+    sketches are bitwise-deterministic literals, see module docstring),
+    so the driver hash-verifies the full keep/drop decision including
+    the approximation.  Scale shape: sketching is map-only; the bucket
+    self-join shuffles (tbl, bucket, id) and candidate volume scales
+    with bucket occupancy, never |corpus|²; the cosine re-score joins
+    co-keyed on vec_id; one groupBy ends the pipeline."""
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM cv"
+        for t in range(LSH_TABLES))
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        cb AS ({cb}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM cb a
+            JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+        ),
+        near AS (
+            SELECT c.vec_a, c.vec_b
+            FROM cand c
+            JOIN cv va ON va.vec_id = c.vec_a
+            JOIN cv vb ON vb.vec_id = c.vec_b
+            WHERE {_cosine(d, 'va.emb', 'vb.emb')} >= {theta}
+        ),
+        stats AS (
+            SELECT vec_id, COUNT(*) AS n_near, MAX(has_smaller) AS removed
+            FROM (
+                SELECT vec_a AS vec_id, 0 AS has_smaller FROM near
+                UNION ALL
+                SELECT vec_b AS vec_id, 1 AS has_smaller FROM near
+            ) u GROUP BY vec_id
+        )
+        SELECT v.vec_id,
+               CAST(COALESCE(s.n_near, 0) AS BIGINT) AS n_near,
+               CAST(CASE WHEN COALESCE(s.removed, 0) = 1
+                    THEN 0 ELSE 1 END AS INT) AS kept
+        FROM cv v
+        LEFT JOIN stats s ON s.vec_id = v.vec_id
+    """
+
+
 def q_ann_ivf_topk(d: S.Dialect) -> str:
     """IVF-Flat top-k, centroids derived in-SQL: seeds = the
     {IVF_CELLS} lowest-id corpus vectors, one Lloyd mean pass

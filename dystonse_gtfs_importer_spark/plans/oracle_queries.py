@@ -760,6 +760,8 @@ QUERIES: dict[str, QueryDef] = {
     "ann_ivf_topk": _sql_pair(ANN.q_ann_ivf_topk, "similarity-ann-ivf"),
     "cosine_near_dup": _sql_pair(ANN.q_cosine_near_dup_pairs,
                                  "dedup-embedding-cosine"),
+    "semdedup_keep": _sql_pair(ANN.q_semdedup_keep,
+                               "dedup-semantic embedding keep-list"),
     "ecdf_curve_focused": QueryDef(spark=_ecdf_focused_spark,
                                    oracle=_ECDF_FOCUSED_ORACLE,
                                    survey_ref="A3 C6"),

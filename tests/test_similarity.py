@@ -126,6 +126,35 @@ class TestCosineNearDup:
         assert all(r.vec_a < r.vec_b for r in out)
 
 
+class TestSemDedupKeep:
+    def test_identical_vectors_keep_lowest_id(self, spark):
+        from dystonse_gtfs_importer_spark.functions import ann_sql as A
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.session import configure_for_oracle
+
+        configure_for_oracle(spark)
+        dup = [1.0] * A.DIM
+        rows = [(10, dup, 0), (20, dup, 0), (30, dup, 0)]
+        # basis vectors: pairwise cosine 0 -> never near-duplicates,
+        # whatever buckets they land in
+        for i in range(5):
+            v = [0.0] * A.DIM
+            v[i] = 1.0
+            rows.append((100 + i, v, 1))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ).createOrReplaceTempView("embeddings")
+        got = {r.vec_id: r for r in
+               spark.sql(A.q_semdedup_keep(S.SPARK)).collect()}
+        assert len(got) == 8
+        # identical trio: only the lowest id survives
+        assert got[10].kept == 1 and got[10].n_near == 2
+        assert got[20].kept == 0 and got[30].kept == 0
+        # orthogonal vectors all survive with no near neighbors
+        for i in range(5):
+            assert got[100 + i].kept == 1 and got[100 + i].n_near == 0
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         from dystonse_gtfs_importer_spark.operators.multimodal import (
