@@ -243,6 +243,53 @@ class TestAggShape:
         assert n_exchanges(df) == 1, plan_of(df)
 
 
+class TestCorpusPipelinePlans:
+    def test_boilerplate_scrub_broadcasts_frequent_grams(self, spark,
+                                                         sf_smoke):
+        """The heavy-hitter gram set must reach the gram stream as a
+        broadcast build side; the only nested-loop join allowed is the
+        constant n-element position series."""
+        from dystonse_gtfs_importer_spark.functions import decontam_sql as DC
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(DC.q_boilerplate_scrub(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_semdedup_no_all_pairs_join(self, spark, sf_smoke):
+        """Candidates come from the LSH bucket equi-join — never an
+        unbanded |corpus|² product."""
+        from dystonse_gtfs_importer_spark.functions import ann_sql as A
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(A.q_semdedup_keep(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_decontaminate_eval_side_broadcasts(self, spark, sf_smoke):
+        """The distinct eval-gram sketch is tiny by construction and
+        must be the broadcast build side of the overlap join."""
+        from dystonse_gtfs_importer_spark.functions import decontam_sql as DC
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(DC.q_decontaminate(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 class TestSamplingAndGraphPlans:
     def test_bernoulli_sample_is_map_only(self, spark, sf_smoke):
         """The 100 TB sampling path must not shuffle: filter on a
