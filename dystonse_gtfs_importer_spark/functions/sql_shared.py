@@ -99,6 +99,10 @@ class Dialect:
         """All elements of ``arr`` joined with ``sep`` ('' if empty)."""
         raise NotImplementedError
 
+    def arr_intersect_len(self, a: str, b: str) -> str:
+        """Distinct-element intersection size of two arrays."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -166,6 +170,9 @@ class SparkDialect(Dialect):
 
     def arr_join(self, arr: str, sep: str = " ") -> str:
         return f"array_join({arr}, '{sep}')"
+
+    def arr_intersect_len(self, a: str, b: str) -> str:
+        return f"size(array_intersect({a}, {b}))"
 
 
 class DuckDBDialect(Dialect):
@@ -236,6 +243,9 @@ class DuckDBDialect(Dialect):
         # DuckDB's array_to_string is NULL on an empty list; Spark's
         # array_join is '' — pin the '' semantics
         return f"COALESCE(array_to_string({arr}, '{sep}'), '')"
+
+    def arr_intersect_len(self, a: str, b: str) -> str:
+        return f"len(list_intersect({a}, {b}))"
 
 
 SPARK = SparkDialect()

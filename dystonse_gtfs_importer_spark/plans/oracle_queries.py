@@ -803,7 +803,9 @@ QUERIES: dict[str, QueryDef] = {
     "simhash_near_pairs_banded": _sql_cross_pair(
         D.q_simhash_near_pairs_banded, D.q_simhash_near_pairs,
         "dedup-simhash scale"),
-    "ngram_jaccard_pairs": _sql_pair(D.q_ngram_jaccard_pairs, "dedup-jaccard"),
+    "ngram_jaccard_pairs": _sql_cross_pair(
+        D.q_ngram_jaccard_prefix, D.q_ngram_jaccard_pairs,
+        "dedup-jaccard prefix-filter scale"),
     "winnow_fingerprints": _sql_pair(D.q_winnow_fingerprint_stats,
                                      "fingerprint-winnow"),
     "winnow_near_pairs": _sql_pair(D.q_winnow_near_pairs,
