@@ -194,3 +194,162 @@ def _nibble_ref(c: str) -> str:
     from .dedup_sql import _nibble
 
     return _nibble(c)
+
+
+HIST_BIN_WIDTH = 10.0
+HIST_QUANTILES = (0.5, 0.9, 0.95, 0.99)
+
+
+def q_histogram_quantiles(d: S.Dialect,
+                          width: float = HIST_BIN_WIDTH) -> str:
+    """Equi-width histogram quantile sketch over ``events.value``:
+    (quantile, n, est, exact, abs_err).
+
+    The sketch is ONE partial-aggregatable groupBy producing <=
+    range/width bins regardless of input rows — the 100 TB substitute
+    for a full-sort percentile; bins merge across shards by count
+    addition like the CMS cells.  Estimates interpolate linearly
+    inside the covering bin.  Bin ids are FLOOR(value/width): IEEE
+    double division + FLOOR are bit-identical cross-engine, so the
+    driver hash-verifies the full estimate.  The ``exact`` column
+    (rank-statistic via one window sort) exists only so the driver
+    also pins the estimation error — a production run emits the
+    sketch alone (the exact sort is the thing this operator avoids).
+    """
+    w = f"CAST({width} AS DOUBLE)"
+    qs = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS p" for q in HIST_QUANTILES)
+    return f"""
+        WITH vals AS (
+            SELECT value FROM events WHERE value IS NOT NULL
+        ),
+        hist AS (
+            SELECT CAST(FLOOR(value / {w}) AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM vals GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, cnt,
+                   SUM(cnt) OVER (ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM hist
+        ),
+        qs AS ({qs}),
+        pick AS (
+            SELECT q.p, c.bin, c.cnt, c.cum, c.n,
+                   ROW_NUMBER() OVER (PARTITION BY q.p
+                                      ORDER BY c.bin) AS rk
+            FROM qs q JOIN cum c ON c.cum >= q.p * c.n
+        ),
+        ranked_vals AS (
+            SELECT value,
+                   ROW_NUMBER() OVER (ORDER BY value) AS vrk,
+                   COUNT(*) OVER () AS n
+            FROM vals
+        ),
+        exact AS (
+            SELECT q.p, MIN(r.value) AS exact_v
+            FROM qs q JOIN ranked_vals r
+              ON r.vrk = CAST(CEIL(q.p * r.n) AS BIGINT)
+            GROUP BY q.p
+        )
+        SELECT p.p AS quantile, p.n,
+               ROUND(p.bin * {w}
+                     + (p.p * p.n - (p.cum - p.cnt)) / p.cnt * {w}, 6)
+                   AS est,
+               ROUND(e.exact_v, 6) AS exact,
+               ROUND(ABS(p.bin * {w}
+                     + (p.p * p.n - (p.cum - p.cnt)) / p.cnt * {w}
+                     - e.exact_v), 6) AS abs_err
+        FROM pick p JOIN exact e ON e.p = p.p
+        WHERE p.rk = 1
+    """
+
+
+BLOOM_WORDS = 32        # 32 x 60-bit words = 1920 bits
+BLOOM_WORD_BITS = 60    # stay clear of the BIGINT sign bit
+BLOOM_K = 3             # hash functions
+
+
+def _bloom_pos(d: S.Dialect, tok: str, k: str) -> str:
+    """Deterministic bit position in [0, words*word_bits): 4 seeded
+    MD5 nibbles -> 16 bits -> modulo the filter size."""
+    h = f"MD5(CONCAT('bloom', CAST({k} AS STRING), '#', {tok}))"
+    n = " + ".join(
+        f"{_nibble_ref(f'SUBSTR({h}, {pos}, 1)')} * {16 ** (4 - pos)}"
+        for pos in range(1, 5))
+    return f"(({n}) % {BLOOM_WORDS * BLOOM_WORD_BITS})"
+
+
+def q_bloom_membership(d: S.Dialect, k: int = BLOOM_K) -> str:
+    """Bloom-filter membership probe: build a {BLOOM_WORDS}x60-bit
+    filter over the distinct tokens of the lexicographically FIRST
+    source, probe every other source's distinct tokens against it,
+    and report per-source truth-vs-filter counts:
+    (source, n_probed, n_flagged, n_truly_shared, n_false_pos).
+
+    Scale shape: the filter build is one partial-aggregatable BIT_OR
+    groupBy collapsing to {BLOOM_WORDS} rows total (broadcast to the
+    probe side); probing is a map-side word lookup + AND per hash —
+    the relational form of the bloom-join prune that skips shuffling
+    probe rows that cannot match.  The false-positive count the
+    driver hash-verifies IS the sketch's quality statement.
+    """
+    probes = " AND ".join(
+        f"MAX(CASE WHEN pw.word = wpos_{i} THEN pw.bits ELSE 0 END)"
+        f" & bval_{i} <> 0"
+        for i in range(k))
+    wcols = ", ".join(
+        f"CAST({_bloom_pos(d, 'tok', str(i))} / {BLOOM_WORD_BITS} AS INT)"
+        f" AS wpos_{i}, "
+        + d.shl1(f"{_bloom_pos(d, 'tok', str(i))} % {BLOOM_WORD_BITS}")
+        + f" AS bval_{i}"
+        for i in range(k))
+    sets = " UNION ALL ".join(
+        f"SELECT tok, wpos_{i} AS word, bval_{i} AS bits FROM keyed"
+        for i in range(k))
+    in_list = ", ".join(f"kk.wpos_{i}" for i in range(k))
+    group_cols = ", ".join(f"kk.wpos_{i}, kk.bval_{i}" for i in range(k))
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT source, tok FROM (
+                SELECT source, {d.explode_tokens('text')} AS tok
+                FROM documents
+            ) t WHERE tok <> ''
+        ),
+        base AS (SELECT MIN(source) AS src FROM toks),
+        keyed AS (
+            SELECT tok, {wcols} FROM (SELECT DISTINCT tok FROM toks)
+        ),
+        filt AS (
+            SELECT s.word, BIT_OR(s.bits) AS bits
+            FROM ({sets}) s
+            JOIN toks t ON t.tok = s.tok
+            JOIN base b ON t.source = b.src
+            GROUP BY s.word
+        ),
+        probe AS (
+            SELECT t.source, t.tok,
+                   CASE WHEN {probes} THEN 1 ELSE 0 END AS flagged
+            FROM toks t
+            JOIN base b ON t.source <> b.src
+            JOIN keyed kk ON kk.tok = t.tok
+            LEFT JOIN filt pw ON pw.word IN ({in_list})
+            GROUP BY t.source, t.tok, {group_cols}
+        ),
+        truth AS (
+            SELECT DISTINCT t.tok FROM toks t
+            JOIN base b ON t.source = b.src
+        )
+        SELECT p.source,
+               CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(p.flagged) AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN tr.tok IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_truly_shared,
+               CAST(SUM(CASE WHEN p.flagged = 1 AND tr.tok IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM probe p
+        LEFT JOIN truth tr ON tr.tok = p.tok
+        GROUP BY p.source
+    """

@@ -103,6 +103,10 @@ class Dialect:
         """Distinct-element intersection size of two arrays."""
         raise NotImplementedError
 
+    def shl1(self, bits: str) -> str:
+        """BIGINT 1 << ``bits`` (bits < 63)."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -173,6 +177,9 @@ class SparkDialect(Dialect):
 
     def arr_intersect_len(self, a: str, b: str) -> str:
         return f"size(array_intersect({a}, {b}))"
+
+    def shl1(self, bits: str) -> str:
+        return f"shiftleft(CAST(1 AS BIGINT), {bits})"
 
 
 class DuckDBDialect(Dialect):
@@ -246,6 +253,9 @@ class DuckDBDialect(Dialect):
 
     def arr_intersect_len(self, a: str, b: str) -> str:
         return f"len(list_intersect({a}, {b}))"
+
+    def shl1(self, bits: str) -> str:
+        return f"(CAST(1 AS BIGINT) << ({bits}))"
 
 
 SPARK = SparkDialect()

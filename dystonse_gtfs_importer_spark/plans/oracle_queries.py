@@ -822,6 +822,10 @@ QUERIES: dict[str, QueryDef] = {
     "countmin_heavy_hitters": _sql_pair(SK.q_countmin_heavy_hitters,
                                         "sketch-countmin"),
     "hll_distinct": _sql_pair(SK.q_hll_distinct, "sketch-hll A8"),
+    "histogram_quantiles": _sql_pair(SK.q_histogram_quantiles,
+                                     "sketch-histogram C11"),
+    "bloom_membership": _sql_pair(SK.q_bloom_membership,
+                                  "sketch-bloom join-prune"),
     "tfidf_topk": _sql_pair(SAMP.q_tfidf_topk, "text-analysis tfidf"),
     "decontaminate": _sql_pair(DC.q_decontaminate,
                                "decontamination ngram-overlap"),

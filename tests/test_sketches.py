@@ -82,3 +82,45 @@ class TestHll:
         merged = [max(x, y) for x, y in zip(a, b)]
         assert merged == whole
         assert _py_estimate(merged) == _py_estimate(whole)
+
+
+class TestHistogramQuantiles:
+    def test_error_bounded_by_bin_width(self, spark, sf_smoke):
+        register_views(spark, sf_smoke)
+        rows = spark.sql(SK.q_histogram_quantiles(S.SPARK)).collect()
+        assert len(rows) == len(SK.HIST_QUANTILES)
+        for r in rows:
+            # estimate and true quantile share the covering bin, so
+            # the error can never exceed one bin width
+            assert r.abs_err <= SK.HIST_BIN_WIDTH, r
+        by_q = sorted((r.quantile, r.est) for r in rows)
+        ests = [e for _, e in by_q]
+        assert ests == sorted(ests), "estimates not monotone in q"
+
+
+class TestBloomMembership:
+    def test_no_false_negatives_and_some_false_positives(self, spark):
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.session import configure_for_oracle
+
+        configure_for_oracle(spark)
+        # base source 'a': 400 tokens; source 'b': 30 shared + 300
+        # disjoint probes -> the 1920-bit filter at ~50 % fill must
+        # flag every shared token and (deterministically, seeded MD5)
+        # trips on some disjoint ones
+        base_toks = [f"base{i}" for i in range(400)]
+        shared = base_toks[:30]
+        probe_only = [f"probe{i}" for i in range(300)]
+        rows = [(0, " ".join(base_toks), "a"),
+                (1, " ".join(shared + probe_only), "b")]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        out = {r.source: r for r in
+               spark.sql(SK.q_bloom_membership(S.SPARK)).collect()}
+        b = out["b"]
+        assert b.n_probed == 330 and b.n_truly_shared == 30
+        # bloom guarantee: every truly shared token is flagged
+        assert b.n_flagged - b.n_false_pos == b.n_truly_shared
+        # at this fill ratio the deterministic hashes do collide
+        assert 0 < b.n_false_pos < 300
