@@ -141,3 +141,53 @@ def q_tfidf_topk(d: S.Dialect, per_doc: int = 3) -> str:
         SELECT doc_id, tok, tf, df, tfidf, term_rank
         FROM ranked WHERE term_rank <= {per_doc}
     """
+
+
+TEMP_TARGET = 150   # total docs the temperature-balanced mix keeps
+
+
+def q_temperature_sample(d: S.Dialect, n_target: int = TEMP_TARGET,
+                         seed: str = "temp1") -> str:
+    """Temperature-balanced (α = 0.5) language resampling — the
+    multilingual-corpus mixing rule (sample language l with
+    probability ∝ p_l^α) that upweights low-resource languages.
+
+    α is pinned to 0.5 so the weight is SQRT (correctly-rounded IEEE,
+    bit-identical cross-engine, unlike libm POWER); the normalizing
+    sum folds an ORDERED per-language array left-associatively
+    (``arr_fsum``) so its double value is deterministic under any
+    partitioning; per-language quotas are then FLOOR'd integers and
+    rows are picked by seeded-hash rank.  Scale shape: the language
+    table is tiny (one groupBy), quotas broadcast back, and the only
+    per-row work is the hash rank window inside each language
+    stratum — same profile as ``q_stratified_sample``.
+    """
+    u = f"MD5(CONCAT('{seed}#', CAST(doc_id AS STRING)))"
+    return f"""
+        WITH lc AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+            FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        w AS (
+            SELECT lang, n_l, SQRT(CAST(n_l AS DOUBLE)) AS w_l FROM lc
+        ),
+        tot AS (
+            SELECT {d.arr_fsum(d.ordered_list('w_l', 'lang'))} AS s
+            FROM w
+        ),
+        quota AS (
+            SELECT w.lang, w.n_l,
+                   CAST(FLOOR({n_target} * w.w_l / t.s) AS BIGINT) AS k_l
+            FROM w CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY {u}, doc_id) AS rk
+            FROM documents WHERE lang IS NOT NULL
+        )
+        SELECT r.doc_id, r.lang, q.n_l, q.k_l
+        FROM ranked r
+        JOIN quota q ON q.lang = r.lang
+        WHERE r.rk <= LEAST(q.k_l, q.n_l)
+    """

@@ -107,6 +107,12 @@ class Dialect:
         """BIGINT 1 << ``bits`` (bits < 63)."""
         raise NotImplementedError
 
+    def arr_fsum(self, arr: str) -> str:
+        """LEFT-ASSOCIATED fold-sum of a double array — deterministic
+        IEEE result for a given element order, unlike a parallel SUM
+        whose partial-combine order is engine/partitioning dependent."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -180,6 +186,10 @@ class SparkDialect(Dialect):
 
     def shl1(self, bits: str) -> str:
         return f"shiftleft(CAST(1 AS BIGINT), {bits})"
+
+    def arr_fsum(self, arr: str) -> str:
+        # ((0 + a1) + a2) + ... ; 0.0 + a1 == a1 exactly in IEEE
+        return f"aggregate({arr}, 0D, (acc, v) -> acc + v)"
 
 
 class DuckDBDialect(Dialect):
@@ -256,6 +266,12 @@ class DuckDBDialect(Dialect):
 
     def shl1(self, bits: str) -> str:
         return f"(CAST(1 AS BIGINT) << ({bits}))"
+
+    def arr_fsum(self, arr: str) -> str:
+        # list_reduce folds left from the first element — identical
+        # association order to the Spark aggregate() spelling
+        return (f"COALESCE(list_reduce({arr}, (x, y) -> x + y), "
+                f"CAST(0 AS DOUBLE))")
 
 
 SPARK = SparkDialect()

@@ -815,6 +815,8 @@ QUERIES: dict[str, QueryDef] = {
                                oracle=_dedup_clusters_oracle(),
                                survey_ref="dedup-clustering scale"),
     "vocab_topk": _sql_pair(SAMP.q_vocab_topk, "text-analysis vocab"),
+    "temperature_sample": _sql_pair(SAMP.q_temperature_sample,
+                                    "sampling temperature-balance"),
     "stratified_sample": _sql_pair(SAMP.q_stratified_sample,
                                    "sampling-stratified"),
     "hash_bernoulli_sample": _sql_pair(SAMP.q_hash_bernoulli_sample,

@@ -124,3 +124,39 @@ class TestBloomMembership:
         assert b.n_flagged - b.n_false_pos == b.n_truly_shared
         # at this fill ratio the deterministic hashes do collide
         assert 0 < b.n_false_pos < 300
+
+
+class TestTemperatureSample:
+    def test_low_resource_languages_upweighted(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+        )
+
+        register_views(spark, sf_smoke)
+        rows = spark.sql(SAMP.q_temperature_sample(S.SPARK)).collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r.lang, [r.n_l, 0])
+            per[r.lang][1] += 1
+        assert sum(k for _, k in per.values()) <= SAMP.TEMP_TARGET
+        # every language's kept count equals its quota (k_l <= n_l here)
+        for lang, (n_l, kept) in per.items():
+            k_l = next(r.k_l for r in rows if r.lang == lang)
+            assert kept == min(k_l, n_l), lang
+        # α=0.5 property: keep RATE decreases with corpus share
+        rates = sorted(((n, kept / n) for n, kept in per.values()),
+                       reverse=True)
+        assert all(r1 <= r2 + 1e-9
+                   for (_, r1), (_, r2) in zip(rates, rates[1:]))
+
+    def test_deterministic_across_runs(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+        )
+
+        register_views(spark, sf_smoke)
+        a = sorted(r.doc_id for r in
+                   spark.sql(SAMP.q_temperature_sample(S.SPARK)).collect())
+        b = sorted(r.doc_id for r in
+                   spark.sql(SAMP.q_temperature_sample(S.SPARK)).collect())
+        assert a == b and a
