@@ -113,6 +113,10 @@ class Dialect:
         whose partial-combine order is engine/partitioning dependent."""
         raise NotImplementedError
 
+    def shr(self, x: str, bits: int) -> str:
+        """BIGINT ``x`` >> ``bits`` (non-negative x)."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -190,6 +194,9 @@ class SparkDialect(Dialect):
     def arr_fsum(self, arr: str) -> str:
         # ((0 + a1) + a2) + ... ; 0.0 + a1 == a1 exactly in IEEE
         return f"aggregate({arr}, 0D, (acc, v) -> acc + v)"
+
+    def shr(self, x: str, bits: int) -> str:
+        return f"shiftright({x}, {bits})"
 
 
 class DuckDBDialect(Dialect):
@@ -272,6 +279,9 @@ class DuckDBDialect(Dialect):
         # association order to the Spark aggregate() spelling
         return (f"COALESCE(list_reduce({arr}, (x, y) -> x + y), "
                 f"CAST(0 AS DOUBLE))")
+
+    def shr(self, x: str, bits: int) -> str:
+        return f"(({x}) >> {bits})"
 
 
 SPARK = SparkDialect()

@@ -32,6 +32,7 @@ from ..functions import pii_sql as PII
 from ..functions import sampling_sql as SAMP
 from ..functions import sketch_sql as SK
 from ..functions import sql_shared as S
+from ..operators.layout import q_zorder_keys
 from ..sources.testdata import register_views
 
 
@@ -815,6 +816,7 @@ QUERIES: dict[str, QueryDef] = {
                                oracle=_dedup_clusters_oracle(),
                                survey_ref="dedup-clustering scale"),
     "vocab_topk": _sql_pair(SAMP.q_vocab_topk, "text-analysis vocab"),
+    "zorder_keys": _sql_pair(q_zorder_keys, "layout z-order"),
     "temperature_sample": _sql_pair(SAMP.q_temperature_sample,
                                     "sampling temperature-balance"),
     "stratified_sample": _sql_pair(SAMP.q_stratified_sample,
