@@ -295,6 +295,12 @@ def q_bloom_membership(d: S.Dialect, k: int = BLOOM_K) -> str:
     the relational form of the bloom-join prune that skips shuffling
     probe rows that cannot match.  The false-positive count the
     driver hash-verifies IS the sketch's quality statement.
+
+    Plan note: the probe's ``word IN (wpos_0..k)`` and the
+    ``source <> base`` comparison each plan as a
+    BroadcastNestedLoopJoin, which is correct and bounded here — the
+    build sides are the 32-row filter table and the 1-row base
+    scalar, constants independent of corpus size.
     """
     probes = " AND ".join(
         f"MAX(CASE WHEN pw.word = wpos_{i} THEN pw.bits ELSE 0 END)"

@@ -82,3 +82,24 @@ class TestZorderRepartition:
         )._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange rangepartitioning") == 1, plan
         assert "Exchange hashpartitioning" not in plan, plan
+
+
+class TestInterleaveExpr:
+    def test_bijective_on_domain(self):
+        import duckdb
+
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.operators.layout import (
+            _interleave_expr,
+        )
+
+        con = duckdb.connect()
+        expr = _interleave_expr(S.DUCKDB, "x", "y")
+        rows = con.execute(
+            f"SELECT x, y, {expr} AS z FROM "
+            "(SELECT unnest(range(64)) AS x), (SELECT unnest(range(64)) AS y)"
+        ).fetchall()
+        assert len(rows) == 64 * 64
+        zs = {z for _, _, z in rows}
+        assert len(zs) == 64 * 64          # injective
+        assert min(zs) == 0 and max(zs) == 4095  # onto [0, 2^12)
