@@ -330,6 +330,50 @@ def q_median_rank(d: S.Dialect) -> str:
     """
 
 
+def q_sessionization(d: S.Dialect, gap_s: int = 1800) -> str:
+    """Gap-based sessionization: consecutive events of a user belong
+    to one session while the gap stays under ``gap_s``; session ids
+    are the running count of gap-breaks (the classic LAG → flag →
+    cumulative-sum rewrite — no iteration, no UDF).  Per session:
+    bounds, event count, value sum.
+
+    Scale shape: both windows partition by user_id, so the whole
+    derivation is ONE user-keyed shuffle; the per-session rollup
+    re-uses the same partitioning.  This is the batch twin of a
+    Structured Streaming ``session_window`` aggregation — the driver
+    verifies the batch semantics the stream must converge to.
+    """
+    ep = _epoch_s("ts", d)
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, value, {ep} AS ep,
+                   LAG({ep}) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ep
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id, value, ep,
+                   CASE WHEN prev_ep IS NULL
+                             OR ep - prev_ep > {gap_s}
+                        THEN 1 ELSE 0 END AS brk
+            FROM ordered
+        ),
+        sessions AS (
+            SELECT user_id, value, ep,
+                   SUM(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ep) AS start_ep, MAX(ep) AS end_ep,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS value_sum
+        FROM sessions
+        GROUP BY user_id, session_id
+    """
+
+
 def q_non_final_stops(d: S.Dialect) -> str:
     # W4 + F10: drop each trip's final stop via per-trip max(sequence)
     return """
@@ -780,6 +824,7 @@ QUERIES: dict[str, QueryDef] = {
     "latest_wins": _sql_pair(q_latest_wins, "W2 ST3 S12"),
     "forward_fill": _sql_pair(q_forward_fill, "W1"),
     "median_rank": _sql_pair(q_median_rank, "W3 O1"),
+    "sessionization": _sql_pair(q_sessionization, "W-sessionize ST7"),
     "non_final_stops": _sql_pair(q_non_final_stops, "W4 F10"),
     "time_slot_histogram": _sql_pair(q_time_slot_histogram, "C4 F7 A11"),
     "route_sections": _sql_pair(q_route_sections, "C5 W5"),
