@@ -374,6 +374,77 @@ def q_sessionization(d: S.Dialect, gap_s: int = 1800) -> str:
     """
 
 
+def q_funnel_steps(d: S.Dialect) -> str:
+    """Ordered 3-step funnel (view → click → purchase) per user: the
+    earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click, and how deep the user got.  Expressed
+    as conditional MINs over one per-user aggregation pass per step —
+    three user-keyed aggregations that AQE plans as consecutive
+    same-key shuffles (effectively one repartition); no self-join of
+    the event log against itself.
+
+    Scale shape: each step's input is the (tiny) per-user step-time
+    table joined back broadcast-style to the event stream; candidate
+    volume is |events| per step, never |events|² — the standard
+    funnel rewrite that avoids the naive 3-way event self-join.
+    """
+    ep = _epoch_s("ts", d)
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_type, {ep} AS ep FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        s1 AS (
+            SELECT user_id, MIN(ep) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ep) AS t_click
+            FROM ev e JOIN s1 ON s1.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ep >= s1.t_view
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ep) AS t_purchase
+            FROM ev e JOIN s2 ON s2.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ep >= s2.t_click
+            GROUP BY e.user_id
+        )
+        SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         ELSE 1 END AS INT) AS steps_completed
+        FROM s1
+        LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """
+
+
+def q_rolling_hour_avg(d: S.Dialect) -> str:
+    """Per-user trailing-1-hour rolling mean over the event stream: a
+    RANGE frame on whole-second epochs (integer bounds — identical
+    frames cross-engine, no interval-type drift).  One user-keyed
+    shuffle; the frame scan is linear per partition (Spark keeps a
+    sliding aggregate, not a re-scan per row)."""
+    ep = _epoch_s("ts", d)
+    return f"""
+        WITH ev AS (
+            SELECT event_id, user_id, value, {ep} AS ep FROM events
+            WHERE value IS NOT NULL
+        )
+        SELECT event_id, user_id, ep,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ep
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+                   AS avg_1h,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ep
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_1h
+        FROM ev
+    """
+
+
 def q_non_final_stops(d: S.Dialect) -> str:
     # W4 + F10: drop each trip's final stop via per-trip max(sequence)
     return """
@@ -825,6 +896,8 @@ QUERIES: dict[str, QueryDef] = {
     "forward_fill": _sql_pair(q_forward_fill, "W1"),
     "median_rank": _sql_pair(q_median_rank, "W3 O1"),
     "sessionization": _sql_pair(q_sessionization, "W-sessionize ST7"),
+    "funnel_steps": _sql_pair(q_funnel_steps, "A-funnel J-ordered"),
+    "rolling_hour_avg": _sql_pair(q_rolling_hour_avg, "W-range-frame"),
     "non_final_stops": _sql_pair(q_non_final_stops, "W4 F10"),
     "time_slot_histogram": _sql_pair(q_time_slot_histogram, "C4 F7 A11"),
     "route_sections": _sql_pair(q_route_sections, "C5 W5"),

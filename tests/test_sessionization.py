@@ -67,3 +67,37 @@ class TestSessionization:
                    r.n)
                   for r in built}
         assert ours == theirs
+
+
+class TestFunnel:
+    def test_steps_require_order(self, spark):
+        import datetime as dt
+
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_funnel_steps,
+        )
+        from dystonse_gtfs_importer_spark.session import configure_for_oracle
+
+        configure_for_oracle(spark)
+        t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+        mk = lambda m: t0 + dt.timedelta(minutes=m)
+        rows = [
+            # user 1 completes in order
+            (1, mk(0), 1, "view"), (2, mk(5), 1, "click"),
+            (3, mk(9), 1, "purchase"),
+            # user 2: purchase BEFORE click -> depth 2
+            (4, mk(0), 2, "view"), (5, mk(1), 2, "purchase"),
+            (6, mk(2), 2, "click"),
+            # user 3: click before any view -> depth 1
+            (7, mk(0), 3, "click"), (8, mk(1), 3, "view"),
+            # user 4: never viewed -> absent
+            (9, mk(0), 4, "purchase"),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long,"
+                  " event_type string"
+        ).createOrReplaceTempView("events")
+        got = {r.user_id: r.steps_completed for r in
+               spark.sql(q_funnel_steps(S.SPARK)).collect()}
+        assert got == {1: 3, 2: 2, 3: 1}
