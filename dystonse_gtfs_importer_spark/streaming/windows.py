@@ -40,3 +40,31 @@ def windowed_event_counts(events: DataFrame,
         .select(F.unix_timestamp("w.start").alias("window_start_s"),
                 key_col, "n", "sum_value")
     )
+
+
+def sessionized_event_stats(events: DataFrame,
+                            ts_col: str = "ts",
+                            key_col: str = "user_id",
+                            gap: str = "30 minutes",
+                            watermark: str = "30 minutes") -> DataFrame:
+    """Streaming gap-based sessionization: ``session_window`` merges
+    a key's events while consecutive gaps stay under ``gap``; the
+    state store holds one open session per key (bounded by the
+    watermark), and a session only emits once the watermark passes
+    its close — the streaming twin of the batch
+    ``q_sessionization`` oracle query (same LAG→cumsum semantics,
+    verified equal in tests).  Works on batch frames too (watermark
+    skipped), so one plan serves both engines of the comparison."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                   F.col(key_col))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(key_col,
+                F.unix_timestamp("sw.start").alias("start_s"),
+                F.unix_timestamp("sw.end").alias("end_s"),
+                "n_events", "value_sum")
+    )

@@ -224,3 +224,59 @@ class TestCleanup:
         rows = kept.collect()
         assert len(rows) == 1
         assert str(rows[0].trip_start_date) == "2024-01-02"
+
+
+class TestStreamingSessionization:
+    def test_session_window_stream_matches_batch(self, spark, tmp_path):
+        """Streaming session_window with watermark (availableNow) must
+        emit exactly the closed sessions the batch plan produces."""
+        import json
+
+        import pyspark.sql.functions as F
+
+        src = tmp_path / "sev"
+        src.mkdir()
+        base = 1704096000  # 2024-01-01T08:00Z
+        rows = []
+        # user 0: two sessions (3 events, 40-min gap, 2 events);
+        # user 1: one long session of 4 events 10 min apart
+        for i, off in enumerate((0, 600, 1200, 3600 + 1800, 3600 + 2400)):
+            rows.append({"user_id": 0, "ts": (base + off) * 1000000,
+                         "value": float(i)})
+        for i in range(4):
+            rows.append({"user_id": 1, "ts": (base + i * 600) * 1000000,
+                         "value": 1.0})
+        # far-future tail to push the watermark past everything
+        rows.append({"user_id": 9, "ts": (base + 8 * 3600) * 1000000,
+                     "value": 0.0})
+        (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+        schema = "user_id long, ts long, value double"
+        to_ts = lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.col("ts")))
+
+        from dystonse_gtfs_importer_spark.streaming.windows import (
+            sessionized_event_stats,
+        )
+
+        batch = sessionized_event_stats(
+            to_ts(spark.read.schema(schema).json(str(src))))
+        stream = sessionized_event_stats(
+            to_ts(spark.readStream.schema(schema).json(str(src))))
+        assert stream.isStreaming
+        q = (stream.writeStream.format("memory").queryName("sessagg")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "sck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r.user_id, r.start_s, r.end_s): (r.n_events, r.value_sum)
+               for r in spark.sql("SELECT * FROM sessagg").collect()}
+        want = {(r.user_id, r.start_s, r.end_s): (r.n_events, r.value_sum)
+                for r in batch.collect()
+                if (r.user_id, r.start_s, r.end_s) in got}
+        assert got == want and got
+        # user 0 split into two sessions, user 1 merged into one
+        u0 = sorted(k for k in got if k[0] == 0)
+        assert len(u0) == 2 and got[u0[0]][0] == 3 and got[u0[1]][0] == 2
+        u1 = [k for k in got if k[0] == 1]
+        assert len(u1) == 1 and got[u1[0]][0] == 4
