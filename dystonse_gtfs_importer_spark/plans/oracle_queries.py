@@ -445,6 +445,46 @@ def q_rolling_hour_avg(d: S.Dialect) -> str:
     """
 
 
+def q_retention_cohorts(d: S.Dialect) -> str:
+    """Cohort retention matrix: users grouped by first-seen day, and
+    for each (cohort_day, day_offset) the distinct users active that
+    day plus the retention rate against the cohort size.
+
+    Scale shape: first-seen is one user-keyed MIN aggregation; the
+    activity table pre-collapses to DISTINCT (user, day) before the
+    join (so the join input is bounded by users × active-days, not raw
+    events); cohort sizes are a tiny broadcast side.  Day arithmetic
+    stays in integer epoch-days — identical cross-engine, no
+    date-diff dialect drift."""
+    ep = _epoch_s("ts", d)
+    day = f"CAST(FLOOR({ep} / 86400.0) AS BIGINT)"
+    return f"""
+        WITH activity AS (
+            SELECT DISTINCT user_id, {day} AS day FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS cohort_day
+            FROM activity GROUP BY user_id
+        ),
+        cohort_sizes AS (
+            SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+            FROM first_seen GROUP BY cohort_day
+        ),
+        cells AS (
+            SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS active_n
+            FROM activity a
+            JOIN first_seen f ON f.user_id = a.user_id
+            GROUP BY f.cohort_day, a.day - f.cohort_day
+        )
+        SELECT c.cohort_day, c.day_offset, c.active_n, s.cohort_n,
+               ROUND(CAST(c.active_n AS DOUBLE) / s.cohort_n, 4)
+                   AS retention
+        FROM cells c
+        JOIN cohort_sizes s ON s.cohort_day = c.cohort_day
+    """
+
+
 def q_non_final_stops(d: S.Dialect) -> str:
     # W4 + F10: drop each trip's final stop via per-trip max(sequence)
     return """
@@ -897,6 +937,7 @@ QUERIES: dict[str, QueryDef] = {
     "median_rank": _sql_pair(q_median_rank, "W3 O1"),
     "sessionization": _sql_pair(q_sessionization, "W-sessionize ST7"),
     "funnel_steps": _sql_pair(q_funnel_steps, "A-funnel J-ordered"),
+    "retention_cohorts": _sql_pair(q_retention_cohorts, "A-cohort"),
     "rolling_hour_avg": _sql_pair(q_rolling_hour_avg, "W-range-frame"),
     "non_final_stops": _sql_pair(q_non_final_stops, "W4 F10"),
     "time_slot_histogram": _sql_pair(q_time_slot_histogram, "C4 F7 A11"),
