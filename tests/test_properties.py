@@ -169,3 +169,59 @@ class TestLatestWinsAlgebra:
         shuffled = list(rows)
         rnd.shuffle(shuffled)
         assert self.merge(rows) == self.merge(shuffled)
+
+
+class TestDecontamProperties:
+    """DuckDB-evaluated properties of the decontam SQL family (the
+    Spark parity is pinned by the driver mirror; these pin the
+    SEMANTICS on random corpora)."""
+
+    corpus = st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12)
+        .map(lambda toks: " ".join(toks)),
+        min_size=1, max_size=25)
+
+    @staticmethod
+    def _run(template, texts):
+        import duckdb
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "source": ["s"] * len(texts),
+        }))
+        return con.execute(template(S.DUCKDB)).fetchall()
+
+    @given(corpus)
+    @settings(max_examples=40, deadline=None)
+    def test_scrub_bookkeeping_and_subsequence(self, texts):
+        from dystonse_gtfs_importer_spark.functions import decontam_sql as DC
+
+        rows = self._run(DC.q_boilerplate_scrub, texts)
+        assert len(rows) == len(texts)
+        for doc_id, n_tokens, n_removed, clean in sorted(rows):
+            orig = [t for t in texts[doc_id].lower().split() if t]
+            kept = [t for t in clean.split() if t]
+            assert n_tokens == len(orig)
+            assert n_removed == len(orig) - len(kept)
+            assert 0 <= n_removed <= n_tokens
+            # kept tokens are a subsequence of the original order
+            it = iter(orig)
+            assert all(any(t == o for o in it) for t in kept)
+
+    @given(corpus)
+    @settings(max_examples=40, deadline=None)
+    def test_packing_invariants(self, texts):
+        from dystonse_gtfs_importer_spark.functions import decontam_sql as DC
+
+        rows = sorted(self._run(DC.q_token_shard_packing, texts))
+        budget = DC.SHARD_TOKEN_BUDGET
+        cum = 0
+        for doc_id, source, n_tok, cum_tok, shard in rows:
+            cum += n_tok
+            assert cum_tok == cum            # exact prefix sum in id order
+            assert shard == (cum_tok - n_tok) // budget
