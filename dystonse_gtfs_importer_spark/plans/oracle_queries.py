@@ -445,6 +445,48 @@ def q_rolling_hour_avg(d: S.Dialect) -> str:
     """
 
 
+def q_scd2_intervals(d: S.Dialect) -> str:
+    """SCD Type-2 interval build from a change stream: collapse each
+    user's consecutive runs of the same event_type into validity
+    intervals [valid_from, valid_to) with valid_to = the next run's
+    start (NULL while current).  LAG detects the change, a cumulative
+    sum numbers the runs, LEAD closes them — one user-keyed shuffle,
+    no self-join, the standard latest-wins→history upgrade of the
+    W2/S12 merge family."""
+    ep = _epoch_s("ts", d)
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, event_type, {ep} AS ep,
+                   CASE WHEN LAG(event_type) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id) IS DISTINCT FROM
+                            event_type
+                        THEN 1 ELSE 0 END AS chg,
+                   ts, event_id
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, event_type, ep,
+                   SUM(chg) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM ordered
+        ),
+        intervals AS (
+            SELECT user_id, event_type,
+                   CAST(run_id AS BIGINT) AS run_id,
+                   MIN(ep) AS valid_from,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM runs GROUP BY user_id, event_type, run_id
+        )
+        SELECT user_id, event_type, run_id, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY run_id) AS valid_to,
+               n_events
+        FROM intervals
+    """
+
+
 def q_retention_cohorts(d: S.Dialect) -> str:
     """Cohort retention matrix: users grouped by first-seen day, and
     for each (cohort_day, day_offset) the distinct users active that
@@ -938,6 +980,7 @@ QUERIES: dict[str, QueryDef] = {
     "sessionization": _sql_pair(q_sessionization, "W-sessionize ST7"),
     "funnel_steps": _sql_pair(q_funnel_steps, "A-funnel J-ordered"),
     "retention_cohorts": _sql_pair(q_retention_cohorts, "A-cohort"),
+    "scd2_intervals": _sql_pair(q_scd2_intervals, "W2-history SCD2"),
     "rolling_hour_avg": _sql_pair(q_rolling_hour_avg, "W-range-frame"),
     "non_final_stops": _sql_pair(q_non_final_stops, "W4 F10"),
     "time_slot_histogram": _sql_pair(q_time_slot_histogram, "C4 F7 A11"),

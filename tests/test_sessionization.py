@@ -101,3 +101,34 @@ class TestFunnel:
         got = {r.user_id: r.steps_completed for r in
                spark.sql(q_funnel_steps(S.SPARK)).collect()}
         assert got == {1: 3, 2: 2, 3: 1}
+
+
+class TestScd2:
+    def test_runs_collapse_and_reopen(self, spark):
+        import datetime as dt
+
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_scd2_intervals,
+        )
+        from dystonse_gtfs_importer_spark.session import configure_for_oracle
+
+        configure_for_oracle(spark)
+        t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+        mk = lambda m: t0 + dt.timedelta(minutes=m)
+        rows = [(1, mk(0), 1, "a"), (2, mk(1), 1, "a"),
+                (3, mk(2), 1, "b"), (4, mk(3), 1, "a")]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long,"
+                  " event_type string"
+        ).createOrReplaceTempView("events")
+        got = sorted(tuple(r) for r in
+                     spark.sql(q_scd2_intervals(S.SPARK)).collect())
+        ep0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+        m = 60
+        # a-run (2 events), b-run, reopened a-run; valid_to chains
+        assert got == [
+            (1, "a", 1, ep0, ep0 + 2 * m, 2),
+            (1, "a", 3, ep0 + 3 * m, None, 1),
+            (1, "b", 2, ep0 + 2 * m, ep0 + 3 * m, 1),
+        ]
