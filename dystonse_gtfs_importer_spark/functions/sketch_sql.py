@@ -359,3 +359,78 @@ def q_bloom_membership(d: S.Dialect, k: int = BLOOM_K) -> str:
         LEFT JOIN truth tr ON tr.tok = p.tok
         GROUP BY p.source
     """
+
+
+def q_hll_shard_merge(d: S.Dialect, seed: str = "hll1") -> str:
+    """HLL MERGEABILITY, verified in the gate: build per-day shard
+    sketches (the artifact each day's job would persist), merge them
+    register-wise (MAX per bucket — associative, order-free), and
+    emit the merged estimate next to the direct single-pass estimate
+    with an equality flag.  At 100 TB this is the whole point of the
+    sketch: per-shard register tables are 256 rows each, the merge
+    touches sketches only, and the estimate never rescans history —
+    same contract as the mergeable curve bases in plans/incremental.
+    The harmonic term stays an exact BIGINT (2^(49−rho)), so merged
+    == direct is bit-exact and the driver hash pins it."""
+    alpha = ("(CAST(0.7213 AS DOUBLE) "
+             "/ (1.0 + CAST(1.079 AS DOUBLE) / 256.0))")
+    if d.name == "spark":
+        day = "(unix_timestamp(ts) div 86400)"
+    else:
+        day = "(epoch_us(ts) // 1000000 // 86400)"
+
+    def est_chain(regs: str, sfx: str) -> str:
+        return f"""
+        agg{sfx} AS (
+            SELECT SUM(CAST(POWER(2.0, {HLL_RHO_MAX} - mr) AS BIGINT))
+                       AS t_present,
+                   COUNT(*) AS n_buckets
+            FROM {regs}
+        ),
+        fin{sfx} AS (
+            SELECT CASE WHEN e_raw <= {int(2.5 * HLL_M)} AND v_zero > 0
+                        THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / v_zero)
+                        ELSE e_raw END AS e
+            FROM (
+                SELECT ({HLL_M} - n_buckets) AS v_zero,
+                       {alpha} * {HLL_M * HLL_M} * CAST({_POW2_49} AS DOUBLE)
+                         / (t_present + ({HLL_M} - n_buckets) * {_POW2_49})
+                           AS e_raw
+                FROM agg{sfx}
+            ) x
+        )"""
+
+    return f"""
+        WITH bw AS (
+            SELECT {day} AS day,
+                   ({_nibble_ref("SUBSTR(hx, 1, 1)")} * 16
+                    + {_nibble_ref("SUBSTR(hx, 2, 1)")}) AS bucket,
+                   {_hll_w('hx')} AS w
+            FROM (
+                SELECT ts,
+                       MD5(CONCAT('{seed}#', CAST(user_id AS STRING))) AS hx
+                FROM events
+            ) h
+        ),
+        shard_regs AS (
+            SELECT day, bucket, MAX({_hll_rho('w')}) AS mr
+            FROM bw GROUP BY day, bucket
+        ),
+        merged_regs AS (
+            SELECT bucket, MAX(mr) AS mr FROM shard_regs GROUP BY bucket
+        ),
+        direct_regs AS (
+            SELECT bucket, MAX({_hll_rho('w')}) AS mr
+            FROM bw GROUP BY bucket
+        ),
+        {est_chain('merged_regs', '_m')},
+        {est_chain('direct_regs', '_d')},
+        nsh AS (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_shards
+                FROM shard_regs)
+        SELECT nsh.n_shards,
+               ROUND(fm.e, 2) AS merged_est,
+               ROUND(fd.e, 2) AS direct_est,
+               CAST(CASE WHEN fm.e = fd.e THEN 1 ELSE 0 END AS INT)
+                   AS merge_is_lossless
+        FROM nsh CROSS JOIN fin_m fm CROSS JOIN fin_d fd
+    """

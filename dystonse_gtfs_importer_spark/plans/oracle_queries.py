@@ -1030,6 +1030,8 @@ QUERIES: dict[str, QueryDef] = {
     "hll_distinct": _sql_pair(SK.q_hll_distinct, "sketch-hll A8"),
     "histogram_quantiles": _sql_pair(SK.q_histogram_quantiles,
                                      "sketch-histogram C11"),
+    "hll_shard_merge": _sql_pair(SK.q_hll_shard_merge,
+                                 "sketch-hll mergeable"),
     "bloom_membership": _sql_pair(SK.q_bloom_membership,
                                   "sketch-bloom join-prune"),
     "tfidf_topk": _sql_pair(SAMP.q_tfidf_topk, "text-analysis tfidf"),
