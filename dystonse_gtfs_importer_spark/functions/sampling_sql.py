@@ -191,3 +191,57 @@ def q_temperature_sample(d: S.Dialect, n_target: int = TEMP_TARGET,
         JOIN quota q ON q.lang = r.lang
         WHERE r.rk <= LEAST(q.k_l, q.n_l)
     """
+
+
+def q_bigram_lm_score(d: S.Dialect) -> str:
+    """Corpus-self-trained bigram LM score per document — the n-gram
+    analog of the perplexity quality filter (KenLM-style) in training
+    pipelines: avg log P(w2|w1) under add-one smoothing, trained on
+    the corpus itself.  Low scores mark improbable token streams
+    (boilerplate, noise, wrong-language fragments).
+
+    Scale shape: the bigram/unigram count tables are vocabulary-sized
+    heavy-hitter aggregations (broadcastable); scoring joins each
+    doc's bigram stream against them and one doc-keyed SUM ends the
+    pipeline.  LN operates on count RATIOS (exact integers), and the
+    per-doc sum is ~doc-length terms, so ROUND(.,4) absorbs libm/
+    accumulation-order ulp drift — the driver hash stays stable."""
+    ta = d.token_array("text")
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, {d.bigram_list(ta)} AS bgs,
+                   {d.arr_len(ta)} AS n_tok
+            FROM documents
+        ),
+        doc_bg AS (
+            SELECT doc_id, {d.explode_arr('bgs')} AS bg FROM docs
+            WHERE {d.arr_len('bgs')} >= 1
+        ),
+        bg_counts AS (
+            SELECT bg, COUNT(*) AS c_bg FROM doc_bg GROUP BY bg
+        ),
+        un_counts AS (
+            SELECT tok, COUNT(*) AS c_w1 FROM (
+                SELECT {d.explode_tokens('text')} AS tok FROM documents
+            ) t WHERE tok <> '' GROUP BY tok
+        ),
+        vocab AS (SELECT COUNT(*) AS v FROM un_counts),
+        scored AS (
+            SELECT db.doc_id,
+                   SUM(LN(CAST(bc.c_bg + 1 AS DOUBLE)
+                          / (uc.c_w1 + vb.v))) AS logp,
+                   COUNT(*) AS n_bg
+            FROM doc_bg db
+            JOIN bg_counts bc ON bc.bg = db.bg
+            JOIN un_counts uc
+              ON uc.tok = SUBSTR(db.bg, 1,
+                                 POSITION(' ' IN db.bg) - 1)
+            CROSS JOIN vocab vb
+            GROUP BY db.doc_id
+        )
+        SELECT dd.doc_id,
+               CAST(dd.n_tok AS BIGINT) AS n_tok,
+               ROUND(s.logp / s.n_bg, 4) AS avg_logp
+        FROM docs dd
+        LEFT JOIN scored s ON s.doc_id = dd.doc_id
+    """

@@ -1019,6 +1019,8 @@ QUERIES: dict[str, QueryDef] = {
                                survey_ref="dedup-clustering scale"),
     "vocab_topk": _sql_pair(SAMP.q_vocab_topk, "text-analysis vocab"),
     "zorder_keys": _sql_pair(q_zorder_keys, "layout z-order"),
+    "bigram_lm_score": _sql_pair(SAMP.q_bigram_lm_score,
+                                 "text-analysis lm-quality"),
     "temperature_sample": _sql_pair(SAMP.q_temperature_sample,
                                     "sampling temperature-balance"),
     "stratified_sample": _sql_pair(SAMP.q_stratified_sample,
