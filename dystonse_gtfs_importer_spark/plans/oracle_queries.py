@@ -723,6 +723,50 @@ def q_exact_dedup(d: S.Dialect) -> str:
     """
 
 
+def q_source_overlap(d: S.Dialect) -> str:
+    """Cross-source contamination matrix: for every ordered source
+    pair, how many of source_a's distinct normalized fingerprints
+    also appear in source_b, with the share of a's fingerprints that
+    overlap — the corpus-governance report behind "how much of
+    dataset A is already inside dataset B".
+
+    Scale shape: docs collapse to DISTINCT (source, fingerprint)
+    first (map + one shuffle on the hash), so the pair join runs on
+    fingerprint groups, not documents; the per-source totals are a
+    tiny broadcast side.  Pair volume is Σ (sources per
+    fingerprint)², bounded by duplicate density across sources.
+
+    The fingerprint is the leading-5-token shingle (a prefix
+    fingerprint): full-document normalization finds only exact
+    copies, while the prefix catches shared openings — the common
+    real-world signal of cross-source ingestion of the same feed."""
+    return f"""
+        WITH fp AS (
+            SELECT DISTINCT source,
+                   MD5({d.arr_slice_join(d.token_array('text'), '0', 5)})
+                       AS fingerprint
+            FROM documents
+        ),
+        totals AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp
+            FROM fp GROUP BY source
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fp a
+            JOIN fp b ON a.fingerprint = b.fingerprint
+                     AND a.source <> b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT s.source_a, s.source_b, s.n_shared, t.n_fp AS n_fp_a,
+               ROUND(CAST(s.n_shared AS DOUBLE) / t.n_fp, 4)
+                   AS overlap_share
+        FROM shared s
+        JOIN totals t ON t.source = s.source_a
+    """
+
+
 def q_fingerprint_dedup(d: S.Dialect) -> str:
     # fingerprint on normalized text (lowercase, collapse whitespace,
     # strip non-alphanumerics) — near-dup via normalization
@@ -993,6 +1037,8 @@ QUERIES: dict[str, QueryDef] = {
     "quality_score": _sql_pair(q_quality_score, "text-analysis"),
     "exact_dedup": _sql_pair(q_exact_dedup, "dedup-exact"),
     "fingerprint_dedup": _sql_pair(q_fingerprint_dedup, "dedup-fingerprint"),
+    "source_overlap": _sql_pair(q_source_overlap,
+                                "corpus-governance overlap"),
     "union_service_days": _sql_pair(q_union_service_days, "U1"),
     "latest_in_past": _sql_pair(q_latest_in_past, "O7 S11"),
     "orders_by_size": _sql_pair(q_orders_by_size, "O6"),
