@@ -98,6 +98,35 @@ def q_vocab_topk(d: S.Dialect, k: int = 100) -> str:
     """
 
 
+def q_vocab_topk_take(d: S.Dialect, k: int = 100) -> str:
+    """The SCALE derivation of :func:`q_vocab_topk`: a global ORDER BY
+    + LIMIT, which Spark plans as TakeOrderedAndProject (per-partition
+    top-k heaps + a k-row driver merge) instead of funneling the whole
+    vocabulary through one ROW_NUMBER partition; rank is recomputed by
+    a window over the ALREADY-REDUCED k rows.  Registered cross-paired
+    against the windowed oracle form — the hash match proves the two
+    derivations equal."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, {d.explode_tokens('text')} AS tok
+                FROM documents
+            ) t WHERE tok <> ''
+        ),
+        stats AS (
+            SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY tok
+        ),
+        top AS (
+            SELECT tok, tf, df FROM stats
+            ORDER BY tf DESC, tok LIMIT {k}
+        )
+        SELECT tok, tf, df,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS rank
+        FROM top
+    """
+
+
 def q_tfidf_topk(d: S.Dialect, per_doc: int = 3) -> str:
     """Per-document top TF-IDF terms — the classic relevance score a
     training-data pipeline uses for keyword extraction and topic

@@ -1063,7 +1063,9 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_clusters": QueryDef(spark=_dedup_clusters_spark,
                                oracle=_dedup_clusters_oracle(),
                                survey_ref="dedup-clustering scale"),
-    "vocab_topk": _sql_pair(SAMP.q_vocab_topk, "text-analysis vocab"),
+    "vocab_topk": _sql_cross_pair(SAMP.q_vocab_topk_take,
+                                  SAMP.q_vocab_topk,
+                                  "text-analysis vocab scale"),
     "zorder_keys": _sql_pair(q_zorder_keys, "layout z-order"),
     "bigram_lm_score": _sql_pair(SAMP.q_bigram_lm_score,
                                  "text-analysis lm-quality"),

@@ -367,3 +367,21 @@ class TestSketchAndTfidfPlans:
         plan = plan_of(spark.sql(SAMP.q_tfidf_topk(S.SPARK)))
         assert "CartesianProduct" not in plan
         assert "partial_count" in plan, plan
+
+
+class TestTopKScalePlans:
+    def test_vocab_take_ordered_no_global_window(self, spark, sf_smoke):
+        """The scale derivation must plan the global top-k as
+        TakeOrderedAndProject (per-partition heaps), not a full-sort
+        single-partition ROW_NUMBER over the whole vocabulary."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+        )
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(SAMP.q_vocab_topk_take(S.SPARK)))
+        assert "TakeOrderedAndProject" in plan, plan
