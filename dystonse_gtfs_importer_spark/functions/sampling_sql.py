@@ -255,15 +255,23 @@ def q_bigram_lm_score(d: S.Dialect) -> str:
             ) t WHERE tok <> '' GROUP BY tok
         ),
         vocab AS (SELECT COUNT(*) AS v FROM un_counts),
+        -- add-one denominator: count of bigrams STARTING with w1
+        -- (so sum over w2 of P(w2|w1) = 1), not the corpus unigram
+        -- count, which over-counts document-final occurrences of w1
+        w1_counts AS (
+            SELECT SUBSTR(bg, 1, POSITION(' ' IN bg) - 1) AS tok,
+                   COUNT(*) AS c_w1dot
+            FROM doc_bg GROUP BY 1
+        ),
         scored AS (
             SELECT db.doc_id,
                    SUM(LN(CAST(bc.c_bg + 1 AS DOUBLE)
-                          / (uc.c_w1 + vb.v))) AS logp,
+                          / (wc.c_w1dot + vb.v))) AS logp,
                    COUNT(*) AS n_bg
             FROM doc_bg db
             JOIN bg_counts bc ON bc.bg = db.bg
-            JOIN un_counts uc
-              ON uc.tok = SUBSTR(db.bg, 1,
+            JOIN w1_counts wc
+              ON wc.tok = SUBSTR(db.bg, 1,
                                  POSITION(' ' IN db.bg) - 1)
             CROSS JOIN vocab vb
             GROUP BY db.doc_id

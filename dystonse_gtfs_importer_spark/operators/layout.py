@@ -31,12 +31,16 @@ ZBITS = 8  # bits per dimension -> 2^16 cells for two dimensions
 
 def _interleave_expr(d: S.Dialect, x: str, y: str,
                      bits: int = ZBITS) -> str:
-    """Morton key of two bucket ids in [0, 2^bits): x occupies even
-    bit positions, y odd ones."""
+    """Morton key of two bucket ids: x occupies even bit positions, y
+    odd ones.  Inputs are masked into [0, 2^bits) here — same contract
+    as the Column twin :func:`zorder_key` — so unbucketed callers get
+    identical keys on both paths instead of silent high-bit drops."""
+    mask = (1 << bits) - 1
+    xm, ym = f"({x} & {mask})", f"({y} & {mask})"
     terms = []
     for b in range(bits):
-        terms.append(f"({d.shr(x, b)} & 1) * {1 << (2 * b)}")
-        terms.append(f"({d.shr(y, b)} & 1) * {1 << (2 * b + 1)}")
+        terms.append(f"({d.shr(xm, b)} & 1) * {1 << (2 * b)}")
+        terms.append(f"({d.shr(ym, b)} & 1) * {1 << (2 * b + 1)}")
     return "(" + " + ".join(terms) + ")"
 
 

@@ -387,6 +387,14 @@ def q_funnel_steps(d: S.Dialect) -> str:
     table joined back broadcast-style to the event stream; candidate
     volume is |events| per step, never |events|² — the standard
     funnel rewrite that avoids the naive 3-way event self-join.
+
+    Tie semantics: steps compare on whole-second epochs (>=), so a
+    click in the SAME second as the view counts as after it, and any
+    sub-second ordering in ``ts`` is deliberately discarded — the
+    coarsest cross-engine-stable resolution (DuckDB keeps micros,
+    Spark's unix_timestamp truncates; comparing full-resolution
+    timestamps would hash-diverge).  Funnel order is therefore
+    second-granular by construction.
     """
     ep = _epoch_s("ts", d)
     return f"""
@@ -785,13 +793,17 @@ def q_fingerprint_dedup(d: S.Dialect) -> str:
 # ---------------------------------------------------------------------------
 
 def _ecdf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed through the counted form: one distinct-value row per
+    group reaches the pandas kernel (bit-exact for unfocused integer
+    weights) instead of every observation — the 100 TB shape."""
     from ..session import configure_for_oracle
     from ..sources.testdata import load_table
-    from .analyse import ecdf_curve_points
+    from .analyse import ecdf_curve_points_counted
 
     configure_for_oracle(spark)
     events = load_table(spark, sf_dir, "events")
-    return ecdf_curve_points(events, group_cols=["event_type"], value_col="value")
+    return ecdf_curve_points_counted(events, group_cols=["event_type"],
+                                     value_col="value")
 
 
 # SQL expression of make_curve's unfocused semantics: y at each distinct

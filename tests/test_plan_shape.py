@@ -6,6 +6,8 @@ even while every correctness test stays green."""
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -241,6 +243,43 @@ class TestAggShape:
         ev = load_table(spark, sf_smoke, "events")
         df = ecdf_curve_points(ev, ["event_type"], "value")
         assert n_exchanges(df) == 1, plan_of(df)
+
+    def test_ecdf_prunes_input_width(self, spark, sf_smoke):
+        """Only the group key and the value column may travel through
+        the Exchange into FlatMapGroupsInPandas — the 7-column events
+        schema (incl. the wide ``props`` string) must be projected
+        away at the scan."""
+        from dystonse_gtfs_importer_spark.plans.analyse import ecdf_curve_points
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_smoke, "events")
+        df = ecdf_curve_points(ev, ["event_type"], "value")
+        plan = plan_of(df)
+        assert "props" not in plan, plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m is not None, plan
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert read_cols == {"event_type", "value"}, plan
+
+    def test_ecdf_counted_partial_agg(self, spark, sf_smoke):
+        """The counted form must partial-aggregate below the first
+        Exchange (map-side combine on (group, value)), read only two
+        columns, and keep the props column out of every stage."""
+        from dystonse_gtfs_importer_spark.plans.analyse import (
+            ecdf_curve_points_counted,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_smoke, "events")
+        df = ecdf_curve_points_counted(ev, ["event_type"], "value")
+        plan = plan_of(df)
+        assert "props" not in plan, plan
+        # partial count below the shuffle: HashAggregate appears before
+        # the first Exchange in the bottom-up formatted plan
+        assert "partial_count" in plan or "partial count" in plan.lower(), plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert read_cols == {"event_type", "value"}, plan
 
 
 class TestCorpusPipelinePlans:
