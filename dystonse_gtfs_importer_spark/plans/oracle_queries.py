@@ -38,10 +38,14 @@ from ..sources.testdata import register_views
 
 @dataclass
 class QueryDef:
-    """A Spark query plus its DuckDB oracle (None → rows-only check)."""
+    """A Spark query plus its DuckDB oracle (None → rows-only check).
+
+    ``oracle`` may be a SQL string or a zero-arg callable returning
+    one — the callable form lets an oracle be derived lazily (e.g.
+    the curve-stack literal table recomputed from the fixture)."""
 
     spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    oracle: str | Callable[[], str] | None
     survey_ref: str  # SURVEY.md §2 operator ids this covers
 
 
@@ -944,6 +948,63 @@ def _curve_stack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").applyInPandas(build, schema)
 
 
+# The driver's oracle comparison always runs at sf0.01 (brief + driver
+# contract); the literal-table oracle below is therefore fixture-bound
+# to the same directory the driver registers its DuckDB views from.
+_CURVE_STACK_SF_DIR = "/root/testdata/sf0.01"
+_curve_stack_oracle_sql: str | None = None
+
+
+def _curve_stack_oracle() -> str:
+    """Literal-table oracle for the non-SQL curve stack (VERDICT r2
+    item 2): the expected rows are recomputed OUTSIDE Spark — pandas
+    groupby + the NumPy curve library over the sf0.01 events parquet,
+    a single-process derivation with none of the distributed
+    plumbing — and embedded as a VALUES table, so the driver
+    hash-checks the applyInPandas pipeline (grouping, Arrow transfer,
+    schema, types) against the local recomputation.  Deterministic
+    because every stage (sort-based ECDF, ε-simplify, convolution,
+    transfer probability) is order-independent NumPy math; mirrors
+    reference semantics at monitor/time_curve.rs:34-77 and
+    time_curve.rs:18-32."""
+    global _curve_stack_oracle_sql
+    if _curve_stack_oracle_sql is not None:
+        return _curve_stack_oracle_sql
+    import pyarrow.parquet as pq
+
+    from .. import curves as cv
+
+    pdf = pq.read_table(f"{_CURVE_STACK_SF_DIR}/events.parquet",
+                        columns=["event_type", "value"]).to_pandas()
+    rows = []
+    for et, g in pdf.groupby("event_type", sort=True):
+        made = cv.make_curve(g["value"].dropna().to_numpy("float64"))
+        if made is None:
+            continue
+        curve, _ = made
+        simp = cv.simplify(curve, 0.01)
+        conv = cv.convolve_duration(simp, cv.walk_time_curve(200.0))
+        p = cv.transfer_probability(simp, 0, simp, -300)
+        rows.append((et, len(curve), len(simp),
+                     round(float(cv.x_at_y(simp, 0.5)), 4),
+                     round(float(cv.x_at_y(conv, 0.5)), 4),
+                     round(p, 4)))
+    # doubles go through CAST('<repr>' AS DOUBLE): repr is the shortest
+    # round-tripping decimal, and strtod parsing is correctly rounded
+    # in both engines, so the literal reproduces the exact bits.
+    values = ",\n        ".join(
+        f"('{et}', {nr}, {ns}, CAST('{md!r}' AS DOUBLE), "
+        f"CAST('{mw!r}' AS DOUBLE), CAST('{pt!r}' AS DOUBLE))"
+        for et, nr, ns, md, mw, pt in rows)
+    _curve_stack_oracle_sql = f"""
+        SELECT * FROM (VALUES
+        {values}
+        ) AS t(event_type, n_raw_points, n_simplified, median_delay,
+               median_with_walk, p_transfer_self_5min)
+    """
+    return _curve_stack_oracle_sql
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: iterative large-star/small-star CC on the Spark
 # side vs a recursive-CTE min-label fixpoint in DuckDB — two entirely
@@ -1019,7 +1080,8 @@ QUERIES: dict[str, QueryDef] = {
     "ecdf_curve_focused": QueryDef(spark=_ecdf_focused_spark,
                                    oracle=_ECDF_FOCUSED_ORACLE,
                                    survey_ref="A3 C6"),
-    "curve_stack_stats": QueryDef(spark=_curve_stack_spark, oracle=None,
+    "curve_stack_stats": QueryDef(spark=_curve_stack_spark,
+                                  oracle=_curve_stack_oracle,
                                   survey_ref="A4 C7 C13 C14 C15"),
     "pricing_summary": _sql_pair(q_pricing_summary, "A1 A9 F1 F13 F16"),
     "hourly_event_stats": _sql_pair(q_hourly_event_stats, "A1 J10"),
@@ -1114,4 +1176,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle}
+    return {name: (qd.oracle() if callable(qd.oracle) else qd.oracle)
+            for name, qd in QUERIES.items() if qd.oracle is not None}
