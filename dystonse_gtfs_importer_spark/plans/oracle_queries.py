@@ -1006,6 +1006,59 @@ def _curve_stack_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# skew mitigation: the salted two-phase aggregate vs the straight
+# one-phase GROUP BY oracle — the hash match proves the rewrite is
+# semantics-preserving on a key where one group holds ~80% of rows.
+# ---------------------------------------------------------------------------
+
+def _salted_agg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key aggregation routed through the explicit salting
+    rewrite (operators/skew.py:33): every event type except
+    'purchase' collapses onto one hot key (~80% of rows), the exact
+    shape AQE's skew handling can't fix for aggregations; salting
+    spreads the hot group over 16 partial groups, then a final
+    key-only aggregate merges the partials.  At 100 TB this is the
+    difference between one straggler task holding 80% of the table
+    and 16 even ones."""
+    import pyspark.sql.functions as F
+
+    from ..operators.skew import salted_aggregate
+    from ..session import configure_for_oracle
+    from ..sources.testdata import load_table
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.withColumn(
+        "skew_key",
+        F.when(F.col("event_type") == "purchase", F.col("event_type"))
+         .otherwise(F.lit("hot")))
+    out = salted_aggregate(keyed, ["skew_key"], {
+        "n_events": (F.count("*"), F.sum("n_events")),
+        "value_sum": (F.sum("value"), F.sum("value_sum")),
+        "value_max": (F.max("value"), F.max("value_max")),
+    })
+    return out.select(
+        "skew_key",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value_sum", 4).alias("value_sum"),
+        F.round("value_max", 4).alias("value_max"))
+
+
+_SALTED_AGG_ORACLE = """
+    WITH keyed AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN event_type
+                    ELSE 'hot' END AS skew_key,
+               value
+        FROM events
+    )
+    SELECT skew_key, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS value_sum,
+           ROUND(MAX(value), 4) AS value_max
+    FROM keyed GROUP BY skew_key
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: iterative large-star/small-star CC on the Spark
 # side vs a recursive-CTE min-label fixpoint in DuckDB — two entirely
 # different derivations of the same partition, hash-matched.
@@ -1141,6 +1194,9 @@ QUERIES: dict[str, QueryDef] = {
                                   SAMP.q_vocab_topk,
                                   "text-analysis vocab scale"),
     "zorder_keys": _sql_pair(q_zorder_keys, "layout z-order"),
+    "salted_aggregate": QueryDef(spark=_salted_agg_spark,
+                                 oracle=_SALTED_AGG_ORACLE,
+                                 survey_ref="skew-salted A1"),
     "bigram_lm_score": _sql_pair(SAMP.q_bigram_lm_score,
                                  "text-analysis lm-quality"),
     "temperature_sample": _sql_pair(SAMP.q_temperature_sample,
