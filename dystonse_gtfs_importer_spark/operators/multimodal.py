@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched kernels.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``register_decoder`` installs a real decoder when the
-library exists; the default deterministic fake keeps every Spark-side
-contract — schema, batching, partitioning, null handling — real and
-testable.  At 100 TB the shape is what matters: binary payloads never
-reach the driver, never join as keys, and flow through ``mapInPandas``
+Decoding: ``media_codecs.install_stdlib_decoders()`` registers REAL
+pure-stdlib PNG (zlib inflate + unfilter) and WAV (struct PCM)
+decoders — no image/audio libraries needed; ``register_decoder``
+swaps in PIL/librosa-backed callables where those exist.  With no
+decoder registered a deterministic fake keeps every Spark-side
+contract — schema, batching, partitioning, null handling — testable.
+At 100 TB the shape is what matters: binary payloads never reach the
+driver, never join as keys, and flow through ``mapInPandas``
 (iterator form → constant memory per batch).
 """
 
@@ -75,12 +77,18 @@ def extract_features(media: DataFrame, dim: int = 16,
     Corrupt/undecodable payloads are dropped, not fatal — the
     reference's failed-file lifecycle applied per row."""
 
+    # snapshot the registry into the closure: a module-global lookup
+    # inside the kernel would resolve against a FRESH (empty) module
+    # import on the executor's Python worker — driver-side
+    # register_decoder() calls must ship by value with the task
+    decoders = dict(_DECODERS)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                decoder = _DECODERS.get(r.media_type)
+                decoder = decoders.get(r.media_type)
                 try:
                     vec = (decoder(payload, r.media_type) if decoder
                            else _fake_decode(payload, r.media_type, dim))
@@ -100,14 +108,29 @@ def extract_features(media: DataFrame, dim: int = 16,
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize plumbing: passes payloads through the same batched
-    kernel shape; the pixel operation is the stubbed step."""
+    """Image resize: PNG payloads are REALLY decoded (stdlib zlib
+    inflate + unfilter, operators/media_codecs.py), nearest-neighbor
+    resampled, and re-encoded inside the batched kernel; payloads the
+    stdlib codec can't read (e.g. JPEG without PIL in the container)
+    pass through with only the typed metadata rewritten — same
+    per-row-tolerant lifecycle as ``extract_features``."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codecs as MC
+
         for pdf in batches:
             pdf = pdf[pdf["media_type"] == "image"].copy()
-            # STUB: a real implementation decodes, resizes, re-encodes;
-            # the deterministic fake just rewrites the typed metadata.
+            payloads = []
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else None
+                try:
+                    img = MC.decode_png(raw)
+                    raw = MC.encode_png(
+                        MC.resize_nearest(img, width, height))
+                except Exception:
+                    pass  # non-PNG or corrupt: metadata-only rewrite
+                payloads.append(raw)
+            pdf["payload"] = payloads
             pdf["width"] = width
             pdf["height"] = height
             yield pdf

@@ -1,0 +1,169 @@
+"""Real (pure-stdlib) PNG/WAV decode feeding the multimodal pipeline.
+
+The decoders must handle genuine bytes — fixtures are real PNG files
+(every filter type exercised via the round-trip) and real 16-bit PCM
+WAVs — and the registered feature decoders must produce pixel-/
+sample-derived vectors through the distributed ``mapInPandas`` path,
+proving the executor-side registry snapshot ships with the task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dystonse_gtfs_importer_spark.operators import media_codecs as MC
+
+
+def _gradient_rgb(h=12, w=10):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 20
+    img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 15
+    img[:, :, 2] = 7
+    return img
+
+
+class TestPngCodec:
+    def test_roundtrip_rgb(self):
+        img = _gradient_rgb()
+        assert np.array_equal(MC.decode_png(MC.encode_png(img)), img)
+
+    def test_roundtrip_gray_and_rgba(self):
+        gray = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)[:, :, None]
+        assert np.array_equal(MC.decode_png(MC.encode_png(gray)), gray)
+        rgba = np.dstack([_gradient_rgb(8, 8),
+                          np.full((8, 8), 200, np.uint8)])
+        assert np.array_equal(MC.decode_png(MC.encode_png(rgba)), rgba)
+
+    def test_all_filter_types_unfilter(self):
+        """Hand-build one scanline per PNG filter (None/Sub/Up/Average/
+        Paeth) and check the decoder reconstructs the reference image
+        a filter-0 encoding of the same pixels yields."""
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        # reference decode via filter-0 encoder
+        ref = MC.decode_png(MC.encode_png(img))
+
+        # re-encode with filters 0..4, one per scanline
+        def filt(y, ftype):
+            line = img[y].reshape(-1).astype(np.int32)
+            prev = (img[y - 1].reshape(-1).astype(np.int32)
+                    if y > 0 else np.zeros_like(line))
+            ch = 3
+            out = np.empty_like(line)
+            for x in range(line.size):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                out[x] = (line[x] - pred) & 0xFF
+            return bytes([ftype]) + out.astype(np.uint8).tobytes()
+
+        scan = b"".join(filt(y, y % 5) for y in range(5))
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2,
+                                                0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(scan))
+                   + chunk(b"IEND", b""))
+        assert np.array_equal(MC.decode_png(payload), ref)
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            MC.decode_png(b"not a png at all")
+
+    def test_resize_nearest(self):
+        img = _gradient_rgb(12, 10)
+        out = MC.resize_nearest(img, 5, 6)
+        assert out.shape == (6, 5, 3)
+        # corner pixels map to source corners under nearest-neighbor
+        assert np.array_equal(out[0, 0], img[0, 0])
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit_stereo(self):
+        t = np.linspace(0, 1, 800, endpoint=False)
+        wave = np.stack([np.sin(2 * np.pi * 440 * t),
+                         0.25 * np.sin(2 * np.pi * 220 * t)], axis=1)
+        samples, rate = MC.decode_wav(MC.encode_wav(wave.astype(np.float32),
+                                                    rate=8000))
+        assert rate == 8000 and samples.shape == (800, 2)
+        assert np.abs(samples - wave).max() < 1e-4  # 16-bit quantization
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            MC.decode_wav(b"RIFFxxxxJUNK")
+
+
+class TestRealDecodersInPipeline:
+    def test_extract_features_with_stdlib_decoders(self, spark):
+        """End-to-end: real PNG/WAV payloads through the distributed
+        mapInPandas kernel with the stdlib decoders registered — the
+        feature vectors must be pixel-/sample-derived (not the hash
+        fake), and undecodable rows must drop."""
+        from dystonse_gtfs_importer_spark.operators import multimodal as MM
+
+        dark = MC.encode_png(np.zeros((16, 16, 3), dtype=np.uint8))
+        light = MC.encode_png(np.full((16, 16, 3), 255, dtype=np.uint8))
+        tone = MC.encode_wav(
+            np.sin(2 * np.pi * 440 * np.linspace(0, 1, 1600))
+            .astype(np.float32), rate=1600)
+        rows = [
+            (1, "image", dark, "image/png", 16, 16, None),
+            (2, "image", light, "image/png", 16, 16, None),
+            (3, "audio", tone, "audio/wav", None, None, 1000),
+            (4, "image", b"corrupt", "image/png", 8, 8, None),
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        MC.install_stdlib_decoders(dim=16)
+        try:
+            got = {r.media_id: r
+                   for r in MM.extract_features(media, dim=16).collect()}
+        finally:
+            MM._DECODERS.clear()
+        assert set(got) == {1, 2, 3}  # corrupt PNG dropped, not fatal
+        # all-black image: all luminance mass in bin 0
+        assert got[1].feature[0] == pytest.approx(1.0)
+        assert all(f == 0.0 for f in got[1].feature[1:])
+        # all-white image: all mass in the last bin
+        assert got[2].feature[-1] == pytest.approx(1.0)
+        # full-scale sine: every segment RMS near 1/sqrt(2)
+        for f in got[3].feature:
+            assert f == pytest.approx(0.707, abs=0.05)
+
+    def test_resize_images_real_png(self, spark):
+        from dystonse_gtfs_importer_spark.operators import multimodal as MM
+
+        src = _gradient_rgb(12, 10)
+        media = spark.createDataFrame(
+            [(1, "image", MC.encode_png(src), "image/png", 10, 12, None),
+             (2, "image", b"not-png", "image/jpeg", 9, 9, None)],
+            MM.MEDIA_SCHEMA)
+        got = {r.media_id: r
+               for r in MM.resize_images(media, 5, 6).collect()}
+        out = MC.decode_png(bytes(got[1].payload))
+        assert out.shape == (6, 5, 3)
+        assert np.array_equal(out, MC.resize_nearest(src, 5, 6))
+        assert got[1].width == 5 and got[1].height == 6
+        # undecodable payload passes through unchanged, metadata stamped
+        assert bytes(got[2].payload) == b"not-png"
+        assert got[2].width == 5 and got[2].height == 6
