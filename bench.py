@@ -56,13 +56,47 @@ def main() -> int:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+
+    # Same-process DuckDB oracle run of the same queries (warm: one
+    # untimed pass first), so the Spark/DuckDB ratio each round is
+    # self-documenting and measured under one methodology — at sf0.1
+    # the gap is dominated by Spark's ~0.9 s/query local-session
+    # floor, not plan quality (see SCALING.md "Honest bench notes").
+    duck_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from __spark_entry__ import oracle_sql
+
+        oracles = oracle_sql()
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+        for name in HEADLINE:
+            if name in oracles:
+                con.execute(oracles[name]).fetchall()  # warmup
+        for name in HEADLINE:
+            if name not in oracles:
+                continue
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            duck_timings[name] = round(time.time() - t0, 3)
+    except Exception as exc:  # bench must not fail on oracle issues
+        print(f"# duckdb oracle run skipped: {exc}", file=sys.stderr)
+
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if duck_timings:
+        out["duckdb_total"] = round(sum(duck_timings.values()), 3)
+        out["duckdb_queries"] = duck_timings
+    print(json.dumps(out))
     spark.stop()
     return 0
 

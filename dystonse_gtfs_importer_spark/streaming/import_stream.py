@@ -145,6 +145,66 @@ class Pinger:
         return True
 
 
+def merge_batch_overwrite(spark: SparkSession, recs: DataFrame,
+                          records_dir: str, source: str) -> bool:
+    """One partition-scoped latest-wins merge published via dynamic
+    partition overwrite — only the (source, trip_start_date)
+    partitions present in the batch are read back, merged, and
+    rewritten: O(touched partitions) per batch, not O(table).
+    Logically replay-idempotent (latest-wins over the same rows), but
+    NOT snapshot-atomic across partitions for concurrent readers."""
+    from pathlib import Path
+
+    from ..plans.import_etl import latest_wins_merge
+
+    touched = [r.trip_start_date for r in
+               recs.select("trip_start_date").distinct().collect()]
+    if not touched:
+        return False
+    existing = None
+    if Path(records_dir).exists():
+        existing = (
+            spark.read.parquet(records_dir)
+            # partition-pruned scan: only touched partitions
+            .where((F.col("source") == source)
+                   & F.col("trip_start_date").isin(touched)))
+    merged = latest_wins_merge(recs, existing=existing)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.repartition("source", "trip_start_date")
+         .write.mode("overwrite")
+         .partitionBy("source", "trip_start_date")
+         .parquet(records_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return True
+
+
+def merge_batch_snapshot(spark: SparkSession, store, recs: DataFrame,
+                         source: str, batch_id: int | None = None) -> bool:
+    """Snapshot-atomic variant of :func:`merge_batch_overwrite`: the
+    merged partitions publish through the SnapshotStore manifest
+    (sources/snapshot.py), so a concurrent reader sees the whole
+    multi-partition batch or none of it, and a foreachBatch replay of
+    an already-committed ``batch_id`` is a byte-identical no-op (the
+    reference's batched-statement retry semantics,
+    /root/reference/src/importer/batched_statements.rs)."""
+    from ..plans.import_etl import latest_wins_merge
+
+    if batch_id is not None and batch_id == store.last_batch_id():
+        return False  # replayed batch: already committed
+    touched = [r.trip_start_date for r in
+               recs.select("trip_start_date").distinct().collect()]
+    if not touched:
+        return False
+    existing = store.read_partitions(
+        spark, source=source, trip_start_date=touched)
+    merged = latest_wins_merge(recs, existing=existing)
+    return store.commit(merged, batch_id=batch_id)
+
+
 def run_import_stream(
     spark: SparkSession,
     rt_dir: str,
@@ -157,23 +217,32 @@ def run_import_stream(
     dedup_basis: bool = False,
     trigger: dict | None = None,
     pinger: Pinger | None = None,
+    publish: str = "overwrite",
 ):
     """The full streaming import: files → decode → (optional ST2 dedup)
     → records ETL → latest-wins merge into a parquet records table
     partitioned by (source, trip_start_date).
 
-    The merge is PARTITION-SCOPED: only the (source, trip_start_date)
-    partitions present in the micro-batch are read back, merged, and
-    rewritten via dynamic partition overwrite — O(touched partitions)
-    per batch, not O(table).  Untouched partitions' files are never
-    rewritten.  On a cluster with a table format this is a Delta/
-    Iceberg MERGE; dynamic overwrite is the plain-parquet equivalent
-    (the reference upserts per-row into MySQL,
-    importer/mod.rs:579-611).
+    ``publish`` selects the commit protocol: ``"overwrite"`` (default)
+    is the plain dynamic-partition-overwrite layout (directly
+    `spark.read.parquet`-able, no manifest indirection);
+    ``"snapshot"`` routes through the SnapshotStore manifest
+    (sources/snapshot.py) — snapshot-atomic across partitions for
+    concurrent readers and byte-identical under micro-batch replay,
+    the right mode when anything reads the table while imports run.
+    Both are partition-scoped merges; on a cluster with a table format
+    either becomes a Delta/Iceberg MERGE (the reference upserts
+    per-row into MySQL, importer/mod.rs:579-611).
     """
-    from pathlib import Path
+    if publish not in ("snapshot", "overwrite"):
+        raise ValueError(f"unknown publish mode {publish!r}")
+    from ..plans.import_etl import build_records
 
-    from ..plans.import_etl import build_records, latest_wins_merge
+    store = None
+    if publish == "snapshot":
+        from ..sources.snapshot import SnapshotStore
+
+        store = SnapshotStore(records_dir, ["source", "trip_start_date"])
 
     events = stream_rt_events(spark, rt_dir)
     if dedup_basis:
@@ -183,30 +252,10 @@ def run_import_stream(
         recs = build_records(batch_df, trips, stop_times,
                              source, schedule_file_name).cache()
         try:
-            touched = [r.trip_start_date for r in
-                       recs.select("trip_start_date").distinct().collect()]
-            if not touched:
-                return
-            existing = None
-            if Path(records_dir).exists():
-                existing = (
-                    spark.read.parquet(records_dir)
-                    # partition-pruned scan: only touched partitions
-                    .where((F.col("source") == source)
-                           & F.col("trip_start_date").isin(touched)))
-            merged = latest_wins_merge(recs, existing=existing)
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                                  "static")
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           "dynamic")
-            try:
-                (merged.repartition("source", "trip_start_date")
-                 .write.mode("overwrite")
-                 .partitionBy("source", "trip_start_date")
-                 .parquet(records_dir))
-            finally:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                               prev)
+            if store is not None:
+                merge_batch_snapshot(spark, store, recs, source, batch_id)
+            else:
+                merge_batch_overwrite(spark, recs, records_dir, source)
         finally:
             recs.unpersist()
             if pinger is not None:
