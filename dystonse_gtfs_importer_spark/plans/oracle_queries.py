@@ -1058,6 +1058,41 @@ _SALTED_AGG_ORACLE = """
 """
 
 
+def _salted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join rewrite (operators/skew.py:53) vs a plain JOIN
+    oracle: the big side is salted deterministically, the small side
+    replicated once per salt value, the join runs on (key, salt) —
+    semantics must be EXACTLY the plain equi-join's.  The dim here is
+    tiny (broadcastable in practice); the query is the semantics
+    proof for the case that matters at scale: a skewed build side too
+    large to broadcast."""
+    import pyspark.sql.functions as F
+
+    from ..operators.skew import salted_join
+    from ..session import configure_for_oracle
+    from ..sources.testdata import load_table
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    user_dim = (events.groupBy("user_id")
+                .agg(F.min(F.unix_timestamp("ts"))
+                     .alias("first_seen_ep")))
+    joined = salted_join(events.select("event_id", "user_id"),
+                         user_dim, ["user_id"], salt=8)
+    return joined.select("event_id", "user_id", "first_seen_ep")
+
+
+_SALTED_JOIN_ORACLE = """
+    WITH dim AS (
+        SELECT user_id,
+               MIN(epoch_us(ts) // 1000000) AS first_seen_ep
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, d.first_seen_ep
+    FROM events e JOIN dim d USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: iterative large-star/small-star CC on the Spark
 # side vs a recursive-CTE min-label fixpoint in DuckDB — two entirely
@@ -1197,6 +1232,9 @@ QUERIES: dict[str, QueryDef] = {
     "salted_aggregate": QueryDef(spark=_salted_agg_spark,
                                  oracle=_SALTED_AGG_ORACLE,
                                  survey_ref="skew-salted A1"),
+    "salted_join": QueryDef(spark=_salted_join_spark,
+                            oracle=_SALTED_JOIN_ORACLE,
+                            survey_ref="skew-salted J-equi"),
     "bigram_lm_score": _sql_pair(SAMP.q_bigram_lm_score,
                                  "text-analysis lm-quality"),
     "temperature_sample": _sql_pair(SAMP.q_temperature_sample,
