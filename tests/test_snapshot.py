@@ -158,6 +158,60 @@ class TestSnapshotStore:
                           .read_text())["version"] == 2
 
 
+class TestStreamSnapshotMode:
+    def test_import_stream_publishes_through_manifest(self, spark,
+                                                      tmp_path):
+        """run_import_stream(publish='snapshot') end-to-end: two
+        stream runs land latest-wins state readable only through the
+        manifest, with the second batch's id recorded."""
+        from gtfs_fixtures import build_schedule, write_gtfs_dir
+
+        from dystonse_gtfs_importer_spark.sources.gtfs import read_gtfs
+        from dystonse_gtfs_importer_spark.sources.gtfs_rt import (
+            encode_feed_message,
+        )
+        from dystonse_gtfs_importer_spark.streaming.import_stream import (
+            run_import_stream,
+        )
+
+        def feed(ts, pairs):
+            return encode_feed_message(ts, [
+                {"trip_id": "TR1v1n0", "route_id": "R1",
+                 "start_date": "20240101", "start_time": "08:00:00",
+                 "stop_time_updates": [(s, f"S{s}", d, d)
+                                       for s, d in pairs]}])
+
+        g = tmp_path / "gtfs"
+        g.mkdir()
+        write_gtfs_dir(build_schedule(), g)
+        sched = read_gtfs(spark, str(g))
+        trips = sched["trips"].cache()
+        stop_times = sched["stop_times"].cache()
+        rt = tmp_path / "rt"
+        rt.mkdir()
+        records_dir = str(tmp_path / "records")
+        ckpt = str(tmp_path / "ckpt")
+
+        (rt / "f1.pb").write_bytes(feed(1704096000, [(1, 60), (2, 70)]))
+        q = run_import_stream(spark, str(rt), trips, stop_times,
+                              "test", "sched", records_dir, ckpt,
+                              publish="snapshot")
+        q.awaitTermination(120)
+        (rt / "f2.pb").write_bytes(feed(1704096120, [(1, 90)]))
+        q = run_import_stream(spark, str(rt), trips, stop_times,
+                              "test", "sched", records_dir, ckpt,
+                              publish="snapshot")
+        q.awaitTermination(120)
+
+        store = SnapshotStore(records_dir, PART_COLS)
+        recs = store.read(spark)
+        got = {r.stop_sequence: r.delay_arrival for r in recs.collect()}
+        assert got == {1: 90, 2: 70}
+        # no bare-parquet layout at the root: data lives under data/
+        assert not list(Path(records_dir).glob("source=*"))
+        assert store.manifest()["batch_id"] is not None
+
+
 class TestOverwriteReplay:
     def test_overwrite_replay_is_logically_idempotent(self, spark,
                                                       tmp_path):
