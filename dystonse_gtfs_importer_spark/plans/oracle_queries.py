@@ -797,17 +797,22 @@ def q_fingerprint_dedup(d: S.Dialect) -> str:
 # ---------------------------------------------------------------------------
 
 def _ecdf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Routed through the counted form: one distinct-value row per
-    group reaches the pandas kernel (bit-exact for unfocused integer
-    weights) instead of every observation — the 100 TB shape."""
+    """Pruned per-row form: a 2-column Project feeds the single
+    Exchange into the pandas kernel (plan-pinned).  The counted twin
+    ``ecdf_curve_points_counted`` — distinct-values-only shuffle via a
+    JVM-side partial aggregate, bit-identical output (equality-tested)
+    — is the 100 TB shape, but its two extra aggregate stages cost
+    ~2 s of codegen/scheduling at local scale, so the single-shuffle
+    form is the bench entry; the GTFS production curves already
+    pre-count (plans/analyse_gtfs.py general_delay_counted)."""
     from ..session import configure_for_oracle
     from ..sources.testdata import load_table
-    from .analyse import ecdf_curve_points_counted
+    from .analyse import ecdf_curve_points
 
     configure_for_oracle(spark)
     events = load_table(spark, sf_dir, "events")
-    return ecdf_curve_points_counted(events, group_cols=["event_type"],
-                                     value_col="value")
+    return ecdf_curve_points(events, group_cols=["event_type"],
+                             value_col="value")
 
 
 # SQL expression of make_curve's unfocused semantics: y at each distinct

@@ -261,6 +261,24 @@ class TestAggShape:
         read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert read_cols == {"event_type", "value"}, plan
 
+    def test_ecdf_counted_equals_per_row(self, spark, sf_smoke):
+        """The counted scale form must be BIT-identical to the per-row
+        form for unfocused (integer) weights — same points, same
+        doubles — so swapping forms by data volume is purely a
+        physical choice."""
+        from dystonse_gtfs_importer_spark.plans.analyse import (
+            ecdf_curve_points, ecdf_curve_points_counted,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_smoke, "events")
+        a = {(r.event_type, r.x, r.y, r.sample_size) for r in
+             ecdf_curve_points(ev, ["event_type"], "value").collect()}
+        b = {(r.event_type, r.x, r.y, r.sample_size) for r in
+             ecdf_curve_points_counted(
+                 ev, ["event_type"], "value").collect()}
+        assert a == b and len(a) > 0
+
     def test_ecdf_counted_partial_agg(self, spark, sf_smoke):
         """The counted form must partial-aggregate below the first
         Exchange (map-side combine on (group, value)), read only two
