@@ -283,7 +283,29 @@ def q_spatial_neighbors(d: S.Dialect) -> str:
 # ---------------------------------------------------------------------------
 
 def q_latest_wins(d: S.Dialect) -> str:
-    # W2: latest time_of_recording wins per logical PK
+    # W2: latest time_of_recording wins per logical PK.  The ordering is
+    # all-DESC, so the Spark side rewrites the window-rank as a single
+    # MAX_BY over a struct ordering key: a HashAggregate with map-side
+    # partial aggregation — one surviving row per key per input
+    # partition enters the shuffle, vs ALL rows (sorted) for the
+    # ROW_NUMBER form the oracle keeps.  Same rewrite family as J3
+    # (asof_join); the cross-engine hash match proves the two
+    # derivations agree.
+    if d.name == "spark":
+        return """
+            SELECT user_id, event_type,
+                   w.event_id AS latest_event,
+                   ROUND(w.value, 4) AS value
+            FROM (
+                SELECT user_id, event_type,
+                       MAX_BY(NAMED_STRUCT('event_id', event_id,
+                                           'value', value),
+                              NAMED_STRUCT('ts', ts,
+                                           'event_id', event_id)) AS w
+                FROM events
+                GROUP BY user_id, event_type
+            ) t
+        """
     return """
         SELECT user_id, event_type, event_id AS latest_event,
                ROUND(value, 4) AS value

@@ -236,6 +236,29 @@ class TestAggShape:
         assert "SortMergeJoin" not in plan and "Join" not in plan, plan
         assert plan.count("Sort ") == 0, plan
 
+    def test_latest_wins_partial_agg_no_window(self, spark, sf_smoke):
+        """W2's Spark derivation is a MAX_BY aggregate, not a window
+        rank: partial aggregation must sit below the one shuffle (only
+        ~|keys| rows cross the exchange at any scale) and no Window
+        operator may appear (the oracle keeps the ROW_NUMBER form; the
+        driver hash-match proves them equal)."""
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_latest_wins,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(q_latest_wins(S.SPARK))
+        plan = plan_of(df)
+        assert "Window" not in plan, plan
+        assert "partial_max_by" in plan, plan
+        assert plan.index("partial_max_by") > plan.index("Exchange"), \
+            "partial max_by must run below (after in plan text) the shuffle"
+        assert n_exchanges(df) == 1, plan
+
     def test_ecdf_single_shuffle(self, spark, sf_smoke):
         from dystonse_gtfs_importer_spark.plans.analyse import ecdf_curve_points
         from dystonse_gtfs_importer_spark.sources.testdata import load_table
