@@ -133,3 +133,41 @@ class TestDistributedRender:
             root = ET.fromstring(r.svg)
             assert len(root.findall(f"{SVG_NS}polyline")) == 4
             assert r.route_id == "r1"
+
+
+# ---------------------------------------------------------------------------
+# property tests (no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+class TestRenderingProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.floats(min_value=0.0, max_value=1.0),
+                    min_size=1, max_size=240))
+    def test_heat_strip_png_width_matches_strip(self, strip):
+        img = decode_png(rd.heat_strip_png(np.array(strip), height=3))
+        assert img.shape == (3, len(strip), 3)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.tuples(st.floats(min_value=-3000, max_value=3000),
+                              st.floats(min_value=0, max_value=100)),
+                    min_size=2, max_size=60),
+           st.integers(min_value=1, max_value=5))
+    def test_svg_always_wellformed_and_clipped(self, pts, n_curves):
+        pts = sorted(set(pts))
+        if len(pts) < 2:
+            return
+        svg = rd.curve_page_svg(
+            "t", [(float(i * 30), pts) for i in range(n_curves)],
+            general_departure=pts, sample_size=7)
+        root = ET.fromstring(svg)
+        assert len(root.findall(f"{SVG_NS}polyline")) == n_curves + 1
+        for poly in root.findall(f"{SVG_NS}polyline"):
+            for pair in poly.get("points").split():
+                x, y = map(float, pair.split(","))
+                # x may exceed the plot frame for out-of-range data but
+                # must stay finite; y is bounded by the y_pct domain
+                assert np.isfinite(x) and np.isfinite(y)
