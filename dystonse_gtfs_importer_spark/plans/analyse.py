@@ -125,6 +125,85 @@ def ecdf_curve_points_counted(df: DataFrame, group_cols: list[str],
     return counted.groupBy(*group_cols).applyInPandas(build, out_schema)
 
 
+def ecdf_curve_points_jvm(df: DataFrame, group_cols: list[str],
+                          value_col: str, min_samples: int = 2,
+                          focus: float | None = None,
+                          y_round: int | None = None) -> DataFrame:
+    """Pure-JVM twin of :func:`ecdf_curve_points`: the A3 ``make_curve``
+    semantics (curve_utils.rs:65-94 quirks included) expressed entirely
+    as DataFrame ops — counted distinct values, then a per-group window
+    cumsum — with **no Python in the plan**: every stage is whole-stage
+    codegen, no Arrow transfer, no pandas kernel.
+
+    Shape: one (group, value) hash aggregate (partial below the
+    exchange), then windows over ≤ |distinct values| rows per group —
+    at 12 s-rounded ±3000 s delays that is ≤ 501 rows per group
+    regardless of record volume.  Equality vs the pandas kernel is
+    pinned by tests; the kernel remains the reference implementation
+    (and the only path for curve-*array* outputs / simplify).
+
+    Semantics mirrored exactly: duplicate x keeps the cumulative
+    weight of its first occurrence; an x == 0.0 at the group minimum
+    emits no point; first/last surviving y forced to 0.0 / 1.0; groups
+    with < ``min_samples`` values or < 2 surviving points vanish.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    part = Window.partitionBy(*g)
+    ordered = part.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+
+    v = (df.select(*g, F.col(value_col).cast("double").alias("x"))
+         .where(F.col("x").isNotNull()))
+    counted = v.groupBy(*g, "x").agg(F.count("*").alias("cnt"))
+
+    if focus is None:
+        w = F.lit(1.0)
+    else:
+        # triangular kernel (C6 get_weight): 1.0 at focus, linear to 0
+        # at the group min/max; spans of zero width degenerate to 1/0
+        # exactly as the NumPy mirror does
+        mn_g = F.min("x").over(part)
+        mx_g = F.max("x").over(part)
+        fc = F.lit(float(focus))
+        below = F.when(fc - mn_g != 0.0,
+                       (F.col("x") - mn_g) / (fc - mn_g)).otherwise(F.lit(1.0))
+        above = F.when(mx_g - fc != 0.0,
+                       1.0 - (F.col("x") - fc) / (mx_g - fc)).otherwise(
+            F.lit(0.0))
+        w = (F.when(F.col("x") == fc, 1.0)
+             .when(F.col("x") < fc, below).otherwise(above))
+
+    cum = (counted
+           .withColumn("__w", w)
+           .withColumn("__wc", F.col("__w") * F.col("cnt"))
+           .withColumn("__raw_min", F.min("x").over(part))
+           .withColumn("n", F.sum("cnt").over(part))
+           .withColumn("total", F.sum("__wc").over(part))
+           .withColumn("cum_first",
+                       F.sum("__wc").over(ordered) - F.col("__wc")
+                       + F.col("__w")))
+    filtered = cum.where(
+        ~((F.col("x") == 0.0) & (F.col("x") == F.col("__raw_min"))))
+    filtered = (filtered
+                .withColumn("__mn", F.min("x").over(part))
+                .withColumn("__mx", F.max("x").over(part))
+                .withColumn("__k", F.count("*").over(part)))
+    y = (F.when(F.col("x") == F.col("__mn"), 0.0)
+         .when(F.col("x") == F.col("__mx"), 1.0)
+         .otherwise(F.least(F.lit(1.0), F.greatest(
+             F.lit(0.0), F.col("cum_first") / F.col("total")))))
+    if y_round is not None:
+        y = F.round(y, y_round)
+    return (filtered
+            .where((F.col("n") >= min_samples) & (F.col("__k") >= 2)
+                   & (F.col("total") > 0))
+            .select(*g, "x", y.alias("y"),
+                    F.col("n").cast("long").alias("sample_size")))
+
+
 def curve_table(df: DataFrame, group_cols: list[str], value_col: str,
                 min_samples: int = 20, simplify_eps: float | None = 0.01,
                 focus_col: str | None = None) -> DataFrame:

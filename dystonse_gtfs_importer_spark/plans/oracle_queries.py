@@ -837,6 +837,24 @@ def _ecdf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                              value_col="value")
 
 
+def _ecdf_jvm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third derivation of A3: :func:`plans.analyse.ecdf_curve_points_jvm`
+    — make_curve expressed entirely as JVM DataFrame ops (counted
+    values + window cumsum, zero Python in the plan).  Hash-matched
+    against the same DuckDB oracle as the pandas kernel, so kernel,
+    counted kernel, and JVM forms are mutually proven equal; this is
+    the form a cluster without Python workers (or with Arrow transfer
+    as the bottleneck) would run."""
+    from ..session import configure_for_oracle
+    from ..sources.testdata import load_table
+    from .analyse import ecdf_curve_points_jvm
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    return ecdf_curve_points_jvm(events, group_cols=["event_type"],
+                                 value_col="value")
+
+
 # SQL expression of make_curve's unfocused semantics: y at each distinct
 # x is the cumulative count at its FIRST occurrence / total; a leading
 # x == 0.0 emits no point (the reference's last_x sentinel); endpoints
@@ -1183,6 +1201,8 @@ def _dedup_clusters_oracle() -> str:
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
+    "ecdf_curve_jvm": QueryDef(spark=_ecdf_jvm_spark, oracle=_ECDF_ORACLE,
+                               survey_ref="A3 scale path (no-Python)"),
     # ANN paths rendered dual-dialect (functions/ann_sql.py): the
     # driver hash-verifies the FULL approximate result cross-engine;
     # recall-vs-exact quality is asserted in tests/test_similarity.py

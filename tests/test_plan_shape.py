@@ -323,6 +323,47 @@ class TestAggShape:
         assert read_cols == {"event_type", "value"}, plan
 
 
+    def test_ecdf_jvm_equals_per_row(self, spark, sf_smoke):
+        """The pure-JVM derivation must reproduce the pandas kernel —
+        bit-identical unfocused, and identical at 6 decimals with a
+        triangular focus (float summation order differs)."""
+        from dystonse_gtfs_importer_spark.plans.analyse import (
+            ecdf_curve_points, ecdf_curve_points_jvm,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_smoke, "events")
+        a = {(r.event_type, r.x, r.y, r.sample_size) for r in
+             ecdf_curve_points(ev, ["event_type"], "value").collect()}
+        b = {(r.event_type, r.x, r.y, r.sample_size) for r in
+             ecdf_curve_points_jvm(ev, ["event_type"], "value").collect()}
+        assert a == b and len(a) > 0
+        af = {(r.event_type, r.x, r.y) for r in ecdf_curve_points(
+            ev, ["event_type"], "value", focus=50.0, y_round=6).collect()}
+        bf = {(r.event_type, r.x, r.y) for r in ecdf_curve_points_jvm(
+            ev, ["event_type"], "value", focus=50.0, y_round=6).collect()}
+        assert af == bf and len(af) > 0
+
+    def test_ecdf_jvm_no_python_in_plan(self, spark, sf_smoke):
+        """The JVM form's whole point: NO Python evaluation operator
+        anywhere in the plan — curve building runs in codegen with a
+        partial (group, value) aggregate below the first shuffle."""
+        from dystonse_gtfs_importer_spark.plans.analyse import (
+            ecdf_curve_points_jvm,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        ev = load_table(spark, sf_smoke, "events")
+        plan = plan_of(ecdf_curve_points_jvm(ev, ["event_type"], "value"))
+        for op in ("FlatMapGroupsInPandas", "ArrowEvalPython",
+                   "BatchEvalPython", "MapInPandas"):
+            assert op not in plan, plan
+        assert "partial_count" in plan, plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert read_cols == {"event_type", "value"}, plan
+
+
 class TestCorpusPipelinePlans:
     def test_boilerplate_scrub_broadcasts_frequent_grams(self, spark,
                                                          sf_smoke):
