@@ -646,7 +646,25 @@ def q_union_service_days(d: S.Dialect) -> str:
 
 def q_latest_in_past(d: S.Dialect) -> str:
     # O7/S11: per user, the most recent event strictly before a cutoff
-    # (ORDER BY time DESC, tie-break, take 1)
+    # (ORDER BY time DESC, tie-break, take 1).  All-DESC ordering, so
+    # the Spark side uses the partial-aggregating MAX_BY rewrite (see
+    # q_latest_wins); the cutoff filter additionally pushes down to
+    # the parquet scan, which the window form also enjoys — the win
+    # here is shuffling one row per user per partition.
+    if d.name == "spark":
+        return """
+            SELECT user_id, w.event_id AS latest_event, w.event_type
+            FROM (
+                SELECT user_id,
+                       MAX_BY(NAMED_STRUCT('event_id', event_id,
+                                           'event_type', event_type),
+                              NAMED_STRUCT('ts', ts,
+                                           'event_id', event_id)) AS w
+                FROM events
+                WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+                GROUP BY user_id
+            ) t
+        """
     return """
         SELECT user_id, event_id AS latest_event, event_type
         FROM (
