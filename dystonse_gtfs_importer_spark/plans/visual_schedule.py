@@ -125,6 +125,72 @@ def stop_pair_curve_series(specific: DataFrame,
     return sets.unionByName(dep_start).unionByName(arr_end)
 
 
+def schedule_page_series(records: DataFrame, trips: DataFrame,
+                         stop_times: DataFrame, vstops: DataFrame,
+                         include_planned: bool = True) -> DataFrame:
+    """S19/A13: the drawable polylines behind one visual-schedule page —
+    per (route, variant, service day, trip) the ordered
+    (stop position, hour-of-day) points, plus (with
+    ``include_planned``) the planned schedule line per trip with a
+    NULL service day.
+
+    Mirrors ``make_coordinate_from_item`` / ``make_trip_drawable``
+    (/root/reference/src/analyser/visual_schedule.rs:548-600):
+    realtime y = (scheduled departure + delay_arrival)/3600 h, rows
+    with NULL delays or the provider artifact ``delay_arrival == 0``
+    skipped; planned y = scheduled arrival/3600; times before 03:00
+    wrap +24 h into the 5..27 plot range.  The reference's ±30 s
+    random jitter is omitted (deterministic engine).
+
+    Shape: two broadcast dimension joins onto the records stream, one
+    groupBy per output polyline — no self-joins, no driver collect.
+    ``stop_count`` rides along per variant so a renderer needs no
+    second lookup.
+    """
+    wrap = lambda t: F.when(t < 3 * 3600, t + 86400).otherwise(t)  # noqa: E731
+    v = F.broadcast(vstops.select(
+        "route_id", "route_variant", "stop_id", "stop_index"))
+    ncol = F.broadcast(
+        vstops.groupBy("route_id", "route_variant")
+        .agg((F.max("stop_index") + 1).alias("stop_count")))
+    st_rt = F.broadcast(stop_times.select(
+        "trip_id", "stop_sequence", "departure_secs"))
+    st_pl = F.broadcast(stop_times.select(
+        "trip_id", "stop_id", "arrival_secs"))
+
+    rt = (records
+          .where(F.col("delay_arrival").isNotNull()
+                 & F.col("delay_departure").isNotNull()
+                 & (F.col("delay_arrival") != 0))
+          .join(st_rt, ["trip_id", "stop_sequence"])
+          .join(v, ["route_id", "route_variant", "stop_id"])
+          .withColumn("__t", wrap(F.col("departure_secs")
+                                  + F.col("delay_arrival")))
+          .groupBy("route_id", "route_variant",
+                   F.col("trip_start_date").alias("service_day"), "trip_id")
+          .agg(F.sort_array(F.collect_list(F.struct(
+              F.col("stop_index"),
+              (F.col("__t") / 3600.0).alias("hour")))).alias("points")))
+
+    if include_planned:
+        planned = (trips.select("trip_id", "route_id", "route_variant")
+                   .join(st_pl, "trip_id")
+                   .join(v, ["route_id", "route_variant", "stop_id"])
+                   .where(F.col("arrival_secs").isNotNull())
+                   .withColumn("__t", wrap(F.col("arrival_secs")))
+                   .groupBy("route_id", "route_variant", "trip_id")
+                   .agg(F.sort_array(F.collect_list(F.struct(
+                       F.col("stop_index"),
+                       (F.col("__t") / 3600.0).alias("hour"))))
+                       .alias("points"))
+                   .withColumn("service_day",
+                               F.lit(None).cast("date"))
+                   .select("route_id", "route_variant", "service_day",
+                           "trip_id", "points"))
+        rt = rt.unionByName(planned)
+    return rt.join(ncol, ["route_id", "route_variant"])
+
+
 def trip_point_series(records: DataFrame, vstops: DataFrame,
                       min_rows: int = 10) -> DataFrame:
     """A13: per (service day, trip) the ordered (stop position, delay)

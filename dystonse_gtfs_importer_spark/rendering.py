@@ -306,3 +306,34 @@ def render_curve_pages(series_df):
                         + [StructField("svg", StringType())])
     return (series_df.groupBy(*keys)
             .applyInPandas(render, schema=schema))
+
+
+def render_schedule_pages(page_series_df, height: int = 1024):
+    """Render every (route, variant) visual-schedule page of a
+    :func:`plans.visual_schedule.schedule_page_series` DataFrame to
+    PNG — the distributed twin of the reference's per-group
+    BitMapBackend loop (visual_schedule.rs:425-546), one
+    ``applyInPandas`` group per page, PNG bytes as a ``binary``
+    column; no page crosses the driver.
+    """
+    import pandas as pd
+
+    keys = ["route_id", "route_variant"]
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf.iloc[0]
+        series = [{"date": None if pd.isna(r.service_day) else r.service_day,
+                   "points": [(p["stop_index"], p["hour"])
+                              for p in r.points]}
+                  for r in pdf.itertuples()]
+        png = visual_schedule_png(series, int(k.stop_count), height=height)
+        return pd.DataFrame([{"route_id": k.route_id,
+                              "route_variant": k.route_variant,
+                              "png": png}])
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(page_series_df.select(*keys).schema.fields)
+                        + [StructField("png", BinaryType())])
+    return (page_series_df.groupBy(*keys)
+            .applyInPandas(render, schema=schema))

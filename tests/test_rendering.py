@@ -171,3 +171,47 @@ class TestRenderingProperties:
                 # x may exceed the plot frame for out-of-range data but
                 # must stay finite; y is bounded by the y_pct domain
                 assert np.isfinite(x) and np.isfinite(y)
+
+
+class TestSchedulePages:
+    def test_series_and_distributed_png(self, spark, tmp_path):
+        from gtfs_fixtures import build_rt_events, build_schedule, write_gtfs_dir
+
+        from dystonse_gtfs_importer_spark.plans.import_etl import (
+            build_records, latest_wins_merge,
+        )
+        from dystonse_gtfs_importer_spark.plans.visual_schedule import (
+            schedule_page_series,
+        )
+        from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
+        from dystonse_gtfs_importer_spark.sources.gtfs import (
+            read_gtfs, variant_stops,
+        )
+
+        d = tmp_path / "g"
+        d.mkdir()
+        write_gtfs_dir(build_schedule(), d)
+        sched = read_gtfs(spark, str(d))
+        rt = spark.createDataFrame(
+            build_rt_events(build_schedule()), RT_EVENTS)
+        records = latest_wins_merge(build_records(
+            rt, sched["trips"], sched["stop_times"], "test", "sched"))
+        vstops = variant_stops(sched["trips"], sched["stop_times"])
+        series = schedule_page_series(
+            records, sched["trips"], sched["stop_times"], vstops)
+        rows = series.collect()
+        assert rows, "no polylines produced"
+        planned = [r for r in rows if r.service_day is None]
+        assert planned, "planned schedule lines missing"
+        for r in rows:
+            idxs = [p.stop_index for p in r.points]
+            assert idxs == sorted(idxs)
+            for p in r.points:
+                assert 3.0 <= p.hour <= 27.0
+        pages = rd.render_schedule_pages(series, height=128).collect()
+        variants = {(r.route_id, r.route_variant) for r in rows}
+        assert len(pages) == len(variants)
+        for page in pages:
+            img = decode_png(bytes(page.png))
+            assert img.shape[0] == 128
+            assert (img != 255).any(), "page rendered blank"
