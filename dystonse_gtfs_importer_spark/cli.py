@@ -78,8 +78,12 @@ def _parser() -> argparse.ArgumentParser:
     dc = asub.add_parser("draw-curves",
                          help="stop-pair curve data series from stats")
     dc.add_argument("-r", "--route-ids", nargs="*", default=None)
+    dc.add_argument("--render", action="store_true",
+                    help="also write one SVG per stop-pair page (S19)")
     gr = asub.add_parser("graph", help="visual-schedule point series")
     gr.add_argument("-r", "--route-ids", nargs="*", default=None)
+    gr.add_argument("--render", action="store_true",
+                    help="also write one PNG per route variant (S19)")
 
     prd = sub.add_parser("predict", help="delay prediction lookups")
     psub = prd.add_subparsers(dest="pmode", required=True)
@@ -271,6 +275,21 @@ def cmd_analyse(spark, args) -> int:
         series = stop_pair_curve_series(spec, gen)
         write_csv_report(series, str(Path(args.dir) / "curves_csv"))
         print(f"{series.count()} curve points -> {args.dir}/curves_csv")
+        if args.render:
+            from .rendering import render_curve_pages
+
+            out = Path(args.dir) / "curves_svg"
+            out.mkdir(parents=True, exist_ok=True)
+            n = 0
+            # pages render on the executors; the driver only streams the
+            # finished files out (the reference's save_to_svg loop)
+            for row in render_curve_pages(series).toLocalIterator():
+                name = (f"{row.route_id}_{row.route_variant}_"
+                        f"{row.time_slot}_{row.start_stop_index}-"
+                        f"{row.end_stop_index}.svg")
+                (out / name).write_text(row.svg)
+                n += 1
+            print(f"{n} SVG pages -> {out}")
         return 0
 
     if args.amode == "graph":
@@ -290,6 +309,20 @@ def cmd_analyse(spark, args) -> int:
                  "pt.delay_departure")
         write_csv_report(series, str(Path(args.dir) / "graph_csv"))
         print(f"{series.count()} graph points -> {args.dir}/graph_csv")
+        if args.render:
+            from .plans.visual_schedule import schedule_page_series
+            from .rendering import render_schedule_pages
+
+            pages_df = render_schedule_pages(schedule_page_series(
+                records, sched["trips"], sched["stop_times"], vstops))
+            out = Path(args.dir) / "graph_png"
+            out.mkdir(parents=True, exist_ok=True)
+            n = 0
+            for row in pages_df.toLocalIterator():
+                name = f"{row.route_id}_{row.route_variant}.png"
+                (out / name).write_bytes(bytes(row.png))
+                n += 1
+            print(f"{n} PNG pages -> {out}")
         return 0
 
     # compute-curves family (analyser/mod.rs:143-189)

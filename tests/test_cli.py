@@ -127,6 +127,31 @@ class TestCli:
         assert _run(spark, lake, "analyse", "graph", "-r", "R1") == 0
         assert "graph points" in capsys.readouterr().out
 
+    def test_12b_analyse_render_sinks(self, spark, lake, capsys):
+        """S19 end-to-end: --render writes real SVG curve pages and
+        PNG schedule pages next to the CSV series."""
+        import xml.etree.ElementTree as ET
+
+        from dystonse_gtfs_importer_spark.operators.media_codecs import (
+            decode_png,
+        )
+
+        assert _run(spark, lake, "analyse", "draw-curves", "-r", "R1",
+                    "--render") == 0
+        assert "SVG pages" in capsys.readouterr().out
+        svgs = list((lake / "curves_svg").glob("*.svg"))
+        assert svgs
+        root = ET.fromstring(svgs[0].read_text())
+        assert root.tag.endswith("svg")
+
+        assert _run(spark, lake, "analyse", "graph", "-r", "R1",
+                    "--render") == 0
+        assert "PNG pages" in capsys.readouterr().out
+        pngs = list((lake / "graph_png").glob("*.png"))
+        assert pngs
+        img = decode_png(pngs[0].read_bytes())
+        assert img.shape[2] == 3
+
     def test_13_import_manual(self, spark, lake, tmp_path):
         rt_file = sorted((lake / "rt").glob("*.pb"))[0]
         sched = sorted((lake / "schedules").iterdir())[0]
