@@ -55,3 +55,50 @@ class TestSaltedJoin:
         out = salted_join(skewed, dim, ["k"], salt=4, how="left")
         assert out.count() == skewed.count()
         assert out.where(F.col("label").isNull()).count() == 1000
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_partition(self, spark):
+        """The first line of defense at 100 TB is AQE itself: on a
+        90 %-hot join key, OptimizeSkewedJoin must split the oversized
+        shuffle partition (SortMergeJoin(skew=true) + an AQEShuffleRead
+        marked skewed) with NO code changes — manual salting
+        (operators/skew.py) is the fallback for aggregations and for
+        engines/joins AQE does not cover."""
+        saved = {k: spark.conf.get(k, None) for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )}
+        try:
+            # thresholds scaled down so local[32] data qualifies as skewed
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes", "16KB")
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            fact = spark.range(500_000).select(
+                F.when(F.col("id") % 10 < 9, F.lit(7))
+                .otherwise(F.col("id") % 1000).alias("k"),
+                F.col("id").alias("payload"))
+            dim = spark.range(0, 1000).repartition(4).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            j = fact.join(dim, "k")
+            assert len(j.collect()) == 500_000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan
+            assert "skewed" in plan, plan   # the AQEShuffleRead marker
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
