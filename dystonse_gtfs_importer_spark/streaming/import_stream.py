@@ -54,6 +54,33 @@ def stream_rt_events(spark: SparkSession, rt_dir: str,
     return binary.mapInPandas(decode_partition, RT_EVENTS)
 
 
+def _dedup_basis_batch(df: pd.DataFrame, last: tuple | None,
+                       cols: list[str]):
+    """Shared ST2 kernel: drop rows whose basis (stop_sequence,
+    departure_delay) equals the previous row's, the first row checked
+    against the carried cross-batch basis.  A vectorized shift-compare
+    is equivalent to the reference's sequential walk because every
+    dropped row's basis EQUALS the carried state, so the carried state
+    is always the previous row's basis
+    (per_schedule_importer.rs:266-313); null-safe equality treats
+    (NaN == NaN) as a match.  Returns (kept rows, new carried basis).
+    Used by BOTH state-API shells below, so the classic operator's
+    tests exercise this body for the transformWithState twin too."""
+    df = df.sort_values(["header_timestamp", "stop_sequence"],
+                        ignore_index=True)
+    ss, dd = df["stop_sequence"], df["departure_delay"]
+    same_prev = ((ss.eq(ss.shift()) | (ss.isna() & ss.shift().isna()))
+                 & (dd.eq(dd.shift()) | (dd.isna() & dd.shift().isna())))
+    keep = ~same_prev
+
+    def basis_at(i: int):
+        return (None if pd.isna(ss.iloc[i]) else int(ss.iloc[i]),
+                None if pd.isna(dd.iloc[i]) else int(dd.iloc[i]))
+
+    keep.iloc[0] = last is None or basis_at(0) != last
+    return df.loc[keep, cols], basis_at(len(df) - 1)
+
+
 def dedup_prediction_basis(events: DataFrame,
                            ttl_hours: int = 12) -> DataFrame:
     """ST2: drop events whose PredictionBasis (stop_sequence,
@@ -75,28 +102,10 @@ def dedup_prediction_basis(events: DataFrame,
         if df.empty:
             yield pd.DataFrame(columns=cols)
             return
-        df = df.sort_values(["header_timestamp", "stop_sequence"],
-                            ignore_index=True)
-        # keep a row iff its basis differs from the previous row's —
-        # a vectorized shift-compare is equivalent to the reference's
-        # sequential walk because every dropped row's basis EQUALS the
-        # carried state, so the carried state is always the previous
-        # row's basis (per_schedule_importer.rs:266-313); null-safe
-        # equality treats (NaN == NaN) as a match
-        ss, dd = df["stop_sequence"], df["departure_delay"]
-        same_prev = ((ss.eq(ss.shift()) | (ss.isna() & ss.shift().isna()))
-                     & (dd.eq(dd.shift()) | (dd.isna() & dd.shift().isna())))
-        keep = ~same_prev
-
-        def basis_at(i: int):
-            return (None if pd.isna(ss.iloc[i]) else int(ss.iloc[i]),
-                    None if pd.isna(dd.iloc[i]) else int(dd.iloc[i]))
-
-        # row 0 compares against the cross-batch carried basis
-        keep.iloc[0] = last is None or basis_at(0) != last
-        state.update(basis_at(len(df) - 1))
+        kept, new_basis = _dedup_basis_batch(df, last, cols)
+        state.update(new_basis)
         state.setTimeoutDuration(ttl_hours * 3600 * 1000)
-        yield df.loc[keep, cols]
+        yield kept
 
     return (
         events.groupBy(*VEHICLE_KEY)
@@ -106,6 +115,64 @@ def dedup_prediction_basis(events: DataFrame,
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def dedup_prediction_basis_tws(events: DataFrame,
+                               ttl_hours: int = 12) -> DataFrame:
+    """ST2 on the Spark 4 state API: the same per-vehicle basis dedup
+    expressed as a ``transformWithStateInPandas`` StatefulProcessor
+    with a TTL'd ValueState — state expiry is declarative
+    (``ttlDurationMs``) instead of the manual timeout dance of
+    :func:`dedup_prediction_basis`.  Output is identical (tested); the
+    classic operator remains the default for engines without the new
+    API.  At scale the state store behavior matches: one ValueState
+    row per live vehicle, dropped by the store itself after the TTL
+    (MAX_ESTIMATED_TRIP_DURATION, importer/mod.rs:27).
+
+    Runtime requirements (checked lazily, not at import): the
+    ``protobuf`` package (the transformWithState Python worker speaks
+    a protobuf state protocol) and the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``).  Where either
+    is missing — as in this build container — use
+    :func:`dedup_prediction_basis`; the test suite skips accordingly.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    cols = [f.name for f in RT_EVENTS.fields]
+    ttl_ms = ttl_hours * 3600 * 1000
+
+    class BasisDedup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._basis = handle.getValueState(
+                "basis", "stop_sequence int, departure_delay int",
+                ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            frames = list(rows)
+            df = (pd.concat(frames, ignore_index=True) if frames
+                  else pd.DataFrame(columns=cols))
+            if df.empty:
+                return
+            last = (tuple(self._basis.get()) if self._basis.exists()
+                    else None)
+            kept, new_basis = _dedup_basis_batch(df, last, cols)
+            self._basis.update(new_basis)
+            yield kept
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy(*VEHICLE_KEY)
+        .transformWithStateInPandas(
+            BasisDedup(),
+            outputStructType=RT_EVENTS,
+            outputMode="append",
+            timeMode="processingTime",
         )
     )
 
