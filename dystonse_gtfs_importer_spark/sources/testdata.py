@@ -38,7 +38,27 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+_REGISTERED: dict[str, str] = {}
+
+# Memoization is OPT-IN (bench.py / tools/check_correctness.py set it):
+# every oracle query calls register_views, and re-running 10
+# ``spark.read.parquet`` footer reads + analyses per query is pure
+# per-query floor.  It stays off by default because tests legitimately
+# shadow these view names with synthetic frames, and a skipped
+# re-register must never hand a query someone else's view.
+MEMOIZE_VIEWS = False
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for spark.sql() pipelines."""
+    """Register every table as a temp view for spark.sql() pipelines.
+
+    With :data:`MEMOIZE_VIEWS` on, the second call for the same
+    (Spark application, sf_dir) is a no-op; switching ``sf_dir``
+    within a session always re-registers.
+    """
+    app = spark.sparkContext.applicationId
+    if MEMOIZE_VIEWS and _REGISTERED.get(app) == sf_dir:
+        return
     for t, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(t)
+    _REGISTERED[app] = sf_dir

@@ -57,6 +57,10 @@ def main() -> int:
 
     from __spark_entry__ import oracle_sql, queries
     from dystonse_gtfs_importer_spark.session import get_spark
+    from dystonse_gtfs_importer_spark.sources import testdata
+
+    # nothing shadows the canonical views in a checker run
+    testdata.MEMOIZE_VIEWS = True
 
     only = set(sys.argv[1:])
     spark = get_spark(app_name="check-correctness")
