@@ -175,6 +175,59 @@ def q_tfidf_topk(d: S.Dialect, per_doc: int = 3) -> str:
 TEMP_TARGET = 150   # total docs the temperature-balanced mix keeps
 
 
+def q_seeded_shuffle(d: S.Dialect, seed: str = "shuf1") -> str:
+    """Deterministic global training-order shuffle: every document gets
+    a contiguous position 0..n-1 in seeded-md5 order (the standard
+    corpus-shuffle step before epoch sharding).
+
+    The Spark derivation NEVER runs a single-partition window over the
+    corpus: the md5 key's first 3 hex chars form 4096 value-
+    deterministic range buckets that are order-aligned with the full
+    key (equal-length hex strings compare lexicographically =
+    numerically), so position = per-bucket ROW_NUMBER (one fact
+    shuffle, partitioned window) + the bucket's global offset (a
+    ≤4096-row cumsum, broadcast-joined back).  The oracle keeps the
+    textbook global ROW_NUMBER; the hash match proves the two-phase
+    numbering contiguous and collision-free."""
+    h = f"MD5(CONCAT('{seed}#', CAST(doc_id AS STRING)))"
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, {h} AS h,
+                   CAST(CONV(SUBSTRING({h}, 1, 3), 16, 10) AS INT)
+                       AS bucket
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, h, bucket,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                                      ORDER BY h, doc_id) AS r
+            FROM keyed
+        ),
+        offsets AS (
+            SELECT bucket,
+                   SUM(COUNT(*)) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS off
+            FROM keyed GROUP BY bucket
+        )
+        SELECT r.doc_id,
+               CAST(COALESCE(o.off, 0) + r.r - 1 AS BIGINT) AS position
+        FROM ranked r JOIN offsets o ON r.bucket = o.bucket
+    """
+
+
+def q_seeded_shuffle_oracle(d: S.Dialect, seed: str = "shuf1") -> str:
+    """Cross-derivation reference for :func:`q_seeded_shuffle`: the
+    global single-partition ROW_NUMBER that the Spark side must never
+    run at scale."""
+    h = f"MD5(CONCAT('{seed}#', CAST(doc_id AS STRING)))"
+    return f"""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 AS position
+        FROM documents
+    """
+
+
 def q_temperature_sample(d: S.Dialect, n_target: int = TEMP_TARGET,
                          seed: str = "temp1") -> str:
     """Temperature-balanced (α = 0.5) language resampling — the

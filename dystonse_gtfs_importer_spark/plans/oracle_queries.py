@@ -1308,6 +1308,9 @@ QUERIES: dict[str, QueryDef] = {
                                    "sampling-stratified"),
     "hash_bernoulli_sample": _sql_pair(SAMP.q_hash_bernoulli_sample,
                                        "sampling-bernoulli map-only"),
+    "seeded_shuffle": _sql_cross_pair(SAMP.q_seeded_shuffle,
+                                      SAMP.q_seeded_shuffle_oracle,
+                                      "corpus-shuffle global-index"),
     "countmin_heavy_hitters": _sql_pair(SK.q_countmin_heavy_hitters,
                                         "sketch-countmin"),
     "hll_distinct": _sql_pair(SK.q_hll_distinct, "sketch-hll A8"),

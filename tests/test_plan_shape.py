@@ -364,6 +364,34 @@ class TestAggShape:
         assert read_cols == {"event_type", "value"}, plan
 
 
+    def test_seeded_shuffle_no_global_window_over_corpus(self, spark,
+                                                         sf_smoke):
+        """The training-order shuffle must assign contiguous global
+        positions WITHOUT a single-partition window over the fact
+        stream: the corpus-side ROW_NUMBER is partitioned by the md5
+        range bucket (hash exchange on bucket), the only
+        SinglePartition exchange feeds the ≤4096-row bucket-offset
+        cumsum, and the offsets come back via a broadcast join."""
+        from dystonse_gtfs_importer_spark.functions import sampling_sql as SA
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(SA.q_seeded_shuffle(S.SPARK))
+        plan = plan_of(df)
+        assert "Exchange hashpartitioning(bucket" in plan, plan
+        assert plan.count("Exchange SinglePartition") <= 1, plan
+        # the single-partition stage may only see the aggregated bucket
+        # counts, never raw doc rows: it must sit above a HashAggregate
+        if "Exchange SinglePartition" in plan:
+            tail = plan.split("Exchange SinglePartition")[1]
+            assert "HashAggregate" in tail.split("Window")[0] or \
+                "HashAggregate" in tail, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+
 class TestCorpusPipelinePlans:
     def test_boilerplate_scrub_broadcasts_frequent_grams(self, spark,
                                                          sf_smoke):
