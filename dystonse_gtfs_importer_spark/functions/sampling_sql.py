@@ -74,6 +74,56 @@ def q_stratified_sample(d: S.Dialect, rate: float = 0.2, floor: int = 10,
     """
 
 
+def q_stratified_sample_scale(d: S.Dialect, rate: float = 0.2,
+                              floor: int = 10,
+                              seed: str = "strat1") -> str:
+    """Scale derivation of :func:`q_stratified_sample` — identical
+    output, but NO window over a whole stratum: at 100 TB a language
+    stratum is most of the corpus, so `PARTITION BY lang` windows (the
+    oracle's form) put terabytes through single window partitions.
+
+    Same bucket trick as :func:`q_seeded_shuffle`, per stratum: the
+    seeded-md5 key's hex prefix gives 4096 order-aligned range
+    buckets; ranks come from a ROW_NUMBER partitioned by
+    (lang, bucket) — partition size ~ stratum/4096 — plus per-bucket
+    offsets computed on the tiny (lang, bucket, count) table.  Quota
+    math (CEIL(rate·stratum) with a floor) rides on the same count
+    table.  The cross-engine hash match against the windowed oracle
+    proves rank equality row for row."""
+    h = f"MD5(CONCAT('{seed}#', CAST(doc_id AS STRING)))"
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, {h} AS h,
+                   CAST(CONV(SUBSTRING({h}, 1, 3), 16, 10) AS INT)
+                       AS bucket
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang, bucket,
+                   ROW_NUMBER() OVER (PARTITION BY lang, bucket
+                                      ORDER BY h, doc_id) AS r
+            FROM keyed
+        ),
+        off AS (
+            SELECT lang, bucket,
+                   COALESCE(SUM(COUNT(*)) OVER (PARTITION BY lang
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS off,
+                   SUM(COUNT(*)) OVER (PARTITION BY lang)
+                       AS stratum_size
+            FROM keyed GROUP BY lang, bucket
+        )
+        SELECT k.doc_id, k.lang,
+               CAST(o.off + k.r AS BIGINT) AS sample_rank,
+               CAST(o.stratum_size AS BIGINT) AS stratum_size
+        FROM ranked k
+        JOIN off o ON k.lang = o.lang AND k.bucket = o.bucket
+        WHERE o.off + k.r <= GREATEST({floor},
+              CAST(CEIL({rate} * o.stratum_size) AS BIGINT))
+    """
+
+
 def q_vocab_topk(d: S.Dialect, k: int = 100) -> str:
     """Vocabulary inventory: term frequency + document frequency per
     token, top-k by tf (token tie-break for a stable cross-engine

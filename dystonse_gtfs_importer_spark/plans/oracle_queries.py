@@ -1311,6 +1311,9 @@ QUERIES: dict[str, QueryDef] = {
     "seeded_shuffle": _sql_cross_pair(SAMP.q_seeded_shuffle,
                                       SAMP.q_seeded_shuffle_oracle,
                                       "corpus-shuffle global-index"),
+    "stratified_sample_scale": _sql_cross_pair(
+        SAMP.q_stratified_sample_scale, SAMP.q_stratified_sample,
+        "sampling-stratified scale path"),
     "countmin_heavy_hitters": _sql_pair(SK.q_countmin_heavy_hitters,
                                         "sketch-countmin"),
     "hll_distinct": _sql_pair(SK.q_hll_distinct, "sketch-hll A8"),

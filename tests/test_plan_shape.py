@@ -391,6 +391,36 @@ class TestAggShape:
                 "HashAggregate" in tail, plan
         assert "BroadcastHashJoin" in plan, plan
 
+    def test_stratified_scale_no_whole_stratum_window(self, spark,
+                                                      sf_smoke):
+        """The scale stratified sample must never window a whole
+        stratum: the fact-side ROW_NUMBER partitions by
+        (lang, bucket), lang-only windows exist solely over the tiny
+        (lang, bucket) count table (below a HashAggregate), and no
+        SinglePartition exchange appears at all."""
+        from dystonse_gtfs_importer_spark.functions import sampling_sql as SA
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(SA.q_stratified_sample_scale(S.SPARK))
+        plan = plan_of(df)
+        assert "Exchange SinglePartition" not in plan, plan
+        import re as _re
+
+        fact_window = _re.search(
+            r"hashpartitioning\(lang#\d+, bucket#\d+", plan)
+        assert fact_window, plan
+        # every lang-only exchange must be fed by an aggregate (the
+        # bucket-count table), never raw document rows
+        for seg in plan.split("Exchange hashpartitioning(lang#")[1:]:
+            head = seg.split("\n", 1)[0]
+            if "bucket" in head:
+                continue
+            assert "HashAggregate" in seg.split("Exchange")[0], plan
+
 
 class TestCorpusPipelinePlans:
     def test_boilerplate_scrub_broadcasts_frequent_grams(self, spark,
