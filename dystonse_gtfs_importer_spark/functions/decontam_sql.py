@@ -161,3 +161,50 @@ def q_token_shard_packing(d: S.Dialect,
                    AS shard_id
         FROM packed
     """
+
+
+def q_token_shard_packing_scale(d: S.Dialect,
+                                budget: int = SHARD_TOKEN_BUDGET,
+                                id_bucket: int = 64) -> str:
+    """Scale derivation of :func:`q_token_shard_packing` — identical
+    output without a whole-source window: at 100 TB one source (a
+    crawl) is most of the corpus, so ``PARTITION BY source`` running
+    sums serialize terabytes through single window partitions.
+
+    doc_id buckets of fixed width ``id_bucket`` are order-aligned with
+    ``ORDER BY doc_id`` by construction, so the prefix sum decomposes
+    into a within-(source, bucket) running sum plus per-bucket offsets
+    from the tiny (source, bucket, token-sum) table — the numeric-sum
+    analog of the rank trick in ``q_stratified_sample_scale``.
+    Fixed-width id buckets assume roughly sequential document ids (how
+    ingest assigns them); for arbitrary keys substitute the md5-prefix
+    bucketing of the rank queries."""
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
+                       AS n_tokens,
+                   CAST(FLOOR(doc_id / {id_bucket}) AS BIGINT) AS b
+            FROM documents
+        ),
+        within AS (
+            SELECT doc_id, source, n_tokens, b,
+                   SUM(n_tokens) OVER (PARTITION BY source, b
+                       ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_in_b
+            FROM sized
+        ),
+        off AS (
+            SELECT source, b,
+                   COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY source
+                       ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS off
+            FROM sized GROUP BY source, b
+        )
+        SELECT w.doc_id, w.source, w.n_tokens,
+               CAST(o.off + w.cum_in_b AS BIGINT) AS cum_tokens,
+               CAST(FLOOR((o.off + w.cum_in_b - w.n_tokens)
+                    / {budget}.0) AS BIGINT) AS shard_id
+        FROM within w JOIN off o ON w.source = o.source AND w.b = o.b
+    """

@@ -1328,6 +1328,9 @@ QUERIES: dict[str, QueryDef] = {
                                "decontamination ngram-overlap"),
     "token_shard_packing": _sql_pair(DC.q_token_shard_packing,
                                      "shard-packing prefix-sum"),
+    "token_shard_packing_scale": _sql_cross_pair(
+        DC.q_token_shard_packing_scale, DC.q_token_shard_packing,
+        "shard-packing scale path"),
     "boilerplate_scrub": _sql_pair(DC.q_boilerplate_scrub,
                                    "dedup-span frequent-ngram removal"),
     "pii_scan": _sql_pair(PII.q_pii_scan, "text-pii map-only"),

@@ -421,6 +421,30 @@ class TestAggShape:
                 continue
             assert "HashAggregate" in seg.split("Exchange")[0], plan
 
+    def test_packing_scale_no_whole_source_window(self, spark, sf_smoke):
+        """The scale shard packing must never run a running sum over a
+        whole source: the fact-side window partitions by (source,
+        id-bucket) and source-only windows exist only above the
+        aggregated per-bucket sums."""
+        from dystonse_gtfs_importer_spark.functions import decontam_sql as DC
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(DC.q_token_shard_packing_scale(S.SPARK))
+        plan = plan_of(df)
+        assert "Exchange SinglePartition" not in plan, plan
+        import re as _re
+
+        assert _re.search(r"hashpartitioning\(source#\d+, b#\d+", plan), plan
+        for seg in plan.split("Exchange hashpartitioning(source#")[1:]:
+            head = seg.split("\n", 1)[0]
+            if _re.match(r"\d+, b#", head):
+                continue
+            assert "HashAggregate" in seg.split("Exchange")[0], plan
+
 
 class TestCorpusPipelinePlans:
     def test_boilerplate_scrub_broadcasts_frequent_grams(self, spark,
