@@ -42,6 +42,63 @@ def curve_simplify(curve: pd.Series, eps: pd.Series) -> pd.Series:
         for p, e in zip(curve, eps)])
 
 
+# ---------------------------------------------------------------------------
+# JVM twins of the C7 evaluators: pure Column expressions over the
+# curve array via higher-order functions — no Python worker, no Arrow
+# transfer.  These are the hot-path forms (departure boards and
+# prediction lookups evaluate millions of curves); the pandas UDFs
+# above remain the reference implementations, equality-pinned against
+# NumPy in the tests.
+# ---------------------------------------------------------------------------
+
+def _interp_expr(keys, vals, q):
+    """np.interp over parallel float arrays: clamp outside, linear
+    inside, exact tie resolved to the RIGHT edge of a run of equal
+    keys (the NumPy behavior downstream code pins: ``x_at_y`` plateau
+    handling, curves.py:123-128).  ``keys`` must be nondecreasing."""
+    import pyspark.sql.functions as F
+
+    n = F.size(keys)
+    # last 1-based index with key <= q; nondecreasing keys make the
+    # filter-count equivalent to a right-edge searchsorted
+    j = F.size(F.filter(keys, lambda k: k <= q))
+    k_j, v_j = F.element_at(keys, j), F.element_at(vals, j)
+    k_n, v_n = F.element_at(keys, j + 1), F.element_at(vals, j + 1)
+    lerp = v_j + (q - k_j) * (v_n - v_j) / (k_n - k_j)
+    return (
+        F.when(q <= F.element_at(keys, 1), F.element_at(vals, 1))
+        .when(q >= F.element_at(keys, n), F.element_at(vals, n))
+        .when(k_j == q, v_j)
+        .otherwise(lerp)
+    )
+
+
+def curve_x_at_y_expr(curve, y):
+    """C7 inverse CDF as a JVM Column expression (twin of
+    :func:`curve_x_at_y`)."""
+    import pyspark.sql.functions as F
+
+    curve = F.col(curve) if isinstance(curve, str) else curve
+    y = F.lit(y) if not hasattr(y, "_jc") else y
+    ys = F.transform(curve, lambda p: p["y"].cast("double"))
+    xs = F.transform(curve, lambda p: p["x"].cast("double"))
+    return F.when(curve.isNotNull() & (F.size(curve) >= 2),
+                  _interp_expr(ys, xs, y))
+
+
+def curve_y_at_x_expr(curve, x):
+    """C7 CDF evaluation as a JVM Column expression (twin of
+    :func:`curve_y_at_x`)."""
+    import pyspark.sql.functions as F
+
+    curve = F.col(curve) if isinstance(curve, str) else curve
+    x = F.lit(x) if not hasattr(x, "_jc") else x
+    ys = F.transform(curve, lambda p: p["y"].cast("double"))
+    xs = F.transform(curve, lambda p: p["x"].cast("double"))
+    return F.when(curve.isNotNull() & (F.size(curve) >= 2),
+                  _interp_expr(xs, ys, x))
+
+
 @pandas_udf(CURVE_TYPE)
 def walk_time_curve(distance_m: pd.Series) -> pd.Series:
     """C13: synthetic walk-duration CDF per transfer distance."""

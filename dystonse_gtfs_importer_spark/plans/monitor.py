@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from ..functions import sql_shared as S
 from ..functions.curve_udfs import (
-    convolve_with, curve_x_at_y, transfer_probability, walk_time_curve,
+    convolve_with, curve_x_at_y_expr, transfer_probability, walk_time_curve,
 )
 from ..schemas import ORIGIN_REALTIME, ORIGIN_SCHEDULE
 
@@ -78,14 +78,14 @@ def departure_board(predictions: DataFrame, min_time, max_time,
     # scheduled_time + curve.min_x (make_prediction,
     # per_schedule_importer.rs:345-346)
     ref_s = (F.unix_timestamp("prediction_min")
-             - curve_x_at_y(F.col("prediction_curve"), F.lit(0.0)))
+             - curve_x_at_y_expr(F.col("prediction_curve"), F.lit(0.0)))
     d = dep.withColumn("ref_s", ref_s)
     d = d.withColumn(
-        "t05", F.col("ref_s") + curve_x_at_y(F.col("prediction_curve"), F.lit(0.05))
+        "t05", F.col("ref_s") + curve_x_at_y_expr(F.col("prediction_curve"), F.lit(0.05))
     ).withColumn(
-        "t50", F.col("ref_s") + curve_x_at_y(F.col("prediction_curve"), F.lit(0.5))
+        "t50", F.col("ref_s") + curve_x_at_y_expr(F.col("prediction_curve"), F.lit(0.5))
     ).withColumn(
-        "t95", F.col("ref_s") + curve_x_at_y(F.col("prediction_curve"), F.lit(0.95))
+        "t95", F.col("ref_s") + curve_x_at_y_expr(F.col("prediction_curve"), F.lit(0.95))
     )
 
     # F8: drop departures certainly outside the window
@@ -222,9 +222,9 @@ def transfer_chances(arrivals: DataFrame, departures: DataFrame,
         F.col("walk_m") < radius_m)
 
     arr_ref = (F.unix_timestamp("a_prediction_min")
-               - curve_x_at_y(F.col("a_prediction_curve"), F.lit(0.0)))
+               - curve_x_at_y_expr(F.col("a_prediction_curve"), F.lit(0.0)))
     dep_ref = (F.unix_timestamp("d_prediction_min")
-               - curve_x_at_y(F.col("d_prediction_curve"), F.lit(0.0)))
+               - curve_x_at_y_expr(F.col("d_prediction_curve"), F.lit(0.0)))
     pairs = (
         pairs.withColumn("walk_curve", walk_time_curve(F.col("walk_m")))
         .withColumn("arr_with_walk",

@@ -289,10 +289,10 @@ def prediction_rows(predicted: DataFrame, source: str,
     prediction_curve, precision_type, sample_size.
     """
     from ..functions import sql_shared as S
-    from ..functions.curve_udfs import curve_x_at_y
+    from ..functions.curve_udfs import curve_x_at_y_expr
 
-    min_x = curve_x_at_y(F.col("prediction_curve"), F.lit(0.0))
-    max_x = curve_x_at_y(F.col("prediction_curve"), F.lit(1.0))
+    min_x = curve_x_at_y_expr(F.col("prediction_curve"), F.lit(0.0))
+    max_x = curve_x_at_y_expr(F.col("prediction_curve"), F.lit(1.0))
     # anchor through the C1 noon rule (service_day@12:00 + secs − 12 h)
     # so ALL schedule-datetime math shares one DST-safe derivation —
     # equivalent to midnight+secs in a fixed-offset TZ, but correct on

@@ -262,3 +262,57 @@ class TestCompactCodec:
         c, _ = cv.make_curve(np.linspace(0, 10000, 5000))
         blob = cv.serialize_compact(c, 120)
         assert len(blob) <= 120
+
+
+class TestJvmInterpExprs:
+    def test_expr_matches_udf_and_numpy(self, spark):
+        """C7 JVM twins: the higher-order-function expressions must
+        reproduce the pandas UDFs (and NumPy) on random curves,
+        including plateaus, exact ties, and out-of-range queries."""
+        import pyspark.sql.functions as F
+
+        from dystonse_gtfs_importer_spark.functions.curve_udfs import (
+            curve_x_at_y, curve_x_at_y_expr, curve_y_at_x,
+            curve_y_at_x_expr,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(200):
+            n = int(rng.integers(2, 12))
+            xs = np.sort(rng.choice(np.arange(-300, 300, 12), size=n,
+                                    replace=False)).astype(float)
+            ys = np.sort(rng.random(n))
+            ys[0], ys[-1] = 0.0, 1.0
+            if n > 3 and rng.random() < 0.5:
+                ys[2] = ys[1]        # plateau
+            rows.append((i, [(float(a), float(b))
+                             for a, b in zip(xs, ys)],
+                         float(rng.uniform(-0.2, 1.2)),
+                         float(rng.uniform(-350, 350))))
+        df = spark.createDataFrame(
+            rows, "id long, curve array<struct<x:float,y:float>>, "
+                  "q double, qx double")
+        out = df.select(
+            curve_x_at_y(F.col("curve"), F.col("q")).alias("ux"),
+            curve_x_at_y_expr("curve", F.col("q")).alias("ex"),
+            curve_y_at_x(F.col("curve"), F.col("qx")).alias("uy"),
+            curve_y_at_x_expr("curve", F.col("qx")).alias("ey"),
+        ).collect()
+        for r in out:
+            assert r.ux == pytest.approx(r.ex, abs=1e-6)
+            assert r.uy == pytest.approx(r.ey, abs=1e-6)
+
+    def test_null_and_short_curthan_two(self, spark):
+        import pyspark.sql.functions as F
+
+        from dystonse_gtfs_importer_spark.functions.curve_udfs import (
+            curve_x_at_y_expr,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, [(0.0, 0.0)])],
+            "id long, curve array<struct<x:float,y:float>>")
+        out = df.select(
+            curve_x_at_y_expr("curve", F.lit(0.5)).alias("v")).collect()
+        assert [r.v for r in out] == [None, None]
