@@ -105,6 +105,8 @@ def _parser() -> argparse.ArgumentParser:
     mb.add_argument("--stop-name", required=True)
     mb.add_argument("--when", required=True, help="ISO datetime")
     mb.add_argument("--window-hours", type=float, default=2.0)
+    mb.add_argument("--strips", action="store_true",
+                    help="include the PNG-data-URL heat strip per row")
     ma = msub.add_parser("autocomplete")
     ma.add_argument("query")
     return p
@@ -447,9 +449,14 @@ def cmd_monitor(spark, args) -> int:
     ext = extended_stops(sched["stops"], args.stop_name)
     stop_ids = [r.stop_id for r in ext.collect()]
     at_stop = predictions_for_stop(preds, stop_ids, when, until)
-    board = departure_board(at_stop, when, until, all_predictions=preds)
+    board = departure_board(at_stop, when, until, all_predictions=preds,
+                            with_heat_strip=args.strips)
     for r in board.collect():
-        print(r.trip_id, r.stop_id, r.t50, sep="\t")
+        if args.strips:
+            print(r.trip_id, r.stop_id, r.t50,
+                  (r.strip_data_url or "")[:48], sep="\t")
+        else:
+            print(r.trip_id, r.stop_id, r.t50, sep="\t")
     return 0
 
 

@@ -58,7 +58,8 @@ def extended_stops(stops: DataFrame, stop_name: str,
 
 
 def departure_board(predictions: DataFrame, min_time, max_time,
-                    all_predictions: DataFrame | None = None) -> DataFrame:
+                    all_predictions: DataFrame | None = None,
+                    with_heat_strip: bool = False) -> DataFrame:
     """The stop-page pipeline (monitor/mod.rs:426-591): S8 window →
     F8 outlier trim → F9 realtime-over-schedule dedup → F10 last-stop
     drop → W3 sort by median predicted time.
@@ -116,6 +117,39 @@ def departure_board(predictions: DataFrame, min_time, max_time,
     d = (d.join(last_stop, vehicle, "left")
          .where(F.col("stop_sequence") < F.col("max_seq"))
          .drop("max_seq"))
+
+    if with_heat_strip:
+        # S19/C22: the per-departure probability strip as a PNG data
+        # URL across the board window (generate_png_data_url,
+        # monitor/mod.rs:1214-1262) — an Arrow-batched display column,
+        # rendered executor-side per row
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        @pandas_udf(StringType())
+        def strip_url(curve, ref_s, lo_col, hi_col):
+            import pandas as pd
+
+            from .. import curves as cv
+            from ..rendering import heat_strip_data_url
+
+            out = []
+            for pts, r, lo_v, hi_v in zip(curve, ref_s, lo_col, hi_col):
+                if pts is None or len(pts) < 2 or r is None:
+                    out.append(None)
+                    continue
+                c = cv.Curve.from_points(pts)
+                strip = cv.heat_strip(c, float(r), float(lo_v), float(hi_v))
+                out.append(heat_strip_data_url(strip, height=4))
+            return pd.Series(out)
+
+        # the window epochs come from the SAME session-TZ derivation
+        # as ref_s (unix_timestamp), so strip columns line up with the
+        # board's absolute timeline
+        d = d.withColumn(
+            "strip_data_url",
+            strip_url(F.col("prediction_curve"), F.col("ref_s"),
+                      lo.cast("double"), hi.cast("double")))
 
     # W3: order by median predicted departure
     return d.orderBy("t50")

@@ -99,6 +99,16 @@ class TestCli:
         for ln in capsys.readouterr().out.strip().splitlines():
             assert len(ln.split("\t")) == 3
 
+    def test_07b_monitor_board_strips(self, spark, lake, capsys):
+        assert _run(spark, lake, "monitor", "board",
+                    "--stop-name", "Stop 3",
+                    "--when", "2024-01-01T08:00:00",
+                    "--window-hours", "6", "--strips") == 0
+        for ln in capsys.readouterr().out.strip().splitlines():
+            cols = ln.split("\t")
+            assert len(cols) == 4
+            assert cols[3].startswith("data:image/png;base64,")
+
     def test_08_import_cleanup(self, spark, lake):
         assert _run(spark, lake, "import", "-c", "batch") == 0
         assert spark.read.parquet(str(lake / "predictions")).count() >= 0

@@ -87,6 +87,30 @@ class TestDepartureBoard:
         t50s = [r.t50 for r in board]
         assert t50s == sorted(t50s)
 
+    def test_heat_strip_column(self, spark, predictions):
+        """S19/C22 on the board: with_heat_strip adds a decodable
+        PNG data URL whose strip spans the board window."""
+        import base64
+
+        from dystonse_gtfs_importer_spark.operators.media_codecs import (
+            decode_png,
+        )
+        from dystonse_gtfs_importer_spark.plans.monitor import (
+            departure_board, predictions_for_stop,
+        )
+
+        window = (BASE, BASE + dt.timedelta(hours=1))
+        at_stop = predictions_for_stop(
+            predictions, ["S1", "S2", "S3"], *window)
+        board = departure_board(at_stop, *window,
+                                all_predictions=predictions,
+                                with_heat_strip=True).collect()
+        urls = [r.strip_data_url for r in board]
+        assert urls and all(u and u.startswith("data:image/png;base64,")
+                            for u in urls)
+        img = decode_png(base64.b64decode(urls[0].split(",", 1)[1]))
+        assert img.shape == (4, 120, 3)
+
     def test_predictions_for_trip(self, predictions):
         from dystonse_gtfs_importer_spark.plans.monitor import (
             predictions_for_trip,
