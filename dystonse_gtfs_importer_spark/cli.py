@@ -275,6 +275,10 @@ def cmd_analyse(spark, args) -> int:
             spec = spec.where(F.col("route_id").isin(args.route_ids))
             gen = gen.where(F.col("route_id").isin(args.route_ids))
         series = stop_pair_curve_series(spec, gen)
+        if args.render:
+            # CSV write, count, and page render fan out from one
+            # materialization instead of recomputing the pipeline
+            series = series.persist()
         write_csv_report(series, str(Path(args.dir) / "curves_csv"))
         print(f"{series.count()} curve points -> {args.dir}/curves_csv")
         if args.render:
@@ -292,6 +296,7 @@ def cmd_analyse(spark, args) -> int:
                 (out / name).write_text(row.svg)
                 n += 1
             print(f"{n} SVG pages -> {out}")
+            series.unpersist()
         return 0
 
     if args.amode == "graph":

@@ -65,8 +65,14 @@ def _interp_expr(keys, vals, q):
     k_j, v_j = F.element_at(keys, j), F.element_at(vals, j)
     k_n, v_n = F.element_at(keys, j + 1), F.element_at(vals, j + 1)
     lerp = v_j + (q - k_j) * (v_n - v_j) / (k_n - k_j)
+    # branch order matters for tie semantics: the below-range clamp is
+    # STRICT (q < keys[1]) so a q equal to a duplicated first key falls
+    # through to the k_j == q branch and resolves to the run's RIGHT
+    # edge, exactly like np.interp (e.g. interp(0, [0,0,.5], [a,b,c])
+    # is b, not a); j >= 1 holds in every surviving branch, keeping
+    # element_at in bounds under ANSI
     return (
-        F.when(q <= F.element_at(keys, 1), F.element_at(vals, 1))
+        F.when(q < F.element_at(keys, 1), F.element_at(vals, 1))
         .when(q >= F.element_at(keys, n), F.element_at(vals, n))
         .when(k_j == q, v_j)
         .otherwise(lerp)

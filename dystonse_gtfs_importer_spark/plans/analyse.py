@@ -87,8 +87,10 @@ def ecdf_curve_points_counted(df: DataFrame, group_cols: list[str],
     """
     import pyspark.sql.functions as F
 
+    # match the per-row form's pandas dropna(): NULL *and* NaN vanish
+    v = F.col(value_col).cast("double")
     counted = (df.select(*group_cols, value_col)
-               .where(F.col(value_col).isNotNull())
+               .where(v.isNotNull() & ~F.isnan(v))
                .groupBy(*group_cols, value_col)
                .agg(F.count("*").alias("cnt")))
     fields = [counted.schema[c] for c in group_cols]
@@ -155,8 +157,9 @@ def ecdf_curve_points_jvm(df: DataFrame, group_cols: list[str],
     ordered = part.orderBy("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
 
+    # NULL *and* NaN dropped, matching the pandas kernel's dropna()
     v = (df.select(*g, F.col(value_col).cast("double").alias("x"))
-         .where(F.col("x").isNotNull()))
+         .where(F.col("x").isNotNull() & ~F.isnan("x")))
     counted = v.groupBy(*g, "x").agg(F.count("*").alias("cnt"))
 
     if focus is None:

@@ -166,11 +166,17 @@ def schedule_page_series(records: DataFrame, trips: DataFrame,
           .join(v, ["route_id", "route_variant", "stop_id"])
           .withColumn("__t", wrap(F.col("departure_secs")
                                   + F.col("delay_arrival")))
+          # one polyline per PHYSICAL run: trip_start_time and source
+          # are part of RECORDS_PK (frequencies-style feeds reuse
+          # trip_id within a day), so they join the grouping even
+          # though the drawable output doesn't carry them
           .groupBy("route_id", "route_variant",
-                   F.col("trip_start_date").alias("service_day"), "trip_id")
+                   F.col("trip_start_date").alias("service_day"), "trip_id",
+                   "trip_start_time", "source")
           .agg(F.sort_array(F.collect_list(F.struct(
               F.col("stop_index"),
-              (F.col("__t") / 3600.0).alias("hour")))).alias("points")))
+              (F.col("__t") / 3600.0).alias("hour")))).alias("points"))
+          .drop("trip_start_time", "source"))
 
     if include_planned:
         planned = (trips.select("trip_id", "route_id", "route_variant")

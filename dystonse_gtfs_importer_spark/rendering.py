@@ -117,6 +117,9 @@ def curve_page_svg(title: str,
     stop_pair_curve_series` emits.  Mirrors the gnuplot page: grid,
     fixed ranges, styles and the legend block.
     """
+    from xml.sax.saxutils import escape
+
+    title = escape(title)
     e = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{_SVG_W}" '
          f'height="{_SVG_H}" viewBox="0 0 {_SVG_W} {_SVG_H}">',
          f'<rect width="{_SVG_W}" height="{_SVG_H}" fill="white"/>',
@@ -171,7 +174,7 @@ def curve_page_svg(title: str,
     for i, text in enumerate(legend):
         e.append(f'<text x="{_sx(_X_MAX) - 10:.1f}" y="{ly + 16 * i:.1f}" '
                  f'text-anchor="end" font-family="sans-serif" '
-                 f'font-size="12" class="legend">{text}</text>')
+                 f'font-size="12" class="legend">{escape(text)}</text>')
     e.append("</svg>")
     return "\n".join(e)
 

@@ -149,20 +149,33 @@ class SnapshotStore:
 
     # -- maintenance -------------------------------------------------
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_s: float = 3600.0) -> int:
         """Delete data files no snapshot references (files replaced by
         earlier commits and any crashed staging dirs).  Run OUTSIDE
-        the window where readers may still hold an old manifest."""
+        the window where readers may still hold an old manifest.
+
+        ``grace_s`` protects WRITERS too: a concurrent ``commit()``
+        moves files into data/ *before* publishing the manifest, so an
+        unreferenced-but-young file may belong to an in-flight commit —
+        files modified within the grace window are never deleted (the
+        same retention rule table formats apply).  Pass 0 only when no
+        writer can be active."""
         import shutil
+        import time
 
         live = {str(self.data_dir / e["path"])
                 for e in (self.manifest() or {"files": []})["files"]}
+        cutoff = time.time() - grace_s
         removed = 0
         if self.data_dir.exists():
             for f in self.data_dir.rglob("*.parquet"):
-                if str(f) not in live:
+                if str(f) not in live and f.stat().st_mtime < cutoff:
                     f.unlink()
                     removed += 1
-        if self.staging_dir.exists():
+        if self.staging_dir.exists() and grace_s <= 0:
             shutil.rmtree(self.staging_dir, ignore_errors=True)
+        elif self.staging_dir.exists():
+            for d in self.staging_dir.iterdir():
+                if d.stat().st_mtime < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
         return removed

@@ -285,10 +285,14 @@ class TestJvmInterpExprs:
             ys = np.sort(rng.random(n))
             ys[0], ys[-1] = 0.0, 1.0
             if n > 3 and rng.random() < 0.5:
-                ys[2] = ys[1]        # plateau
+                ys[2] = ys[1]        # interior plateau
+            if n > 3 and rng.random() < 0.3:
+                ys[1] = 0.0          # LEADING duplicate (ties at q=0
+                #                      must hit the run's right edge)
             rows.append((i, [(float(a), float(b))
                              for a, b in zip(xs, ys)],
-                         float(rng.uniform(-0.2, 1.2)),
+                         float(rng.choice([0.0, 1.0,
+                                           rng.uniform(-0.2, 1.2)])),
                          float(rng.uniform(-350, 350))))
         df = spark.createDataFrame(
             rows, "id long, curve array<struct<x:float,y:float>>, "

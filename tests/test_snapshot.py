@@ -120,8 +120,12 @@ class TestSnapshotStore:
         assert {(str(r.trip_start_date), r.delay_arrival)
                 for r in held.collect()} == {
             ("2024-01-01", 60.0), ("2024-01-02", 70.0)}
-        # vacuum drops exactly the files only the old snapshot used
-        assert store.vacuum() == 1
+        # default grace protects young files (a concurrent commit may
+        # have moved them into data/ before publishing its manifest)
+        assert store.vacuum() == 0
+        # with no writer active, grace 0 drops exactly the files only
+        # the old snapshot used
+        assert store.vacuum(grace_s=0) == 1
         assert _state(store, spark) == {
             ("2024-01-01", 1, 90.0), ("2024-01-02", 1, 70.0)}
 

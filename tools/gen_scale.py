@@ -28,7 +28,10 @@ FACTS = {
     "documents": ["doc_id"],
     "embeddings": ["doc_id"],
     "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
+    # FK columns must shift with their dimension's PK (same replica
+    # offset), or replicated part/supplier rows dangle and join fan-in
+    # grows K-fold on the original key range
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
