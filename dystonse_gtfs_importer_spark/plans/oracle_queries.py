@@ -919,6 +919,21 @@ def _ecdf_focused_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                              value_col="value", focus=50.0, y_round=6)
 
 
+def _ecdf_focused_jvm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused (C6 triangular kernel) twin of :func:`_ecdf_jvm_spark`:
+    the weighting, cumulative, and endpoint math run entirely JVM-side;
+    hash-matched against the same focused oracle as the pandas kernel,
+    closing the derivation triangle for the weighted case too."""
+    from ..session import configure_for_oracle
+    from ..sources.testdata import load_table
+    from .analyse import ecdf_curve_points_jvm
+
+    configure_for_oracle(spark)
+    events = load_table(spark, sf_dir, "events")
+    return ecdf_curve_points_jvm(events, group_cols=["event_type"],
+                                 value_col="value", focus=50.0, y_round=6)
+
+
 # Focused make_curve (triangular kernel C6, focus=50): weight 1 at the
 # focus falling linearly to 0 at the group min/max; y at each distinct
 # x is the cumulative weight at its FIRST occurrence / total weight.
@@ -1221,6 +1236,9 @@ QUERIES: dict[str, QueryDef] = {
                            survey_ref="A3 C6 O4"),
     "ecdf_curve_jvm": QueryDef(spark=_ecdf_jvm_spark, oracle=_ECDF_ORACLE,
                                survey_ref="A3 scale path (no-Python)"),
+    "ecdf_curve_focused_jvm": QueryDef(
+        spark=_ecdf_focused_jvm_spark, oracle=_ECDF_FOCUSED_ORACLE,
+        survey_ref="A3 C6 scale path (no-Python)"),
     # ANN paths rendered dual-dialect (functions/ann_sql.py): the
     # driver hash-verifies the FULL approximate result cross-engine;
     # recall-vs-exact quality is asserted in tests/test_similarity.py
