@@ -203,6 +203,33 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS b_li")
             spark.sql("DROP TABLE IF EXISTS b_orders")
 
+    def test_bucketed_aggregation_has_no_exchange(self, spark, sf_smoke,
+                                                  tmp_path):
+        """Bucketing serves aggregations too: grouping a bucketed table
+        by its bucket key needs NO shuffle at all — at 100 TB this is
+        how the stop-pair sufficient-statistics aggregate (its one
+        fact shuffle is the per-orderkey groupBy) runs shuffle-free on
+        a lineitem layout bucketed by l_orderkey."""
+        from dystonse_gtfs_importer_spark.sources.store import (
+            read_bucketed, write_bucketed,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        li = load_table(spark, sf_smoke, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice")
+        try:
+            write_bucketed(li, "b_li_agg", str(tmp_path / "b_li_agg"),
+                           ["l_orderkey"], n_buckets=8)
+            b = read_bucketed(spark, "b_li_agg")
+            piv = b.groupBy("l_orderkey").agg(
+                F.sum("l_extendedprice").alias("s"),
+                F.count("*").alias("n"))
+            assert n_exchanges(piv) == 0, plan_of(piv)
+            expect = li.groupBy("l_orderkey").count().count()
+            assert piv.count() == expect
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
 
 class TestAggShape:
     def test_partial_aggregation_before_shuffle(self, spark, sf_smoke):
