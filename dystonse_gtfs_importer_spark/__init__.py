@@ -23,6 +23,9 @@ Layout
 - ``plans``      end-to-end pipelines (import / analyse / predict /
                  monitor query layer)
 - ``streaming``  Structured Streaming wrappers + stateful ops
+- ``rendering``  S19 graphic sinks (SVG curve pages, PNG visual
+                 schedules, heat-strip data URLs) + distributed
+                 ``applyInPandas`` page renderers
 """
 
 __version__ = "0.1.0"
