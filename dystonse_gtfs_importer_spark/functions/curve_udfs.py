@@ -88,8 +88,11 @@ def curve_x_at_y_expr(curve, y):
     y = F.lit(y) if not hasattr(y, "_jc") else y
     ys = F.transform(curve, lambda p: p["y"].cast("double"))
     xs = F.transform(curve, lambda p: p["x"].cast("double"))
-    return F.when(curve.isNotNull() & (F.size(curve) >= 2),
-                  _interp_expr(ys, xs, y))
+    # q null-guard matters under ANSI: a NULL query would make the
+    # filter-count 0 and element_at(·, 0) raise instead of yielding
+    # NULL like the pandas UDF does
+    return F.when(curve.isNotNull() & (F.size(curve) >= 2)
+                  & y.isNotNull(), _interp_expr(ys, xs, y))
 
 
 def curve_y_at_x_expr(curve, x):
@@ -101,8 +104,8 @@ def curve_y_at_x_expr(curve, x):
     x = F.lit(x) if not hasattr(x, "_jc") else x
     ys = F.transform(curve, lambda p: p["y"].cast("double"))
     xs = F.transform(curve, lambda p: p["x"].cast("double"))
-    return F.when(curve.isNotNull() & (F.size(curve) >= 2),
-                  _interp_expr(xs, ys, x))
+    return F.when(curve.isNotNull() & (F.size(curve) >= 2)
+                  & x.isNotNull(), _interp_expr(xs, ys, x))
 
 
 @pandas_udf(CURVE_TYPE)

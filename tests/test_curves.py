@@ -320,3 +320,18 @@ class TestJvmInterpExprs:
         out = df.select(
             curve_x_at_y_expr("curve", F.lit(0.5)).alias("v")).collect()
         assert [r.v for r in out] == [None, None]
+
+    def test_null_query_yields_null_under_ansi(self, spark):
+        import pyspark.sql.functions as F
+
+        from dystonse_gtfs_importer_spark.functions.curve_udfs import (
+            curve_x_at_y_expr, curve_y_at_x_expr,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [(0.0, 0.0), (10.0, 1.0)], None)],
+            "id long, curve array<struct<x:float,y:float>>, q double")
+        out = df.select(
+            curve_x_at_y_expr("curve", F.col("q")).alias("a"),
+            curve_y_at_x_expr("curve", F.col("q")).alias("b")).collect()
+        assert out[0].a is None and out[0].b is None
