@@ -174,33 +174,42 @@ def q_stop_pair_counts(d: S.Dialect) -> str:
     # double-sorted self-join; the hash match proves the derivations
     # equal.
     if d.name == "spark":
-        # The stats live in two 7-element ARRAYS and the 21 (i<j)
-        # combinations come from a constant pair table, so the
-        # analyzed/codegen'd tree stays small (the earlier 42-column
-        # global-reduce variant spent ~3 s in the analyzer and ~1 s/run
-        # in the generated aggregate at sf0.1 for identical results and
-        # the identical single orderkey-keyed shuffle).
+        # The per-order stats live in two 7-element ARRAYS; the 21
+        # (i<j) pair products are then folded in a SINGLE grand-total
+        # aggregate over piv (two 21-element result arrays), and the
+        # constant pair table is exploded only from that one reduced
+        # row.  No per-order explode: the earlier LATERAL VIEW over
+        # piv generated 21x|orders| intermediate rows and tripled the
+        # runtime (2.25 s -> 0.76 s at sf0.1) for identical results;
+        # a grouped 42-column variant was worse still (~3 s analyzer).
+        # Both shuffles survive at any scale: the orderkey exchange is
+        # the one fact shuffle, and the grand total moves one row of
+        # two fixed-width arrays per map partition.
         ks = range(1, 8)
         ns = ", ".join(f"SUM(IF(l_linenumber = {k}, 1, 0))" for k in ks)
         ss = ", ".join(
             f"SUM(IF(l_linenumber = {k}, l_extendedprice, 0D))" for k in ks)
         pairs = ", ".join(
             f"struct({i} AS i, {j} AS j)" for i in ks for j in ks if i < j)
+        np_sums = ", ".join(
+            f"SUM(ns[{i - 1}] * ns[{j - 1}])"
+            for i in ks for j in ks if i < j)
+        sd_sums = ", ".join(
+            f"SUM(ns[{i - 1}] * ss[{j - 1}] - ns[{j - 1}] * ss[{i - 1}])"
+            for i in ks for j in ks if i < j)
         return f"""
             WITH piv AS (
                 SELECT l_orderkey, array({ns}) AS ns, array({ss}) AS ss
                 FROM lineitem GROUP BY l_orderkey
             ),
-            contrib AS (
-                SELECT p.i AS seq_from, p.j AS seq_to,
-                       ns[p.i - 1] * ns[p.j - 1] AS np,
-                       ns[p.i - 1] * ss[p.j - 1]
-                           - ns[p.j - 1] * ss[p.i - 1] AS sd
-                FROM piv LATERAL VIEW explode(array({pairs})) t AS p
+            red AS (
+                SELECT array({np_sums}) AS nps, array({sd_sums}) AS sds
+                FROM piv
             )
-            SELECT seq_from, seq_to, SUM(np) AS n_pairs,
-                   ROUND(SUM(sd) / SUM(np), 4) AS avg_price_delta
-            FROM contrib GROUP BY seq_from, seq_to HAVING SUM(np) > 0
+            SELECT p.i AS seq_from, p.j AS seq_to, nps[k] AS n_pairs,
+                   ROUND(sds[k] / nps[k], 4) AS avg_price_delta
+            FROM red LATERAL VIEW posexplode(array({pairs})) t AS k, p
+            WHERE nps[k] > 0
         """
     return """
         SELECT a.l_linenumber AS seq_from, b.l_linenumber AS seq_to,
