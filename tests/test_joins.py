@@ -56,6 +56,42 @@ class TestAsofJoin:
         assert out.count() == 3
         assert {r.px_asof for r in out.collect()} == {11.0}
 
+    def test_strategies_agree(self, spark, quotes):
+        """fill and aggregate must return identical rows on the
+        adversarial fixture — exact ties, no-match rows, same-key
+        duplicate quotes — in both directions."""
+        dup = quotes.union(spark.createDataFrame(
+            [("A", _ts(9, 30), 11.5)],  # tie on qts: max px wins
+            "sym string, qts timestamp, px double"))
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 30)), ("A", _ts(9, 59)), ("A", _ts(8, 0)),
+             ("B", _ts(12, 0)), ("B", _ts(9, 15))],
+            "sym string, tts timestamp")
+        for direction in ("backward", "forward"):
+            a = asof_join(trades, dup, "tts", "qts", by=["sym"],
+                          direction=direction, strategy="aggregate")
+            f = asof_join(trades, dup, "tts", "qts", by=["sym"],
+                          direction=direction, strategy="fill")
+            ka = sorted(map(tuple, a.collect()))
+            kf = sorted(map(tuple, f.collect()))
+            assert ka == kf, direction
+
+    def test_null_keys_and_times_never_match(self, spark):
+        """NULL by-keys and NULL on-columns behave like the join form:
+        they can neither match nor be matched (fill strategy)."""
+        quotes = spark.createDataFrame(
+            [("A", _ts(9, 0), 1.0), (None, _ts(8, 0), 9.0),
+             ("A", None, 8.0)],
+            "sym string, qts timestamp, px double")
+        trades = spark.createDataFrame(
+            [("A", _ts(10, 0)), (None, _ts(10, 0)), ("A", None)],
+            "sym string, tts timestamp")
+        out = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                        strategy="fill")
+        got = {(r.sym, r.tts): r.px_asof for r in out.collect()}
+        assert got == {("A", _ts(10, 0)): 1.0,
+                       (None, _ts(10, 0)): None, ("A", None): None}
+
     def test_matches_window_reference(self, spark, sf_smoke):
         """Cross-check on real data: MAX_BY form == windowed form."""
         from dystonse_gtfs_importer_spark.sources.testdata import (
