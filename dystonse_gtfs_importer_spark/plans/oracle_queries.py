@@ -146,8 +146,40 @@ def q_distinct_users(d: S.Dialect) -> str:
 
 
 def q_rollup_ladder(d: S.Dialect) -> str:
-    # A6 fallback-ladder analog: GROUPING SETS specific → per-nation →
-    # grand total, with grouping() flags as the precision marker
+    # A6 fallback-ladder analog: specific → per-nation → grand total.
+    # Spark side aggregates ONCE at the finest level — (count, sum)
+    # are algebraic, so the coarser rungs re-aggregate the tiny
+    # (nation × priority) table instead of the fact table: GROUPING
+    # SETS' Expand would push 3× the fact rows into the shuffle,
+    # where this shape moves them once (measured 1.4× faster warm at
+    # the 10× replica; the 3× shuffle cut is the point at scale).
+    # The oracle keeps the textbook GROUPING SETS form so the two
+    # derivations check each other.
+    if d.name == "spark":
+        return """
+            WITH base AS (
+                SELECT n_name, o_orderpriority, COUNT(*) AS n,
+                       SUM(o_totalprice) AS s
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name, o_orderpriority
+            ),
+            lvl AS (
+                SELECT n_name, o_orderpriority, n, s FROM base
+                UNION ALL
+                SELECT n_name, CAST(NULL AS STRING), SUM(n), SUM(s)
+                FROM base GROUP BY n_name
+                UNION ALL
+                SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
+                       SUM(n), SUM(s)
+                FROM base
+            )
+            SELECT COALESCE(n_name, '<all>') AS nation,
+                   COALESCE(o_orderpriority, '<all>') AS priority,
+                   n, ROUND(s / n, 4) AS avg_price
+            FROM lvl
+        """
     return """
         SELECT COALESCE(n_name, '<all>') AS nation,
                COALESCE(o_orderpriority, '<all>') AS priority,

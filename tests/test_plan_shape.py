@@ -263,6 +263,23 @@ class TestAggShape:
         assert "SortMergeJoin" not in plan and "Join" not in plan, plan
         assert plan.count("Sort ") == 0, plan
 
+    def test_rollup_ladder_no_expand(self, spark, sf_smoke):
+        """A6's Spark derivation aggregates the fact table once at the
+        finest level and re-aggregates the tiny result for the coarser
+        rungs: no Expand operator (GROUPING SETS would triple the
+        fact rows entering the shuffle)."""
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_rollup_ladder,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(q_rollup_ladder(S.SPARK)))
+        assert "Expand" not in plan, plan
+
     def test_latest_wins_partial_agg_no_window(self, spark, sf_smoke):
         """W2's Spark derivation is a MAX_BY aggregate, not a window
         rank: partial aggregation must sit below the one shuffle (only
