@@ -125,9 +125,13 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     rr = right.where(F.col(right_on).isNotNull())
     for k in by:
         rr = rr.where(F.col(k).isNotNull())
-    payload = F.struct(*[F.col(c) for c in value_cols])
-    payload_type = rr.select(payload.alias("p")).schema[0].dataType
-    skey = F.struct(F.col(right_on), *[F.col(c) for c in value_cols])
+    # ONE struct serves as both the tie-break ordering key and the
+    # filled payload (its leading __on field reproduces MAX_BY/MIN_BY's
+    # (on, *values) ordering; the value fields are extracted after the
+    # fill) — carrying a separate payload struct would double the
+    # right-side bytes through the window shuffle
+    skey = F.struct(F.col(right_on).alias("__on"),
+                    *[F.col(c) for c in value_cols])
     skey_type = rr.select(skey.alias("k")).schema[0].dataType
 
     r_side = rr.select(
@@ -135,7 +139,6 @@ def _asof_fill(left: DataFrame, right: DataFrame,
         F.col(right_on).cast(t_type).alias("__t"),
         F.lit(0).alias("__kind"),
         skey.alias("__skey"),
-        payload.alias("__payload"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in by])
     l_side = left.select(
@@ -143,7 +146,6 @@ def _asof_fill(left: DataFrame, right: DataFrame,
         F.col(left_on).cast(t_type).alias("__t"),
         F.lit(1).alias("__kind"),
         F.lit(None).cast(skey_type).alias("__skey"),
-        F.lit(None).cast(payload_type).alias("__payload"),
         *[F.col(c) for c in left.columns if c not in by])
     u = r_side.unionByName(l_side)
 
@@ -156,7 +158,7 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     w = (Window.partitionBy(*by).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = u.withColumn(
-        "__fill", F.last("__payload", ignorenulls=True).over(w))
+        "__fill", F.last("__skey", ignorenulls=True).over(w))
 
     return filled.where(F.col("__kind") == 1).select(
         *[F.col(c) for c in left.columns],

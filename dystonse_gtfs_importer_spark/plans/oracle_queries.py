@@ -171,8 +171,11 @@ def q_rollup_ladder(d: S.Dialect) -> str:
                 SELECT n_name, CAST(NULL AS STRING), SUM(n), SUM(s)
                 FROM base GROUP BY n_name
                 UNION ALL
+                -- the () grouping set emits exactly one row even on
+                -- empty input, with COUNT(*) = 0 and NULL avg; the
+                -- COALESCE reproduces that (SUM over no rows is NULL)
                 SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
-                       SUM(n), SUM(s)
+                       COALESCE(SUM(n), 0), SUM(s)
                 FROM base
             )
             SELECT COALESCE(n_name, '<all>') AS nation,
@@ -277,6 +280,11 @@ def q_asof_join(d: S.Dialect) -> str:
                        0 AS kind, o_orderkey AS okey,
                        CAST(NULL AS BIGINT) AS event_id
                 FROM orders
+                -- NULL keys/dates can never satisfy the oracle's
+                -- equi/range predicates; unfiltered they would sort
+                -- nulls-first and forward-fill into genuinely
+                -- unmatched events
+                WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
                 UNION ALL
                 SELECT user_id AS cust, ts AS t, 1 AS kind,
                        CAST(NULL AS BIGINT) AS okey, event_id

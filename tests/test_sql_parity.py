@@ -177,3 +177,98 @@ class TestTextExprs:
                          S.quality_score("text", S.DUCKDB))
         assert a == pytest.approx(b, abs=1e-9)
         assert all(0.0 <= v <= 1.0 for v in a)
+
+
+class TestQueryEdgeParity:
+    """Registry-query edge cases the sf fixtures never exercise: the
+    dialect-split Spark derivations must agree with their oracles on
+    empty inputs and NULL keys/dates, not just on the driver data."""
+
+    def _spark_rows(self, spark, sql):
+        return sorted(map(tuple, spark.sql(sql).collect()))
+
+    def _duck_rows(self, con, sql):
+        return sorted(map(tuple, con.execute(sql).fetchall()))
+
+    def test_rollup_ladder_empty_input(self, spark):
+        """The () grouping set emits exactly one grand-total row with
+        COUNT 0 even on empty input; the two-level Spark derivation
+        must reproduce it (not an all-NULL row, not zero rows)."""
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_rollup_ladder,
+        )
+
+        spark.createDataFrame(
+            [], "o_orderkey bigint, o_custkey bigint, "
+                "o_orderpriority string, o_totalprice double"
+        ).createOrReplaceTempView("orders")
+        spark.createDataFrame(
+            [], "c_custkey bigint, c_nationkey bigint"
+        ).createOrReplaceTempView("customer")
+        spark.createDataFrame(
+            [], "n_nationkey bigint, n_name string"
+        ).createOrReplaceTempView("nation")
+        try:
+            got = self._spark_rows(spark, q_rollup_ladder(S.SPARK))
+            con = duckdb.connect()
+            con.execute("CREATE TABLE orders (o_orderkey BIGINT, "
+                        "o_custkey BIGINT, o_orderpriority VARCHAR, "
+                        "o_totalprice DOUBLE)")
+            con.execute("CREATE TABLE customer "
+                        "(c_custkey BIGINT, c_nationkey BIGINT)")
+            con.execute("CREATE TABLE nation "
+                        "(n_nationkey BIGINT, n_name VARCHAR)")
+            ref = self._duck_rows(con, q_rollup_ladder(S.DUCKDB))
+            assert got == ref == [("<all>", "<all>", 0, None)]
+        finally:
+            for v in ("orders", "customer", "nation"):
+                spark.catalog.dropTempView(v)
+
+    def test_asof_join_null_dates_and_keys(self, spark):
+        """Orders with NULL o_orderdate / o_custkey can never match
+        under the oracle's range join; the forward-fill derivation
+        must not let them fill into unmatched events."""
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_asof_join,
+        )
+        from dystonse_gtfs_importer_spark.session import (
+            configure_for_oracle,
+        )
+
+        configure_for_oracle(spark)
+        orders = pd.DataFrame({
+            "o_orderkey": pd.Series([1, 2, 3], dtype="int64"),
+            "o_custkey": pd.array([10, None, 20], dtype="Int64"),
+            "o_orderdate": pd.Series(
+                [dt.date(2024, 1, 5), dt.date(2024, 1, 1), None],
+                dtype="object"),
+        })
+        events = pd.DataFrame({
+            "event_id": pd.Series([100, 101, 102], dtype="int64"),
+            # user 10: event before its only order -> no match;
+            # user 20: only a NULL-dated order exists -> no match;
+            # user 10 again, after the order -> match 1
+            "user_id": pd.Series([10, 20, 10], dtype="int64"),
+            "ts": pd.Series(
+                [dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 9),
+                 dt.datetime(2024, 1, 9)], dtype="datetime64[us]"),
+        })
+        spark.createDataFrame(orders).createOrReplaceTempView("orders")
+        spark.createDataFrame(events).createOrReplaceTempView("events")
+        try:
+            got = self._spark_rows(spark, q_asof_join(S.SPARK))
+            con = duckdb.connect()
+            con.register("orders", orders)
+            con.register("events", events)
+            ref = self._duck_rows(con, q_asof_join(S.DUCKDB))
+            # the oracle's left-join form keeps unmatched events with
+            # NULL; the Spark form drops them -- normalize like the
+            # driver compare does NOT: assert the MATCHED sets agree
+            # and no spurious match exists
+            assert got == [r for r in ref if r[1] is not None] \
+                == [(102, 1)]
+        finally:
+            for v in ("orders", "events"):
+                spark.catalog.dropTempView(v)
