@@ -92,6 +92,39 @@ class TestAsofJoin:
         assert got == {("A", _ts(10, 0)): 1.0,
                        (None, _ts(10, 0)): None, ("A", None): None}
 
+    @pytest.mark.parametrize("seed", [7, 23])
+    def test_strategies_agree_randomized(self, spark, seed):
+        """Randomized agreement: dense key collisions, duplicated
+        timestamps, NULL on-values and NULL keys on both sides — the
+        two strategies must still return identical rows in both
+        directions."""
+        import random
+
+        rng = random.Random(seed)
+        syms = ["A", "B", "C", None]
+
+        def maybe_ts(p_null=0.1):
+            if rng.random() < p_null:
+                return None
+            return _ts(rng.randrange(6, 18), rng.choice([0, 15, 30]))
+
+        quotes = spark.createDataFrame(
+            [(rng.choice(syms), maybe_ts(), float(rng.randrange(100)))
+             for _ in range(120)],
+            "sym string, qts timestamp, px double")
+        trades = spark.createDataFrame(
+            [(rng.choice(syms), maybe_ts()) for _ in range(80)],
+            "sym string, tts timestamp")
+        for direction in ("backward", "forward"):
+            a = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                          direction=direction, strategy="aggregate")
+            f = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                          direction=direction, strategy="fill")
+            # NULLs make tuples incomparable; repr gives a total order
+            assert sorted(map(tuple, a.collect()), key=repr) \
+                == sorted(map(tuple, f.collect()), key=repr), \
+                (seed, direction)
+
     def test_matches_window_reference(self, spark, sf_smoke):
         """Cross-check on real data: MAX_BY form == windowed form."""
         from dystonse_gtfs_importer_spark.sources.testdata import (
