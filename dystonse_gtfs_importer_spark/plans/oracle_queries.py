@@ -1427,10 +1427,64 @@ QUERIES: dict[str, QueryDef] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Driver exposure order — FROZEN round 4.
+#
+# The driver's CORRECTNESS snapshot records only the FIRST 50 entries of
+# queries() dict order.  Rounds 1-3 left 26 registered queries permanently
+# outside that window (green only under tools/check_correctness.py runs),
+# so the window is now an explicit, frozen artifact: the 26 entries the
+# driver has never witnessed come first, followed by 24 of the previously
+# witnessed ones to fill the 50-row window; the remaining 26 (all driver-
+# green in rounds 1-3) sit behind it.  Do NOT insert new names anywhere
+# above the "-- window boundary --" marker; append new queries at the END.
+# tests/test_sql_parity.py::test_registry_window_frozen pins this.
+# ---------------------------------------------------------------------------
+REGISTRY_ORDER: tuple[str, ...] = (
+    # 26 entries never witnessed by the driver through round 3
+    "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
+    "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
+    "salted_join", "bigram_lm_score", "temperature_sample",
+    "stratified_sample", "hash_bernoulli_sample", "seeded_shuffle",
+    "stratified_sample_scale", "countmin_heavy_hitters", "hll_distinct",
+    "histogram_quantiles", "hll_shard_merge", "bloom_membership",
+    "tfidf_topk", "decontaminate", "token_shard_packing",
+    "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
+    "repetition_signals",
+    # 24 round-3-witnessed entries completing the 50-row driver window
+    "ecdf_curve", "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
+    "ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup", "semdedup_keep",
+    "ecdf_curve_focused", "curve_stack_stats", "pricing_summary",
+    "hourly_event_stats", "global_minmax", "distinct_users",
+    "rollup_ladder", "stop_pair_counts", "asof_join", "anti_join",
+    "spatial_neighbors", "latest_wins", "forward_fill", "median_rank",
+    "sessionization", "funnel_steps", "retention_cohorts",
+    # -- window boundary: entries below are outside the driver snapshot --
+    "scd2_intervals", "rolling_hour_avg", "non_final_stops",
+    "time_slot_histogram", "route_sections", "delay_rounding",
+    "interval_overlap", "autocomplete", "token_stats", "lang_id",
+    "quality_score", "exact_dedup", "fingerprint_dedup", "source_overlap",
+    "union_service_days", "latest_in_past", "orders_by_size",
+    "trip_resolution", "noon_datetime", "contiguous_trips",
+    "value_percentiles", "minhash_lsh_pairs", "simhash",
+    "simhash_near_pairs", "simhash_near_pairs_banded",
+    "ngram_jaccard_pairs",
+)
+
+DRIVER_WINDOW = 50
+
+
+def _ordered() -> list[tuple[str, QueryDef]]:
+    ordered = [(n, QUERIES[n]) for n in REGISTRY_ORDER]
+    # new registrations not yet added to REGISTRY_ORDER trail the window
+    ordered += [(n, qd) for n, qd in QUERIES.items() if n not in REGISTRY_ORDER]
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.spark for name, qd in QUERIES.items()}
+    return {name: qd.spark for name, qd in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {name: (qd.oracle() if callable(qd.oracle) else qd.oracle)
-            for name, qd in QUERIES.items() if qd.oracle is not None}
+            for name, qd in _ordered() if qd.oracle is not None}
