@@ -337,13 +337,24 @@ def q_bigram_lm_score(d: S.Dialect) -> str:
     doc's bigram stream against them and one doc-keyed SUM ends the
     pipeline.  LN operates on count RATIOS (exact integers), and the
     per-doc sum is ~doc-length terms, so ROUND(.,4) absorbs libm/
-    accumulation-order ulp drift — the driver hash stays stable."""
-    ta = d.token_array("text")
+    accumulation-order ulp drift — the driver hash stays stable.
+
+    Fact-scan discipline: the corpus is tokenized exactly once (the
+    ``docs`` CTE); ``w1_counts`` re-aggregates the vocabulary-sized
+    ``bg_counts`` (SUM of per-bigram counts grouped by w1 equals the
+    former COUNT over the exploded stream), and the vocabulary is a
+    COUNT(DISTINCT) over the same token arrays.  Spark inlines CTEs,
+    so ``docs``/``doc_bg`` still evaluate per consumer in the pure-SQL
+    form — the registry's Spark entry is the DataFrame pipeline
+    ``bigram_lm_score_df`` which persists them (oracle_queries.py)."""
     return f"""
         WITH docs AS (
-            SELECT doc_id, {d.bigram_list(ta)} AS bgs,
-                   {d.arr_len(ta)} AS n_tok
-            FROM documents
+            SELECT doc_id, toks, {d.bigram_list('toks')} AS bgs,
+                   {d.arr_len('toks')} AS n_tok
+            FROM (
+                SELECT doc_id, {d.token_array('text')} AS toks
+                FROM documents
+            ) t0
         ),
         doc_bg AS (
             SELECT doc_id, {d.explode_arr('bgs')} AS bg FROM docs
@@ -352,19 +363,20 @@ def q_bigram_lm_score(d: S.Dialect) -> str:
         bg_counts AS (
             SELECT bg, COUNT(*) AS c_bg FROM doc_bg GROUP BY bg
         ),
-        un_counts AS (
-            SELECT tok, COUNT(*) AS c_w1 FROM (
-                SELECT {d.explode_tokens('text')} AS tok FROM documents
-            ) t WHERE tok <> '' GROUP BY tok
+        vocab AS (
+            SELECT COUNT(DISTINCT tok) AS v FROM (
+                SELECT {d.explode_arr('toks')} AS tok FROM docs
+            ) t
         ),
-        vocab AS (SELECT COUNT(*) AS v FROM un_counts),
         -- add-one denominator: count of bigrams STARTING with w1
         -- (so sum over w2 of P(w2|w1) = 1), not the corpus unigram
-        -- count, which over-counts document-final occurrences of w1
+        -- count, which over-counts document-final occurrences of w1;
+        -- derived from the vocabulary-sized bg_counts, not a second
+        -- pass over the exploded fact stream
         w1_counts AS (
             SELECT SUBSTR(bg, 1, POSITION(' ' IN bg) - 1) AS tok,
-                   COUNT(*) AS c_w1dot
-            FROM doc_bg GROUP BY 1
+                   SUM(c_bg) AS c_w1dot
+            FROM bg_counts GROUP BY 1
         ),
         scored AS (
             SELECT db.doc_id,

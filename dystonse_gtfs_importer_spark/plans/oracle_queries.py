@@ -1301,6 +1301,69 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# bigram LM score, DataFrame form: Spark inlines SQL CTEs, so the pure-
+# SQL rendering of q_bigram_lm_score would tokenize the corpus once per
+# consumer (bg_counts, vocab, scored — ~3 fact scans).  The DataFrame
+# pipeline persists the tokenized docs and the exploded bigram stream so
+# the fact-scale tokenization runs exactly once; at 100 TB the repeated
+# tokenize pass would dominate the whole query.  The DuckDB oracle stays
+# the shared SQL (DuckDB materializes CTEs referenced more than once).
+# ---------------------------------------------------------------------------
+
+
+def _bigram_lm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    d = S.SPARK
+    raw = spark.table("documents").select("doc_id", "text")
+    # the tokenize is the CPU-heavy step: if the scan yields fewer
+    # splits than cores (one small parquet file locally), spread it —
+    # on a real lake the input already has >= parallelism splits and
+    # this branch never fires
+    par = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    raw.createOrReplaceTempView("_bigram_raw_docs")
+    docs = spark.sql(f"""
+        SELECT doc_id, toks, {d.bigram_list('toks')} AS bgs,
+               CAST({d.arr_len('toks')} AS BIGINT) AS n_tok
+        FROM (SELECT doc_id, {d.token_array('text')} AS toks
+              FROM _bigram_raw_docs) t0
+    """).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_bg = (docs.where(F.size("bgs") >= 1)
+              .select("doc_id", F.explode("bgs").alias("bg"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    bg_counts = doc_bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    # add-one denominator: bigrams starting with w1, re-aggregated from
+    # the vocabulary-sized bg_counts — no second pass over the stream
+    w1_counts = (bg_counts
+                 .groupBy(F.substring_index("bg", " ", 1).alias("tok"))
+                 .agg(F.sum("c_bg").alias("c_w1dot")))
+    vocab = (docs.select(F.explode("toks").alias("tok"))
+             .agg(F.count_distinct("tok").alias("v")))
+    scored = (doc_bg
+              .withColumn("w1", F.substring_index("bg", " ", 1))
+              .join(F.broadcast(bg_counts), "bg")
+              .join(F.broadcast(w1_counts),
+                    F.col("w1") == w1_counts["tok"])
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id")
+              .agg(F.sum(F.log((F.col("c_bg") + F.lit(1)).cast("double")
+                               / (F.col("c_w1dot") + F.col("v"))))
+                   .alias("logp"),
+                   F.count("*").alias("n_bg")))
+    return (docs.join(scored, "doc_id", "left")
+            .select("doc_id", "n_tok",
+                    F.round(F.col("logp") / F.col("n_bg"), 4)
+                    .alias("avg_logp")))
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
@@ -1388,8 +1451,9 @@ QUERIES: dict[str, QueryDef] = {
     "salted_join": QueryDef(spark=_salted_join_spark,
                             oracle=_SALTED_JOIN_ORACLE,
                             survey_ref="skew-salted J-equi"),
-    "bigram_lm_score": _sql_pair(SAMP.q_bigram_lm_score,
-                                 "text-analysis lm-quality"),
+    "bigram_lm_score": QueryDef(spark=_bigram_lm_spark,
+                                oracle=SAMP.q_bigram_lm_score(S.DUCKDB),
+                                survey_ref="text-analysis lm-quality"),
     "temperature_sample": _sql_pair(SAMP.q_temperature_sample,
                                     "sampling temperature-balance"),
     "stratified_sample": _sql_pair(SAMP.q_stratified_sample,

@@ -309,3 +309,26 @@ class TestRegistryWindow:
 
         qnames = [n for n in oq.queries() if n in oq.oracle_sql()]
         assert list(oq.oracle_sql()) == qnames
+
+
+class TestBigramLmDataFrameForm:
+    """The registry's bigram_lm_score runs the persisted DataFrame
+    pipeline (one tokenize pass); it must agree with the shared SQL
+    rendering row-for-row."""
+
+    def test_df_form_matches_sql_form(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.functions import sampling_sql as SAMP
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            _bigram_lm_spark,
+        )
+        from dystonse_gtfs_importer_spark.session import configure_for_oracle
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        configure_for_oracle(spark)
+        register_views(spark, sf_smoke)
+        got = {tuple(r) for r in _bigram_lm_spark(spark, sf_smoke).collect()}
+        ref = {tuple(r)
+               for r in spark.sql(SAMP.q_bigram_lm_score(S.SPARK)).collect()}
+        assert got == ref and len(got) > 0
