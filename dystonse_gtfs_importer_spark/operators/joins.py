@@ -115,12 +115,33 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     every right row in either direction and so keep NULLs.
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import DateType, TimestampType
+
+    reserved = {"__t", "__kind", "__skey", "__fill"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join(fill) reserves column names "
+                         f"{sorted(reserved)}; rename {sorted(clash)}")
+    if "__on" in value_cols:
+        raise ValueError("asof_join(fill) reserves the payload field "
+                         "name '__on'; rename the '__on' value column")
 
     lt = left.schema[left_on].dataType
     rt = right.schema[right_on].dataType
-    # a common ordering type for the union; date-vs-timestamp widens
-    # to timestamp exactly like the range predicate's coercion
-    t_type = lt if lt == rt else "timestamp"
+    # a common ordering type for the union: date-vs-timestamp widens to
+    # timestamp exactly like the range predicate's coercion.  Any OTHER
+    # type mismatch must not silently cast (unparseable values would
+    # become NULL __t and forward-fill into every left row, diverging
+    # from the aggregate strategy's coercion) — reject it instead.
+    if lt == rt:
+        t_type = lt
+    elif {type(lt), type(rt)} == {DateType, TimestampType}:
+        t_type = "timestamp"
+    else:
+        raise ValueError(
+            f"asof_join(fill): incompatible on-column types "
+            f"{lt.simpleString()} vs {rt.simpleString()}; cast "
+            f"{left_on}/{right_on} to a common type first")
 
     rr = right.where(F.col(right_on).isNotNull())
     for k in by:

@@ -159,6 +159,7 @@ def q_rollup_ladder(d: S.Dialect) -> str:
         return """
             WITH base AS (
                 SELECT n_name, o_orderpriority, COUNT(*) AS n,
+                       COUNT(o_totalprice) AS nn,
                        SUM(o_totalprice) AS s
                 FROM orders
                 JOIN customer ON o_custkey = c_custkey
@@ -166,21 +167,25 @@ def q_rollup_ladder(d: S.Dialect) -> str:
                 GROUP BY n_name, o_orderpriority
             ),
             lvl AS (
-                SELECT n_name, o_orderpriority, n, s FROM base
+                SELECT n_name, o_orderpriority, n, nn, s FROM base
                 UNION ALL
-                SELECT n_name, CAST(NULL AS STRING), SUM(n), SUM(s)
+                SELECT n_name, CAST(NULL AS STRING), SUM(n), SUM(nn),
+                       SUM(s)
                 FROM base GROUP BY n_name
                 UNION ALL
                 -- the () grouping set emits exactly one row even on
                 -- empty input, with COUNT(*) = 0 and NULL avg; the
                 -- COALESCE reproduces that (SUM over no rows is NULL)
                 SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
-                       COALESCE(SUM(n), 0), SUM(s)
+                       COALESCE(SUM(n), 0), COALESCE(SUM(nn), 0), SUM(s)
                 FROM base
             )
+            -- AVG divides by the NON-NULL count, so the divisor is nn
+            -- (= COUNT(o_totalprice)), not n; when nn = 0, s is NULL
+            -- and the quotient is NULL exactly like AVG of no values
             SELECT COALESCE(n_name, '<all>') AS nation,
                    COALESCE(o_orderpriority, '<all>') AS priority,
-                   n, ROUND(s / n, 4) AS avg_price
+                   n, ROUND(s / nn, 4) AS avg_price
             FROM lvl
         """
     return """

@@ -184,3 +184,39 @@ class TestIntervalJoin:
                            (F.col("ts") >= F.col("t0"))
                            & (F.col("ts") < F.col("t1"))).collect())
         assert fast == naive and len(fast) > 0
+
+
+class TestAsofFillGuards:
+    """ADVICE r3: the fill strategy must reject inputs its internal
+    plumbing cannot represent instead of silently mis-joining."""
+
+    def test_incompatible_on_types_raise(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", "2024-01-01 09:30:00")], "sym string, tts string")
+        with pytest.raises(ValueError, match="incompatible on-column"):
+            asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                      strategy="fill")
+
+    def test_date_vs_timestamp_still_widens(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", dt.date(2024, 1, 2))], "sym string, td date")
+        out = asof_join(trades, quotes, "td", "qts", by=["sym"],
+                        strategy="fill")
+        # 2024-01-02 00:00 is after every quote -> latest px
+        assert [r.px_asof for r in out.collect()] == [12.0]
+
+    def test_reserved_column_names_raise(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 30), 1)], "sym string, tts timestamp, __t int")
+        with pytest.raises(ValueError, match="reserves column names"):
+            asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                      strategy="fill")
+
+    def test_reserved_payload_field_raises(self, spark):
+        right = spark.createDataFrame(
+            [("A", _ts(9, 0), 1.0)], "sym string, qts timestamp, __on double")
+        left = spark.createDataFrame(
+            [("A", _ts(9, 30))], "sym string, tts timestamp")
+        with pytest.raises(ValueError, match="__on"):
+            asof_join(left, right, "tts", "qts", by=["sym"],
+                      strategy="fill")

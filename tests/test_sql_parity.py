@@ -224,6 +224,48 @@ class TestQueryEdgeParity:
             for v in ("orders", "customer", "nation"):
                 spark.catalog.dropTempView(v)
 
+    def test_rollup_ladder_null_prices(self, spark):
+        """AVG divides by the count of NON-NULL values; the Spark
+        derivation must carry COUNT(o_totalprice) as the divisor, not
+        COUNT(*) (ADVICE r3), including groups that are all-NULL."""
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_rollup_ladder,
+        )
+
+        spark.createDataFrame(
+            [(1, 1, "HIGH", 10.0), (2, 1, "HIGH", None),
+             (3, 1, "LOW", None), (4, 2, "HIGH", 30.0)],
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_orderpriority string, o_totalprice double"
+        ).createOrReplaceTempView("orders")
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "c_custkey bigint, c_nationkey bigint"
+        ).createOrReplaceTempView("customer")
+        spark.createDataFrame(
+            [(10, "DE"), (20, "FR")], "n_nationkey bigint, n_name string"
+        ).createOrReplaceTempView("nation")
+        try:
+            got = self._spark_rows(spark, q_rollup_ladder(S.SPARK))
+            con = duckdb.connect()
+            con.execute("CREATE TABLE orders AS SELECT * FROM (VALUES "
+                        "(1, 1, 'HIGH', 10.0), (2, 1, 'HIGH', NULL), "
+                        "(3, 1, 'LOW', NULL), (4, 2, 'HIGH', 30.0)) "
+                        "t(o_orderkey, o_custkey, o_orderpriority, "
+                        "o_totalprice)")
+            con.execute("CREATE TABLE customer AS SELECT * FROM (VALUES "
+                        "(1, 10), (2, 20)) t(c_custkey, c_nationkey)")
+            con.execute("CREATE TABLE nation AS SELECT * FROM (VALUES "
+                        "(10, 'DE'), (20, 'FR')) t(n_nationkey, n_name)")
+            ref = self._duck_rows(con, q_rollup_ladder(S.DUCKDB))
+            assert got == ref
+            # the all-NULL LOW group keeps n=1 with a NULL average
+            assert ("DE", "LOW", 1, None) in got
+            # DE/HIGH: one NULL among two rows -> divisor 1, avg 10.0
+            assert ("DE", "HIGH", 2, 10.0) in got
+        finally:
+            for v in ("orders", "customer", "nation"):
+                spark.catalog.dropTempView(v)
+
     def test_asof_join_null_dates_and_keys(self, spark):
         """Orders with NULL o_orderdate / o_custkey can never match
         under the oracle's range join; the forward-fill derivation
