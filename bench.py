@@ -18,17 +18,23 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# (bench label, registry name): the labels stay stable across rounds
+# so BENCH_r{N} lines are comparable.  ecdf_curve runs the counted+JVM
+# window-cumsum form (registry ecdf_curve_jvm) — the scale-safe path
+# with zero Python in the plan; the per-row pandas kernel remains the
+# reference implementation and its own registry entry.  The crossover
+# is documented in SCALING.md.
 HEADLINE = [
-    "pricing_summary",
-    "ecdf_curve",
-    "stop_pair_counts",
-    "asof_join",
-    "latest_wins",
-    "forward_fill",
-    "time_slot_histogram",
-    "rollup_ladder",
-    "exact_dedup",
-    "lang_id",
+    ("pricing_summary", "pricing_summary"),
+    ("ecdf_curve", "ecdf_curve_jvm"),
+    ("stop_pair_counts", "stop_pair_counts"),
+    ("asof_join", "asof_join"),
+    ("latest_wins", "latest_wins"),
+    ("forward_fill", "forward_fill"),
+    ("time_slot_histogram", "time_slot_histogram"),
+    ("rollup_ladder", "rollup_ladder"),
+    ("exact_dedup", "exact_dedup"),
+    ("lang_id", "lang_id"),
 ]
 
 
@@ -59,14 +65,14 @@ def main() -> int:
         lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for label, name in HEADLINE:
         if name not in qs:
             continue
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        timings[label] = round(time.time() - t0, 3)
+        print(f"# {label}: {n} rows in {timings[label]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
@@ -86,23 +92,23 @@ def main() -> int:
         # callables pinned to the sf0.01 fixture (curve_stack_stats),
         # which bench neither needs nor can assume present
         oracles = {}
-        for name in HEADLINE:
+        for label, name in HEADLINE:
             o = QUERIES[name].oracle
-            oracles[name] = o() if callable(o) else o
+            oracles[label] = o() if callable(o) else o
         con = duckdb.connect()
         for t in ("region nation customer supplier part orders lineitem "
                   "events documents embeddings").split():
             con.execute(f"CREATE VIEW {t} AS "
                         f"SELECT * FROM '{sf_dir}/{t}.parquet'")
-        for name in HEADLINE:
-            if name in oracles:
-                con.execute(oracles[name]).fetchall()  # warmup
-        for name in HEADLINE:
-            if name not in oracles:
+        for label, _ in HEADLINE:
+            if label in oracles:
+                con.execute(oracles[label]).fetchall()  # warmup
+        for label, _ in HEADLINE:
+            if label not in oracles:
                 continue
             t0 = time.time()
-            con.execute(oracles[name]).fetchall()
-            duck_timings[name] = round(time.time() - t0, 3)
+            con.execute(oracles[label]).fetchall()
+            duck_timings[label] = round(time.time() - t0, 3)
     except Exception as exc:  # bench must not fail on oracle issues
         print(f"# duckdb oracle run skipped: {exc}", file=sys.stderr)
 
