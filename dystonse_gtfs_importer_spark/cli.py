@@ -75,6 +75,14 @@ def _parser() -> argparse.ArgumentParser:
                             help="fold ONE closed service day into the "
                                  "stored curve bases instead of "
                                  "recomputing from all history")
+    ie = asub.add_parser("import-exp",
+                         help="load a reference-format MessagePack "
+                              "statistics file into the stats tables")
+    ie.add_argument("exp_file")
+    ee = asub.add_parser("export-exp",
+                         help="write the stats tables as a reference-"
+                              "format MessagePack statistics file")
+    ee.add_argument("exp_file")
     dc = asub.add_parser("draw-curves",
                          help="stop-pair curve data series from stats")
     dc.add_argument("-r", "--route-ids", nargs="*", default=None)
@@ -262,6 +270,28 @@ def cmd_analyse(spark, args) -> int:
                           bucket=f"{qty} {unit}")
         for r in out.collect():
             print(r.bucket_start, r.n_records, r.avg_delay_arrival, sep="\t")
+        return 0
+
+    if args.amode in ("import-exp", "export-exp"):
+        from pathlib import Path
+
+        from .sources.msgpack_bridge import export_exp, import_exp
+
+        stats_dir = str(Path(args.dir) / "stats")
+        if args.amode == "import-exp":
+            tables = import_exp(spark, args.exp_file)
+            write_curve_tables(tables, stats_dir)
+            for name, df in tables.items():
+                print(f"{name}: {df.count()} rows imported")
+        else:
+            from .sources.store import read_curve_tables
+
+            tables = read_curve_tables(spark, stats_dir)
+            sid = Path(stats_dir) / "stop_ids"
+            if sid.exists():
+                tables["stop_ids"] = spark.read.parquet(str(sid))
+            export_exp(tables, args.exp_file)
+            print(f"wrote {args.exp_file}")
         return 0
 
     sched, vstops, _ = _load_schedule(spark, args)

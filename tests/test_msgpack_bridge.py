@@ -1,0 +1,219 @@
+"""MessagePack bridge (S16/S17 artifact parity): codec round-trips,
+a byte-level golden fixture following the reference's documented field
+order (types/types.md:13-27, delay_statistics.rs:12-15), lenient
+named-mode reading, and Spark-table round-trips."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from dystonse_gtfs_importer_spark.sources import msgpack_bridge as B
+from dystonse_gtfs_importer_spark.sources.msgpack_codec import (
+    Float32, packb, unpackb,
+)
+
+
+def f32(v: float) -> bytes:
+    return b"\xca" + struct.pack(">f", v)
+
+
+class TestCodec:
+    def test_scalar_widths_roundtrip(self):
+        vals = [None, True, False, 0, 1, 127, 128, 255, 256, 65535,
+                65536, 2**32 - 1, 2**32, 2**63 - 1, -1, -32, -33, -128,
+                -129, -32768, -32769, -(2**31), -(2**31) - 1, -(2**63),
+                0.5, -1.25, "", "x", "å" * 40, "y" * 70000,
+                b"", b"\x00\xff", list(range(20)), {"k": [1, {2: 3}]}]
+        assert unpackb(packb(vals)) == vals
+
+    def test_float32_marker(self):
+        assert packb(Float32(1.25)) == f32(1.25)
+        assert unpackb(f32(1.25)) == 1.25
+
+    def test_canonical_headers(self):
+        assert packb(5) == b"\x05"
+        assert packb(-3) == b"\xfd"
+        assert packb(200) == b"\xcc\xc8"
+        assert packb("abc") == b"\xa3abc"
+        assert packb([1, 2]) == b"\x92\x01\x02"
+        assert packb({1: 2}) == b"\x81\x01\x02"
+
+    def test_trailing_bytes_rejected(self):
+        with pytest.raises(ValueError, match="trailing"):
+            unpackb(b"\x01\x02")
+
+    def test_ext_rejected(self):
+        with pytest.raises(ValueError, match="unsupported"):
+            unpackb(b"\xd4\x01\x00")  # fixext1
+
+    def test_array_keys_become_tuples(self):
+        data = packb({(1, (2, ())): "v"})
+        assert unpackb(data) == {(1, (2, ())): "v"}
+
+
+def _one_default_stats() -> B.DelayStatistics:
+    ds = B.DelayStatistics()
+    ds.default[(3, "beginning", 12, 2)] = B.CurveData(
+        [(-12.0, 0.0), (12.0, 1.0)], 4, 10)
+    return ds
+
+
+class TestGoldenLayout:
+    """Byte-for-byte fixture spelled out from the reference struct
+    declarations — the documented rmp-serde 0.14 compact layout."""
+
+    def test_default_curve_bytes(self):
+        expected = (
+            b"\x92"            # DelayStatistics [specific, general]
+            b"\x80"            # specific: empty map
+            b"\x91"            # DefaultCurves [all_default_curves]
+            b"\x81"            # one entry
+            b"\x94"            # DefaultCurveKey [rt, section, slot, et]
+            b"\x03"            # RouteType::Bus as GTFS code 3
+            b"\x92\x00\x90"    # RouteSection::Beginning [0, []]
+            b"\x95\x0c\xa3Mon\xa3Sun\x00\x18"  # TimeSlot::DEFAULT
+            b"\x92\x01\x90"    # EventType::Departure [1, []]
+            b"\x93"            # CurveData [curve, precision, sample]
+            b"\x91\x92"        # IrregularDynamicCurve [points x2]
+            b"\x92" + f32(-12.0) + f32(0.0) +
+            b"\x92" + f32(12.0) + f32(1.0) +
+            b"\x92\x04\x90"    # PrecisionType::General [4, []]
+            b"\x0a"            # sample_size 10
+        )
+        assert B.dumps(_one_default_stats()) == expected
+
+    def test_golden_parses_back(self):
+        assert B.loads(B.dumps(_one_default_stats())) == \
+            _one_default_stats()
+
+    def test_named_mode_and_enum_leniency(self):
+        """serde can also emit named structs (maps) and other crates'
+        enum encodings (bare ints, variant-name strings); the reader
+        accepts them all."""
+        obj = [
+            {},  # specific
+            {"all_default_curves": {
+                ((3, ()),  # RouteType as derive-style [idx, []]
+                 "Middle",  # RouteSection as a name
+                 (5, "Mon", "Fri", 14, 16),
+                 "departure"): {
+                    "curve": {"points": [
+                        {"x": -6.0, "y": 0.0}, {"x": 6.0, "y": 1.0}]},
+                    "precision_type": 4,
+                    "sample_size": 3,
+                }}},
+        ]
+        ds = B.loads(packb(obj))
+        assert list(ds.default) == [(3, "middle", 5, 2)]
+        assert ds.default[(3, "middle", 5, 2)].points == \
+            [(-6.0, 0.0), (6.0, 1.0)]
+
+    def test_route_type_other_payload(self):
+        obj = [{}, [{((11, (715,)),  # RouteType::Other(715)
+                      (2, ()), (12, "Mon", "Sun", 0, 24), (0, ())):
+                     [[[ ]], (4, ()), 1]}]]
+        ds = B.loads(packb(obj))
+        assert list(ds.default) == [(715, "end", 12, 1)]
+
+    def test_full_tree_roundtrip(self):
+        ds = B.DelayStatistics()
+        v = B.VariantData(stop_ids=["a", "b", "c"])
+        v.general_delay[1][0] = B.CurveData([(-12.0, 0.0), (24.0, 1.0)],
+                                            3, 40)
+        v.general_delay[2][2] = B.CurveData([(0.0, 0.0), (6.0, 1.0)],
+                                            3, 25)
+        v.curve_sets[2][(0, 2, 5)] = B.CurveSetData(
+            [(-24.0, [(-36.0, 0.0), (0.0, 0.5), (48.0, 1.0)]),
+             (0.0, [(-12.0, 0.0), (12.0, 1.0)])], 1, 77)
+        ds.specific["R1"] = {4: v}
+        ds.default[(3, "middle", 5, 1)] = B.CurveData(
+            [(-60.0, 0.0), (60.0, 1.0)], 4, 123)
+        assert B.loads(B.dumps(ds)) == ds
+
+    def test_unknown_slot_id_raises(self):
+        ds = B.DelayStatistics()
+        ds.default[(3, "middle", 99, 1)] = B.CurveData([(0.0, 1.0)], 4, 1)
+        with pytest.raises(ValueError, match="time slot"):
+            B.dumps(ds)
+
+
+class TestSparkTables:
+    @pytest.fixture()
+    def stats(self):
+        ds = B.DelayStatistics()
+        v = B.VariantData(stop_ids=["s0", "s1", "s2"])
+        v.general_delay[1][1] = B.CurveData([(-12.0, 0.0), (24.0, 1.0)],
+                                            3, 40)
+        v.curve_sets[2][(0, 2, 5)] = B.CurveSetData(
+            [(-24.0, [(-36.0, 0.0), (48.0, 1.0)]),
+             (0.0, [(-12.0, 0.0), (12.0, 1.0)])], 1, 77)
+        w = B.VariantData(stop_ids=["x0", "x1"])
+        w.general_delay[2][0] = B.CurveData([(0.0, 0.0), (12.0, 1.0)],
+                                            3, 21)
+        ds.specific["R1"] = {4: v}
+        ds.specific["R2"] = {7: w}
+        ds.default[(3, "middle", 5, 1)] = B.CurveData(
+            [(-60.0, 0.0), (60.0, 1.0)], 4, 123)
+        ds.default[(0, "end", 12, 2)] = B.CurveData(
+            [(-6.0, 0.0), (6.0, 1.0)], 5, 9)
+        return ds
+
+    def test_tables_roundtrip(self, spark, stats):
+        tables = B.stats_to_tables(spark, stats)
+        assert B.tables_to_stats(tables) == stats
+
+    def test_null_dim_default_rows_skipped(self, spark, stats):
+        import pyspark.sql.functions as F
+
+        tables = B.stats_to_tables(spark, stats)
+        padded = tables["default"].unionByName(
+            tables["default"].limit(1)
+            .withColumn("route_section",
+                        F.lit(None).cast("string")))
+        tables["default"] = padded
+        assert B.tables_to_stats(tables) == stats
+
+    def test_file_roundtrip_via_parquet(self, spark, stats, tmp_path):
+        """load → parquet tables (the engine's native S16 sink) →
+        save → load is lossless."""
+        from dystonse_gtfs_importer_spark.sources.store import (
+            read_curve_tables, write_curve_tables,
+        )
+
+        exp1 = tmp_path / "all_curves.exp"
+        exp1.write_bytes(B.dumps(stats))
+        tables = B.import_exp(spark, str(exp1))
+        write_curve_tables(tables, str(tmp_path / "stats"))
+        back = read_curve_tables(spark, str(tmp_path / "stats"))
+        # stop_ids rides along as a fourth table
+        back["stop_ids"] = spark.read.parquet(
+            str(tmp_path / "stats" / "stop_ids"))
+        exp2 = tmp_path / "roundtrip.exp"
+        B.export_exp(back, str(exp2))
+        assert B.loads(exp2.read_bytes()) == stats
+        # deterministic writer: identical trees → identical bytes
+        assert exp2.read_bytes() == exp1.read_bytes()
+
+
+class TestCli:
+    def test_import_export_exp_roundtrip(self, spark, tmp_path):
+        from dystonse_gtfs_importer_spark.cli import main
+
+        ds = B.DelayStatistics()
+        v = B.VariantData(stop_ids=["s0", "s1"])
+        v.general_delay[1][0] = B.CurveData([(-12.0, 0.0), (24.0, 1.0)],
+                                            3, 40)
+        ds.specific["R1"] = {4: v}
+        ds.default[(3, "middle", 5, 1)] = B.CurveData(
+            [(-60.0, 0.0), (60.0, 1.0)], 4, 123)
+        src = tmp_path / "all_curves.exp"
+        src.write_bytes(B.dumps(ds))
+        lake = tmp_path / "lake"
+        assert main(["-s", "vbn", "--dir", str(lake), "analyse",
+                     "import-exp", str(src)], spark=spark) == 0
+        out = tmp_path / "back.exp"
+        assert main(["-s", "vbn", "--dir", str(lake), "analyse",
+                     "export-exp", str(out)], spark=spark) == 0
+        assert out.read_bytes() == src.read_bytes()
