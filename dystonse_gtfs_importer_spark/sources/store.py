@@ -194,6 +194,103 @@ def write_jdbc(df: DataFrame, url: str, table: str,
         _write()
 
 
+def upsert_latest_wins(rows, connect, table: str, key_cols: list[str],
+                       payload_cols: list[str],
+                       guard_col: str = "time_of_recording",
+                       dialect: str = "mysql",
+                       batch_size: int = 1000,
+                       retries: int = 0,
+                       retryable=lambda exc: True,
+                       sleep=None) -> int:
+    """The reference's S12 latest-wins upsert protocol over any DB-API
+    connection: per 1000-row batch, an UPDATE guarded by
+    ``existing.guard_col < new.guard_col`` then an INSERT-IGNORE on
+    the unique key (per_schedule_importer.rs:406-456,
+    batched_statements.rs:23-108).  Net semantics: the row with the
+    newest ``guard_col`` wins regardless of arrival order; stale
+    batches are no-ops.
+
+    ``connect`` is a zero-arg connection factory (injectable: a MySQL
+    driver in production, sqlite3 in tests — both run the identical
+    two-statement protocol).  ``rows`` yields objects with attribute
+    or mapping access to ``key_cols + payload_cols``.  Returns the
+    number of input rows processed.
+    """
+    ignore = {"mysql": "INSERT IGNORE INTO",
+              "sqlite": "INSERT OR IGNORE INTO"}[dialect]
+    ph = "%s" if dialect == "mysql" else "?"
+    set_sql = ", ".join(f"{c} = {ph}" for c in payload_cols)
+    where_sql = " AND ".join(f"{c} = {ph}" for c in key_cols)
+    update_sql = (f"UPDATE {table} SET {set_sql} WHERE {where_sql} "
+                  f"AND {guard_col} < {ph}")
+    cols = key_cols + payload_cols
+    insert_sql = (f"{ignore} {table} ({', '.join(cols)}) "
+                  f"VALUES ({', '.join([ph] * len(cols))})")
+
+    def get(row, c):
+        return row[c] if isinstance(row, dict) else getattr(row, c)
+
+    con = connect()
+    n = 0
+    try:
+        batch: list = []
+
+        def write_batch() -> None:
+            cur = con.cursor()
+            cur.executemany(update_sql, [
+                [get(r, c) for c in payload_cols]
+                + [get(r, c) for c in key_cols]
+                + [get(r, guard_col)] for r in batch])
+            cur.executemany(insert_sql, [
+                [get(r, c) for c in cols] for r in batch])
+            con.commit()  # one transaction per batch, like the reference
+
+        def flush() -> None:
+            if not batch:
+                return
+            # retry at BATCH granularity (the reference's deadlock unit,
+            # batched_statements.rs:59-96) — bounded memory, and the
+            # guard+IGNORE pair makes a half-applied batch replayable
+            if retries > 0:
+                retry_with_backoff(write_batch, retries=retries,
+                                   retryable=retryable, sleep=sleep)
+            else:
+                write_batch()
+            batch.clear()
+
+        for row in rows:
+            batch.append(row)
+            n += 1
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+    finally:
+        con.close()
+    return n
+
+
+def merge_jdbc_latest_wins(df: DataFrame, connect, table: str,
+                           key_cols: list[str], payload_cols: list[str],
+                           guard_col: str = "time_of_recording",
+                           dialect: str = "mysql",
+                           batch_size: int = 1000,
+                           retries: int = 0,
+                           retryable=lambda exc: True) -> None:
+    """Distributed S12/S13 MERGE: every partition runs the two-
+    statement latest-wins protocol over its own connection —
+    connection count scales with partitions, row flow never touches
+    the driver.  Idempotent by construction (replaying a batch is a
+    no-op thanks to the guard + IGNORE), so Spark task retries are
+    safe.  ``retries`` adds the ST6 deadlock backoff per partition."""
+    def run_partition(rows) -> None:
+        upsert_latest_wins(rows, connect, table, key_cols, payload_cols,
+                           guard_col=guard_col, dialect=dialect,
+                           batch_size=batch_size, retries=retries,
+                           retryable=retryable)
+
+    df.foreachPartition(run_partition)
+
+
 def write_csv_report(df: DataFrame, path: str, sep: str = ";") -> None:
     """S20: the count-stats CSV sink (';'-separated like count.rs)."""
     df.coalesce(1).write.mode("overwrite") \
