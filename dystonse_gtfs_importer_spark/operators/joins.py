@@ -40,7 +40,8 @@ def asof_join(left: DataFrame, right: DataFrame,
               direction: str = "backward",
               value_cols: list[str] | None = None,
               suffix: str = "_asof",
-              strategy: str = "auto") -> DataFrame:
+              strategy: str = "auto",
+              salt_buckets: int | None = None) -> DataFrame:
     """For each left row, attach the single right row with the largest
     ``right_on <= left_on`` (backward) or smallest ``right_on >=
     left_on`` (forward) within the same ``by`` group.
@@ -57,6 +58,14 @@ def asof_join(left: DataFrame, right: DataFrame,
     Both return identical rows (ties broken identically by the
     (on, *value_cols) ordering); see the module docstring for the
     measured trade-off.
+
+    ``salt_buckets`` (fill strategy only): split each key's timeline
+    into N range buckets so a pathologically hot key (one key holding
+    most rows) parallelizes across N window partitions instead of
+    serializing on one task.  A per-(key, bucket) pre-aggregation
+    computes the payload carried in across each bucket boundary (one
+    tiny row per bucket), so results are identical to the plain fill
+    — equality is test-pinned on 90 %-hot-key fixtures.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, "
@@ -71,7 +80,10 @@ def asof_join(left: DataFrame, right: DataFrame,
         strategy = "fill" if by else "aggregate"
     if strategy == "fill":
         return _asof_fill(left, right, left_on, right_on, by,
-                          direction, value_cols, suffix)
+                          direction, value_cols, suffix,
+                          salt_buckets=salt_buckets)
+    if salt_buckets is not None:
+        raise ValueError("salt_buckets applies to the fill strategy only")
 
     cond = (F.col(f"__r.{right_on}") <= F.col(f"__l.{left_on}")
             if direction == "backward"
@@ -100,7 +112,7 @@ def asof_join(left: DataFrame, right: DataFrame,
 def _asof_fill(left: DataFrame, right: DataFrame,
                left_on: str, right_on: str, by: list[str],
                direction: str, value_cols: list[str],
-               suffix: str) -> DataFrame:
+               suffix: str, salt_buckets: int | None = None) -> DataFrame:
     """Union + IGNORE NULLS forward-fill as-of: one shuffle on the
     ``by`` keys over |left| + |right| rows, per-key sort, no join.
 
@@ -117,7 +129,8 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     from pyspark.sql import Window
     from pyspark.sql.types import DateType, TimestampType
 
-    reserved = {"__t", "__kind", "__skey", "__fill"}
+    reserved = {"__t", "__kind", "__skey", "__fill",
+                "__bucket", "__mn", "__mx", "__edge", "__carry"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join(fill) reserves column names "
@@ -176,7 +189,13 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     else:
         order = [F.col("__t").desc_nulls_first(), F.col("__kind").asc(),
                  F.col("__skey").desc_nulls_first()]
-    w = (Window.partitionBy(*by).orderBy(*order)
+
+    part_keys = list(by)
+    if salt_buckets is not None:
+        u = _salt_by_time_range(u, by, salt_buckets, direction, left)
+        part_keys = [*by, "__bucket"]
+
+    w = (Window.partitionBy(*part_keys).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = u.withColumn(
         "__fill", F.last("__skey", ignorenulls=True).over(w))
@@ -185,6 +204,82 @@ def _asof_fill(left: DataFrame, right: DataFrame,
         *[F.col(c) for c in left.columns],
         *[F.col("__fill").getField(c).alias(f"{c}{suffix}")
           for c in value_cols])
+
+
+def _salt_by_time_range(u: DataFrame, by: list[str], n_buckets: int,
+                        direction: str, left: DataFrame) -> DataFrame:
+    """Hot-key mitigation for the fill strategy: split each key's
+    timeline into ``n_buckets`` equal-width ranges and inject one
+    synthetic carry row per bucket holding the payload that the plain
+    fill would have carried across the boundary.
+
+    Equal ``__t`` values always land in one bucket (the cut is a
+    deterministic function of ``__t``), so the window's tie-break
+    ordering is preserved; the carry row sorts first inside its bucket
+    (NULL ``__t``, ``__kind`` -1) exactly where the carried history
+    ends.  Left rows with NULL ``__t`` fall into the first bucket,
+    whose carry is empty — they keep NULL payloads like the plain
+    fill.  Cost: one extra aggregate + join over |u| rows and a
+    per-key window over ≤ n_buckets tiny rows — the price of turning
+    one serialized hot partition into n_buckets parallel ones.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    dt = u.schema["__t"].dataType
+    if isinstance(dt, (TimestampType, DateType)):
+        tnum = F.unix_timestamp("__t").cast("double")
+    elif isinstance(dt, NumericType):
+        tnum = F.col("__t").cast("double")
+    else:
+        raise ValueError(f"salt_buckets needs a temporal or numeric "
+                         f"on-column, got {dt.simpleString()}")
+
+    bounds = (u.where(F.col("__t").isNotNull())
+              .groupBy(*by).agg(F.min(tnum).alias("__mn"),
+                                F.max(tnum).alias("__mx")))
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
+    # NULL-__t left rows must keep NULL payloads, so they belong in
+    # the one bucket that receives no carry-in: the scan's FIRST
+    # bucket (backward scans ascending -> bucket 0; forward scans
+    # descending -> the last bucket)
+    null_bucket = 0 if direction == "backward" else n_buckets - 1
+    bucket = F.when(
+        F.col("__t").isNull(), F.lit(null_bucket)
+    ).when(
+        F.col("__mn").isNull() | (F.col("__mx") <= F.col("__mn")),
+        F.lit(0)
+    ).otherwise(F.least(
+        F.lit(n_buckets - 1),
+        F.floor((tnum - F.col("__mn")) / width).cast("int")))
+    ub = (u.join(bounds, by, "left")
+          .withColumn("__bucket", bucket).drop("__mn", "__mx"))
+
+    # payload each bucket hands to its successors: the right row the
+    # window order would have seen last (backward: max of (t, skey);
+    # forward: the desc-scan's last-seen, i.e. the min)
+    pick = F.max if direction == "backward" else F.min
+    edge = (ub.where(F.col("__kind") == 0)
+            .groupBy(*by, "__bucket")
+            .agg(pick(F.struct("__t", "__skey")).alias("__edge")))
+    bucket_ids = ub.select(*by, "__bucket").distinct()
+    carry_order = (F.col("__bucket").asc() if direction == "backward"
+                   else F.col("__bucket").desc())
+    w_carry = (Window.partitionBy(*by).orderBy(carry_order)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carries = (bucket_ids
+               .join(edge, [*by, "__bucket"], "left")
+               .withColumn("__carry", pick("__edge").over(w_carry))
+               .where(F.col("__carry").isNotNull()))
+    carry_rows = carries.select(
+        *[F.col(k) for k in by],
+        F.lit(None).cast(u.schema["__t"].dataType).alias("__t"),
+        F.lit(-1).alias("__kind"),
+        F.col("__carry.__skey").alias("__skey"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by],
+        F.col("__bucket"))
+    return ub.unionByName(carry_rows)
 
 
 def interval_join(events: DataFrame, intervals: DataFrame,

@@ -220,3 +220,92 @@ class TestAsofFillGuards:
         with pytest.raises(ValueError, match="__on"):
             asof_join(left, right, "tts", "qts", by=["sym"],
                       strategy="fill")
+
+
+class TestAsofFillSalted:
+    """The salt-by-time-range fill variant must equal the plain fill
+    (and the aggregate strategy) exactly — including on a 90 %-hot-key
+    fixture, exact-tie timestamps, NULL keys/times, both directions,
+    and bucket counts from degenerate (1) to larger than the data."""
+
+    def _hot_fixture(self, spark, seed=11, hot_frac=0.9):
+        import random
+
+        rng = random.Random(seed)
+        syms = ["HOT", "B", "C", None]
+
+        def sym():
+            return "HOT" if rng.random() < hot_frac else rng.choice(syms)
+
+        def maybe_ts(p_null=0.08):
+            if rng.random() < p_null:
+                return None
+            return _ts(rng.randrange(6, 18), rng.choice([0, 15, 30]),
+                       rng.choice([0, 1, 30]))
+
+        quotes = spark.createDataFrame(
+            [(sym(), maybe_ts(), float(rng.randrange(100)))
+             for _ in range(300)],
+            "sym string, qts timestamp, px double")
+        trades = spark.createDataFrame(
+            [(sym(), maybe_ts()) for _ in range(200)],
+            "sym string, tts timestamp")
+        return trades, quotes
+
+    @pytest.mark.parametrize("n_buckets", [1, 4, 64])
+    def test_salted_equals_plain_hot_key(self, spark, n_buckets):
+        trades, quotes = self._hot_fixture(spark)
+        for direction in ("backward", "forward"):
+            plain = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                              direction=direction, strategy="fill")
+            salted = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                               direction=direction, strategy="fill",
+                               salt_buckets=n_buckets)
+            assert sorted(map(tuple, plain.collect()), key=repr) \
+                == sorted(map(tuple, salted.collect()), key=repr), \
+                (direction, n_buckets)
+
+    def test_salted_equals_aggregate_on_ties(self, spark, quotes):
+        dup = quotes.union(spark.createDataFrame(
+            [("A", _ts(9, 30), 11.5)],
+            "sym string, qts timestamp, px double"))
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 30)), ("A", _ts(9, 59)), ("A", _ts(8, 0)),
+             ("B", _ts(12, 0)), ("B", _ts(9, 15))],
+            "sym string, tts timestamp")
+        for direction in ("backward", "forward"):
+            a = asof_join(trades, dup, "tts", "qts", by=["sym"],
+                          direction=direction, strategy="aggregate")
+            s = asof_join(trades, dup, "tts", "qts", by=["sym"],
+                          direction=direction, strategy="fill",
+                          salt_buckets=8)
+            assert sorted(map(tuple, a.collect())) \
+                == sorted(map(tuple, s.collect())), direction
+
+    def test_single_timestamp_degenerates_to_one_bucket(self, spark):
+        quotes = spark.createDataFrame(
+            [("A", _ts(9, 0), 1.0), ("A", _ts(9, 0), 2.0)],
+            "sym string, qts timestamp, px double")
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 0)), ("A", _ts(10, 0))],
+            "sym string, tts timestamp")
+        out = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                        strategy="fill", salt_buckets=16)
+        assert {r.px_asof for r in out.collect()} == {2.0}
+
+    def test_salt_requires_fill_strategy(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 30))], "sym string, tts timestamp")
+        with pytest.raises(ValueError, match="fill strategy"):
+            asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                      strategy="aggregate", salt_buckets=4)
+
+    def test_partitions_actually_split(self, spark):
+        """The point of the salt: a hot key's rows spread over
+        n_buckets window partitions.  Verified structurally — the
+        plan's window partition spec includes __bucket."""
+        trades, quotes = self._hot_fixture(spark)
+        salted = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                           strategy="fill", salt_buckets=8)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__bucket" in plan
