@@ -108,6 +108,62 @@ def curve_y_at_x_expr(curve, x):
                   & x.isNotNull(), _interp_expr(xs, ys, x))
 
 
+def interp_curve_set_expr(curve_set, x):
+    """C9 ``curve_at_x_with_continuation`` as a pure-JVM Column
+    expression (twin of :func:`plans.predict._interp_curve_set` /
+    ``curves.curve_set_interpolate``): clamp to the first/last member
+    curve outside the focus range, otherwise linearly blend the two
+    neighbor curves on the sorted distinct union of their x grids,
+    forcing the blended endpoints to exactly 0 and 1.
+
+    ``curve_set`` is ``array<struct<focus:float, curve:
+    array<struct<x:float,y:float>>>>`` sorted by focus (what
+    ``plans.predict._curve_set_table`` emits); returns the same curve
+    type, NULL on NULL/empty input or NULL ``x``.  With the C7 twins
+    this makes the whole predict ladder expressible without Python in
+    the plan.
+    """
+    import pyspark.sql.functions as F
+
+    from ..schemas import CURVE_TYPE as _CT
+
+    cs = F.col(curve_set) if isinstance(curve_set, str) else curve_set
+    x = F.lit(x) if not hasattr(x, "_jc") else x
+    n = F.size(cs)
+    first, last = F.element_at(cs, 1), F.element_at(cs, n)
+    # 1-based index of the right neighbor: the clamp branches leave
+    # first.focus < x < last.focus, so 1 <= k and k+1 <= n under ANSI
+    k = F.size(F.filter(cs, lambda m: m["focus"] < x))
+    c0, c1 = F.element_at(cs, k), F.element_at(cs, k + 1)
+    f0, f1 = c0["focus"].cast("double"), c1["focus"].cast("double")
+    t = F.when(f1 == f0, F.lit(0.0)).otherwise((x - f0) / (f1 - f0))
+
+    def interp(member, g):
+        curve = member["curve"]
+        xs = F.transform(curve, lambda p: p["x"].cast("double"))
+        ys = F.transform(curve, lambda p: p["y"].cast("double"))
+        return _interp_expr(xs, ys, g.cast("double"))
+
+    grid = F.array_sort(F.array_distinct(F.concat(
+        F.transform(c0["curve"], lambda p: p["x"]),
+        F.transform(c1["curve"], lambda p: p["x"]))))
+    gn = F.size(grid)
+    blended = F.transform(grid, lambda g, i: F.struct(
+        g.alias("x"),
+        F.when(i == 0, F.lit(0.0))
+        .when(i == gn - 1, F.lit(1.0))
+        .otherwise((F.lit(1.0) - t) * interp(c0, g) + t * interp(c1, g))
+        .cast("float").alias("y")))
+
+    return (
+        F.when(cs.isNull() | (n == 0) | x.isNull()
+               | F.isnan(x.cast("double")),
+               F.lit(None).cast(_CT))
+        .when(x <= first["focus"], first["curve"])
+        .when(x >= last["focus"], last["curve"])
+        .otherwise(blended))
+
+
 @pandas_udf(CURVE_TYPE)
 def walk_time_curve(distance_m: pd.Series) -> pd.Series:
     """C13: synthetic walk-duration CDF per transfer distance."""

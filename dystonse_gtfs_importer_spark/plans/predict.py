@@ -77,6 +77,7 @@ def predict(
     specific_sets: DataFrame,
     general_delay: DataFrame,
     default_curves: DataFrame,
+    use_jvm_interp: bool = True,
 ) -> DataFrame:
     """Attach the best available curve + precision_type to each lookup.
 
@@ -125,10 +126,20 @@ def predict(
         ["route_id", "route_variant", "event_type",
          "start_stop_index", "end_stop_index"],
         "left")
+    # C9 interpolation: the JVM Column twin keeps the whole ladder
+    # Python-free (no Arrow transfer of every curve set per lookup
+    # batch); the pandas kernel stays as the reference implementation,
+    # parity-tested in tests/test_predict.py
+    if use_jvm_interp:
+        from ..functions.curve_udfs import interp_curve_set_expr
+
+        interp = interp_curve_set_expr
+    else:
+        interp = _interp_curve_set
     q = q.withColumn(
-        "r1_curve", _interp_curve_set(F.col("r1_curve_set"), F.col("initial_delay"))
+        "r1_curve", interp(F.col("r1_curve_set"), F.col("initial_delay"))
     ).withColumn(
-        "r2_curve", _interp_curve_set(F.col("r2_curve_set"), F.col("initial_delay"))
+        "r2_curve", interp(F.col("r2_curve_set"), F.col("initial_delay"))
     )
 
     # rung 3: SemiSpecific — DEFAULT-slot general_delay at the end stop,

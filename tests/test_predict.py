@@ -123,3 +123,79 @@ class TestPredictLadder:
         p = row.pcts
         assert set(p) == {0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99}
         assert p[0.05] <= p[0.5] <= p[0.95]
+
+
+class TestJvmInterpTwin:
+    """C9 JVM Column twin of the curve-set interpolation: parity with
+    the pandas kernel on randomized curve sets, and a Python-free plan
+    for the default predict ladder."""
+
+    def _random_sets(self, spark, seed=3, n=150):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n):
+            members = []
+            foci = np.sort(rng.choice(np.arange(-120, 121, 12),
+                                      size=int(rng.integers(1, 5)),
+                                      replace=False)).astype(float)
+            for f in foci:
+                m = int(rng.integers(2, 8))
+                xs = np.sort(rng.choice(np.arange(-300, 301, 12), size=m,
+                                        replace=False)).astype(float)
+                ys = np.sort(rng.random(m))
+                ys[0], ys[-1] = 0.0, 1.0
+                members.append((float(f), [(float(a), float(b))
+                                           for a, b in zip(xs, ys)]))
+            # queries: clamps, exact focus hits, interior blends, NULL
+            q = rng.choice([None, float(foci[0]), float(foci[-1]),
+                            float(rng.uniform(-150, 150))])
+            rows.append((i, members, None if q is None else float(q)))
+        return spark.createDataFrame(
+            rows, "id long, curve_set array<struct<focus:float,"
+                  "curve:array<struct<x:float,y:float>>>>, x double")
+
+    def test_parity_with_pandas_kernel(self, spark):
+        from dystonse_gtfs_importer_spark.functions.curve_udfs import (
+            interp_curve_set_expr,
+        )
+        from dystonse_gtfs_importer_spark.plans.predict import (
+            _interp_curve_set,
+        )
+
+        df = self._random_sets(spark)
+        out = df.select(
+            "id",
+            _interp_curve_set(F.col("curve_set"), F.col("x")).alias("u"),
+            interp_curve_set_expr("curve_set", F.col("x")).alias("e"),
+        ).collect()
+        assert len(out) == 150
+        for r in out:
+            if r.u is None or r.e is None:
+                assert r.u == r.e, r.id
+                continue
+            assert len(r.u) == len(r.e), r.id
+            for pu, pe in zip(r.u, r.e):
+                assert pu.x == pe.x, r.id
+                assert pu.y == pytest.approx(pe.y, abs=1e-6), r.id
+
+    def test_predict_plan_is_python_free(self, spark, curve_tables):
+        from dystonse_gtfs_importer_spark.plans.predict import predict
+
+        q = _lookups(spark, [("A", 1, 3, 1, MON_10, 2, 8, 0, 60.0)])
+        out = predict(q, curve_tables["specific"],
+                      curve_tables["general"], curve_tables["default"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_pandas_path_still_selectable(self, spark, curve_tables):
+        from dystonse_gtfs_importer_spark.plans.predict import predict
+
+        q = _lookups(spark, [("A", 1, 3, 1, MON_10, 2, 8, 0, 60.0)])
+        out = predict(q, curve_tables["specific"],
+                      curve_tables["general"], curve_tables["default"],
+                      use_jvm_interp=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
