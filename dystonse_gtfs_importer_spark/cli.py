@@ -273,8 +273,6 @@ def cmd_analyse(spark, args) -> int:
         return 0
 
     if args.amode in ("import-exp", "export-exp"):
-        from pathlib import Path
-
         from .sources.msgpack_bridge import export_exp, import_exp
 
         stats_dir = str(Path(args.dir) / "stats")
