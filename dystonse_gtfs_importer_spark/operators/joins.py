@@ -127,7 +127,9 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     every right row in either direction and so keep NULLs.
     """
     from pyspark.sql import Window
-    from pyspark.sql.types import DateType, TimestampType
+    from pyspark.sql.types import (
+        DateType, TimestampNTZType, TimestampType,
+    )
 
     reserved = {"__t", "__kind", "__skey", "__fill",
                 "__bucket", "__mn", "__mx", "__edge", "__carry"}
@@ -141,14 +143,16 @@ def _asof_fill(left: DataFrame, right: DataFrame,
 
     lt = left.schema[left_on].dataType
     rt = right.schema[right_on].dataType
-    # a common ordering type for the union: date-vs-timestamp widens to
-    # timestamp exactly like the range predicate's coercion.  Any OTHER
-    # type mismatch must not silently cast (unparseable values would
+    # a common ordering type for the union: any temporal mismatch
+    # (date vs timestamp vs timestamp_ntz) widens to the session's
+    # timestamp type exactly like the range predicate's coercion.  Any
+    # OTHER mismatch must not silently cast (unparseable values would
     # become NULL __t and forward-fill into every left row, diverging
     # from the aggregate strategy's coercion) — reject it instead.
+    temporal = (DateType, TimestampType, TimestampNTZType)
     if lt == rt:
         t_type = lt
-    elif {type(lt), type(rt)} == {DateType, TimestampType}:
+    elif isinstance(lt, temporal) and isinstance(rt, temporal):
         t_type = "timestamp"
     else:
         raise ValueError(
@@ -224,11 +228,16 @@ def _salt_by_time_range(u: DataFrame, by: list[str], n_buckets: int,
     one serialized hot partition into n_buckets parallel ones.
     """
     from pyspark.sql import Window
-    from pyspark.sql.types import DateType, NumericType, TimestampType
+    from pyspark.sql.types import (
+        DateType, NumericType, TimestampNTZType, TimestampType,
+    )
 
     dt = u.schema["__t"].dataType
-    if isinstance(dt, (TimestampType, DateType)):
-        tnum = F.unix_timestamp("__t").cast("double")
+    if isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+        # ntz/date go through a timestamp cast (session-zone mapping is
+        # non-decreasing, which is all the bucket cut needs)
+        tnum = F.unix_timestamp(
+            F.col("__t").cast("timestamp")).cast("double")
     elif isinstance(dt, NumericType):
         tnum = F.col("__t").cast("double")
     else:

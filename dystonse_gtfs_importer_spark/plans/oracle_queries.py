@@ -1306,6 +1306,31 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def _asof_salted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 via the generic operator with hot-key salting: the salted
+    union+fill (operators/joins.py `_salt_by_time_range`) against the
+    same windowed range-join oracle as `asof_join` — a third
+    derivation proving the skew path row-identical."""
+    from ..operators.joins import asof_join
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    events = spark.table("events").select(
+        "event_id", F.col("user_id").alias("cust"), "ts")
+    orders = spark.table("orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("odate"), "o_orderkey")
+    out = asof_join(events, orders, "ts", "odate", by=["cust"],
+                    value_cols=["o_orderkey"], strategy="fill",
+                    salt_buckets=16)
+    return (out.where(F.col("o_orderkey_asof").isNotNull())
+            .select("event_id",
+                    F.col("o_orderkey_asof").alias("matched_order")))
+
+
 # ---------------------------------------------------------------------------
 # bigram LM score, DataFrame form: Spark inlines SQL CTEs, so the pure-
 # SQL rendering of q_bigram_lm_score would tokenize the corpus once per
@@ -1493,6 +1518,11 @@ QUERIES: dict[str, QueryDef] = {
     "pii_scan": _sql_pair(PII.q_pii_scan, "text-pii map-only"),
     "repetition_signals": _sql_pair(PII.q_repetition_signals,
                                     "text-quality gopher-repetition"),
+    # round-4 additions: appended AFTER the frozen driver window
+    # (REGISTRY_ORDER) — _ordered() places unknown names last
+    "asof_join_salted": QueryDef(spark=_asof_salted_spark,
+                                 oracle=q_asof_join(S.DUCKDB),
+                                 survey_ref="J3 skew-salted fill"),
 }
 
 
