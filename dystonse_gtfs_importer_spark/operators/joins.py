@@ -14,13 +14,20 @@ Scale shapes:
   forward-fills the latest right payload per key with one shuffle
   over |left| + |right| rows — the range join's per-left-row fan-out
   (every at-or-before candidate) never materializes, so cost is
-  O(L+R) regardless of history depth (measured 3.2× faster than the
-  join form on the 10× bench replica, and the q_asof_join registry
-  query uses this shape against a windowed range-join oracle);
+  O(L+R) regardless of history depth.  Isolated-warm on the replica
+  benches (events⋈orders, full-payload sink, round 4): fill 0.73 s vs
+  aggregate 2.28 s at sf1 (3.1×) and 2.5 s vs 6.3 s at sf10 (2.5×) —
+  the earlier "3.2×" figure was this isolated-warm measurement, NOT
+  the cold in-suite BENCH_SF1 rows, which also pay per-query session
+  and analysis cost and move only mildly across the rewrite.
   ``aggregate`` (default without ``by``) is a MAX_BY/MIN_BY
   aggregation after an equi-join — partial-aggregatable, no per-key
   sort, preferable when right candidates per left row are few or
   there is no key to partition the fill window on.
+  ``salt_buckets=N`` hardens ``fill`` against a hot key: measured on
+  a 90 %-hot-key sf10 fixture, plain fill 45.6 s → 15.7 s with
+  N=32 (2.9×, hash-identical); on UNIFORM keys the salt's extra
+  passes cost ~3.5×, so reach for it only when one key dominates.
 * ``interval_join`` — equi-join on coarse time BUCKETS (left events
   against every bucket its interval overlaps) with the exact range
   predicate as a residual: candidates scale with local temporal
@@ -261,7 +268,11 @@ def _salt_by_time_range(u: DataFrame, by: list[str], n_buckets: int,
     ).otherwise(F.least(
         F.lit(n_buckets - 1),
         F.floor((tnum - F.col("__mn")) / width).cast("int")))
-    ub = (u.join(bounds, by, "left")
+    # broadcast the bounds: one row per key, and joining them with a
+    # shuffle would re-serialize the hot key on one partition — the
+    # exact pathology the salt exists to break.  (A corpus with enough
+    # distinct keys to overflow a broadcast has no hot key to salt.)
+    ub = (u.join(F.broadcast(bounds), by, "left")
           .withColumn("__bucket", bucket).drop("__mn", "__mx"))
 
     # payload each bucket hands to its successors: the right row the

@@ -271,12 +271,14 @@ def q_asof_join(d: S.Dialect) -> str:
     # join — the range join's per-event fan-out (every at-or-before
     # order) never materializes.  At equal timestamps orders sort
     # before events (kind 0 < 1, the inclusive <=) and ascending okey
-    # makes the carried value the max orderkey per date.  Measured
-    # 3.2× faster than the previous MAX_BY-over-range-join at the
-    # 10× replica (2.24 s → 0.69 s), row-identical; the advantage
-    # grows with order history depth since the fill is O(E+O) while
-    # the join is O(E·matches).  The oracle keeps the windowed ANSI
-    # range-join form so the two derivations check each other.
+    # makes the carried value the max orderkey per date.  Isolated-
+    # warm (full-payload sink, round 4) the fill is 3.1× faster than
+    # the MAX_BY-over-range-join at sf1 (0.73 s vs 2.28 s) and 2.5×
+    # at sf10 — cold in-suite BENCH rows move less because they also
+    # pay per-query session/analysis cost.  The advantage grows with
+    # order history depth since the fill is O(E+O) while the join is
+    # O(E·matches).  The oracle keeps the windowed ANSI range-join
+    # form so the two derivations check each other.
     if d.name == "spark":
         return """
             WITH u AS (
