@@ -217,3 +217,40 @@ class TestCli:
         assert main(["-s", "vbn", "--dir", str(lake), "analyse",
                      "export-exp", str(out)], spark=spark) == 0
         assert out.read_bytes() == src.read_bytes()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+    _scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=40), st.binary(max_size=40))
+    _values = st.recursive(
+        _scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=6),
+            st.dictionaries(st.one_of(st.integers(-100, 100),
+                                      st.text(max_size=8)),
+                            kids, max_size=6)),
+        max_leaves=25)
+
+    class TestCodecProperties:
+        @given(_values)
+        @settings(max_examples=300, deadline=None)
+        def test_roundtrip_identity(self, v):
+            assert unpackb(packb(v)) == v
+
+        @given(st.floats(allow_nan=False, allow_infinity=False,
+                         width=32))
+        @settings(max_examples=200, deadline=None)
+        def test_float32_exact(self, f):
+            assert unpackb(packb(Float32(f))) == f
