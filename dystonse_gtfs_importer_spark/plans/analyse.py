@@ -185,15 +185,30 @@ def ecdf_curve_points_jvm(df: DataFrame, group_cols: list[str],
            .withColumn("__raw_min", F.min("x").over(part))
            .withColumn("n", F.sum("cnt").over(part))
            .withColumn("total", F.sum("__wc").over(part))
+           # post-filter stats derived pre-filter: the x==0-at-minimum
+           # rule removes at most the single counted x==0.0 row, and
+           # only when the group minimum IS 0.0 (x values are distinct
+           # per group after the count aggregate) — so the surviving
+           # min/count follow from the raw stats without a second
+           # window pass over the filtered rows
+           .withColumn("__min_nz",
+                       F.min(F.when(F.col("x") != 0.0, F.col("x")))
+                       .over(part))
+           .withColumn("__k_pre", F.count("*").over(part))
+           # the removable row is the group MINIMUM, so the max is
+           # the raw max either way
+           .withColumn("__mx", F.max("x").over(part))
            .withColumn("cum_first",
                        F.sum("__wc").over(ordered) - F.col("__wc")
                        + F.col("__w")))
     filtered = cum.where(
         ~((F.col("x") == 0.0) & (F.col("x") == F.col("__raw_min"))))
+    zero_is_min = F.col("__raw_min") == 0.0
     filtered = (filtered
-                .withColumn("__mn", F.min("x").over(part))
-                .withColumn("__mx", F.max("x").over(part))
-                .withColumn("__k", F.count("*").over(part)))
+                .withColumn("__mn", F.when(zero_is_min, F.col("__min_nz"))
+                            .otherwise(F.col("__raw_min")))
+                .withColumn("__k", F.col("__k_pre")
+                            - F.when(zero_is_min, 1).otherwise(0)))
     y = (F.when(F.col("x") == F.col("__mn"), 0.0)
          .when(F.col("x") == F.col("__mx"), 1.0)
          .otherwise(F.least(F.lit(1.0), F.greatest(

@@ -407,6 +407,38 @@ class TestAggShape:
         read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert read_cols == {"event_type", "value"}, plan
 
+    def test_ecdf_jvm_zero_at_minimum_edge(self, spark):
+        """The x == 0.0 sentinel removal: the JVM form derives the
+        post-filter min/count from pre-filter window stats, so the
+        exact cases — group min IS 0.0 (row removed), negative min
+        with an interior 0.0 (kept), all-zero group (vanishes) — must
+        match the pandas kernel row-for-row."""
+        from dystonse_gtfs_importer_spark.plans.analyse import (
+            ecdf_curve_points, ecdf_curve_points_jvm,
+        )
+
+        rows = (
+            # group A: min is exactly 0.0 -> that point is removed
+            [("A", v) for v in [0.0, 12.0, 24.0, 24.0, 36.0]]
+            # group B: negative min, interior 0.0 stays
+            + [("B", v) for v in [-24.0, -12.0, 0.0, 12.0]]
+            # group C: all zeros -> sentinel removes the only point
+            + [("C", 0.0), ("C", 0.0), ("C", 0.0)]
+        )
+        ev = spark.createDataFrame(rows, "event_type string, value double")
+        a = sorted((r.event_type, r.x, r.y, r.sample_size) for r in
+                   ecdf_curve_points(ev, ["event_type"], "value").collect())
+        b = sorted((r.event_type, r.x, r.y, r.sample_size) for r in
+                   ecdf_curve_points_jvm(ev, ["event_type"],
+                                         "value").collect())
+        assert a == b and len(a) > 0
+        assert not any(t[0] == "C" for t in a)
+        af = sorted((r.event_type, r.x, r.y) for r in ecdf_curve_points(
+            ev, ["event_type"], "value", focus=10.0, y_round=6).collect())
+        bf = sorted((r.event_type, r.x, r.y) for r in ecdf_curve_points_jvm(
+            ev, ["event_type"], "value", focus=10.0, y_round=6).collect())
+        assert af == bf and len(af) > 0
+
 
     def test_seeded_shuffle_no_global_window_over_corpus(self, spark,
                                                          sf_smoke):
