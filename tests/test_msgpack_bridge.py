@@ -254,3 +254,61 @@ if _HAS_HYPOTHESIS:
         @settings(max_examples=200, deadline=None)
         def test_float32_exact(self, f):
             assert unpackb(packb(Float32(f))) == f
+
+
+class TestPipelineIntegration:
+    def test_export_real_analyse_tables(self, spark, tmp_path):
+        """The bridge must accept the engine's ACTUAL analyse output
+        (general has a non-NULL time_slot column and no precision
+        column; specific lacks precision; default carries NULL-dim
+        fallback rungs) — export it, parse it back, re-export
+        byte-identically."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from gtfs_fixtures import build_rt_events, build_schedule, \
+            write_gtfs_dir
+
+        from dystonse_gtfs_importer_spark.plans.analyse_gtfs import (
+            default_curves, general_delay_curves, prepare_dbitems,
+            stop_pair_curve_sets,
+        )
+        from dystonse_gtfs_importer_spark.plans.import_etl import (
+            build_records, latest_wins_merge,
+        )
+        from dystonse_gtfs_importer_spark.schemas import RT_EVENTS
+        from dystonse_gtfs_importer_spark.sources.gtfs import (
+            read_gtfs, variant_stops,
+        )
+
+        d = tmp_path / "gtfs"
+        d.mkdir()
+        write_gtfs_dir(build_schedule(), d)
+        sched = read_gtfs(spark, str(d))
+        rt = spark.createDataFrame(build_rt_events(build_schedule()),
+                                   RT_EVENTS)
+        records = latest_wins_merge(build_records(
+            rt, sched["trips"], sched["stop_times"], "test", "sched"))
+        vstops = variant_stops(sched["trips"], sched["stop_times"])
+        items = prepare_dbitems(records, vstops)
+        tables = {
+            "general": general_delay_curves(items),
+            "specific": stop_pair_curve_sets(items),
+            "default": default_curves(items, sched["routes"]),
+        }
+        exp = tmp_path / "all_curves.exp"
+        B.export_exp(tables, str(exp))
+        ds = B.loads(exp.read_bytes())
+        assert ds.specific and ds.default
+        # every imported curve is a valid CDF shape
+        for variants in ds.specific.values():
+            for v in variants.values():
+                for m in (v.general_delay[1], v.general_delay[2]):
+                    for cd in m.values():
+                        ys = [y for _, y in cd.points]
+                        assert ys == sorted(ys) and ys[0] == 0.0 \
+                            and ys[-1] == 1.0
+        back = tmp_path / "back.exp"
+        back.write_bytes(B.dumps(ds))
+        assert back.read_bytes() == exp.read_bytes()
