@@ -253,8 +253,18 @@ def _route_type_code(v: Any) -> int:
 
 
 def loads(data: bytes) -> DelayStatistics:
-    specific_m, general = _fields(
-        unpackb(data), ["specific", "general"])
+    obj = unpackb(data)
+    # the reference's `analyser default-curves` writes a BARE
+    # DefaultCurves as default_curves.exp (default_curves.rs:270) —
+    # a one-field struct [map] — while all_curves.exp is the
+    # two-field DelayStatistics [specific, general]; accept both
+    # (main.rs:296-316 merges the two files at load time)
+    if isinstance(obj, (list, tuple)) and len(obj) == 1:
+        specific_m, general = {}, obj
+    elif isinstance(obj, dict) and set(obj) == {"all_default_curves"}:
+        specific_m, general = {}, obj
+    else:
+        specific_m, general = _fields(obj, ["specific", "general"])
     ds = DelayStatistics()
 
     for route_id, rd in specific_m.items():

@@ -312,3 +312,21 @@ class TestPipelineIntegration:
         back = tmp_path / "back.exp"
         back.write_bytes(B.dumps(ds))
         assert back.read_bytes() == exp.read_bytes()
+
+
+class TestBareDefaultCurves:
+    def test_bare_default_curves_artifact_parses(self):
+        """`analyser default-curves` writes a bare DefaultCurves
+        (default_curves.rs:270) — a one-field struct — which the
+        reference's loader then merges with all_curves.exp
+        (main.rs:296-316).  The bridge accepts it directly."""
+        cd = [[[ (Float32(-12.0), Float32(0.0)),
+                 (Float32(12.0), Float32(1.0)) ]], (4, ()), 7]
+        bare = packb([{(3, (0, ()), (12, "Mon", "Sun", 0, 24),
+                        (1, ())): cd}])
+        ds = B.loads(bare)
+        assert ds.specific == {}
+        assert list(ds.default) == [(3, "beginning", 12, 2)]
+        # named-mode bare form too
+        ds2 = B.loads(packb({"all_default_curves": {}}))
+        assert ds2 == B.DelayStatistics()
