@@ -222,6 +222,81 @@ def ecdf_curve_points_jvm(df: DataFrame, group_cols: list[str],
                     F.col("n").cast("long").alias("sample_size")))
 
 
+def ecdf_curve_points_jvm_sql(src: str, group_cols: list[str],
+                              value_col: str, min_samples: int = 2,
+                              focus: float | None = None,
+                              y_round: int | None = None) -> str:
+    """:func:`ecdf_curve_points_jvm` rendered as ONE Spark-SQL string
+    over the registered view ``src`` — expression-for-expression the
+    same plan, but built in a single ``spark.sql`` call.  The Column
+    form costs ~1.4 s of py4j round-trips just CONSTRUCTING its tree
+    at bench scale (measured round 4: build 1.43 s, execute 0.8 s
+    warm); SQL parsing happens JVM-side in one hop, so the registry
+    and bench run this rendering while the Column form remains the
+    composable API (equality pinned by test)."""
+    g = ", ".join(group_cols)
+    p = f"PARTITION BY {g}"
+    if focus is None:
+        w = "CAST(1.0 AS DOUBLE)"
+    else:
+        fc = f"CAST({focus!r} AS DOUBLE)"
+        w = f"""CASE WHEN x = {fc} THEN 1.0
+                 WHEN x < {fc} THEN
+                   CASE WHEN {fc} - __raw_min != 0.0
+                        THEN (x - __raw_min) / ({fc} - __raw_min)
+                        ELSE 1.0 END
+                 ELSE
+                   CASE WHEN __mx - {fc} != 0.0
+                        THEN 1.0 - (x - {fc}) / (__mx - {fc})
+                        ELSE 0.0 END END"""
+    y = """CASE WHEN x = __mn THEN 0.0
+                WHEN x = __mx THEN 1.0
+                ELSE LEAST(1.0D, GREATEST(0.0D, cum_first / total)) END"""
+    if y_round is not None:
+        y = f"ROUND({y}, {y_round})"
+    return f"""
+        WITH vals AS (
+            SELECT {g}, CAST({value_col} AS DOUBLE) AS x
+            FROM {src}
+            WHERE CAST({value_col} AS DOUBLE) IS NOT NULL
+              AND NOT isnan(CAST({value_col} AS DOUBLE))
+        ),
+        counted AS (
+            SELECT {g}, x, COUNT(*) AS cnt FROM vals GROUP BY {g}, x
+        ),
+        stats AS (
+            SELECT *,
+                   MIN(x) OVER ({p}) AS __raw_min,
+                   MAX(x) OVER ({p}) AS __mx,
+                   COUNT(*) OVER ({p}) AS __k_pre,
+                   MIN(CASE WHEN x != 0.0 THEN x END) OVER ({p})
+                       AS __min_nz,
+                   SUM(cnt) OVER ({p}) AS n
+            FROM counted
+        ),
+        weighted AS (
+            SELECT *, ({w}) AS __w, ({w}) * cnt AS __wc FROM stats
+        ),
+        cum AS (
+            SELECT *,
+                   SUM(__wc) OVER ({p}) AS total,
+                   SUM(__wc) OVER ({p} ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - __wc + __w AS cum_first
+            FROM weighted
+        ),
+        surviving AS (
+            SELECT *,
+                   IF(__raw_min = 0.0, __min_nz, __raw_min) AS __mn,
+                   __k_pre - IF(__raw_min = 0.0, 1, 0) AS __k
+            FROM cum WHERE NOT (x = 0.0 AND x = __raw_min)
+        )
+        SELECT {g}, x, {y} AS y, CAST(n AS BIGINT) AS sample_size
+        FROM surviving
+        WHERE n >= {min_samples} AND __k >= 2 AND total > 0
+    """
+
+
 def curve_table(df: DataFrame, group_cols: list[str], value_col: str,
                 min_samples: int = 20, simplify_eps: float | None = 0.01,
                 focus_col: str | None = None) -> DataFrame:

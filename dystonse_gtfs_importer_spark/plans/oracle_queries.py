@@ -945,15 +945,16 @@ def _ecdf_jvm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same DuckDB oracle as the pandas kernel, so kernel,
     counted kernel, and JVM forms are mutually proven equal; this is
     the form a cluster without Python workers (or with Arrow transfer
-    as the bottleneck) would run."""
+    as the bottleneck) would run.  Runs the one-call SQL rendering of
+    the same plan — building the Column tree costs ~1.4 s of py4j
+    round-trips that SQL parsing doesn't (analyse.py docstring)."""
     from ..session import configure_for_oracle
-    from ..sources.testdata import load_table
-    from .analyse import ecdf_curve_points_jvm
+    from .analyse import ecdf_curve_points_jvm_sql
 
     configure_for_oracle(spark)
-    events = load_table(spark, sf_dir, "events")
-    return ecdf_curve_points_jvm(events, group_cols=["event_type"],
-                                 value_col="value")
+    register_views(spark, sf_dir)
+    return spark.sql(ecdf_curve_points_jvm_sql(
+        "events", group_cols=["event_type"], value_col="value"))
 
 
 # SQL expression of make_curve's unfocused semantics: y at each distinct
@@ -1008,13 +1009,13 @@ def _ecdf_focused_jvm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matched against the same focused oracle as the pandas kernel,
     closing the derivation triangle for the weighted case too."""
     from ..session import configure_for_oracle
-    from ..sources.testdata import load_table
-    from .analyse import ecdf_curve_points_jvm
+    from .analyse import ecdf_curve_points_jvm_sql
 
     configure_for_oracle(spark)
-    events = load_table(spark, sf_dir, "events")
-    return ecdf_curve_points_jvm(events, group_cols=["event_type"],
-                                 value_col="value", focus=50.0, y_round=6)
+    register_views(spark, sf_dir)
+    return spark.sql(ecdf_curve_points_jvm_sql(
+        "events", group_cols=["event_type"], value_col="value",
+        focus=50.0, y_round=6))
 
 
 # Focused make_curve (triangular kernel C6, focus=50): weight 1 at the

@@ -439,6 +439,30 @@ class TestAggShape:
             ev, ["event_type"], "value", focus=10.0, y_round=6).collect())
         assert af == bf and len(af) > 0
 
+    def test_ecdf_jvm_sql_rendering_equals_column_form(self, spark):
+        """The one-call SQL rendering (what the registry/bench run)
+        must reproduce the Column form row-for-row — including the
+        zero-at-minimum edge groups — focused and unfocused."""
+        from dystonse_gtfs_importer_spark.plans.analyse import (
+            ecdf_curve_points_jvm, ecdf_curve_points_jvm_sql,
+        )
+
+        rows = ([("A", v) for v in [0.0, 12.0, 24.0, 24.0, 36.0]]
+                + [("B", v) for v in [-24.0, -12.0, 0.0, 12.0]]
+                + [("C", 0.0), ("C", 0.0)])
+        ev = spark.createDataFrame(rows, "event_type string, value double")
+        ev.createOrReplaceTempView("_ecdf_sql_src")
+        try:
+            for kw in ({}, {"focus": 10.0, "y_round": 6}):
+                a = sorted(map(tuple, ecdf_curve_points_jvm(
+                    ev, ["event_type"], "value", **kw).collect()))
+                b = sorted(map(tuple, spark.sql(ecdf_curve_points_jvm_sql(
+                    "_ecdf_sql_src", ["event_type"], "value",
+                    **kw)).collect()))
+                assert a == b and len(a) > 0, kw
+        finally:
+            spark.catalog.dropTempView("_ecdf_sql_src")
+
 
     def test_seeded_shuffle_no_global_window_over_corpus(self, spark,
                                                          sf_smoke):
