@@ -181,11 +181,25 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 # feature decoders matching the operators.multimodal.Decoder signature
 # ---------------------------------------------------------------------------
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Container-sniffing image decode: PNG (signature) or baseline
+    JPEG (SOI marker) → (h, w, channels) uint8.  Anything else raises
+    ``ValueError`` → drop-row in the kernels."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unknown image container (not PNG or JPEG)")
+
+
 def png_feature_decoder(payload: bytes, media_type: str,
                         dim: int = 16) -> np.ndarray:
     """Real image features: ``dim``-bin normalized luminance histogram
-    of the decoded pixels — content-sensitive, resolution-invariant."""
-    img = decode_png(payload).astype(np.float32)
+    of the decoded pixels — content-sensitive, resolution-invariant.
+    Accepts PNG and baseline JPEG payloads (sniffed)."""
+    img = decode_image(payload).astype(np.float32)
     lum = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else img[:, :, 0]
     hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
     return (hist / max(lum.size, 1)).astype(np.float32)

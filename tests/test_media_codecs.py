@@ -167,3 +167,110 @@ class TestRealDecodersInPipeline:
         # undecodable payload passes through unchanged, metadata stamped
         assert bytes(got[2].payload) == b"not-png"
         assert got[2].width == 5 and got[2].height == 6
+
+
+class TestJpegCodec:
+    def _psnr(self, a, b):
+        err = (a.astype(float) - b.astype(float)) ** 2
+        return 10 * np.log10(255.0 ** 2 / max(err.mean(), 1e-9))
+
+    def test_roundtrip_rgb_non_multiple_of_8(self):
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.default_rng(5)
+        base = np.linspace(0, 255, 29)[None, :] * np.ones((21, 1))
+        img = np.clip(np.stack([base, base[::-1],
+                                np.full((21, 29), 100.0)], axis=-1)
+                      + rng.normal(0, 4, (21, 29, 3)),
+                      0, 255).astype(np.uint8)
+        data = encode_jpeg(img, quality=90)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        back = decode_jpeg(data)
+        assert back.shape == img.shape
+        assert self._psnr(back, img) > 30.0
+
+    def test_roundtrip_grayscale(self):
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.default_rng(6)
+        g = np.clip(rng.normal(128, 30, (16, 16)), 0, 255).astype(np.uint8)
+        back = decode_jpeg(encode_jpeg(g, quality=95))
+        assert back.shape == (16, 16, 1)
+        assert self._psnr(back[..., 0], g) > 32.0
+
+    def test_restart_markers_roundtrip(self):
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        img = np.clip(rng.normal(128, 40, (33, 41, 3)),
+                      0, 255).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, quality=85))
+        for ri in (1, 3, 7):
+            with_rst = decode_jpeg(
+                encode_jpeg(img, quality=85, restart_interval=ri))
+            assert np.array_equal(plain, with_rst), ri
+
+    def test_quality_monotone(self):
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.default_rng(8)
+        img = np.clip(rng.normal(128, 30, (24, 24, 3)),
+                      0, 255).astype(np.uint8)
+        p = [self._psnr(decode_jpeg(encode_jpeg(img, quality=q)), img)
+             for q in (20, 60, 95)]
+        assert p[0] < p[1] < p[2]
+
+    def test_rejects_progressive_and_subsampled(self):
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.default_rng(9)
+        img = np.clip(rng.normal(128, 30, (16, 16, 3)),
+                      0, 255).astype(np.uint8)
+        data = bytearray(encode_jpeg(img))
+        sof = data.find(b"\xff\xc0")
+        prog = bytes(data[:sof + 1]) + b"\xc2" + bytes(data[sof + 2:])
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(prog)
+        sub = bytearray(data)
+        sub[sof + 11] = 0x22  # Y sampling 2x2
+        with pytest.raises(ValueError, match="subsampled"):
+            decode_jpeg(bytes(sub))
+
+    def test_rejects_garbage(self):
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x00\x01\x02")
+
+    def test_image_sniffing_dispatch(self):
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            encode_jpeg,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs import (
+            decode_image, encode_png, png_feature_decoder,
+        )
+
+        rng = np.random.default_rng(10)
+        img = np.clip(rng.normal(128, 30, (12, 12, 3)),
+                      0, 255).astype(np.uint8)
+        assert decode_image(encode_png(img)).shape == (12, 12, 3)
+        assert decode_image(encode_jpeg(img)).shape == (12, 12, 3)
+        with pytest.raises(ValueError, match="container"):
+            decode_image(b"GIF89a....")
+        # the image feature kernel accepts both containers
+        f_png = png_feature_decoder(encode_png(img), "image")
+        f_jpg = png_feature_decoder(encode_jpeg(img, quality=95), "image")
+        assert f_png.shape == f_jpg.shape == (16,)
+        assert float(np.abs(f_png - f_jpg).max()) < 0.1
