@@ -444,6 +444,98 @@ def tables_to_stats(tables: dict) -> DelayStatistics:
 
 
 # ---------------------------------------------------------------------------
+# JSON twin (SerdeFormat::Json — the reference's ONLY unit test,
+# types/mod.rs:108-124, is a DelayStatistics JSON round-trip)
+# ---------------------------------------------------------------------------
+
+def dumps_json(ds: DelayStatistics) -> str:
+    """serde_json rendering of the tree: named structs, unit enum
+    variants as name strings, integer map keys stringified.
+
+    Faithful limitation: serde_json cannot serialize maps with STRUCT
+    keys ("key must be a string"), so a tree with non-empty
+    ``curve_sets`` or default curves fails in the reference's Json
+    mode too — we raise the same way instead of inventing an
+    incompatible encoding.  MessagePack (:func:`dumps`) is the format
+    that round-trips everything.
+    """
+    import json
+
+    def curve(points: Points) -> dict:
+        return {"points": [{"x": x, "y": y} for x, y in points]}
+
+    def curve_data(cd: CurveData) -> dict:
+        return {"curve": curve(cd.points),
+                "precision_type": _PRECISION_NAMES[cd.precision_type],
+                "sample_size": cd.sample_size}
+
+    if ds.default:
+        raise ValueError(
+            "serde_json cannot serialize DefaultCurves: the map key "
+            "DefaultCurveKey is a struct ('key must be a string'); "
+            "use the MessagePack form for non-empty default curves")
+    specific = {}
+    for route_id in sorted(ds.specific):
+        variants = {}
+        for var_id in sorted(ds.specific[route_id]):
+            v = ds.specific[route_id][var_id]
+            if v.curve_sets[_ET_ARRIVAL] or v.curve_sets[_ET_DEPARTURE]:
+                raise ValueError(
+                    "serde_json cannot serialize curve_sets: the map "
+                    "key CurveSetKey is a struct ('key must be a "
+                    "string'); use the MessagePack form")
+            variants[str(var_id)] = {
+                "stop_ids": list(v.stop_ids),
+                "curve_sets": {"arrival": {}, "departure": {}},
+                "general_delay": {
+                    side: {str(i): curve_data(cd)
+                           for i, cd in sorted(m.items())}
+                    for side, m in (("arrival",
+                                     v.general_delay[_ET_ARRIVAL]),
+                                    ("departure",
+                                     v.general_delay[_ET_DEPARTURE]))},
+            }
+        specific[route_id] = {"route_id": route_id,
+                              "variants": variants}
+    return json.dumps(
+        {"specific": specific,
+         "general": {"all_default_curves": {}}},
+        indent=1, sort_keys=True)
+
+
+_PRECISION_NAMES = ["Unknown", "Specific", "FallbackSpecific",
+                    "SemiSpecific", "General", "FallbackGeneral",
+                    "SuperGeneral"]
+
+
+def loads_json(text: str) -> DelayStatistics:
+    import json
+
+    obj = json.loads(text)
+    ds = DelayStatistics()
+
+    def read_cd(v: dict) -> CurveData:
+        pts = [(float(p["x"]), float(p["y"]))
+               for p in v["curve"]["points"]]
+        return CurveData(pts, _variant_index(v["precision_type"],
+                                             tuple(_PRECISION_NAMES)),
+                         int(v["sample_size"]))
+
+    for route_id, rd in obj.get("specific", {}).items():
+        vmap = {}
+        for var_id, vd in rd["variants"].items():
+            out = VariantData(stop_ids=list(vd["stop_ids"]))
+            gd = vd.get("general_delay", {})
+            for et, side in ((_ET_ARRIVAL, "arrival"),
+                             (_ET_DEPARTURE, "departure")):
+                for idx, cd in gd.get(side, {}).items():
+                    out.general_delay[et][int(idx)] = read_cd(cd)
+            vmap[int(var_id)] = out
+        ds.specific[str(route_id)] = vmap
+    return ds
+
+
+# ---------------------------------------------------------------------------
 # file surface
 # ---------------------------------------------------------------------------
 

@@ -330,3 +330,37 @@ class TestBareDefaultCurves:
         # named-mode bare form too
         ds2 = B.loads(packb({"all_default_curves": {}}))
         assert ds2 == B.DelayStatistics()
+
+
+class TestJsonTwin:
+    """SerdeFormat::Json — the reference's only unit test is a
+    DelayStatistics JSON round-trip (types/mod.rs:108-124); its
+    fixture is absent from the repo, so the format contract here is
+    serde_json semantics: named structs, stringified int keys, and
+    the real serde_json failure on struct-keyed maps."""
+
+    def test_general_delay_roundtrip(self):
+        ds = B.DelayStatistics()
+        v = B.VariantData(stop_ids=["a", "b"])
+        v.general_delay[1][0] = B.CurveData([(-12.0, 0.0), (24.0, 1.0)],
+                                            3, 40)
+        v.general_delay[2][1] = B.CurveData([(0.0, 0.0), (6.0, 1.0)],
+                                            3, 9)
+        ds.specific["R1"] = {4: v}
+        text = B.dumps_json(ds)
+        assert '"SemiSpecific"' in text and '"R1"' in text
+        assert B.loads_json(text) == ds
+        # deterministic writer
+        assert B.dumps_json(B.loads_json(text)) == text
+
+    def test_struct_keyed_maps_fail_like_serde_json(self):
+        ds = B.DelayStatistics()
+        ds.default[(3, "middle", 5, 1)] = B.CurveData([(0.0, 1.0)], 4, 1)
+        with pytest.raises(ValueError, match="key must be a string"):
+            B.dumps_json(ds)
+        ds2 = B.DelayStatistics()
+        v = B.VariantData()
+        v.curve_sets[1][(0, 1, 5)] = B.CurveSetData([], 1, 1)
+        ds2.specific["R"] = {1: v}
+        with pytest.raises(ValueError, match="key must be a string"):
+            B.dumps_json(ds2)
