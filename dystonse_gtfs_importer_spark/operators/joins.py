@@ -80,6 +80,9 @@ def asof_join(left: DataFrame, right: DataFrame,
     if strategy not in ("auto", "fill", "aggregate"):
         raise ValueError(f"strategy must be auto|fill|aggregate, "
                          f"got {strategy!r}")
+    if salt_buckets is not None and salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, "
+                         f"got {salt_buckets}")
     by = by or []
     value_cols = value_cols or [
         c for c in right.columns if c not in by and c != right_on]
@@ -135,7 +138,8 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     """
     from pyspark.sql import Window
     from pyspark.sql.types import (
-        DateType, TimestampNTZType, TimestampType,
+        ByteType, DateType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType, TimestampNTZType, TimestampType,
     )
 
     reserved = {"__t", "__kind", "__skey", "__fill",
@@ -150,17 +154,26 @@ def _asof_fill(left: DataFrame, right: DataFrame,
 
     lt = left.schema[left_on].dataType
     rt = right.schema[right_on].dataType
-    # a common ordering type for the union: any temporal mismatch
-    # (date vs timestamp vs timestamp_ntz) widens to the session's
-    # timestamp type exactly like the range predicate's coercion.  Any
-    # OTHER mismatch must not silently cast (unparseable values would
-    # become NULL __t and forward-fill into every left row, diverging
-    # from the aggregate strategy's coercion) — reject it instead.
+    # a common ordering type for the union: temporal mismatches (date
+    # vs timestamp vs timestamp_ntz) widen to the session's timestamp
+    # type exactly like the range predicate's coercion, and numeric
+    # mismatches widen losslessly (integral pairs -> bigint, anything
+    # fractional -> double — matching the aggregate strategy's
+    # comparison coercion).  Any OTHER mismatch must not silently cast
+    # (unparseable values would become NULL __t and forward-fill into
+    # every left row) — reject it instead.
     temporal = (DateType, TimestampType, TimestampNTZType)
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    fractional = (FloatType, DoubleType)
     if lt == rt:
         t_type = lt
     elif isinstance(lt, temporal) and isinstance(rt, temporal):
         t_type = "timestamp"
+    elif isinstance(lt, integral) and isinstance(rt, integral):
+        t_type = "bigint"
+    elif isinstance(lt, integral + fractional) \
+            and isinstance(rt, integral + fractional):
+        t_type = "double"
     else:
         raise ValueError(
             f"asof_join(fill): incompatible on-column types "

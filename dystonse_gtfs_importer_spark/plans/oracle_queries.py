@@ -1386,9 +1386,13 @@ def _bigram_lm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.sum("c_bg").alias("c_w1dot")))
     vocab = (docs.select(F.explode("toks").alias("tok"))
              .agg(F.count_distinct("tok").alias("v")))
+    # no broadcast hint on bg_counts: distinct-bigram cardinality
+    # grows with the corpus (vocab² bound, billions at lake scale) —
+    # AQE broadcasts it when it is actually small; w1_counts and
+    # vocab are genuinely vocabulary-sized
     scored = (doc_bg
               .withColumn("w1", F.substring_index("bg", " ", 1))
-              .join(F.broadcast(bg_counts), "bg")
+              .join(bg_counts, "bg")
               .join(F.broadcast(w1_counts),
                     F.col("w1") == w1_counts["tok"])
               .crossJoin(F.broadcast(vocab))

@@ -68,6 +68,9 @@ _ET_ARRIVAL, _ET_DEPARTURE = 1, 2
 # gtfs-structures RouteType <-> numeric GTFS code, declaration order
 _ROUTE_TYPE_CODES = (0, 1, 2, 3, 4, 5, 6, 7, 200, 1100, 1500)
 
+# engine time-slot id the reference's slotless general_delay maps to
+_DEFAULT_SLOT = 12  # sql_shared.TIME_SLOT_DEFAULT_ID
+
 # PrecisionType variant index == PrecisionType::to_int (mod.rs:64-85)
 PRECISION_SPECIFIC = 1
 PRECISION_SEMI_SPECIFIC = 3
@@ -212,8 +215,15 @@ def _variant_index(v: Any, names: tuple[str, ...] | None = None) -> int:
         return v
     if isinstance(v, str) and names is not None:
         low = v.lower()
+        # exact name first — a prefix pass alone would resolve e.g.
+        # 'FallbackGeneral' to FallbackSpecific ('fal...' matches the
+        # earlier name); the prefix leniency exists for abbreviated
+        # weekday forms only
         for i, n in enumerate(names):
-            if low == n.lower() or low.startswith(n.lower()[:3]):
+            if low == n.lower():
+                return i
+        for i, n in enumerate(names):
+            if low.startswith(n.lower()[:3]):
                 return i
         raise ValueError(f"unknown variant {v!r} (expected one of {names})")
     if isinstance(v, (list, tuple)) and v:
@@ -333,10 +343,16 @@ def stats_to_tables(spark, ds: DelayStatistics) -> dict:
                 stop_rows.append((route_id, var_id, i, sid))
             for et, m in v.general_delay.items():
                 for stop_index, cd in m.items():
+                    # the reference's general_delay is effectively
+                    # DEFAULT-slot data (specific_curves.rs:362-368
+                    # overwrites one key per slot iteration) and the
+                    # predict ladder's rung 3 joins slot 12 — write it
+                    # there so imported statistics actually serve
+                    # SemiSpecific predictions
                     general_rows.append(
-                        (route_id, var_id, et, None, stop_index,
-                         curve_rows(cd.points), cd.sample_size,
-                         cd.precision_type))
+                        (route_id, var_id, et, _DEFAULT_SLOT,
+                         stop_index, curve_rows(cd.points),
+                         cd.sample_size, cd.precision_type))
             for et, m in v.curve_sets.items():
                 for (s, e, slot), csd in m.items():
                     for focus, points in csd.curves:
@@ -349,8 +365,6 @@ def stats_to_tables(spark, ds: DelayStatistics) -> dict:
                              curve_rows(cd.points), cd.sample_size,
                              cd.precision_type))
 
-    # general_delay curves carry no TimeSlot in the reference tree —
-    # they are per-stop over all times; NULL time_slot records that
     def schema(fields):
         return T.StructType([T.StructField(n, t) for n, t in fields])
 
@@ -402,6 +416,14 @@ def tables_to_stats(tables: dict) -> DelayStatistics:
 
     if "general" in tables:
         for r in tables["general"].toLocalIterator():
+            # the engine's general table carries one row per time slot
+            # (1-11 + DEFAULT); the reference tree has ONE general
+            # curve per stop — take the DEFAULT-slot row explicitly
+            # (NULL tolerated for bridge-imported tables), never
+            # whichever slot happens to iterate last
+            slot = getattr(r, "time_slot", None)
+            if slot is not None and int(slot) != _DEFAULT_SLOT:
+                continue
             v = variant(r.route_id, r.route_variant)
             v.general_delay[int(r.event_type)][int(r.stop_index)] = \
                 CurveData([(p.x, p.y) for p in r.curve],

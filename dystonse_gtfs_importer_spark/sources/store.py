@@ -216,6 +216,12 @@ def upsert_latest_wins(rows, connect, table: str, key_cols: list[str],
     or mapping access to ``key_cols + payload_cols``.  Returns the
     number of input rows processed.
     """
+    if guard_col not in payload_cols:
+        # without the guard in the written columns the UPDATE's
+        # `guard < new` predicate compares against NULL forever and
+        # the table silently freezes at first-arrival values
+        raise ValueError(f"guard_col {guard_col!r} must be one of "
+                         f"payload_cols {payload_cols}")
     ignore = {"mysql": "INSERT IGNORE INTO",
               "sqlite": "INSERT OR IGNORE INTO"}[dialect]
     ph = "%s" if dialect == "mysql" else "?"

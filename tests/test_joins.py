@@ -309,3 +309,30 @@ class TestAsofFillSalted:
                            strategy="fill", salt_buckets=8)
         plan = salted._jdf.queryExecution().executedPlan().toString()
         assert "__bucket" in plan
+
+
+class TestReviewFixes:
+    def test_salt_buckets_zero_rejected(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 30))], "sym string, tts timestamp")
+        with pytest.raises(ValueError, match="salt_buckets must be"):
+            asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                      strategy="fill", salt_buckets=0)
+
+    def test_numeric_width_mismatch_widens(self, spark):
+        """int-vs-bigint on-columns must keep working in the fill
+        strategy (lossless bigint widening), agreeing with the
+        aggregate strategy."""
+        left = spark.createDataFrame(
+            [("A", 5), ("A", 1), ("B", 9)], "k string, seq int")
+        right = spark.createDataFrame(
+            [("A", 2, 10.0), ("A", 4, 20.0), ("B", 9, 30.0)],
+            "k string, rseq bigint, v double")
+        f = asof_join(left, right, "seq", "rseq", by=["k"],
+                      strategy="fill")
+        a = asof_join(left, right, "seq", "rseq", by=["k"],
+                      strategy="aggregate")
+        fa = sorted(map(tuple, f.collect()), key=repr)
+        assert fa == sorted(map(tuple, a.collect()), key=repr)
+        assert {(r.k, r.seq): r.v_asof for r in f.collect()} == \
+            {("A", 5): 20.0, ("A", 1): None, ("B", 9): 30.0}

@@ -364,3 +364,51 @@ class TestJsonTwin:
         ds2.specific["R"] = {1: v}
         with pytest.raises(ValueError, match="key must be a string"):
             B.dumps_json(ds2)
+
+
+class TestReviewFixes:
+    def test_imported_general_rows_land_on_default_slot(self, spark):
+        """Imported general_delay must carry time_slot 12 so the
+        predict ladder's SemiSpecific rung (which joins slot 12)
+        actually sees reference statistics."""
+        ds = B.DelayStatistics()
+        v = B.VariantData(stop_ids=["s0"])
+        v.general_delay[1][0] = B.CurveData([(-12.0, 0.0), (12.0, 1.0)],
+                                            3, 20)
+        ds.specific["R1"] = {4: v}
+        g = B.stats_to_tables(spark, ds)["general"]
+        assert [int(r.time_slot) for r in g.collect()] == [12]
+
+    def test_export_takes_default_slot_not_iteration_order(self, spark):
+        """An engine-produced general table has one row per slot; the
+        export must select the DEFAULT-slot row explicitly."""
+        import pyspark.sql.types as T
+
+        from dystonse_gtfs_importer_spark.schemas import CURVE_TYPE
+
+        schema = T.StructType([
+            T.StructField("route_id", T.StringType()),
+            T.StructField("route_variant", T.LongType()),
+            T.StructField("event_type", T.ByteType()),
+            T.StructField("time_slot", T.ByteType()),
+            T.StructField("stop_index", T.IntegerType()),
+            T.StructField("curve", CURVE_TYPE),
+            T.StructField("sample_size", T.LongType()),
+        ])
+        rows = [("R1", 4, 1, slot, 0,
+                 [(-12.0, 0.0), (float(slot), 1.0)], 10 + slot)
+                for slot in (3, 12, 5)]  # DEFAULT not last
+        g = spark.createDataFrame(rows, schema).repartition(3)
+        ds = B.tables_to_stats({"general": g})
+        cd = ds.specific["R1"][4].general_delay[1][0]
+        assert cd.points[1][0] == 12.0 and cd.sample_size == 22
+
+    def test_json_fallback_general_precision_roundtrip(self):
+        ds = B.DelayStatistics()
+        v = B.VariantData()
+        v.general_delay[1][0] = B.CurveData(
+            [(-6.0, 0.0), (6.0, 1.0)], 5, 4)  # FallbackGeneral
+        ds.specific["R"] = {1: v}
+        text = B.dumps_json(ds)
+        assert '"FallbackGeneral"' in text
+        assert B.loads_json(text) == ds
