@@ -274,3 +274,51 @@ class TestJpegCodec:
         f_jpg = png_feature_decoder(encode_jpeg(img, quality=95), "image")
         assert f_png.shape == f_jpg.shape == (16,)
         assert float(np.abs(f_png - f_jpg).max()) < 0.1
+
+
+class TestCodecFuzz:
+    """Garbage and bit-flipped media bytes must terminate with an
+    exception (the kernels map any raise to drop-row) — never hang or
+    return out-of-contract shapes."""
+
+    def test_jpeg_bitflip_fuzz(self):
+        import random
+
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.default_rng(11)
+        img = np.clip(rng.normal(128, 40, (16, 24, 3)),
+                      0, 255).astype(np.uint8)
+        base = bytearray(encode_jpeg(img, quality=80))
+        r = random.Random(11)
+        for _ in range(150):
+            mutated = bytearray(base)
+            for _ in range(r.randint(1, 4)):
+                mutated[r.randrange(2, len(mutated))] ^= 1 << r.randrange(8)
+            try:
+                out = decode_jpeg(bytes(mutated))
+                assert out.dtype == np.uint8 and out.ndim == 3
+            except Exception:
+                pass  # any raise is in-contract
+
+    def test_random_bytes_all_decoders(self):
+        import random
+
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            decode_jpeg,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs import (
+            decode_image, decode_png, decode_wav,
+        )
+
+        r = random.Random(12)
+        for n in (0, 1, 3, 10, 100, 1000):
+            blob = bytes(r.randrange(256) for _ in range(n))
+            for fn in (decode_jpeg, decode_png, decode_wav,
+                       decode_image):
+                try:
+                    fn(b"\xff\xd8" + blob if fn is decode_jpeg else blob)
+                except Exception:
+                    pass
