@@ -155,6 +155,42 @@ def q_cosine_near_dup_pairs(d: S.Dialect, threshold: float = 0.35) -> str:
     """
 
 
+def q_cosine_near_dup_lsh(d: S.Dialect, threshold: float = 0.35) -> str:
+    """The SCALE path of :func:`q_cosine_near_dup_pairs` rendered
+    dual-dialect: candidates restricted to same-LSH-bucket pairs (the
+    identical bitwise-deterministic sketches both engines compute),
+    then the exact cosine residual.  Hash-verifiable because the
+    approximation itself is reproduced on both sides; recall vs the
+    exact form is asserted separately (tests/test_similarity.py).
+    Candidate volume scales with bucket occupancy, never |corpus|²."""
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket "
+        f"FROM cv"
+        for t in range(LSH_TABLES))
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        {_norm_cte(d)},
+        cb AS ({cb}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM cb a
+            JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               ROUND({d.arr_dot('va.emb', 'vb.emb')}
+                     / (va.nrm * vb.nrm), 6) AS cosine
+        FROM cand c
+        JOIN cvn va ON va.vec_id = c.vec_a
+        JOIN cvn vb ON vb.vec_id = c.vec_b
+        WHERE ROUND({d.arr_dot('va.emb', 'vb.emb')}
+                    / (va.nrm * vb.nrm), 6) >= {threshold}
+    """
+
+
 SEMDEDUP_THETA = 0.3
 
 

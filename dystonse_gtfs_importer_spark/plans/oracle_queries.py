@@ -1536,6 +1536,8 @@ QUERIES: dict[str, QueryDef] = {
     "asof_join_salted": QueryDef(spark=_asof_salted_spark,
                                  oracle=q_asof_join(S.DUCKDB),
                                  survey_ref="J3 skew-salted fill"),
+    "cosine_near_dup_lsh": _sql_pair(ANN.q_cosine_near_dup_lsh,
+                                     "dedup-embedding-cosine scale"),
 }
 
 

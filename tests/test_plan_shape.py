@@ -578,6 +578,21 @@ class TestCorpusPipelinePlans:
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
 
+    def test_cosine_near_dup_lsh_no_all_pairs_join(self, spark, sf_smoke):
+        """The registered scale path of the cosine near-dup: bucket
+        equi-join candidates, never the |corpus|² product the exact
+        oracle form uses."""
+        from dystonse_gtfs_importer_spark.functions import ann_sql as A
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(A.q_cosine_near_dup_lsh(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
     def test_decontaminate_eval_side_broadcasts(self, spark, sf_smoke):
         """The distinct eval-gram sketch is tiny by construction and
         must be the broadcast build side of the overlap join."""
