@@ -39,6 +39,12 @@ class Dialect:
         """Truncate a double toward zero, returning an integer type."""
         raise NotImplementedError
 
+    def json_get(self, col: str, key: str) -> str:
+        """Top-level key of a JSON string column as STRING; NULL on a
+        missing key or malformed JSON (Spark's get_json_object is
+        already null-lenient, DuckDB needs a json_valid guard)."""
+        raise NotImplementedError
+
     def regexp_count(self, s: str, pattern: str) -> str:
         raise NotImplementedError
 
@@ -133,6 +139,9 @@ class SparkDialect(Dialect):
         # CAST double→int truncates toward zero in Spark
         return f"CAST({x} AS INT)"
 
+    def json_get(self, col: str, key: str) -> str:
+        return f"get_json_object({col}, '$.{key}')"
+
     def regexp_count(self, s, pattern):
         return f"regexp_count({s}, '{pattern}')"
 
@@ -212,6 +221,10 @@ class DuckDBDialect(Dialect):
     def trunc_num(self, x: str) -> str:
         # CAST double→int ROUNDS in DuckDB; use trunc() first
         return f"CAST(trunc({x}) AS INTEGER)"
+
+    def json_get(self, col: str, key: str) -> str:
+        return (f"CASE WHEN json_valid({col}) THEN "
+                f"json_extract_string({col}, '$.{key}') END")
 
     def regexp_count(self, s, pattern):
         return f"len(regexp_extract_all({s}, '{pattern}'))"

@@ -1315,6 +1315,27 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def q_json_props_stats(d: S.Dialect) -> str:
+    """Semi-structured extraction over the events ``props`` JSON
+    column — the trip-descriptor-parsing analog (C3) for JSON
+    payloads: per event_type, how many rows carry the key, its
+    numeric stats, and how many parse to nothing.  Extraction is
+    null-lenient on both engines (missing key / malformed JSON →
+    NULL, never an error), which is the property a 100 TB ingest of
+    third-party JSON actually needs; the expression is map-only and
+    the aggregate partial-combines below the shuffle."""
+    k = d.json_get("props", "k")
+    return f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(TRY_CAST({k} AS INT)) AS n_with_k,
+               ROUND(AVG(TRY_CAST({k} AS INT)), 4) AS avg_k,
+               MIN(TRY_CAST({k} AS INT)) AS min_k,
+               MAX(TRY_CAST({k} AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """
+
+
 def _asof_salted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 via the generic operator with hot-key salting: the salted
     union+fill (operators/joins.py `_salt_by_time_range`) against the
@@ -1538,6 +1559,8 @@ QUERIES: dict[str, QueryDef] = {
                                  survey_ref="J3 skew-salted fill"),
     "cosine_near_dup_lsh": _sql_pair(ANN.q_cosine_near_dup_lsh,
                                      "dedup-embedding-cosine scale"),
+    "json_props_stats": _sql_pair(q_json_props_stats,
+                                  "semi-structured C3-analog"),
 }
 
 

@@ -374,3 +374,36 @@ class TestBigramLmDataFrameForm:
         ref = {tuple(r)
                for r in spark.sql(SAMP.q_bigram_lm_score(S.SPARK)).collect()}
         assert got == ref and len(got) > 0
+
+
+class TestJsonExtraction:
+    def test_malformed_and_missing_keys_are_null(self, spark):
+        """Both dialects' json_get must be null-lenient: malformed
+        JSON, missing key, NULL input — never an error."""
+        import duckdb
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_json_props_stats,
+        )
+
+        events = pd.DataFrame({
+            "event_type": ["a"] * 5,
+            "props": pd.Series(['{"k": 3}', 'not json', '{"other": 1}',
+                                None, '{"k": "NaNish"}'], dtype="object"),
+        })
+        spark.createDataFrame(events).createOrReplaceTempView("events")
+        try:
+            got = sorted(map(tuple,
+                             spark.sql(q_json_props_stats(S.SPARK))
+                             .collect()))
+            con = duckdb.connect()
+            con.register("events", events)
+            ref = sorted(map(tuple,
+                             con.execute(q_json_props_stats(S.DUCKDB))
+                             .fetchall()))
+            # one valid k=3 among 5 rows; the non-numeric k drops via
+            # TRY_CAST on both engines
+            assert got == ref == [("a", 5, 1, 3.0, 3, 3)]
+        finally:
+            spark.catalog.dropTempView("events")
