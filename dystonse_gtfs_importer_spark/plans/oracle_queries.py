@@ -1336,6 +1336,40 @@ def q_json_props_stats(d: S.Dialect) -> str:
     """
 
 
+def q_json_key_histogram(d: S.Dialect) -> str:
+    """JSON schema profiling: which top-level keys exist in the
+    ``props`` payloads, how often, across how many event types — the
+    first question asked of any third-party JSON feed.  Malformed
+    and NULL payloads contribute to ``n_bad`` instead of erroring.
+    Map-only explode of per-row key lists; one partial-combined
+    aggregate."""
+    if d.name == "spark":
+        keys = "map_keys(from_json(props, 'map<string,string>'))"
+        bad = "from_json(props, 'map<string,string>') IS NULL"
+        expl = "explode"
+    else:
+        keys = "CASE WHEN json_valid(props) THEN json_keys(props) END"
+        bad = "NOT coalesce(json_valid(props), FALSE)"
+        expl = "unnest"
+    return f"""
+        WITH rows_keyed AS (
+            SELECT event_type, {expl}({keys}) AS key
+            FROM events WHERE NOT ({bad})
+        ),
+        per_key AS (
+            SELECT key, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT event_type) AS n_event_types
+            FROM rows_keyed GROUP BY key
+        ),
+        bad AS (
+            SELECT COUNT(*) AS n FROM events WHERE {bad}
+        )
+        SELECT k.key, k.n_rows, k.n_event_types,
+               CAST(b.n AS BIGINT) AS n_bad
+        FROM per_key k CROSS JOIN bad b
+    """
+
+
 def _asof_salted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 via the generic operator with hot-key salting: the salted
     union+fill (operators/joins.py `_salt_by_time_range`) against the
@@ -1561,6 +1595,8 @@ QUERIES: dict[str, QueryDef] = {
                                      "dedup-embedding-cosine scale"),
     "json_props_stats": _sql_pair(q_json_props_stats,
                                   "semi-structured C3-analog"),
+    "json_key_histogram": _sql_pair(q_json_key_histogram,
+                                    "semi-structured schema profiling"),
 }
 
 

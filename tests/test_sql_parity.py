@@ -407,3 +407,34 @@ class TestJsonExtraction:
             assert got == ref == [("a", 5, 1, 3.0, 3, 3)]
         finally:
             spark.catalog.dropTempView("events")
+
+    def test_json_key_histogram_edges(self, spark):
+        """Nested objects count their top-level key only; malformed
+        and NULL rows land in n_bad on both engines."""
+        import duckdb
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_json_key_histogram,
+        )
+
+        events = pd.DataFrame({
+            "event_type": ["a", "a", "b", "b", "c"],
+            "props": pd.Series(
+                ['{"k": 1, "extra": {"deep": 2}}', '{"k": 2}',
+                 '{"other": 3}', 'broken{', None], dtype="object"),
+        })
+        spark.createDataFrame(events).createOrReplaceTempView("events")
+        try:
+            got = sorted(map(tuple,
+                             spark.sql(q_json_key_histogram(S.SPARK))
+                             .collect()))
+            con = duckdb.connect()
+            con.register("events", events)
+            ref = sorted(map(tuple,
+                             con.execute(q_json_key_histogram(S.DUCKDB))
+                             .fetchall()))
+            assert got == ref == [("extra", 1, 1, 2), ("k", 2, 1, 2),
+                                  ("other", 1, 1, 2)]
+        finally:
+            spark.catalog.dropTempView("events")
