@@ -1370,6 +1370,50 @@ def q_json_key_histogram(d: S.Dialect) -> str:
     """
 
 
+_EMB_DIM = 64  # embeddings.embedding width in the driver tables
+
+
+def q_label_centroid_stats(d: S.Dialect) -> str:
+    """Embedding-space quality evaluation per class label: cluster
+    size, centroid norm, and inertia (mean squared distance to the
+    label centroid) — the structure check run on any labeled
+    embedding table before trusting it for retrieval or dedup.
+
+    Scale shape: centroids come from ONE explode-by-dimension
+    aggregate — (label, dim) cells, |labels|·dim rows out of the
+    shuffle regardless of corpus size — and the inertia pass joins
+    the tiny centroid table back (broadcastable) with the squared
+    distance folded JVM-side per row.  ROUND everywhere so engine
+    summation order cannot reach the driver hash."""
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, label,
+                   {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT label, i.i AS dim,
+                   AVG({d.arr_get('emb', 'i.i')}) AS c
+            FROM cv CROSS JOIN {d.series(_EMB_DIM)} i
+            GROUP BY label, i.i
+        ),
+        centroids AS (
+            SELECT label, {d.ordered_list('c', 'dim')} AS cemb
+            FROM cells GROUP BY label
+        )
+        SELECT v.label, COUNT(*) AS n,
+               ROUND(SQRT({d.arr_dot('c.cemb', 'c.cemb')}), 4)
+                   AS centroid_norm,
+               -- |v - c|^2 via the dot identity: no zip/fold needed
+               ROUND(AVG({d.arr_dot('v.emb', 'v.emb')}
+                         + {d.arr_dot('c.cemb', 'c.cemb')}
+                         - 2 * {d.arr_dot('v.emb', 'c.cemb')}), 4)
+                   AS inertia
+        FROM cv v JOIN centroids c ON c.label = v.label
+        GROUP BY v.label, {d.arr_dot('c.cemb', 'c.cemb')}
+    """
+
+
 def _asof_salted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 via the generic operator with hot-key salting: the salted
     union+fill (operators/joins.py `_salt_by_time_range`) against the
@@ -1597,6 +1641,8 @@ QUERIES: dict[str, QueryDef] = {
                                   "semi-structured C3-analog"),
     "json_key_histogram": _sql_pair(q_json_key_histogram,
                                     "semi-structured schema profiling"),
+    "label_centroid_stats": _sql_pair(q_label_centroid_stats,
+                                      "embedding-space label eval"),
 }
 
 
