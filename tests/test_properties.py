@@ -225,3 +225,39 @@ class TestDecontamProperties:
             cum += n_tok
             assert cum_tok == cum            # exact prefix sum in id order
             assert shard == (cum_tok - n_tok) // budget
+
+
+class TestPartitioningInvariance:
+    """Results must not depend on spark.sql.shuffle.partitions — the
+    property that makes local answers transfer to a cluster.  Probes
+    the queries whose derivations are most tempted to leak partition
+    structure (global positions, bucketed ranks, iterative CC, salted
+    aggregation, register merges)."""
+
+    SAMPLE = ["seeded_shuffle", "token_shard_packing_scale",
+              "dedup_clusters", "salted_aggregate", "hll_shard_merge",
+              "ecdf_curve_jvm"]
+
+    def test_shuffle_partition_count_is_invisible(self, spark, sf_smoke):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import __spark_entry__ as e
+        from tools.check_correctness import frame_digest
+
+        qs = e.queries()
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        digests = {}
+        try:
+            for parts in ("5", "17"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                for name in self.SAMPLE:
+                    df = qs[name](spark, sf_smoke)
+                    d = frame_digest(df.columns,
+                                     [tuple(r) for r in df.collect()])
+                    digests.setdefault(name, set()).add(d)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        unstable = [n for n, ds in digests.items() if len(ds) != 1]
+        assert not unstable, unstable
