@@ -1318,20 +1318,30 @@ def _dedup_clusters_oracle() -> str:
 def q_json_props_stats(d: S.Dialect) -> str:
     """Semi-structured extraction over the events ``props`` JSON
     column — the trip-descriptor-parsing analog (C3) for JSON
-    payloads: per event_type, how many rows carry the key, its
-    numeric stats, and how many parse to nothing.  Extraction is
-    null-lenient on both engines (missing key / malformed JSON →
-    NULL, never an error), which is the property a 100 TB ingest of
-    third-party JSON actually needs; the expression is map-only and
-    the aggregate partial-combines below the shuffle."""
+    payloads: per event_type, how many rows yield a finite NUMERIC
+    ``k`` (n_with_k) and that value's stats.  Extraction is
+    null-lenient on both engines (missing key / malformed JSON /
+    non-numeric / NaN / ±inf → NULL, never an error), which is the
+    property a 100 TB ingest of third-party JSON actually needs; the
+    expression is map-only and the aggregate partial-combines below
+    the shuffle.
+
+    Cross-engine cast discipline: TRY_CAST AS DOUBLE parses '3.7'
+    identically on both engines (TRY_CAST AS INT does NOT — Spark
+    nulls it, DuckDB rounds it), and the finite-range guard drops
+    NaN/±inf the same way on both (each treats NaN as greater than
+    any number, so ``x < 1e308`` is false for it)."""
     k = d.json_get("props", "k")
+    num = (f"CASE WHEN TRY_CAST({k} AS DOUBLE) > -1e308 "
+           f"AND TRY_CAST({k} AS DOUBLE) < 1e308 "
+           f"THEN TRY_CAST({k} AS DOUBLE) END")
     return f"""
         SELECT event_type,
                COUNT(*) AS n,
-               COUNT(TRY_CAST({k} AS INT)) AS n_with_k,
-               ROUND(AVG(TRY_CAST({k} AS INT)), 4) AS avg_k,
-               MIN(TRY_CAST({k} AS INT)) AS min_k,
-               MAX(TRY_CAST({k} AS INT)) AS max_k
+               COUNT({num}) AS n_with_k,
+               ROUND(AVG({num}), 4) AS avg_k,
+               ROUND(MIN({num}), 4) AS min_k,
+               ROUND(MAX({num}), 4) AS max_k
         FROM events GROUP BY event_type
     """
 
@@ -1343,13 +1353,27 @@ def q_json_key_histogram(d: S.Dialect) -> str:
     and NULL payloads contribute to ``n_bad`` instead of erroring.
     Map-only explode of per-row key lists; one partial-combined
     aggregate."""
+    # "bad" must mean the SAME thing on both engines: NULL, invalid
+    # JSON, or valid JSON that is not an object (Spark's from_json to
+    # a map nulls arrays/scalars; DuckDB needs the json_type guard).
+    # Duplicate top-level keys also differ natively (Spark's map
+    # dedups, DuckDB's json_keys repeats) — list_distinct aligns them.
     if d.name == "spark":
-        keys = "map_keys(from_json(props, 'map<string,string>'))"
+        # from_json to a map RETAINS duplicate JSON keys (map_keys
+        # would count them twice) — array_distinct aligns with the
+        # DuckDB side's list_distinct
+        keys = ("array_distinct(map_keys("
+                "from_json(props, 'map<string,string>')))")
         bad = "from_json(props, 'map<string,string>') IS NULL"
         expl = "explode"
     else:
-        keys = "CASE WHEN json_valid(props) THEN json_keys(props) END"
-        bad = "NOT coalesce(json_valid(props), FALSE)"
+        # CASE, not AND: DuckDB evaluates AND operands eagerly, so
+        # json_type would still throw on invalid input
+        is_obj = ("coalesce(CASE WHEN json_valid(props) THEN "
+                  "json_type(props) = 'OBJECT' END, FALSE)")
+        keys = (f"CASE WHEN {is_obj} "
+                f"THEN list_distinct(json_keys(props)) END")
+        bad = f"NOT {is_obj}"
         expl = "unnest"
     return f"""
         WITH rows_keyed AS (
@@ -1368,9 +1392,6 @@ def q_json_key_histogram(d: S.Dialect) -> str:
                CAST(b.n AS BIGINT) AS n_bad
         FROM per_key k CROSS JOIN bad b
     """
-
-
-_EMB_DIM = 64  # embeddings.embedding width in the driver tables
 
 
 def q_label_centroid_stats(d: S.Dialect) -> str:
@@ -1394,7 +1415,7 @@ def q_label_centroid_stats(d: S.Dialect) -> str:
         cells AS (
             SELECT label, i.i AS dim,
                    AVG({d.arr_get('emb', 'i.i')}) AS c
-            FROM cv CROSS JOIN {d.series(_EMB_DIM)} i
+            FROM cv CROSS JOIN {d.series(ANN.DIM)} i
             GROUP BY label, i.i
         ),
         centroids AS (

@@ -388,9 +388,11 @@ class TestJsonExtraction:
         )
 
         events = pd.DataFrame({
-            "event_type": ["a"] * 5,
+            "event_type": ["a"] * 8,
             "props": pd.Series(['{"k": 3}', 'not json', '{"other": 1}',
-                                None, '{"k": "NaNish"}'], dtype="object"),
+                                None, '{"k": "NaNish"}', '{"k": "3.7"}',
+                                '{"k": "NaN"}', '{"k": "inf"}'],
+                               dtype="object"),
         })
         spark.createDataFrame(events).createOrReplaceTempView("events")
         try:
@@ -402,9 +404,9 @@ class TestJsonExtraction:
             ref = sorted(map(tuple,
                              con.execute(q_json_props_stats(S.DUCKDB))
                              .fetchall()))
-            # one valid k=3 among 5 rows; the non-numeric k drops via
-            # TRY_CAST on both engines
-            assert got == ref == [("a", 5, 1, 3.0, 3, 3)]
+            # finite-numeric k: 3 and 3.7; non-numeric, NaN, and inf
+            # drop identically on both engines
+            assert got == ref == [("a", 8, 2, 3.35, 3.0, 3.7)]
         finally:
             spark.catalog.dropTempView("events")
 
@@ -419,10 +421,13 @@ class TestJsonExtraction:
         )
 
         events = pd.DataFrame({
-            "event_type": ["a", "a", "b", "b", "c"],
+            "event_type": ["a", "a", "b", "b", "c", "c", "d"],
             "props": pd.Series(
                 ['{"k": 1, "extra": {"deep": 2}}', '{"k": 2}',
-                 '{"other": 3}', 'broken{', None], dtype="object"),
+                 '{"other": 3}', 'broken{', None,
+                 '[1, 2]',                 # valid JSON, not an object
+                 '{"k": 1, "k": 2}'],      # duplicate top-level key
+                dtype="object"),
         })
         spark.createDataFrame(events).createOrReplaceTempView("events")
         try:
@@ -434,7 +439,9 @@ class TestJsonExtraction:
             ref = sorted(map(tuple,
                              con.execute(q_json_key_histogram(S.DUCKDB))
                              .fetchall()))
-            assert got == ref == [("extra", 1, 1, 2), ("k", 2, 1, 2),
-                                  ("other", 1, 1, 2)]
+            # bad = broken{, None, AND the non-object array; the
+            # duplicate-key object counts its key once on both engines
+            assert got == ref == [("extra", 1, 1, 3), ("k", 3, 2, 3),
+                                  ("other", 1, 1, 3)]
         finally:
             spark.catalog.dropTempView("events")
