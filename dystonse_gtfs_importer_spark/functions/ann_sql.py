@@ -129,6 +129,71 @@ def q_ann_lsh_topk(d: S.Dialect) -> str:
     """
 
 
+def q_knn_label_agreement(d: S.Dialect) -> str:
+    """Embedding-space label purity: for each strided query vector,
+    the fraction of its LSH top-{K} neighbors sharing its label,
+    aggregated per label — the standard sanity check that an
+    embedding space separates its classes before trusting it for
+    retrieval/dedup.  Same bucket-join candidate generation and exact
+    re-rank as q_ann_lsh_topk (the approximation is deterministic on
+    both engines, so the driver hash-verifies it); queries without
+    any bucket collision drop out on both sides identically."""
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM cv"
+        for t in range(LSH_TABLES))
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM qv"
+        for t in range(LSH_TABLES))
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, label, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        {_norm_cte(d)},
+        cb AS ({cb}),
+        qb AS ({qb}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+            FROM qb q
+            JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                     AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.cand_id,
+                   ROUND({d.arr_dot('q.emb', 'c.emb')}
+                         / (q.nrm * c.nrm), 6) AS cosine
+            FROM cand
+            JOIN cvn q ON q.vec_id = cand.query_id
+            JOIN cvn c ON c.vec_id = cand.cand_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id) AS rk
+            FROM scored
+        ),
+        topk AS (
+            SELECT query_id, cand_id FROM ranked WHERE rk <= {K}
+        ),
+        per_query AS (
+            SELECT t.query_id, qq.label,
+                   -- CAST, not a 1.0 literal: Spark types 1.0 as
+                   -- DECIMAL(2,1) while DuckDB uses DOUBLE, and the
+                   -- AVGs round differently
+                   AVG(CAST(CASE WHEN cc.label = qq.label
+                            THEN 1 ELSE 0 END AS DOUBLE)) AS agree
+            FROM topk t
+            JOIN cv qq ON qq.vec_id = t.query_id
+            JOIN cv cc ON cc.vec_id = t.cand_id
+            GROUP BY t.query_id, qq.label
+        )
+        SELECT label, COUNT(*) AS n_queries,
+               ROUND(AVG(agree), 4) AS knn_label_agreement
+        FROM per_query GROUP BY label
+    """
+
+
 def q_cosine_near_dup_pairs(d: S.Dialect, threshold: float = 0.35) -> str:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     ROUND(cosine, 6) >= threshold.  This exact form is the oracle

@@ -1664,6 +1664,8 @@ QUERIES: dict[str, QueryDef] = {
                                     "semi-structured schema profiling"),
     "label_centroid_stats": _sql_pair(q_label_centroid_stats,
                                       "embedding-space label eval"),
+    "knn_label_agreement": _sql_pair(ANN.q_knn_label_agreement,
+                                     "embedding-space knn purity"),
 }
 
 
