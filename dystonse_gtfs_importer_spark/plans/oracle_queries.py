@@ -1394,6 +1394,47 @@ def q_json_key_histogram(d: S.Dialect) -> str:
     """
 
 
+_INTERVAL_BUCKETED_ORACLE = """
+    SELECT p.event_id AS purchase_id, COUNT(*) AS n_follow
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 2 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+"""
+
+
+def _interval_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic ``operators.joins.interval_join`` (grid-prefiltered
+    range join: candidates from coarse time-bucket equi-keys, exact
+    containment as the residual) driver-verified against the textbook
+    theta-join oracle — per purchase, the same user's events inside
+    the following 2-hour window (the S8 departure-window shape).
+    Candidate volume scales with local temporal density, never
+    |events|² per user."""
+    import pyspark.sql.functions as F
+
+    from ..operators.joins import interval_join
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    events = spark.table("events").select(
+        "event_id", F.col("user_id").alias("cust"), "ts")
+    intervals = (spark.table("events")
+                 .where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("cust"),
+                         F.col("ts").alias("w_start"),
+                         (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                         .alias("w_end")))
+    joined = interval_join(events, intervals, "ts", "w_start", "w_end",
+                           by=["cust"], bucket_s=3600)
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_follow"))
+
+
 def q_label_centroid_stats(d: S.Dialect) -> str:
     """Embedding-space quality evaluation per class label: cluster
     size, centroid norm, and inertia (mean squared distance to the
@@ -1666,6 +1707,10 @@ QUERIES: dict[str, QueryDef] = {
                                       "embedding-space label eval"),
     "knn_label_agreement": _sql_pair(ANN.q_knn_label_agreement,
                                      "embedding-space knn purity"),
+    "interval_join_bucketed": QueryDef(
+        spark=_interval_bucketed_spark,
+        oracle=_INTERVAL_BUCKETED_ORACLE,
+        survey_ref="S8-generic range-join scale path"),
 }
 
 
