@@ -203,7 +203,7 @@ HIST_QUANTILES = (0.5, 0.9, 0.95, 0.99)
 def q_histogram_quantiles(d: S.Dialect,
                           width: float = HIST_BIN_WIDTH) -> str:
     """Equi-width histogram quantile sketch over ``events.value``:
-    (quantile, n, est, exact, abs_err).
+    (pct, n, est_micros, exact_micros, abs_err_micros).
 
     The sketch is ONE partial-aggregatable groupBy producing <=
     range/width bins regardless of input rows — the 100 TB substitute
@@ -211,10 +211,17 @@ def q_histogram_quantiles(d: S.Dialect,
     addition like the CMS cells.  Estimates interpolate linearly
     inside the covering bin.  Bin ids are FLOOR(value/width): IEEE
     double division + FLOOR are bit-identical cross-engine, so the
-    driver hash-verifies the full estimate.  The ``exact`` column
-    (rank-statistic via one window sort) exists only so the driver
-    also pins the estimation error — a production run emits the
-    sketch alone (the exact sort is the thing this operator avoids).
+    driver hash-verifies the full estimate.  The ``exact_micros``
+    column (rank-statistic via one window sort) exists only so the
+    driver also pins the estimation error — a production run emits
+    the sketch alone (the exact sort is the thing this operator
+    avoids).
+
+    Every emitted column is integer-exact (quantile as percent,
+    values as BIGINT micro-units): round-4's only red driver row was
+    this query's ROUND(float, 6) doubles hash-flipping at a
+    representation boundary while both engines agreed on every
+    digit — integers leave no formatting to disagree on.
     """
     w = f"CAST({width} AS DOUBLE)"
     qs = " UNION ALL ".join(
@@ -254,16 +261,17 @@ def q_histogram_quantiles(d: S.Dialect,
               ON r.vrk = CAST(CEIL(q.p * r.n) AS BIGINT)
             GROUP BY q.p
         )
-        SELECT p.p AS quantile, p.n,
-               ROUND(p.bin * {w}
-                     + (p.p * p.n - (p.cum - p.cnt)) / p.cnt * {w}, 6)
-                   AS est,
-               ROUND(e.exact_v, 6) AS exact,
-               ROUND(ABS(p.bin * {w}
+        SELECT CAST(ROUND(p.p * 100) AS INT) AS pct, p.n,
+               CAST(ROUND((p.bin * {w}
+                     + (p.p * p.n - (p.cum - p.cnt)) / p.cnt * {w})
+                     * 1e6) AS BIGINT) AS est_micros,
+               CAST(ROUND(e.exact_v * 1e6) AS BIGINT) AS exact_micros,
+               CAST(ROUND(ABS(p.bin * {w}
                      + (p.p * p.n - (p.cum - p.cnt)) / p.cnt * {w}
-                     - e.exact_v), 6) AS abs_err
+                     - e.exact_v) * 1e6) AS BIGINT) AS abs_err_micros
         FROM pick p JOIN exact e ON e.p = p.p
         WHERE p.rk = 1
+        ORDER BY pct
     """
 
 

@@ -92,8 +92,8 @@ class TestHistogramQuantiles:
         for r in rows:
             # estimate and true quantile share the covering bin, so
             # the error can never exceed one bin width
-            assert r.abs_err <= SK.HIST_BIN_WIDTH, r
-        by_q = sorted((r.quantile, r.est) for r in rows)
+            assert r.abs_err_micros <= SK.HIST_BIN_WIDTH * 1e6, r
+        by_q = sorted((r.pct, r.est_micros) for r in rows)
         ests = [e for _, e in by_q]
         assert ests == sorted(ests), "estimates not monotone in q"
 

@@ -331,18 +331,13 @@ class TestRegistryWindow:
         # append (after the window), never displace the first 50
         assert tuple(names[: len(oq.REGISTRY_ORDER)]) == oq.REGISTRY_ORDER
         window = set(names[: oq.DRIVER_WINDOW])
-        # the 26 entries never driver-witnessed through round 3 are in
+        # round-5 rotation: the 8 entries with no driver-green row
+        # through round 4 lead the window (VERDICT r4 next-round #1)
         must_witness = {
-            "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
-            "dedup_clusters", "vocab_topk", "zorder_keys",
-            "salted_aggregate", "salted_join", "bigram_lm_score",
-            "temperature_sample", "stratified_sample",
-            "hash_bernoulli_sample", "seeded_shuffle",
-            "stratified_sample_scale", "countmin_heavy_hitters",
-            "hll_distinct", "histogram_quantiles", "hll_shard_merge",
-            "bloom_membership", "tfidf_topk", "decontaminate",
-            "token_shard_packing", "token_shard_packing_scale",
-            "boilerplate_scrub", "pii_scan", "repetition_signals",
+            "histogram_quantiles", "asof_join_salted",
+            "cosine_near_dup_lsh", "json_props_stats",
+            "json_key_histogram", "label_centroid_stats",
+            "knn_label_agreement", "interval_join_bucketed",
         }
         assert must_witness <= window
 
