@@ -61,6 +61,8 @@ from .msgpack_codec import Float32, packb, unpackb
 _WEEKDAYS = ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
 _ROUTE_SECTIONS = ("beginning", "middle", "end")   # RouteSection 0/1/2
 _EVENT_TYPES = ("arrival", "departure")            # EventType 0/1
+_PRECISIONS = ("Unknown", "Specific", "FallbackSpecific", "SemiSpecific",
+               "General", "FallbackGeneral", "SuperGeneral")  # mod.rs:64-72
 
 # engine-side event_type ints (EventType::to_int, event_type.rs:17-22)
 _ET_ARRIVAL, _ET_DEPARTURE = 1, 2
@@ -245,7 +247,7 @@ def _points(v: Any) -> Points:
 def _read_curve_data(v: Any) -> CurveData:
     curve, precision, sample = _fields(
         v, ["curve", "precision_type", "sample_size"])
-    return CurveData(_points(curve), _variant_index(precision),
+    return CurveData(_points(curve), _variant_index(precision, _PRECISIONS),
                      int(sample))
 
 
@@ -300,7 +302,8 @@ def loads(data: bytes) -> DelayStatistics:
                              for f, c in (_fields(fc, ["0", "1"])
                                           if isinstance(fc, dict) else fc
                                           for fc in curves)],
-                            _variant_index(precision), int(sample))
+                            _variant_index(precision, _PRECISIONS),
+                            int(sample))
             gd_pair = _fields(general_delay, ["arrival", "departure"])
             for et, gd in ((_ET_ARRIVAL, gd_pair[0]),
                            (_ET_DEPARTURE, gd_pair[1])):

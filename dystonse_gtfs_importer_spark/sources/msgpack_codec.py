@@ -206,11 +206,32 @@ def _unpack_array(mv: memoryview, pos: int, n: int) -> tuple[list, int]:
     return out, pos
 
 
+class FrozenMap(dict):
+    """Hashable dict for msgpack maps that appear as map KEYS.
+
+    rmp-serde's named mode (``to_vec_named``, the default in 1.x)
+    serializes a struct used as a ``HashMap`` key — e.g. the
+    reference's ``CurveSetKey`` (route_variant_data.rs:12-17) — as a
+    msgpack map in key position.  Python dicts are unhashable, so the
+    decoder wraps them in this subclass; the bridge's struct reader
+    treats it like any named struct (it is a ``dict``)."""
+
+    def __hash__(self) -> int:  # type: ignore[override]
+        return hash(tuple(sorted(
+            (k, _hashable(v) if isinstance(v, (list, dict)) else v)
+            for k, v in self.items())))
+
+    def _blocked(self, *a, **kw):
+        raise TypeError("FrozenMap is immutable")
+
+    __setitem__ = __delitem__ = update = pop = clear = _blocked
+
+
 def _hashable(v: Any) -> Any:
     if isinstance(v, list):
         return tuple(_hashable(x) for x in v)
     if isinstance(v, dict):
-        raise ValueError("msgpack map used as a map key is unsupported")
+        return FrozenMap(v)
     return v
 
 

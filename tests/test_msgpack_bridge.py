@@ -412,3 +412,120 @@ class TestReviewFixes:
         text = B.dumps_json(ds)
         assert '"FallbackGeneral"' in text
         assert B.loads_json(text) == ds
+
+
+class TestCurveSetKeyVariants:
+    """CurveSetKey / TimeSlot encodings across rmp-serde eras.
+
+    The reference pins rmp-serde 0.14.3 (Cargo.toml:40), whose
+    ``to_vec`` writes structs positionally and enums derive-style —
+    the golden layout TestGoldenLayout pins byte-for-byte.  Building
+    the reference binary to produce artifacts end-to-end is not
+    possible in this sandbox (no network: cargo cannot fetch the
+    dependency graph), so this class pins the leniency matrix for the
+    OTHER encodings real-world artifacts can carry instead:
+
+    | layer          | 0.14 to_vec (golden) | to_vec_named / 1.x     |
+    |----------------|----------------------|------------------------|
+    | struct         | array, field order   | map, field names       |
+    | CurveSetKey    | array as map KEY     | map as map KEY         |
+    | TimeSlot       | array, skip-field    | map, named fields      |
+    | unit variant   | [idx, []]            | name string / bare int |
+    | Weekday        | "Mon" (chrono str)   | "mon"/"Monday" forms   |
+    """
+
+    def _expect(self):
+        v = B.VariantData(stop_ids=["a", "b"])
+        v.curve_sets[B._ET_DEPARTURE][(0, 1, 5)] = B.CurveSetData(
+            [(-12.0, [(-24.0, 0.0), (24.0, 1.0)])],
+            B.PRECISION_SPECIFIC, 9)
+        return v
+
+    def test_named_mode_artifact_parses(self):
+        """rmp-serde named mode: every struct a map, CurveSetKey a map
+        in key position (hashable via the codec's FrozenMap), unit
+        variants as name strings."""
+        from dystonse_gtfs_importer_spark.sources.msgpack_codec import (
+            FrozenMap,
+        )
+
+        key = FrozenMap({
+            "start_stop_index": 0, "end_stop_index": 1,
+            "time_slot": {"id": 5, "min_weekday": "mon",
+                          "max_weekday": "fri",
+                          "min_hour": 14, "max_hour": 16},
+        })
+        obj = {
+            "specific": {"R9": {
+                "route_id": "R9",
+                "variants": {7: {
+                    "stop_ids": ["a", "b"],
+                    "curve_sets": {
+                        "arrival": {},
+                        "departure": {key: {
+                            "curve_set": {"curves": [
+                                [-12.0, {"points": [
+                                    {"x": -24.0, "y": 0.0},
+                                    {"x": 24.0, "y": 1.0}]}],
+                            ]},
+                            "precision_type": "Specific",
+                            "sample_size": 9,
+                        }},
+                    },
+                    "general_delay": {"arrival": {}, "departure": {}},
+                }},
+            }},
+            "general": {"all_default_curves": {}},
+        }
+        ds = B.loads(packb(obj))
+        exp = B.DelayStatistics()
+        exp.specific["R9"] = {7: self._expect()}
+        assert ds == exp
+
+    def test_positional_key_with_named_time_slot(self):
+        """Mixed encoding: array CurveSetKey whose TimeSlot field is a
+        map (what a partial named-mode upgrade emits)."""
+        from dystonse_gtfs_importer_spark.sources.msgpack_codec import (
+            FrozenMap,
+        )
+
+        key = (0, 1, FrozenMap({"id": 5, "min_weekday": "Monday",
+                                "max_weekday": "Friday",
+                                "min_hour": 14, "max_hour": 16}))
+        obj = [
+            {"R9": ["R9", {7: [["a", "b"],
+                               [{}, {key: [[[[-12.0, [[[-24.0, 0.0],
+                                                       [24.0, 1.0]]]]]],
+                                     (1, ()), 9]}],
+                               [{}, {}]]}]},
+            [{}],
+        ]
+        ds = B.loads(packb(obj))
+        exp = B.DelayStatistics()
+        exp.specific["R9"] = {7: self._expect()}
+        assert ds == exp
+
+    def test_slot_weekday_forms_ignored_for_id(self):
+        """The engine keys slots by id alone (the weekday/hour window
+        is the id's definition, time_slots.rs:27-114), so any weekday
+        spelling — short, long, lowercase, bare int — must not affect
+        parsing."""
+        for wd in ("Mon", "mon", "Monday", 0):
+            obj = [{}, [{((3, ()), (1, ()), (5, wd, wd, 14, 16),
+                          (1, ())): [[[]], (4, ()), 1]}]]
+            ds = B.loads(packb(obj))
+            assert list(ds.default) == [(3, "middle", 5, 2)]
+
+    def test_frozen_map_immutable_and_roundtrips(self):
+        from dystonse_gtfs_importer_spark.sources.msgpack_codec import (
+            FrozenMap, unpackb,
+        )
+
+        fm = FrozenMap({"a": 1, "b": [1, 2]})
+        with pytest.raises(TypeError):
+            fm["c"] = 3
+        assert hash(fm) == hash(FrozenMap({"b": [1, 2], "a": 1}))
+        blob = packb({fm: "x"})
+        back = unpackb(blob)
+        assert isinstance(next(iter(back)), dict)
+        assert back == {fm: "x"}
