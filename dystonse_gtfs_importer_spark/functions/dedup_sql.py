@@ -139,6 +139,81 @@ def q_simhash_near_pairs(d: S.Dialect) -> str:
     """
 
 
+SIMHASH64_BITS = 60     # 15 MD5 nibbles; clear of the BIGINT sign bit
+SIMHASH64_BANDS = 4     # 4 x 15-bit bands: pigeonhole for hamming <= 3
+
+
+def q_simhash64(d: S.Dialect) -> str:
+    """60-bit SimHash over MD5'd tokens.
+
+    The 16-bit sketch (q_simhash) hash-matches its quadratic oracle at
+    sf0.01 but is too narrow for corpus scale: with random 16-bit
+    fingerprints, P(hamming <= 3) ~ 697/2^16 ~ 1.1%, so a 5 k-doc
+    corpus already emits ~130 k coincidental pairs and the output
+    grows quadratically with corpus size.  At 60 bits the random
+    collision mass (~36 k/2^60) is negligible at any realistic corpus
+    size, so emitted pairs track true near-duplicates — this is the
+    width production systems use (cf. Manku et al., WWW'07, 64-bit)."""
+    terms = []
+    for b in range(SIMHASH64_BITS):
+        # one hex->int conversion per token (hashed CTE); per-bit work
+        # is a shift+mask, not a nibble CASE chain — ~10x cheaper on
+        # both engines at corpus scale
+        bit = f"({d.shiftright('hv', b)} % 2)"
+        terms.append(
+            f"(CASE WHEN SUM(2 * {bit} - 1) > 0 THEN {1 << b} ELSE 0 END)")
+    fingerprint = "\n                 + ".join(terms)
+    return f"""
+        WITH {doc_tokens_cte(d)},
+        hashed AS (
+            SELECT doc_id, {d.hex_to_bigint("SUBSTR(MD5(tok), 1, 15)")} AS hv
+            FROM tokens
+        )
+        SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash
+        FROM hashed GROUP BY doc_id
+    """
+
+
+def q_simhash64_near_pairs(d: S.Dialect) -> str:
+    """Quadratic reference form of the 60-bit near-pair set (oracle
+    twin of q_simhash64_near_pairs_banded)."""
+    return f"""
+        WITH fp AS ({q_simhash64(d)})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count({d.xor('a.simhash', 'b.simhash')}) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count({d.xor('a.simhash', 'b.simhash')}) <= 3
+    """
+
+
+def q_simhash64_near_pairs_banded(d: S.Dialect) -> str:
+    """Scale path: 4 bands x 15 bits; hamming <= 3 flips at most 3
+    bands, so every qualifying pair agrees exactly on >= 1 band
+    (pigeonhole — banding is lossless, same argument as the 16-bit
+    form).  Band extraction uses integer shifts: float-division
+    truncation is not exact above 2**53 and a 60-bit fingerprint
+    exceeds that."""
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"({d.shiftright('simhash', 15 * b)} % 32768) AS bv FROM fp"
+        for b in range(SIMHASH64_BANDS))
+    return f"""
+        WITH fp AS ({q_simhash64(d)}),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sim_a,
+                            y.doc_id AS doc_b, y.simhash AS sim_b
+            FROM bands x
+            JOIN bands y ON x.band = y.band AND x.bv = y.bv
+                        AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               bit_count({d.xor('sim_a', 'sim_b')}) AS hamming
+        FROM cand
+        WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= 3
+    """
+
+
 def q_simhash_near_pairs_banded(d: S.Dialect) -> str:
     """Scale path for SimHash near-dup pairs: 4 bands x 4 bits.
     Pigeonhole: hamming <= 3 flips bits in at most 3 of the 4 bands, so

@@ -67,6 +67,15 @@ class Dialect:
     def xor(self, a: str, b: str) -> str:
         raise NotImplementedError
 
+    def shiftright(self, a: str, n: int) -> str:
+        """Integer right shift (exact on the full BIGINT range —
+        float-division truncation is NOT exact above 2**53)."""
+        raise NotImplementedError
+
+    def hex_to_bigint(self, expr: str) -> str:
+        """Hex string (<= 15 chars, so < 2**60) -> BIGINT."""
+        raise NotImplementedError
+
     def to_double_array(self, arr: str) -> str:
         raise NotImplementedError
 
@@ -160,6 +169,12 @@ class SparkDialect(Dialect):
     def xor(self, a: str, b: str) -> str:
         return f"({a} ^ {b})"
 
+    def shiftright(self, a: str, n: int) -> str:
+        return f"shiftright({a}, {n})"
+
+    def hex_to_bigint(self, expr: str) -> str:
+        return f"CAST(conv({expr}, 16, 10) AS BIGINT)"
+
     def to_double_array(self, arr: str) -> str:
         return f"transform({arr}, v -> CAST(v AS DOUBLE))"
 
@@ -243,6 +258,12 @@ class DuckDBDialect(Dialect):
 
     def xor(self, a: str, b: str) -> str:
         return f"xor({a}, {b})"
+
+    def shiftright(self, a: str, n: int) -> str:
+        return f"({a} >> {n})"
+
+    def hex_to_bigint(self, expr: str) -> str:
+        return f"CAST(CAST(('0x' || {expr}) AS UBIGINT) AS BIGINT)"
 
     def to_double_array(self, arr: str) -> str:
         return f"CAST({arr} AS DOUBLE[])"

