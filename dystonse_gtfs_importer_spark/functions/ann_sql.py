@@ -220,18 +220,31 @@ def q_cosine_near_dup_pairs(d: S.Dialect, threshold: float = 0.35) -> str:
     """
 
 
-def q_cosine_near_dup_lsh(d: S.Dialect, threshold: float = 0.35) -> str:
+def q_cosine_near_dup_lsh(d: S.Dialect, threshold: float = 0.35,
+                          n_planes: int = LSH_PLANES,
+                          tables: int = LSH_TABLES) -> str:
     """The SCALE path of :func:`q_cosine_near_dup_pairs` rendered
     dual-dialect: candidates restricted to same-LSH-bucket pairs (the
     identical bitwise-deterministic sketches both engines compute),
     then the exact cosine residual.  Hash-verifiable because the
     approximation itself is reproduced on both sides; recall vs the
     exact form is asserted separately (tests/test_similarity.py).
-    Candidate volume scales with bucket occupancy, never |corpus|²."""
+    Candidate volume scales with bucket occupancy, never |corpus|².
+
+    ``n_planes`` must grow ~log2(corpus) to HOLD occupancy constant:
+    2^n_planes buckets means expected occupancy N/2^n_planes, and the
+    within-bucket pair count is quadratic in occupancy — measured in
+    SCALING.md ("near-dup at scale"): the 4-plane default (16 buckets,
+    pinned by the sf0.01 oracle) is right for the driver fixture but
+    candidate volume grows ~N²/16 at corpus scale; 12 planes holds a
+    200 k-vector corpus at ~50/bucket.  Recall per table for a pair
+    at angle θ is (1 - θ/π)^n_planes — compensate wider sketches with
+    more ``tables`` when hunting lower-cosine pairs."""
     cb = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket "
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_sketch(d, 'emb', t, n_planes)} AS bucket "
         f"FROM cv"
-        for t in range(LSH_TABLES))
+        for t in range(tables))
     return f"""
         WITH cv AS (
             SELECT vec_id, {d.to_double_array('embedding')} AS emb

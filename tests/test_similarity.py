@@ -190,3 +190,46 @@ class TestMultimodal:
         frames = sample_frames(media, every_ms=1000).collect()
         # video 3500ms → offsets 0,1000,2000,3000; image contributes none
         assert sorted(r.frame_ms for r in frames) == [0, 1000, 2000, 3000]
+
+
+class TestCosineNearDupLshPlanes:
+    """SQL-template n_planes widening (the 100 TB occupancy knob):
+    wider sketches must stay engine-agreeing, emit no false positives,
+    and never lose an identical-vector pair (cos 1 collides in every
+    table at any width)."""
+
+    def test_wide_sketch_parity_and_exact_dup_recall(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.session import (
+            configure_for_oracle,
+        )
+
+        rng_rows = []
+        for i in range(120):
+            base = i // 2  # consecutive ids share an identical vector
+            vec = [(((base * 1000003 + j) * 2654435761) % 2001 - 1000)
+                   / 1000.0 for j in range(16)]
+            rng_rows.append((i, vec, base % 5))
+        pdf = pd.DataFrame(rng_rows,
+                           columns=["vec_id", "embedding", "label"])
+        configure_for_oracle(spark)
+        spark.createDataFrame(pdf).createOrReplaceTempView("embeddings")
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+
+        q = ANN.q_cosine_near_dup_lsh(S.SPARK, n_planes=12)
+        s_rows = sorted((r.vec_a, r.vec_b) for r in spark.sql(q).collect())
+        d_rows = sorted((a, b) for a, b, _ in con.execute(
+            ANN.q_cosine_near_dup_lsh(S.DUCKDB, n_planes=12)).fetchall())
+        assert s_rows == d_rows
+        # all 60 identical-vector pairs survive the widest sketch
+        expected = [(2 * g, 2 * g + 1) for g in range(60)]
+        assert set(expected) <= set(s_rows)
+        # wider sketch is a candidate SUBSET of the default sketch
+        narrow = sorted((r.vec_a, r.vec_b) for r in spark.sql(
+            ANN.q_cosine_near_dup_lsh(S.SPARK)).collect())
+        assert set(s_rows) <= set(narrow)

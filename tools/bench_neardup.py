@@ -51,7 +51,11 @@ def templates():
         # the 60-bit width: the 16-bit oracle form emits ~1.1% of ALL
         # pairs by random collision — quadratic output at corpus scale
         "simhash64_near_pairs_banded": D.q_simhash64_near_pairs_banded,
-        "cosine_near_dup_lsh": ANN.q_cosine_near_dup_lsh,
+        # 12 planes (4096 buckets) holds bucket occupancy ~constant up
+        # to the 200 k-vector corpus; the 4-plane oracle default (16
+        # buckets) makes candidates quadratic past ~10 k vectors
+        "cosine_near_dup_lsh":
+            lambda d: ANN.q_cosine_near_dup_lsh(d, n_planes=12),
     }
 
 
@@ -87,17 +91,30 @@ def main() -> int:
         spark.sql("SELECT COUNT(*) FROM documents").collect()
         con.execute("SELECT COUNT(*) FROM documents").fetchall()
         for name, tpl in templates().items():
-            t0 = time.time()
-            pairs = spark.sql(tpl(S.SPARK)).count()
-            spark_s = round(time.time() - t0, 3)
-            t0 = time.time()
-            d_pairs = len(con.execute(tpl(S.DUCKDB)).fetchall())
-            duck_s = round(time.time() - t0, 3)
-            row[name] = {"pairs": pairs, "spark_s": spark_s,
-                         "duck_pairs": d_pairs, "duck_s": duck_s}
-            print(f"# {label} {name}: {pairs} pairs "
-                  f"spark {spark_s}s duck {duck_s}s "
-                  f"(duck pairs {d_pairs})", file=sys.stderr)
+            # COUNT-wrap both engines: the metric is detection cost,
+            # not driver-side materialization of the pair list
+            r: dict = {}
+            try:
+                t0 = time.time()
+                r["pairs"] = spark.sql(
+                    f"SELECT COUNT(*) AS n FROM ({tpl(S.SPARK)}) t"
+                ).collect()[0].n
+                r["spark_s"] = round(time.time() - t0, 3)
+            except Exception as e:  # record, keep benching
+                r["spark_err"] = str(e)[:200]
+            print(f"# {label} {name}: spark {r.get('spark_s')}s "
+                  f"{r.get('pairs')} pairs", file=sys.stderr)
+            try:
+                t0 = time.time()
+                r["duck_pairs"] = con.execute(
+                    f"SELECT COUNT(*) FROM ({tpl(S.DUCKDB)}) t"
+                ).fetchone()[0]
+                r["duck_s"] = round(time.time() - t0, 3)
+            except Exception as e:
+                r["duck_err"] = str(e)[:200]
+            print(f"# {label} {name}: duck {r.get('duck_s')}s "
+                  f"{r.get('duck_pairs')} pairs", file=sys.stderr)
+            row[name] = r
         out[label] = row
     print(json.dumps(out))
     return 0
