@@ -37,21 +37,36 @@ IVF_CELLS = 8
 IVF_NPROBE = 2
 
 
-def _plane_dot(d: S.Dialect, emb: str, weights: list[float]) -> str:
+def _plane_dot(d: S.Dialect, emb: str, weights: list[float],
+               explicit: bool = False) -> str:
     """Left-associated dot product — identical association order in
     both engines, hence bitwise-equal (no rounding guard needed for
     the sign test).
 
     DuckDB spells it as the explicit 64-term sum (its native
-    list_dot_product may reassociate).  Spark uses aggregate over
-    zip_with against the weight-array literal: the fold is the same
-    left-associated sum (the 0D seed is exact — 0 + x == x in IEEE,
-    and a ±0 flip cannot change the > 0 sign test), but the analyzed
-    expression tree is one array literal instead of 64 arithmetic
-    nodes per plane, which cuts the ann_lsh_topk Catalyst
-    compile+run from 6.2 s to 1.4 s cold at sf0.01 with a
-    hash-identical result."""
-    if d.name == "spark":
+    list_dot_product may reassociate).  Spark has two bitwise-equal
+    renderings of the same left-associated fold, chosen by workload:
+
+    * default — aggregate over zip_with against the weight-array
+      literal (the 0D seed is exact — 0 + x == x in IEEE, and a ±0
+      flip cannot change the > 0 sign test).  The analyzed tree is
+      one array literal instead of 64 arithmetic nodes per plane,
+      which cuts the ann_lsh_topk Catalyst compile+run from 6.2 s to
+      1.4 s cold at sf0.01.  But the fold itself is an INTERPRETED
+      higher-order function — fine when sketch count is small.
+    * ``explicit=True`` — the same 64-term sum DuckDB uses, which
+      whole-stage codegen compiles to straight-line JVM arithmetic.
+      Worth it once planes × rows dominates compile cost: at 12
+      planes × 200 k vectors the explicit form computes the sketches
+      2.6× faster (21 s → 8 s, SCALING.md "near-dup at scale").
+      Same multiply/add sequence, so sketches are bit-identical
+      either way.  Do NOT widen past ~12 planes × 64 dims per
+      expression: a many-hundred-term tree risks exceeding the JVM
+      64 KB method limit and silently de-optimizing the whole stage
+      to interpreted mode (measured: inlining the 64-term PAIR dot
+      twice per row made the join stage 2.7× slower than the HOF
+      form)."""
+    if d.name == "spark" and not explicit:
         ws = ", ".join(repr(w) for w in weights)
         return d.arr_dot(emb, f"array({ws})")
     return " + ".join(f"{d.arr_get(emb, str(i))} * {w!r}"
@@ -60,9 +75,13 @@ def _plane_dot(d: S.Dialect, emb: str, weights: list[float]) -> str:
 
 def _sketch(d: S.Dialect, emb: str, table: int,
             n_planes: int = LSH_PLANES) -> str:
+    # Wider-than-default sketches imply a corpus large enough that
+    # per-row evaluation dominates Catalyst compile — render them
+    # codegen-friendly (see _plane_dot).
+    explicit = n_planes > LSH_PLANES
     bits = []
     for p in range(n_planes):
-        dot = _plane_dot(d, emb, _hyperplane(DIM, p, table))
+        dot = _plane_dot(d, emb, _hyperplane(DIM, p, table), explicit)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
@@ -239,11 +258,25 @@ def q_cosine_near_dup_lsh(d: S.Dialect, threshold: float = 0.35,
     candidate volume grows ~N²/16 at corpus scale; 12 planes holds a
     200 k-vector corpus at ~50/bucket.  Recall per table for a pair
     at angle θ is (1 - θ/π)^n_planes — compensate wider sketches with
-    more ``tables`` when hunting lower-cosine pairs."""
+    more ``tables`` when hunting lower-cosine pairs.
+
+    Plan shape (round 5): the embedding + norm ride WITH the sketch
+    row through the bucket self-join, so the pair cosine is computed
+    inside the join stage and pair dedup happens AFTER the threshold
+    filter.  That trades a wider bucket shuffle (corpus × tables
+    rows, each carrying its vector — the standard LSH-join layout)
+    for eliminating the three pair-grain exchanges the naive form
+    pays: DISTINCT over all candidates plus two vec_id-keyed joins
+    back to the corpus, each shuffling |candidates| ≫ |corpus| rows
+    (15.4 M candidate pairs from 200 k vectors).  Measured at 200 k
+    vectors: 43 s → 21.6 s cold, 13.1 s warm, identical output
+    (SCALING.md "near-dup at scale").  Crucially it does NOT
+    broadcast the corpus — at 100 TB the corpus never fits an
+    executor; the only structures this plan moves are bucket-keyed."""
     cb = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, "
-        f"{_sketch(d, 'emb', t, n_planes)} AS bucket "
-        f"FROM cv"
+        f"{_sketch(d, 'emb', t, n_planes)} AS bucket, emb, nrm "
+        f"FROM cvn"
         for t in range(tables))
     return f"""
         WITH cv AS (
@@ -252,20 +285,17 @@ def q_cosine_near_dup_lsh(d: S.Dialect, threshold: float = 0.35,
         ),
         {_norm_cte(d)},
         cb AS ({cb}),
-        cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND({d.arr_dot('a.emb', 'b.emb')}
+                         / (a.nrm * b.nrm), 6) AS cosine
             FROM cb a
             JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id
         )
-        SELECT c.vec_a, c.vec_b,
-               ROUND({d.arr_dot('va.emb', 'vb.emb')}
-                     / (va.nrm * vb.nrm), 6) AS cosine
-        FROM cand c
-        JOIN cvn va ON va.vec_id = c.vec_a
-        JOIN cvn vb ON vb.vec_id = c.vec_b
-        WHERE ROUND({d.arr_dot('va.emb', 'vb.emb')}
-                    / (va.nrm * vb.nrm), 6) >= {threshold}
+        SELECT DISTINCT vec_a, vec_b, cosine
+        FROM scored
+        WHERE cosine >= {threshold}
     """
 
 

@@ -211,8 +211,11 @@ class TestCosineNearDupLshPlanes:
         rng_rows = []
         for i in range(120):
             base = i // 2  # consecutive ids share an identical vector
+            # full DIM=64 vectors: the widened sketch renders explicit
+            # emb[j] terms (strict ANSI indexing — short vectors fail
+            # loudly instead of the HOF form's silent NULL-dot)
             vec = [(((base * 1000003 + j) * 2654435761) % 2001 - 1000)
-                   / 1000.0 for j in range(16)]
+                   / 1000.0 for j in range(64)]
             rng_rows.append((i, vec, base % 5))
         pdf = pd.DataFrame(rng_rows,
                            columns=["vec_id", "embedding", "label"])
