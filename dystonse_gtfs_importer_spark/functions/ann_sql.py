@@ -312,12 +312,16 @@ def q_semdedup_keep(d: S.Dialect, theta: float = SEMDEDUP_THETA) -> str:
     The candidate set is LSH-bucket-limited on BOTH engines (the
     sketches are bitwise-deterministic literals, see module docstring),
     so the driver hash-verifies the full keep/drop decision including
-    the approximation.  Scale shape: sketching is map-only; the bucket
-    self-join shuffles (tbl, bucket, id) and candidate volume scales
-    with bucket occupancy, never |corpus|²; the cosine re-score joins
-    co-keyed on vec_id; one groupBy ends the pipeline."""
+    the approximation.  Scale shape: sketching is map-only; the
+    embedding + norm ride through the bucket self-join so the cosine
+    happens inside the join stage and pair dedup happens after the
+    threshold filter (the pair-shuffle-free layout measured 2.9×
+    faster on q_cosine_near_dup_lsh at 200 k vectors — see its
+    docstring); candidate volume scales with bucket occupancy, never
+    |corpus|²; one groupBy ends the pipeline."""
     cb = " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM cv"
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket, "
+        f"emb, nrm FROM cvn"
         for t in range(LSH_TABLES))
     return f"""
         WITH cv AS (
@@ -326,19 +330,13 @@ def q_semdedup_keep(d: S.Dialect, theta: float = SEMDEDUP_THETA) -> str:
         ),
         {_norm_cte(d)},
         cb AS ({cb}),
-        cand AS (
+        near AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM cb a
             JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id
-        ),
-        near AS (
-            SELECT c.vec_a, c.vec_b
-            FROM cand c
-            JOIN cvn va ON va.vec_id = c.vec_a
-            JOIN cvn vb ON vb.vec_id = c.vec_b
-            WHERE ROUND({d.arr_dot('va.emb', 'vb.emb')}
-                        / (va.nrm * vb.nrm), 6) >= {theta}
+            WHERE ROUND({d.arr_dot('a.emb', 'b.emb')}
+                        / (a.nrm * b.nrm), 6) >= {theta}
         ),
         stats AS (
             SELECT vec_id, COUNT(*) AS n_near, MAX(has_smaller) AS removed
