@@ -412,3 +412,135 @@ def q_ann_ivf_topk(d: S.Dialect) -> str:
         ),
         {_rank_tail(d)}
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression (round 5): int8 scalar quantization + seeded
+# random projection — the two storage/bandwidth levers a 100 TB
+# embedding corpus pulls before any ANN structure is even built.
+# ---------------------------------------------------------------------------
+
+RP_DIM = 8
+RP_TABLE = 97  # hyperplane seed namespace, disjoint from LSH tables
+
+
+def _int8_codes_ctes(d: S.Dialect) -> str:
+    """Shared CTE chain ``cv → flat → qscale → codes`` for symmetric
+    per-dimension int8 quantization: code = ROUND(x·127 / max|x|_dim).
+
+    Determinism: MAX is exact (no summation order), the per-code
+    arithmetic is one multiply then one divide in the same written
+    order on both engines (identical IEEE doubles in → identical
+    out), and both engines round halves away from zero — so the codes
+    are hash-verifiable without any tolerance.
+
+    Scale shape: ``qscale`` is ONE explode-by-dimension aggregate —
+    dim rows out of the shuffle regardless of corpus size (the
+    label_centroid_stats pattern) — broadcast back over a map-only
+    projection.  The flat (vec_id, dim, x) form here is the
+    dual-dialect oracle rendering; a production writer keeps codes as
+    array<tinyint> per row (dim·1 B vs dim·8 B — a 4-8× scan/storage
+    cut for ANN candidate re-scoring)."""
+    return f"""
+        cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        flat AS (
+            SELECT vec_id, i.i AS dim, {d.arr_get('emb', 'i.i')} AS x
+            FROM cv CROSS JOIN {d.series(DIM)} i
+        ),
+        qscale AS (
+            SELECT dim, MAX(ABS(x)) AS mx
+            FROM flat GROUP BY dim
+        ),
+        codes AS (
+            SELECT f.vec_id, f.dim,
+                   CAST(COALESCE(ROUND((f.x * 127.0) / NULLIF(s.mx, 0)),
+                                 0) AS INT) AS code,
+                   CAST(ROUND(s.mx * 1e6) AS BIGINT) AS scale_micros
+            FROM flat f JOIN qscale s ON s.dim = f.dim
+        )"""
+
+
+def q_embedding_quantize_int8(d: S.Dialect) -> str:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus, emitted as (vec_id, dim, code, scale_micros) — code in
+    [-127, 127], scale in integer micro-units so no float formatting
+    reaches the driver hash (the histogram_quantiles lesson).
+
+    This is the storage tier of the similarity family: at 100 TB of
+    float32/float64 embeddings the int8 codes cut the resident corpus
+    4-8× while `q_ann_quantized_topk` shows the ranking they support.
+    Reference anchor: LLM-pipeline extension (SURVEY.md LLM ops)."""
+    return f"""
+        WITH {_int8_codes_ctes(d)}
+        SELECT vec_id, dim, code, scale_micros
+        FROM codes
+    """
+
+
+def q_ann_quantized_topk(d: S.Dialect, k: int = 3) -> str:
+    """Top-k nearest neighbors ranked by the INTEGER dot product of
+    int8 codes — the cheap first-pass ranking a quantized ANN system
+    runs before (optionally) re-scoring survivors with full floats.
+
+    Exact integer arithmetic end to end: SUM(code·code) has no
+    summation-order hazard, so ranks are hash-verifiable with a
+    deterministic (idot DESC, cand_id) tie-break.  The flat dim-join
+    SUM here is the dual-dialect oracle rendering; the production
+    path keeps array<tinyint> codes and folds the dot JVM-side like
+    `cosine_topk`.  Recall vs the float path is asserted in
+    tests/test_similarity.py."""
+    return f"""
+        WITH {_int8_codes_ctes(d)},
+        qs AS (
+            SELECT vec_id, dim, code FROM codes
+            WHERE vec_id % {QUERY_STRIDE} = 0
+        ),
+        dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   SUM(q.code * c.code) AS idot
+            FROM qs q
+            JOIN codes c ON c.dim = q.dim AND c.vec_id <> q.vec_id
+            GROUP BY q.vec_id, c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, cand_id, idot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY idot DESC, cand_id) AS rnk
+            FROM dots
+        )
+        SELECT query_id, cand_id, CAST(idot AS BIGINT) AS idot,
+               CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= {k}
+    """
+
+
+def q_random_projection(d: S.Dialect, out_dim: int = RP_DIM) -> str:
+    """Johnson-Lindenstrauss-style seeded random projection
+    DIM → ``out_dim``: y_j = ROUND(emb · R_j, 6) with R_j the same
+    splitmix64-derived hyperplane literals the LSH sketches use
+    (seed table {RP_TABLE}, disjoint from the LSH namespace), emitted
+    as one row per vector with y0..y{{out_dim-1}} columns.
+
+    Map-only — zero shuffles at any corpus size; the projection
+    matrix is out_dim × DIM literals baked into the plan.  Both
+    engines evaluate the identical left-associated fold
+    (see _plane_dot), so the ROUNDed outputs are hash-verifiable.
+    At 100 TB this is the cheapest pre-filter dimension cut before
+    LSH/IVF structures, and doubles as a decorrelated feature map
+    for the dedup sketches."""
+    cols = ",\n               ".join(
+        f"ROUND({_plane_dot(d, 'emb', _hyperplane(DIM, j, RP_TABLE))}, 6)"
+        f" AS y{j}"
+        for j in range(out_dim))
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        )
+        SELECT vec_id,
+               {cols}
+        FROM cv
+    """

@@ -1714,6 +1714,16 @@ QUERIES: dict[str, QueryDef] = {
         spark=_interval_bucketed_spark,
         oracle=_INTERVAL_BUCKETED_ORACLE,
         survey_ref="S8-generic range-join scale path"),
+    # round-5 additions: the embedding-compression tier
+    "embedding_quantize_int8": _sql_pair(
+        ANN.q_embedding_quantize_int8,
+        "embedding-quantize int8 storage tier"),
+    "ann_quantized_topk": _sql_pair(
+        ANN.q_ann_quantized_topk,
+        "similarity-ann quantized first-pass rank"),
+    "random_projection": _sql_pair(
+        ANN.q_random_projection,
+        "embedding-dim-reduction seeded JL map-only"),
 }
 
 
@@ -1749,16 +1759,17 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
     "repetition_signals",
-    # 17 twice-witnessed entries (green r3 AND r4) completing the window
+    # 13 twice-witnessed entries (green r3 AND r4) completing the window
     "ecdf_curve", "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
     "ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup", "semdedup_keep",
     "ecdf_curve_focused", "curve_stack_stats", "pricing_summary",
     "hourly_event_stats", "global_minmax", "distinct_users",
-    "rollup_ladder", "stop_pair_counts", "asof_join",
     # round-5 additions witnessed this round
     "simhash64_near_pairs",
+    "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 8 twice-witnessed entries displaced by the round-5 rotation
+    # 11 twice-witnessed entries displaced by the round-5 rotation
+    "rollup_ladder", "stop_pair_counts", "asof_join",
     "anti_join", "spatial_neighbors", "latest_wins", "forward_fill",
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     # entries driver-green in rounds 1-3, outside the window since r4
