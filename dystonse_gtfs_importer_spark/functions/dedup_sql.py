@@ -434,3 +434,69 @@ def q_cosine_topk(d: S.Dialect, k: int = 3, query_stride: int = 50) -> str:
         )
         SELECT query_id, cand_id, cosine, rk FROM ranked WHERE rk <= {k}
     """
+
+
+SPAN_TOKENS = 10
+
+
+def q_span_dedup(d: S.Dialect, span: int = SPAN_TOKENS) -> str:
+    """C4/CCNet-style cross-document span dedup: split every document
+    into consecutive ``span``-token windows, and a span whose exact
+    text occurs in MORE than one document is dropped everywhere except
+    the lowest-doc_id owner (C4 §2.2 keeps one occurrence of each
+    three-sentence span; CCNet hashes paragraphs — this corpus is a
+    punctuation-free token stream, so fixed token windows are the
+    deterministic structural analog).  Emits per-document sufficient
+    statistics — total/kept token counts and span drop counts — the
+    reassembled text is a trivial ordered join of the kept spans.
+
+    Scale shape: tokenize and span construction are map-only
+    (`arr_slice_join` over an index range — no self-join); ONE
+    span_text-keyed shuffle builds the owner table (MIN doc_id +
+    occurrence count) and the flag join is co-keyed on the same
+    span_text, so a 100 TB corpus pays one fact-grain exchange plus
+    the final doc_id aggregation.  No broadcast of anything
+    corpus-sized.  Within-document repeats of a span are NOT dropped
+    (the keeper doc keeps all its occurrences) — pinned in tests."""
+    n_spans = d.trunc_num(f"(n_tok + {span - 1}) / {span}.0")
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, {d.token_array('text')} AS toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, toks, {d.arr_len('toks')} AS n_tok
+            FROM docs WHERE {d.arr_len('toks')} > 0
+        ),
+        spans AS (
+            SELECT doc_id, n_tok, i AS span_idx,
+                   LEAST({span}, n_tok - i * {span}) AS span_len,
+                   {d.arr_slice_join('toks', f'i * {span}', span)}
+                       AS span_text
+            FROM (
+                SELECT doc_id, toks, n_tok,
+                       {d.explode_range(n_spans)} AS i
+                FROM sized
+            ) t
+        ),
+        owners AS (
+            SELECT span_text, MIN(doc_id) AS keeper,
+                   COUNT(*) AS n_occ
+            FROM spans GROUP BY span_text
+        ),
+        flagged AS (
+            SELECT s.doc_id, s.n_tok, s.span_len,
+                   CASE WHEN o.n_occ > 1 AND s.doc_id <> o.keeper
+                        THEN 1 ELSE 0 END AS dropped
+            FROM spans s
+            JOIN owners o ON o.span_text = s.span_text
+        )
+        SELECT doc_id,
+               CAST(MAX(n_tok) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(dropped) AS BIGINT) AS n_dropped_spans,
+               CAST(SUM(CASE WHEN dropped = 0 THEN span_len
+                             ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM flagged
+        GROUP BY doc_id
+    """

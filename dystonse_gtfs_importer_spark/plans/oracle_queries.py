@@ -1724,6 +1724,9 @@ QUERIES: dict[str, QueryDef] = {
     "random_projection": _sql_pair(
         ANN.q_random_projection,
         "embedding-dim-reduction seeded JL map-only"),
+    "span_dedup": _sql_pair(
+        D.q_span_dedup,
+        "dedup-span C4 cross-document exact spans"),
 }
 
 
@@ -1759,17 +1762,18 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
     "repetition_signals",
-    # 13 twice-witnessed entries (green r3 AND r4) completing the window
+    # 12 twice-witnessed entries (green r3 AND r4) completing the window
     "ecdf_curve", "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
     "ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup", "semdedup_keep",
     "ecdf_curve_focused", "curve_stack_stats", "pricing_summary",
-    "hourly_event_stats", "global_minmax", "distinct_users",
+    "hourly_event_stats", "global_minmax",
     # round-5 additions witnessed this round
     "simhash64_near_pairs",
     "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
+    "span_dedup",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 11 twice-witnessed entries displaced by the round-5 rotation
-    "rollup_ladder", "stop_pair_counts", "asof_join",
+    # 12 twice-witnessed entries displaced by the round-5 rotation
+    "distinct_users", "rollup_ladder", "stop_pair_counts", "asof_join",
     "anti_join", "spatial_neighbors", "latest_wins", "forward_fill",
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     # entries driver-green in rounds 1-3, outside the window since r4

@@ -141,3 +141,51 @@ class TestShardPacking:
         # budget bound holds per starting offset, not per doc size
         by_id = {r[0]: r for r in packed}
         assert by_id[4][4] == 2
+
+
+class TestSpanDedup:
+    """q_span_dedup pinned semantics: a span duplicated ACROSS
+    documents survives only in the lowest-doc_id owner; a span
+    repeated only WITHIN one document is never dropped; short tail
+    spans count their true token length."""
+
+    def test_semantics_and_engine_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.session import (
+            configure_for_oracle,
+        )
+
+        span10 = "a b c d e f g h i j"
+        docs = pd.DataFrame(
+            [(1, span10 + " k l", "en", "s"),        # owner + 2-token tail
+             (2, span10, "en", "s"),                 # cross-doc dup: dropped
+             (3, "x y z", "en", "s"),                # unique short doc
+             (4, span10 + " " + span10, "en", "s"),  # dup twice: both dropped
+             (5, "p q r s t u v w x y p q r s t u v w x y", "en", "s")],
+            columns=["doc_id", "text", "lang", "source"])
+        configure_for_oracle(spark)
+        spark.createDataFrame(docs).createOrReplaceTempView("documents")
+        con = duckdb.connect()
+        con.register("documents", docs)
+
+        got = {r.doc_id: r for r in
+               spark.sql(D.q_span_dedup(S.SPARK)).collect()}
+        ref = sorted(map(tuple, con.execute(
+            D.q_span_dedup(S.DUCKDB)).fetchall()))
+        assert sorted(tuple(r) for r in got.values()) == ref
+
+        assert (got[1].n_spans, got[1].n_dropped_spans,
+                got[1].kept_tokens) == (2, 0, 12)
+        assert (got[2].n_spans, got[2].n_dropped_spans,
+                got[2].kept_tokens) == (1, 1, 0)
+        assert (got[3].n_spans, got[3].n_dropped_spans,
+                got[3].kept_tokens) == (1, 0, 3)
+        assert (got[4].n_spans, got[4].n_dropped_spans,
+                got[4].kept_tokens) == (2, 2, 0)
+        # within-document repeat only: keeper keeps everything
+        assert (got[5].n_spans, got[5].n_dropped_spans,
+                got[5].kept_tokens) == (2, 0, 20)
