@@ -160,3 +160,99 @@ def media_dedup(features: DataFrame) -> DataFrame:
     return (features.groupBy("content_hash")
             .agg(F.min("media_id").alias("canonical_media"),
                  F.count("*").alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup (round 5): average-hash over decoded pixels +
+# banded hamming join — the media analog of the SimHash text path.
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("phash", LongType()),
+])
+
+
+def ahash64(img: np.ndarray) -> int:
+    """64-bit average hash: luma → 8×8 block means → bit i set when
+    block i exceeds the global mean (strict >, ties → 0).  The
+    classic aHash; a DCT pHash drops in by swapping the pooling for
+    an 8×8 low-frequency DCT block — the banding and join below are
+    hash-family agnostic.  Deterministic: pure integer/float numpy on
+    decoded pixels, no RNG."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 3:                       # RGB(A) → luma
+        a = a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
+    h, w = a.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            blocks[r, c] = a[ys[r]:max(ys[r + 1], ys[r] + 1),
+                             xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # two's-complement into signed 64-bit: Spark LongType/Arrow int64
+    # cannot carry bit 63 as a positive value; XOR/bit_count are
+    # bit-pattern ops, so the banding and hamming math are unchanged
+    return out - (1 << 64) if out & (1 << 63) else out
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """image rows → 64-bit average hash via the registered/stdlib image
+    decoders (`media_codecs.decode_image` sniffs PNG vs JPEG).
+    Undecodable payloads and non-image rows are dropped, matching
+    `extract_features`' corrupt-row policy.  Map-only: payloads never
+    leave the executors; output is 8 bytes per image."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codecs import decode_image
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.media_type != "image" or r.payload is None:
+                    continue
+                try:
+                    img = decode_image(bytes(r.payload))
+                    out.append({"media_id": r.media_id,
+                                "phash": ahash64(img)})
+                except Exception:
+                    continue
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return media.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_near_dup(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs: hamming(phash_a, phash_b) <=
+    ``max_hamming``, found via 4×16-bit banding — a pair within
+    hamming 3 differs in at most 3 bands, so by pigeonhole at least
+    one band matches exactly (lossless, the SimHash banding argument).
+    Candidates scale with band-bucket occupancy, never |corpus|²; the
+    verify step is JVM `bit_count(a ^ b)` inside the join projection.
+    Returns (media_a, media_b, hamming) with media_a < media_b."""
+    bands = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("phash", 16 * i)
+                  .bitwiseAND(F.lit(0xFFFF)).alias("val"))
+        for i in range(4)]))
+    b = (hashes.select("media_id", "phash", bands.alias("b"))
+         .select("media_id", "phash", "b.band", "b.val"))
+    left = b.alias("l")
+    right = b.alias("r")
+    ham = F.bit_count(F.col("l.phash").bitwiseXOR(F.col("r.phash")))
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.val") == F.col("r.val"))
+                      & (F.col("l.media_id") < F.col("r.media_id")))
+            .where(ham <= max_hamming)
+            .select(F.col("l.media_id").alias("media_a"),
+                    F.col("r.media_id").alias("media_b"),
+                    ham.alias("hamming"))
+            .distinct())

@@ -322,3 +322,50 @@ class TestCodecFuzz:
                     fn(b"\xff\xd8" + blob if fn is decode_jpeg else blob)
                 except Exception:
                     pass
+
+
+class TestPerceptualNearDup:
+    """aHash + banded hamming join: near-copies pair up, unrelated
+    images don't, and banding loses nothing vs brute-force hamming."""
+
+    def test_phash_near_dup_end_to_end(self, spark):
+        import numpy as np
+
+        from dystonse_gtfs_importer_spark.operators.media_codecs import (
+            encode_png,
+        )
+        from dystonse_gtfs_importer_spark.operators.multimodal import (
+            MEDIA_SCHEMA, ahash64, perceptual_hashes, phash_near_dup,
+        )
+
+        rng = np.random.default_rng(11)
+        imgs = {}
+        for g in range(4):
+            base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+            near = base.copy()
+            near[3, 4, 0] = np.uint8((int(near[3, 4, 0]) + 2) % 256)
+            imgs[10 * g] = base
+            imgs[10 * g + 1] = near
+        rows = [(mid, "image", encode_png(img), "image/png",
+                 24, 24, None) for mid, img in imgs.items()]
+        rows.append((99, "image", b"not-a-png", "image/png", 8, 8, None))
+        rows.append((98, "audio", b"wav", "audio/wav", None, None, 100))
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+        hashes = perceptual_hashes(media).cache()
+        got_h = {r.media_id: r.phash for r in hashes.collect()}
+        assert set(got_h) == set(imgs)        # corrupt + audio dropped
+        # kernel agrees with the local reference implementation
+        assert got_h[0] == ahash64(imgs[0])
+
+        pairs = {(r.media_a, r.media_b): r.hamming
+                 for r in phash_near_dup(hashes, max_hamming=3).collect()}
+        expected = {(10 * g, 10 * g + 1) for g in range(4)}
+        # brute-force hamming over the fixture = banding ground truth
+        ids = sorted(got_h)
+        m64 = (1 << 64) - 1  # hashes are signed 64-bit two's-complement
+        brute = {(a, b): bin((got_h[a] ^ got_h[b]) & m64).count("1")
+                 for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if bin((got_h[a] ^ got_h[b]) & m64).count("1") <= 3}
+        assert set(pairs) == set(brute) >= expected
+        assert all(pairs[p] == brute[p] for p in pairs)
