@@ -847,6 +847,62 @@ def q_quality_score(d: S.Dialect) -> str:
     """
 
 
+def q_quality_gate(d: S.Dialect) -> str:
+    """Composite keep/drop decision over the text-quality signal
+    family — the gate an LLM-data pipeline actually runs, composed
+    from the individually-verified signals (lang_id, quality_score,
+    token counts, Gopher-style top-token repetition): a document is
+    kept only when every gate passes, and the reason bitmask says
+    which gates fired (1=too short, 2=low quality, 4=repetitive,
+    8=unsupported language) so downstream can audit drop rates per
+    reason and per source.
+
+    Thresholds sit at the sf0.01 distribution's tails (p10 token
+    count, p10 quality, p90 top-token fraction) so every gate is
+    exercised by the driver data.  Scale shape: the signals are
+    map-only scalar expressions plus ONE doc-keyed token aggregation
+    — no joins beyond the doc_id-co-keyed signal merge, no corpus-
+    wide state."""
+    return f"""
+        WITH sig AS (
+            SELECT doc_id, source,
+                   {S.lang_id('text')} AS lang_pred,
+                   {S.quality_score('text', d)} AS quality,
+                   {d.arr_len(d.token_array('text'))} AS n_tok
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, {d.explode_tokens('text')} AS tk
+            FROM documents
+        ),
+        tc AS (
+            SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk
+        ),
+        rep AS (
+            SELECT doc_id,
+                   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4)
+                       AS top_tok_frac
+            FROM tc GROUP BY doc_id
+        ),
+        gated AS (
+            SELECT s.doc_id, s.source, s.lang_pred, s.quality,
+                   s.n_tok, r.top_tok_frac,
+                   (CASE WHEN s.n_tok < 21 THEN 1 ELSE 0 END
+                    + CASE WHEN s.quality < 0.45 THEN 2 ELSE 0 END
+                    + CASE WHEN r.top_tok_frac > 0.14 THEN 4 ELSE 0 END
+                    + CASE WHEN s.lang_pred NOT IN ('en', 'de')
+                           THEN 8 ELSE 0 END) AS drop_reasons
+            FROM sig s JOIN rep r ON r.doc_id = s.doc_id
+        )
+        SELECT doc_id, source, lang_pred, quality,
+               CAST(n_tok AS BIGINT) AS n_tok, top_tok_frac,
+               CAST(drop_reasons AS INT) AS drop_reasons,
+               CAST(CASE WHEN drop_reasons = 0 THEN 1 ELSE 0 END
+                    AS INT) AS kept
+        FROM gated
+    """
+
+
 def q_exact_dedup(d: S.Dialect) -> str:
     # exact dedup via content hash: canonical = min doc_id per hash
     return """
@@ -1727,6 +1783,9 @@ QUERIES: dict[str, QueryDef] = {
     "span_dedup": _sql_pair(
         D.q_span_dedup,
         "dedup-span C4 cross-document exact spans"),
+    "quality_gate": _sql_pair(
+        q_quality_gate,
+        "text-quality composite keep/drop gate"),
 }
 
 
@@ -1766,14 +1825,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ecdf_curve", "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
     "ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup", "semdedup_keep",
     "ecdf_curve_focused", "curve_stack_stats", "pricing_summary",
-    "hourly_event_stats", "global_minmax",
+    "hourly_event_stats",
     # round-5 additions witnessed this round
     "simhash64_near_pairs",
     "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
-    "span_dedup",
+    "span_dedup", "quality_gate",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 12 twice-witnessed entries displaced by the round-5 rotation
-    "distinct_users", "rollup_ladder", "stop_pair_counts", "asof_join",
+    # 13 twice-witnessed entries displaced by the round-5 rotation
+    "global_minmax", "distinct_users", "rollup_ladder",
+    "stop_pair_counts", "asof_join",
     "anti_join", "spatial_neighbors", "latest_wins", "forward_fill",
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     # entries driver-green in rounds 1-3, outside the window since r4
