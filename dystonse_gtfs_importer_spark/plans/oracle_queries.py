@@ -1461,6 +1461,28 @@ _INTERVAL_BUCKETED_ORACLE = """
 """
 
 
+def _bpe_histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram under a 10-merge BPE vocabulary learned
+    from the same corpus (operators/bpe.py): one corpus pass for word
+    counts, the iterative merge loop at vocabulary scale, then the
+    histogram re-aggregation.  Deterministic end to end (argmax pair
+    tie-break count DESC / pair ASC), so rows are stable across runs;
+    merge-sequence parity vs a single-process reference BPE is pinned
+    in tests/test_bpe.py."""
+    import pyspark.sql.functions as F
+
+    from ..operators.bpe import bpe_token_counts, bpe_train
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = bpe_train(docs, n_merges=10)
+    return (bpe_token_counts(docs, merges)
+            .select("token", F.col("cnt").cast("long").alias("cnt"))
+            .orderBy("token"))
+
+
 def _interval_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generic ``operators.joins.interval_join`` (grid-prefiltered
     range join: candidates from coarse time-bucket equi-keys, exact
@@ -1786,6 +1808,14 @@ QUERIES: dict[str, QueryDef] = {
     "quality_gate": _sql_pair(
         q_quality_gate,
         "text-quality composite keep/drop gate"),
+    # iterative algorithm — deterministic but not SQL-expressible, so
+    # no DuckDB oracle: the driver records the weaker rows-only check
+    # (parity with a single-process reference BPE is pinned in
+    # tests/test_bpe.py instead)
+    "bpe_token_histogram": QueryDef(
+        spark=_bpe_histogram_spark,
+        oracle=None,
+        survey_ref="text-tokenizer BPE induction"),
 }
 
 
