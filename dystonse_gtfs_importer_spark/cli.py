@@ -16,8 +16,9 @@ by the parquet lake layout under ``--dir``:
 DB connection flags of the reference (-u/-p/--host/--port/--database)
 are intentionally absent: storage is the lake, and a JDBC sink exists
 as ``sources.store.write_jdbc`` for deployments that need one.
-``monitor`` serves data frames (board/autocomplete), not HTML — the
-web layer is a declared non-goal (SURVEY §7).
+``monitor board``/``autocomplete`` print data frames; ``monitor
+serve`` runs the full HTML departure-board server (monitor_app /
+monitor_html — the reference's web layer, mod.rs:102-190).
 """
 
 from __future__ import annotations
@@ -117,6 +118,9 @@ def _parser() -> argparse.ArgumentParser:
                     help="include the PNG-data-URL heat strip per row")
     ma = msub.add_parser("autocomplete")
     ma.add_argument("query")
+    ms = msub.add_parser("serve", help="HTML departure-board server "
+                         "(the reference's `monitor` entry point)")
+    ms.add_argument("--port", type=int, default=3000)
     return p
 
 
@@ -470,6 +474,16 @@ def cmd_monitor(spark, args) -> int:
 
         for r in autocomplete_stops(sched["stops"], args.query).collect():
             print(r.stop_name)
+        return 0
+
+    if args.mmode == "serve":
+        from .monitor_app import MonitorApp, serve_monitor
+
+        preds = spark.read.parquet(str(Path(args.dir) / "predictions"))
+        srv = serve_monitor(MonitorApp(sched, preds), port=args.port)
+        print(f"Waiting for connections on 0.0.0.0:{args.port}…",
+              file=sys.stderr)
+        srv.serve_forever()
         return 0
 
     from .plans.monitor import (

@@ -66,7 +66,8 @@ def journey_probabilities(
     predictions: DataFrame,
     components: list[Any],
     start_dt: dt.datetime,
-) -> list[dict]:
+    return_state: bool = False,
+) -> list[dict] | tuple[list[dict], dict]:
     """Walk a journey description and return one row per component with
     the running success probability and the predicted-time percentiles
     at that point.
@@ -83,7 +84,13 @@ def journey_probabilities(
 
     Raises LookupError when a trip cannot be resolved or a needed
     prediction row is absent (the reference bails the same way,
-    journey_data.rs:295,449)."""
+    journey_data.rs:295,449).
+
+    With ``return_state`` also returns the running end-of-journey state
+    the monitor HTML layer renders from (StopData in the reference):
+    the arrival CDF + absolute anchor, the accumulated probability, the
+    final stop's extended platform rows, and how the traveller got
+    there (walk distance / boarded trip) for the board's first line."""
     stops_df = schedule["stops"]
 
     legs: list[dict] = []
@@ -96,6 +103,8 @@ def journey_probabilities(
     ext_rows: list = []          # extended stops of the current stop
     pending_walk = False
     last_trip: dict | None = None
+    last_walk_m: float | None = None     # how the final stop was reached
+    last_arrival_row = None
 
     def record(kind: str, label: str, **extra) -> None:
         p05 = ref_s + int(cv.x_at_y(curve, 0.05))
@@ -145,6 +154,7 @@ def journey_probabilities(
                 curve, ref_s = _curve_and_ref(arr)
                 # alighting loses no probability (journey_data.rs:292)
                 last_trip = None
+                last_arrival_row, last_walk_m = arr, None
             elif pending_walk:
                 # C13/C14: walk from every previous platform to every
                 # platform here — reference uses the MAX distance
@@ -155,6 +165,7 @@ def journey_probabilities(
                 walk = cv.walk_time_curve(dist)
                 curve = cv.convolve_duration(curve, walk)
                 pending_walk = False
+                last_walk_m, last_arrival_row = dist, None
             ext_rows = new_ext
             record("stop", stop_name)
             expect_stop = False
@@ -205,4 +216,10 @@ def journey_probabilities(
                    f"{desc['route_short_name']} nach {desc['headsign']}",
                    trip_id=cand.trip_id, p_board=round(p_board, 4))
             expect_stop = True
+    if return_state:
+        return legs, {
+            "curve": curve, "ref_s": ref_s, "prob": prob,
+            "ext_rows": ext_rows, "last_walk_m": last_walk_m,
+            "last_arrival_row": last_arrival_row,
+        }
     return legs
