@@ -544,3 +544,79 @@ def q_random_projection(d: S.Dialect, out_dim: int = RP_DIM) -> str:
                {cols}
         FROM cv
     """
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means — the Lloyd-iteration kernel, driver-verifiable
+# (round 5).  operators/clustering.py::kmeans is the full operator
+# (k-means|| init, convergence loop); this template unrolls exactly
+# TWO Lloyd rounds from the deterministic lowest-id seeds so the
+# iterative kernel itself gets a cross-engine hash check.
+
+KM_CELLS = 8
+
+
+def q_kmeans_lloyd2(d: S.Dialect) -> str:
+    """Two unrolled Lloyd rounds over the embeddings table: seeds =
+    the {KM_CELLS} lowest-id vectors, assignment by the L2 argmin
+    rendered as argmax(dot(v,c) − |c|²/2) (ROUNDed with a cell
+    tie-break, as everywhere in this module), update = per-dimension
+    ROUND(AVG, 6) over a dimension series.  Output is integer-only —
+    per-cell population, id range, and a centroid fingerprint in
+    summed micro-units — so no float formatting can reach the driver
+    hash (the histogram_quantiles lesson)."""
+    def pick(src: str, cents: str) -> str:
+        dot = d.arr_dot("v.emb", "c.cent")
+        return f"""(
+            SELECT vec_id, emb, cell FROM (
+                SELECT v.vec_id, v.emb, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY ROUND({dot} - c.cn2 / 2, 6) DESC,
+                                    c.cell) AS pick
+                FROM {src} v CROSS JOIN {cents} c) t
+            WHERE pick = 1)"""
+
+    def means(src: str) -> str:
+        return f"""(
+            SELECT cell, i, ROUND(AVG({d.arr_get('emb', 'i')}), 6) AS mv
+            FROM {src} CROSS JOIN {d.series(DIM)}
+            GROUP BY cell, i)"""
+
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                   emb AS cent
+            FROM (SELECT * FROM cv ORDER BY vec_id
+                  LIMIT {KM_CELLS}) s0
+        ),
+        c0 AS (SELECT cell, cent,
+                      ROUND({d.arr_dot('cent', 'cent')}, 6) AS cn2
+               FROM seeds),
+        a0 AS {pick('cv', 'c0')},
+        m1 AS {means('a0')},
+        c1 AS (
+            SELECT cell, {d.ordered_list('mv', 'i')} AS cent
+            FROM m1 GROUP BY cell
+        ),
+        c1n AS (SELECT cell, cent,
+                       ROUND({d.arr_dot('cent', 'cent')}, 6) AS cn2
+                FROM c1),
+        a1 AS {pick('cv', 'c1n')},
+        m2 AS {means('a1')},
+        fp AS (
+            SELECT cell, SUM(CAST(ROUND(mv * 1e6) AS BIGINT)) AS cent_fp
+            FROM m2 GROUP BY cell
+        ),
+        sizes AS (
+            SELECT cell, COUNT(*) AS n_points,
+                   MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+            FROM a1 GROUP BY cell
+        )
+        SELECT s.cell, s.n_points, s.min_id, s.max_id, f.cent_fp
+        FROM sizes s JOIN fp f ON f.cell = s.cell
+        ORDER BY s.cell
+    """

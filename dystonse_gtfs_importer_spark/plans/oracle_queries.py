@@ -1483,6 +1483,36 @@ def _bpe_histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("token"))
 
 
+def _kmeans_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full k-means operator (operators/clustering.py: k-means||
+    seeded-hash init, Lloyd loop to convergence, map-only argmin
+    assignment) over the embeddings table — iterative, so rows-only
+    at the driver; the 2-round Lloyd kernel is separately
+    hash-verified cross-engine as ``kmeans_lloyd2``, and numpy
+    parity/convergence are pinned in tests/test_clustering.py.
+    Output is integer-only (population, id range, micro-unit centroid
+    fingerprint) for cross-run stability."""
+    import pyspark.sql.functions as F
+
+    from ..operators.clustering import kmeans
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+        .alias("embedding"))
+    res = kmeans(emb, k=8, max_iter=12, tol=1e-4)
+    fp = F.expr("aggregate(cent, 0L, (acc, v) -> "
+                "acc + CAST(ROUND(v * 1e6) AS BIGINT))")
+    sizes = (res["assignments"].groupBy("cell").agg(
+        F.count("*").alias("n_points"),
+        F.min("pid").alias("min_id"), F.max("pid").alias("max_id")))
+    return (res["centers"].select("cell", fp.alias("cent_fp"))
+            .join(sizes, "cell").orderBy("cell")
+            .select("cell", "n_points", "min_id", "max_id", "cent_fp"))
+
+
 def _interval_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generic ``operators.joins.interval_join`` (grid-prefiltered
     range join: candidates from coarse time-bucket equi-keys, exact
@@ -1816,6 +1846,15 @@ QUERIES: dict[str, QueryDef] = {
         spark=_bpe_histogram_spark,
         oracle=None,
         survey_ref="text-tokenizer BPE induction"),
+    # distributed k-means: the 2-round Lloyd kernel hash-verified
+    # cross-engine; the full convergent operator rows-only (iterative)
+    "kmeans_lloyd2": _sql_pair(
+        ANN.q_kmeans_lloyd2,
+        "clustering k-means Lloyd kernel"),
+    "kmeans_clusters": QueryDef(
+        spark=_kmeans_clusters_spark,
+        oracle=None,
+        survey_ref="clustering k-means full operator (k-means|| init)"),
 }
 
 
