@@ -397,3 +397,127 @@ def q_bigram_lm_score(d: S.Dialect) -> str:
         FROM docs dd
         LEFT JOIN scored s ON s.doc_id = dd.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split + quality-budget selection (round 5)
+# ---------------------------------------------------------------------------
+
+def q_leakage_safe_split(d: S.Dialect, seed: str = "split1",
+                         train_pct: int = 80, valid_pct: int = 10) -> str:
+    """Train/valid/test assignment that near-duplicates cannot
+    straddle: documents collapse to their normalized-fingerprint
+    family (the ``fingerprint_dedup`` normalization), the family
+    anchor is MIN(doc_id), and the split comes from a seeded MD5
+    bucket of the ANCHOR — so every member of a duplicate family
+    lands in the same split (the standard eval-contamination guard).
+
+    Map-only after one fingerprint groupBy; the anchor table is
+    family-sized and broadcastable.  The operator-level composition
+    with MinHash/CC *near*-dup clusters (not just exact-normalized
+    families) is ``operators.dedup.grouped_split`` — same hash rule
+    applied to any cluster column."""
+    norm = d.regexp_replace_all(
+        d.regexp_replace_all("LOWER(text)", "[^a-z0-9 ]", ""), " +", " ")
+    h = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('{seed}#', CAST(anchor AS STRING))), 1, 12)")
+    return f"""
+        WITH fams AS (
+            SELECT doc_id, MD5(TRIM({norm})) AS fp FROM documents
+        ),
+        anchors AS (
+            SELECT fp, MIN(doc_id) AS anchor FROM fams GROUP BY fp
+        ),
+        bucketed AS (
+            SELECT f.doc_id, a.anchor, ({h} % 100) AS h
+            FROM fams f JOIN anchors a ON a.fp = f.fp
+        )
+        SELECT doc_id, anchor,
+               CASE WHEN h < {train_pct} THEN 'train'
+                    WHEN h < {train_pct + valid_pct} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM bucketed
+    """
+
+
+QUALITY_BUDGET_TOKENS = 800
+
+
+def _quality_sized(d: S.Dialect) -> str:
+    """Shared base: per-doc ROUNDed quality + token count + the
+    score-band bucket used by the scale derivation."""
+    q = S.quality_score("text", d)
+    return f"""sized AS (
+            SELECT doc_id, source, {q} AS q,
+                   CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
+                       AS n_tokens,
+                   CAST(FLOOR({q} * -1000) AS BIGINT) AS band
+            FROM documents
+        )"""
+
+
+_QB_TAIL = """
+        SELECT doc_id, source,
+               CAST(ROUND(q * 1e6) AS BIGINT) AS q_micros,
+               n_tokens, cum_tokens,
+               CASE WHEN cum_tokens <= {budget} THEN 1 ELSE 0 END AS kept
+        FROM packed
+"""
+
+
+def q_quality_budget_select(d: S.Dialect,
+                            budget: int = QUALITY_BUDGET_TOKENS) -> str:
+    """Budgeted data selection (textbook derivation — the oracle
+    side): per source, take documents best-quality-first until the
+    token budget is exhausted; ``kept`` marks the selected set.  One
+    window per source."""
+    return f"""
+        WITH {_quality_sized(d)},
+        packed AS (
+            SELECT doc_id, source, q, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY q DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM sized
+        )
+        {_QB_TAIL.format(budget=budget)}
+    """
+
+
+def q_quality_budget_select_scale(d: S.Dialect,
+                                  budget: int = QUALITY_BUDGET_TOKENS
+                                  ) -> str:
+    """Scale derivation of :func:`q_quality_budget_select` — identical
+    output without a whole-source window (one crawl dominating the
+    corpus would serialize through a single window partition).  The
+    quality sort key decomposes into 0.001-wide score BANDS
+    (``FLOOR(q * -1000)`` — monotone with ``q DESC``, so band order
+    aligns with the sort): a running sum within (source, band) plus
+    per-band offsets from the tiny (source, band, token-sum) table —
+    the ordered-prefix-sum trick of ``q_token_shard_packing_scale``
+    keyed by score instead of id."""
+    return f"""
+        WITH {_quality_sized(d)},
+        within AS (
+            SELECT doc_id, source, q, n_tokens, band,
+                   SUM(n_tokens) OVER (PARTITION BY source, band
+                       ORDER BY q DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_in_b
+            FROM sized
+        ),
+        off AS (
+            SELECT source, band,
+                   COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY source
+                       ORDER BY band
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS off
+            FROM sized GROUP BY source, band
+        ),
+        packed AS (
+            SELECT w.doc_id, w.source, w.q, w.n_tokens,
+                   CAST(o.off + w.cum_in_b AS BIGINT) AS cum_tokens
+            FROM within w
+            JOIN off o ON w.source = o.source AND w.band = o.band
+        )
+        {_QB_TAIL.format(budget=budget)}
+    """

@@ -71,3 +71,33 @@ def winnow_near_pairs(docs: DataFrame, min_shared: int = 3) -> DataFrame:
     """Pairs sharing >= min_shared winnowing fingerprints (inverted-
     index equi-join, no all-pairs scan)."""
     return _run(docs, lambda d: D.q_winnow_near_pairs(d, min_shared))
+
+
+def grouped_split(df: DataFrame, cluster_col: str,
+                  weights: tuple[int, ...] = (80, 10, 10),
+                  names: tuple[str, ...] = ("train", "valid", "test"),
+                  seed: str = "split1") -> DataFrame:
+    """Leakage-safe split: the whole cluster — near-dup family
+    (graph.connected_components), normalized-fingerprint family, URL
+    host, repo, author, whatever groups correlated content — gets ONE
+    seeded-hash draw, so correlated documents can never straddle a
+    split boundary (the eval-contamination guard).
+
+    Map-only: split = bucket of md5(seed # cluster) — no shuffle, no
+    state, reproducible across runs and engines.  The SQL twin over
+    exact-normalized families is
+    functions/sampling_sql.py::q_leakage_safe_split (driver-verified
+    as ``leakage_safe_split``)."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = sum(weights)
+    h = (f"pmod(CAST(conv(substring(md5(concat('{seed}#', "
+         f"CAST({cluster_col} AS STRING))), 1, 12), 16, 10) AS BIGINT), "
+         f"{total})")
+    expr, lo = None, 0
+    for w, name in zip(weights, names):
+        lo += w
+        cond = F.expr(h) < F.lit(lo)
+        expr = F.when(cond, name) if expr is None \
+            else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(names[-1]))

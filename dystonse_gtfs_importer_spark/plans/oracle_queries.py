@@ -1855,6 +1855,15 @@ QUERIES: dict[str, QueryDef] = {
         spark=_kmeans_clusters_spark,
         oracle=None,
         survey_ref="clustering k-means full operator (k-means|| init)"),
+    # leakage-safe eval split + budgeted quality selection
+    "leakage_safe_split": _sql_pair(
+        SAMP.q_leakage_safe_split,
+        "split-leakage-safe dup-family-atomic train/valid/test"),
+    "quality_budget_select": _sql_cross_pair(
+        SAMP.q_quality_budget_select_scale,
+        SAMP.q_quality_budget_select,
+        "selection-budget best-quality-first under token budget "
+        "(score-band scale derivation vs textbook window oracle)"),
 }
 
 
