@@ -71,6 +71,8 @@ class MonitorApp:
             if parts == ["style.css"]:
                 return 200, "text/css; charset=utf-8", \
                     H.STYLE_CSS.encode(), {}
+            if parts[0] == "help":
+                return self._ok(H.help_page_html())
             if parts == ["autocomplete"]:
                 names = [r.stop_name for r in autocomplete_stops(
                     self.schedule["stops"],

@@ -561,6 +561,32 @@ def autocomplete_json(names: list[str]) -> str:
     return f"[\n{parts}\"\"]\n"
 
 
+def help_page_html() -> str:
+    """The /help/ page (the reference serves a static file; this is
+    the column legend the pages link to)."""
+    return "\n".join([
+        _PAGE_HEAD.format(title="Hilfe"),
+        "<h1>Hilfe</h1>",
+        "<p>Die Abfahrtstafel zeigt je Zeile: Planzeit (Plan △), die "
+        "früheste Abfahrt, die in 99% der Fälle nicht unterschritten "
+        "wird ([−), die mittlere Abfahrt (○) und die späteste Abfahrt, "
+        "die in 99% der Fälle nicht überschritten wird (+]) — alle als "
+        "Minuten relativ zum Plan.</p>",
+        "<p>Der Farbstreifen unter jeder Zeile ist die "
+        "Wahrscheinlichkeitsdichte der Abfahrtszeit über das "
+        "Zeitfenster; die Markierungen zeigen Plan, 1%, Median und "
+        "99%.</p>",
+        "<p>Die Spalte <em>Daten</em> nennt Herkunft und Genauigkeit "
+        "der Prognose: E = Echtzeitdaten, P = Fahrplandaten; S = "
+        "spezifisch für Linie und Haltestelle, G = generell je "
+        "Fahrzeugart.</p>",
+        "<p>Die Spalte <em>Chance</em> ist die Wahrscheinlichkeit, "
+        "diese Abfahrt zu erreichen — inklusive Fußweg und aller "
+        "vorherigen Umstiege der Reise.</p>",
+        "</body>\n</html>",
+    ])
+
+
 def error_page_html(status: int, message: str) -> str:
     return "\n".join([
         _PAGE_HEAD.format(title=f"Fehler {status}"),

@@ -261,6 +261,8 @@ class TestDispatch:
     def test_routes(self, app):
         status, ctype, body, _ = app.handle("/")
         assert status == 200 and b"Start-Haltestelle" in body
+        status, _, body, _ = app.handle("/help/")
+        assert status == 200 and "Hilfe".encode() in body
         status, ctype, body, _ = app.handle("/style.css")
         assert status == 200 and ctype.startswith("text/css")
         status, ctype, body, _ = app.handle(
