@@ -269,13 +269,15 @@ class MonitorApp:
             t99 = max(t99, ref + int(cv.x_at_y(c, 0.99)))
         lo_s, hi_s, len_min = H.board_window(t01, t99)
 
-        stop_names = {r.stop_id: r.stop_name
-                      for r in self.schedule["stops"]
-                      .select("stop_id", "stop_name").collect()}
+        # only this trip's stop rows cross the driver boundary (the
+        # stops dimension joins in before the collect)
         stop_times = (self.schedule["stop_times"]
                       .where((F.col("trip_id") == cand.trip_id)
                              & (F.col("stop_sequence")
                                 >= cand.stop_sequence))
+                      .join(F.broadcast(self.schedule["stops"]
+                                        .select("stop_id", "stop_name")),
+                            "stop_id", "left")
                       .orderBy("stop_sequence").collect())
 
         def row_dict(pred_row, c, ref):
@@ -293,7 +295,7 @@ class MonitorApp:
 
         rows_html = []
         for st in stop_times:
-            name = stop_names.get(st.stop_id, st.stop_id)
+            name = st.stop_name or st.stop_id
             if st.stop_sequence == cand.stop_sequence:
                 rows_html.append(H.trip_stop_row_html(
                     name, row_dict(dep_row, dep_curve, dep_ref),

@@ -249,3 +249,72 @@ def kmeans(df: DataFrame, k: int, id_col: str = "vec_id",
         "history": history,
         "iterations": len(history),
     }
+
+
+def kmeans_minibatch(df: DataFrame, k: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding", batch_frac: float = 0.1,
+                     max_iter: int = 20, tol: float = 1e-3,
+                     init: str = "k-means||", rounds: int = 2,
+                     assign: str = "join", seed: int = 0x5EED) -> dict:
+    """Mini-batch k-means (Sculley, WWW'10): each round assigns only a
+    deterministic seeded-hash sample of the corpus (``batch_frac``)
+    and blends the batch means into the centers with the standard
+    per-center learning rate η_c = b_n / (n_seen + b_n).
+
+    This is the 100 TB iteration-cost knob: a full-batch Lloyd round
+    scans the whole corpus per iteration; here each round touches
+    batch_frac of it, and the final full assignment is the only
+    corpus-wide pass after convergence.  Sampling is a pure function
+    of (id, iteration) — reruns are identical, and over iterations
+    every stratum of the corpus is revisited under a fresh hash salt.
+
+    Stops when the summed squared center movement drops below ``tol``
+    (batch inertia is too noisy to gate on).  Returns the same shape
+    as :func:`kmeans` with ``history`` = center movement per round.
+    """
+    pts = _points(df, id_col, vec_col)
+    centers = kmeans_init(pts, k, init=init, rounds=rounds,
+                          seed=seed, assign=assign)
+    centers = centers.withColumn("n_seen", F.lit(0).cast("long")) \
+        .localCheckpoint(eager=True)
+    history: list[float] = []
+    for it in range(max_iter):
+        batch = pts.where(_hash01(F.col("pid"), seed * 31 + it)
+                          < F.lit(batch_frac))
+        bstats = _recompute(lloyd_assign(batch, centers, assign=assign)) \
+            .select("cell", F.col("cent").alias("b_cent"),
+                    F.col("n").alias("b_n"))
+        moved = ("aggregate(zip_with(cent, new_cent, (o, n) -> "
+                 "(o - n) * (o - n)), 0D, (acc, v) -> acc + v)")
+        upd = (centers.join(bstats, "cell", "left")
+               .withColumn("new_cent", F.when(
+                   F.col("b_n").isNotNull(),
+                   F.expr("zip_with(cent, b_cent, (o, m) -> o + "
+                          "(CAST(b_n AS DOUBLE) / (n_seen + b_n)) "
+                          "* (m - o))")).otherwise(F.col("cent")))
+               .withColumn("movement", F.expr(moved))
+               .select("cell", F.col("new_cent").alias("cent"),
+                       (F.col("n_seen")
+                        + F.coalesce("b_n", F.lit(0))).alias("n_seen"),
+                       "movement")
+               ).localCheckpoint(eager=True)
+        move = upd.agg(F.sum("movement")).first()[0] or 0.0
+        centers = upd.select("cell", "cent", "n_seen")
+        history.append(float(move))
+        if move < tol:
+            break
+    final = lloyd_assign(pts, centers.select("cell", "cent"),
+                         assign=assign)
+    stats = _recompute(final)
+    stats = (centers.select("cell", "cent").join(stats, "cell", "left")
+             .select("cell",
+                     F.coalesce(stats["cent"], centers["cent"])
+                     .alias("cent"),
+                     F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+                     F.coalesce("n", F.lit(0)).alias("n")))
+    return {
+        "centers": stats,
+        "assignments": final.select("pid", "cell", "d2"),
+        "history": history,
+        "iterations": len(history),
+    }

@@ -147,3 +147,44 @@ class TestPlanShape:
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" not in plan       # JVM argmin
         assert "BroadcastNestedLoopJoin" in plan   # 1-row centers pack
+
+
+class TestMiniBatch:
+    def test_matches_full_batch_on_separated_blobs(self, spark, blobs):
+        from dystonse_gtfs_importer_spark.operators.clustering import (
+            kmeans, kmeans_minibatch,
+        )
+
+        full = kmeans(blobs, k=3, max_iter=10, tol=1e-6)
+        mb = kmeans_minibatch(blobs, k=3, batch_frac=0.5, max_iter=15,
+                              tol=1e-4)
+        af = {r.pid: r.cell for r in full["assignments"].collect()}
+        am = {r.pid: r.cell for r in mb["assignments"].collect()}
+        # cluster LABELS may differ; the partition must be identical
+        relabel = {}
+        for pid, c in am.items():
+            relabel.setdefault(c, af[pid])
+        assert all(af[pid] == relabel[c] for pid, c in am.items())
+        # near-identical final inertia
+        assert mb["centers"].agg(
+            {"inertia": "sum"}).first()[0] == pytest.approx(
+            full["history"][-1], rel=0.05)
+
+    def test_movement_decreases_and_stops(self, spark, blobs):
+        from dystonse_gtfs_importer_spark.operators.clustering import (
+            kmeans_minibatch,
+        )
+
+        mb = kmeans_minibatch(blobs, k=3, batch_frac=0.5, max_iter=25,
+                              tol=1e-4)
+        assert mb["iterations"] < 25          # converged on movement
+        assert mb["history"][-1] < 1e-4
+
+    def test_deterministic(self, spark, blobs):
+        from dystonse_gtfs_importer_spark.operators.clustering import (
+            kmeans_minibatch,
+        )
+
+        a = kmeans_minibatch(blobs, k=3, batch_frac=0.4, max_iter=8)
+        b = kmeans_minibatch(blobs, k=3, batch_frac=0.4, max_iter=8)
+        assert a["history"] == b["history"]
