@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1513,6 +1514,46 @@ def _kmeans_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", "n_points", "min_id", "max_id", "cent_fp"))
 
 
+_JSONL_FIXTURE = str(Path(__file__).resolve().parents[2]
+                     / "tests" / "data" / "documents.jsonl")
+
+_JSONL_ORACLE = f"""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM read_json('{_JSONL_FIXTURE}',
+                   format='newline_delimited',
+                   columns={{doc_id:'BIGINT', text:'VARCHAR',
+                            lang:'VARCHAR', source:'VARCHAR',
+                            n_chars:'BIGINT'}},
+                   ignore_errors=true)
+    WHERE doc_id IS NOT NULL
+    GROUP BY lang ORDER BY lang
+"""
+
+
+def _jsonl_scan_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension: JSONL document ingest (sources/jsonl.py —
+    text scan + from_json, PERMISSIVE corrupt-record split) vs
+    DuckDB's read_json(ignore_errors).  Malformed lines: Spark routes
+    them to the bad side, DuckDB nulls them — both engines' good sets
+    align on doc_id IS NOT NULL, and the malformed-line accounting
+    itself is pinned in tests/test_jsonl.py."""
+    import pyspark.sql.functions as F
+
+    from ..session import configure_for_oracle
+    from ..sources.jsonl import read_documents_jsonl
+
+    configure_for_oracle(spark)
+    good, _bad = read_documents_jsonl(spark, _JSONL_FIXTURE)
+    return (good.where(F.col("doc_id").isNotNull())
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("lang"))
+
+
 def _interval_bucketed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The generic ``operators.joins.interval_join`` (grid-prefiltered
     range join: candidates from coarse time-bucket equi-keys, exact
@@ -1864,6 +1905,11 @@ QUERIES: dict[str, QueryDef] = {
         SAMP.q_quality_budget_select,
         "selection-budget best-quality-first under token budget "
         "(score-band scale derivation vs textbook window oracle)"),
+    "jsonl_scan": QueryDef(
+        spark=_jsonl_scan_spark,
+        oracle=_JSONL_ORACLE,
+        survey_ref="source JSONL document ingest with corrupt-record "
+                   "split"),
 }
 
 
