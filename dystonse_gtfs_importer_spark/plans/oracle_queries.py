@@ -1514,6 +1514,39 @@ def _kmeans_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", "n_points", "min_id", "max_id", "cent_fp"))
 
 
+def q_corpus_report(d: S.Dialect) -> str:
+    """The corpus health report a curation run starts from: per
+    (source, lang) document and token volumes, summed quality (exact
+    integer micro-units — each per-doc score is already ROUND(…,4),
+    so ×1e6 is integer-exact and engine sum order cannot drift), and
+    how many docs sit in an exact-normalized duplicate family.
+
+    Scale shape: one corpus scan feeds a fingerprint groupBy and a
+    fingerprint-keyed equi-join back (the exact-dedup shuffle
+    family), then one (source, lang) aggregate — two shuffles total,
+    both partial-aggregated."""
+    q = S.quality_score("text", d)
+    norm = d.regexp_replace_all(
+        d.regexp_replace_all("LOWER(text)", "[^a-z0-9 ]", ""), " +", " ")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source, lang, {q} AS q,
+                   CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
+                       AS n_tokens,
+                   MD5(TRIM({norm})) AS fp
+            FROM documents
+        ),
+        fam AS (SELECT fp, COUNT(*) AS n FROM base GROUP BY fp)
+        SELECT b.source, b.lang, COUNT(*) AS n_docs,
+               SUM(b.n_tokens) AS total_tokens,
+               SUM(CAST(ROUND(b.q * 1e6) AS BIGINT)) AS q_micros_sum,
+               SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS n_dup_docs
+        FROM base b JOIN fam f ON b.fp = f.fp
+        GROUP BY b.source, b.lang
+        ORDER BY b.source, b.lang
+    """
+
+
 _JSONL_FIXTURE = str(Path(__file__).resolve().parents[2]
                      / "tests" / "data" / "documents.jsonl")
 
@@ -1910,6 +1943,10 @@ QUERIES: dict[str, QueryDef] = {
         oracle=_JSONL_ORACLE,
         survey_ref="source JSONL document ingest with corrupt-record "
                    "split"),
+    "corpus_report": _sql_pair(
+        q_corpus_report,
+        "corpus health report: volume/quality/dup-rate per "
+        "source×lang"),
 }
 
 

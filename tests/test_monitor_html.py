@@ -281,6 +281,44 @@ class TestDispatch:
             H.journey_url(START_DT, ["No Such Stop"]))
         assert status == 500 and b"Fehler 500" in body
 
+    def test_concurrent_requests(self, app):
+        """ThreadingHTTPServer + concurrent Spark actions per request
+        — four parallel page loads must all succeed (Spark supports
+        concurrent jobs from multiple driver threads)."""
+        import threading
+        import urllib.request
+
+        from dystonse_gtfs_importer_spark.monitor_app import serve_monitor
+
+        srv = serve_monitor(app, port=0)
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        results: list = []
+
+        def hit(path):
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}{path}",
+                        timeout=120) as r:
+                    results.append(r.status)
+            except Exception as e:       # pragma: no cover
+                results.append(repr(e))
+
+        quoted = urllib.request.quote(
+            H.journey_url(START_DT, ["Stop 0"]))
+        try:
+            threads = [threading.Thread(target=hit, args=(p,))
+                       for p in (quoted, quoted, "/autocomplete?term=stop",
+                                 "/style.css")]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+            assert results == [200, 200, 200, 200], results
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
     def test_http_roundtrip(self, app):
         import threading
         import urllib.request
