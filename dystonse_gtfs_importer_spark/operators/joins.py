@@ -48,10 +48,19 @@ def asof_join(left: DataFrame, right: DataFrame,
               value_cols: list[str] | None = None,
               suffix: str = "_asof",
               strategy: str = "auto",
-              salt_buckets: int | None = None) -> DataFrame:
+              salt_buckets: int | None = None,
+              tolerance: float | int | None = None) -> DataFrame:
     """For each left row, attach the single right row with the largest
     ``right_on <= left_on`` (backward) or smallest ``right_on >=
     left_on`` (forward) within the same ``by`` group.
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)`` parity) caps
+    how far the match may sit from the left value: seconds for
+    temporal on-columns, on-column units for numeric ones.  Matches
+    beyond the cap revert to NULLs.  In the aggregate strategy the cap
+    tightens the range predicate itself (fewer join candidates); the
+    fill strategy post-filters the carried payload against the
+    matched ``right_on``, so its O(L+R) cost is unchanged.
 
     ``value_cols`` are the right columns carried over (default: all
     non-key columns), renamed with ``suffix``.  Left rows with no
@@ -83,6 +92,8 @@ def asof_join(left: DataFrame, right: DataFrame,
     if salt_buckets is not None and salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, "
                          f"got {salt_buckets}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
     by = by or []
     value_cols = value_cols or [
         c for c in right.columns if c not in by and c != right_on]
@@ -91,13 +102,19 @@ def asof_join(left: DataFrame, right: DataFrame,
     if strategy == "fill":
         return _asof_fill(left, right, left_on, right_on, by,
                           direction, value_cols, suffix,
-                          salt_buckets=salt_buckets)
+                          salt_buckets=salt_buckets,
+                          tolerance=tolerance)
     if salt_buckets is not None:
         raise ValueError("salt_buckets applies to the fill strategy only")
 
     cond = (F.col(f"__r.{right_on}") <= F.col(f"__l.{left_on}")
             if direction == "backward"
             else F.col(f"__r.{right_on}") >= F.col(f"__l.{left_on}"))
+    if tolerance is not None:
+        cond = cond & _within_tolerance(
+            F.col(f"__l.{left_on}"), left.schema[left_on].dataType,
+            F.col(f"__r.{right_on}"), right.schema[right_on].dataType,
+            tolerance)
     pick = F.max_by if direction == "backward" else F.min_by
 
     # a unique id keeps duplicate left rows distinct through the
@@ -119,10 +136,33 @@ def asof_join(left: DataFrame, right: DataFrame,
     return joined.groupBy("__l.__uid").agg(*aggs).drop("__uid")
 
 
+def _within_tolerance(lcol, ltype, rcol, rtype, tolerance) -> "F.Column":
+    """``|left_on - right_on| <= tolerance`` as a Column — seconds for
+    temporal on-columns (fractional-second aware), raw on-column units
+    for numeric ones.  The caller's range predicate already fixes the
+    sign, so the absolute form serves both directions."""
+    from pyspark.sql.types import (
+        DateType, NumericType, TimestampNTZType, TimestampType,
+    )
+
+    temporal = (DateType, TimestampType, TimestampNTZType)
+    if isinstance(ltype, temporal) and isinstance(rtype, temporal):
+        diff = (lcol.cast("timestamp").cast("double")
+                - rcol.cast("timestamp").cast("double"))
+    elif isinstance(ltype, NumericType) and isinstance(rtype, NumericType):
+        diff = lcol.cast("double") - rcol.cast("double")
+    else:
+        raise ValueError(
+            f"tolerance needs temporal or numeric on-columns, got "
+            f"{ltype.simpleString()} vs {rtype.simpleString()}")
+    return F.abs(diff) <= F.lit(float(tolerance))
+
+
 def _asof_fill(left: DataFrame, right: DataFrame,
                left_on: str, right_on: str, by: list[str],
                direction: str, value_cols: list[str],
-               suffix: str, salt_buckets: int | None = None) -> DataFrame:
+               suffix: str, salt_buckets: int | None = None,
+               tolerance: float | int | None = None) -> DataFrame:
     """Union + IGNORE NULLS forward-fill as-of: one shuffle on the
     ``by`` keys over |left| + |right| rows, per-key sort, no join.
 
@@ -224,9 +264,19 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     filled = u.withColumn(
         "__fill", F.last("__skey", ignorenulls=True).over(w))
 
+    # tolerance post-filter: the carried struct's leading __on field IS
+    # the matched right_on, so an out-of-range match (or no match — the
+    # NULL comparison) nulls the whole payload
+    if tolerance is None:
+        keep = F.lit(True)
+    else:
+        keep = _within_tolerance(
+            F.col("__t"), u.schema["__t"].dataType,
+            F.col("__fill").getField("__on"),
+            right.schema[right_on].dataType, tolerance)
     return filled.where(F.col("__kind") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col("__fill").getField(c).alias(f"{c}{suffix}")
+        *[F.when(keep, F.col("__fill").getField(c)).alias(f"{c}{suffix}")
           for c in value_cols])
 
 

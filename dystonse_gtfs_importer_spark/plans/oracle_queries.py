@@ -904,6 +904,119 @@ def q_quality_gate(d: S.Dialect) -> str:
     """
 
 
+def q_doc_chunking(d: S.Dialect) -> str:
+    """Fixed-size overlapping chunker — the splitter a training
+    pipeline runs before embedding/packing: 80-char windows on a
+    60-char stride (size > stride ⇒ 20-char overlap), short documents
+    yielding exactly one chunk.  Emits the chunk's id, length, and
+    content hash so the driver hash-verifies the actual chunk bytes
+    without shipping them.
+
+    Scale shape: map-only — one generator expression per document
+    (``explode(sequence(0, n_chunks-1))``) and a substring per chunk;
+    no shuffle at all, so it pipelines into whatever consumes the
+    chunks.  Token-budget chunkers swap LENGTH/SUBSTRING for the
+    token-array analogs (``d.arr_len``/``d.arr_slice_join``) with the
+    same plan shape."""
+    n_chunks = "CAST(CEIL(GREATEST(LENGTH(text) - 80, 0) / 60.0) AS INT) + 1"
+    return f"""
+        WITH chunks AS (
+            SELECT doc_id,
+                   {d.explode_range(n_chunks)} AS chunk_id,
+                   text
+            FROM documents
+        )
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               LENGTH(SUBSTRING(text, chunk_id * 60 + 1, 80))
+                   AS n_chunk_chars,
+               MD5(SUBSTRING(text, chunk_id * 60 + 1, 80)) AS chunk_hash
+        FROM chunks
+    """
+
+
+def q_posting_lists(d: S.Dialect) -> str:
+    """Positional inverted index over the corpus: one row per
+    (token, document) with the ordered 0-based token positions — the
+    posting representation phrase search and span lookup need.  Every
+    row is bounded by a single document's length (whole-corpus
+    doc-list rows would concentrate the df-heavy tokens into
+    arbitrarily large cells; per-doc rows never do), and the
+    token-level df/doc-list view is one further ``GROUP BY token``
+    away when a consumer wants it.
+
+    Scale shape: map-only tokenize + position explode, then ONE
+    (token, doc_id)-keyed aggregate — partial aggregation compacts
+    each document's positions map-side since a document's tokens live
+    in one input split.  At lake scale the output lands
+    ``repartitionByRange(token)`` so each file is a contiguous
+    dictionary range."""
+    pos = f"""
+            SELECT doc_id, {d.arr_get('ta', 'i')} AS token,
+                   CAST(i AS INT) AS i
+            FROM (
+                SELECT doc_id, ta,
+                       {d.explode_range(d.arr_len('ta'))} AS i
+                FROM (
+                    SELECT doc_id, {d.token_array('text')} AS ta
+                    FROM documents
+                ) AS arrs
+            ) AS idx
+    """
+    return f"""
+        WITH pos AS ({pos})
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               {d.ordered_list('i', 'i')} AS positions
+        FROM pos GROUP BY token, doc_id
+    """
+
+
+def q_pmi_pairs(d: S.Dialect) -> str:
+    """Within-document co-occurrence PMI — the collocation signal
+    phrase mining and tokenizer-merge audits run over a corpus:
+    ``pmi(x,y) = ln(P(x,y) / (P(x)·P(y)))`` with document-level
+    presence probabilities, reported for pairs seen in ≥ 5 documents.
+    The PMI lands as integer micro-nats (×1e6, BIGINT) so no float
+    representation reaches the driver hash.
+
+    Scale shape: the pair generator is the guarded quadratic — distinct
+    tokens per document self-joined with ``t1 < t2`` — which is
+    O(tokens²) per DOCUMENT, not per corpus, and the token-df band
+    (5 ≤ df) prunes the vocabulary before the join via a broadcast-
+    sized filter table.  One extra corpus scan computes N; everything
+    else is token- or pair-keyed partial aggregation."""
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tk FROM (
+                SELECT doc_id, {d.explode_tokens('text')} AS tk
+                FROM documents
+            ) AS raw
+            WHERE tk <> ''
+        ),
+        df AS (
+            SELECT tk, COUNT(*) AS c FROM toks GROUP BY tk
+            HAVING COUNT(*) >= 5
+        ),
+        keep AS (
+            SELECT t.doc_id, t.tk, d.c FROM toks t
+            JOIN df d ON d.tk = t.tk
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        pairs AS (
+            SELECT a.tk AS t1, b.tk AS t2,
+                   a.c AS c1, b.c AS c2, COUNT(*) AS c_xy
+            FROM keep a JOIN keep b
+              ON a.doc_id = b.doc_id AND a.tk < b.tk
+            GROUP BY a.tk, b.tk, a.c, b.c
+            HAVING COUNT(*) >= 5
+        )
+        SELECT t1, t2, CAST(c_xy AS BIGINT) AS c_xy,
+               CAST(ROUND(LN(CAST(c_xy AS DOUBLE) * n_docs
+                             / (CAST(c1 AS DOUBLE) * c2)) * 1e6)
+                    AS BIGINT) AS pmi_micronats
+        FROM pairs CROSS JOIN n
+    """
+
+
 def q_exact_dedup(d: S.Dialect) -> str:
     # exact dedup via content hash: canonical = min doc_id per hash
     return """
@@ -1683,6 +1796,52 @@ def _asof_salted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o_orderkey_asof").alias("matched_order")))
 
 
+def _asof_tolerance_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with the ``merge_asof(tolerance=...)`` staleness cap: the
+    operator's fill path computes the plain as-of match, then NULLs
+    payloads staler than 8 400 days (events are 2024, orders 1995-2001,
+    so the cap lands mid-distribution: ~5.5 k of 10 k matches survive
+    at sf0.01).  The oracle applies the cap as a range-predicate lower
+    bound before ranking — equivalent because the as-of pick is the
+    CLOSEST at-or-before row: if it is out of tolerance every older
+    candidate is too."""
+    from ..operators.joins import asof_join
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    events = spark.table("events").select(
+        "event_id", F.col("user_id").alias("cust"), "ts")
+    orders = spark.table("orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("odate"), "o_orderkey")
+    out = asof_join(events, orders, "ts", "odate", by=["cust"],
+                    value_cols=["o_orderkey"], strategy="fill",
+                    tolerance=8400 * 86400)
+    return (out.where(F.col("o_orderkey_asof").isNotNull())
+            .select("event_id",
+                    F.col("o_orderkey_asof").alias("matched_order")))
+
+
+_ASOF_TOLERANCE_ORACLE = """
+    WITH m AS (
+        SELECT e.event_id, o.o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+         AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts - INTERVAL 8400 DAY
+    )
+    SELECT event_id, o_orderkey AS matched_order FROM m WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # bigram LM score, DataFrame form: Spark inlines SQL CTEs, so the pure-
 # SQL rendering of q_bigram_lm_score would tokenize the corpus once per
@@ -1882,6 +2041,15 @@ QUERIES: dict[str, QueryDef] = {
     "asof_join_salted": QueryDef(spark=_asof_salted_spark,
                                  oracle=q_asof_join(S.DUCKDB),
                                  survey_ref="J3 skew-salted fill"),
+    "asof_join_tolerance": QueryDef(spark=_asof_tolerance_spark,
+                                    oracle=_ASOF_TOLERANCE_ORACLE,
+                                    survey_ref="J3 merge_asof tolerance"),
+    "doc_chunking": _sql_pair(q_doc_chunking,
+                              "text-chunking map-only splitter"),
+    "posting_lists": _sql_pair(q_posting_lists,
+                               "inverted-index build"),
+    "pmi_pairs": _sql_pair(q_pmi_pairs,
+                           "co-occurrence PMI collocations"),
     "cosine_near_dup_lsh": _sql_pair(ANN.q_cosine_near_dup_lsh,
                                      "dedup-embedding-cosine scale"),
     "json_props_stats": _sql_pair(q_json_props_stats,
@@ -1982,17 +2150,19 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
     "repetition_signals",
-    # 12 twice-witnessed entries (green r3 AND r4) completing the window
-    "ecdf_curve", "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
+    # 7 twice-witnessed entries (green r3 AND r4) completing the window
+    "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
     "ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup", "semdedup_keep",
-    "ecdf_curve_focused", "curve_stack_stats", "pricing_summary",
-    "hourly_event_stats",
+    "pricing_summary",
     # round-5 additions witnessed this round
     "simhash64_near_pairs",
     "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
     "span_dedup", "quality_gate",
+    "asof_join_tolerance", "doc_chunking", "posting_lists", "pmi_pairs",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 13 twice-witnessed entries displaced by the round-5 rotation
+    # 17 twice-witnessed entries displaced by the round-5 rotation
+    "ecdf_curve", "ecdf_curve_focused", "curve_stack_stats",
+    "hourly_event_stats",
     "global_minmax", "distinct_users", "rollup_ladder",
     "stop_pair_counts", "asof_join",
     "anti_join", "spatial_neighbors", "latest_wins", "forward_fill",

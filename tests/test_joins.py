@@ -336,3 +336,98 @@ class TestReviewFixes:
         assert fa == sorted(map(tuple, a.collect()), key=repr)
         assert {(r.k, r.seq): r.v_asof for r in f.collect()} == \
             {("A", 5): 20.0, ("A", 1): None, ("B", 9): 30.0}
+
+
+class TestAsofTolerance:
+    """pandas merge_asof(tolerance=...) parity: matches farther than
+    the cap (seconds for temporal on-columns, raw units for numeric)
+    revert to NULL payloads in every strategy."""
+
+    def test_backward_tolerance_caps_staleness(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 31)),   # 60 s stale -> kept
+             ("A", _ts(9, 59)),   # 1740 s stale -> nulled
+             ("A", _ts(9, 30)),   # exact tie, 0 s -> kept
+             ("B", _ts(12, 0))],  # 9900 s stale -> nulled
+            "sym string, tts timestamp")
+        for strategy in ("fill", "aggregate"):
+            out = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                            strategy=strategy, tolerance=600)
+            got = {(r.sym, r.tts): r.px_asof for r in out.collect()}
+            assert got == {("A", _ts(9, 31)): 11.0,
+                           ("A", _ts(9, 59)): None,
+                           ("A", _ts(9, 30)): 11.0,
+                           ("B", _ts(12, 0)): None}, strategy
+
+    def test_forward_tolerance(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 55)), ("A", _ts(9, 0))],
+            "sym string, tts timestamp")
+        out = asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                        direction="forward", tolerance=600)
+        got = {r.tts: r.px_asof for r in out.collect()}
+        # 9:55 -> 10:00 quote (300 s ahead, kept); 9:00 -> exact tie
+        assert got == {_ts(9, 55): 12.0, _ts(9, 0): 10.0}
+
+    def test_matches_pandas_merge_asof(self, spark):
+        """Randomized parity against pandas' own implementation on a
+        single-key numeric axis (pandas requires sorted unique-ish
+        input; NULL-free by construction)."""
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(7)
+        lvals = sorted(rng.sample(range(0, 1000), 60))
+        rvals = sorted(rng.sample(range(0, 1000), 40))
+        left = spark.createDataFrame([(v,) for v in lvals], "x bigint")
+        right = spark.createDataFrame(
+            [(v, float(i)) for i, v in enumerate(rvals)],
+            "y bigint, payload double")
+        for direction in ("backward", "forward"):
+            for tol in (0, 5, 50, 10**6):
+                out = asof_join(left, right, "x", "y",
+                                direction=direction,
+                                strategy="aggregate", tolerance=tol)
+                got = {r.x: r.payload_asof for r in out.collect()}
+                ref = pd.merge_asof(
+                    pd.DataFrame({"x": lvals}),
+                    pd.DataFrame({"y": rvals,
+                                  "payload": [float(i) for i in
+                                              range(len(rvals))]}),
+                    left_on="x", right_on="y", direction=direction,
+                    tolerance=tol)
+                ref_m = {int(r.x): (None if pd.isna(r.payload)
+                                    else float(r.payload))
+                         for r in ref.itertuples()}
+                assert got == ref_m, (direction, tol)
+
+    def test_strategies_agree_with_tolerance(self, spark, quotes):
+        """fill, salted fill, and aggregate agree under a cap, ties
+        and no-match rows included."""
+        trades = spark.createDataFrame(
+            [("A", _ts(h, m)) for h in (8, 9, 10, 11)
+             for m in (0, 29, 30, 31)],
+            "sym string, tts timestamp")
+        outs = [
+            asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                      strategy=s, tolerance=1800, salt_buckets=b)
+            for s, b in (("fill", None), ("fill", 4), ("aggregate", None))
+        ]
+        rows = [sorted(map(tuple, o.collect()), key=repr) for o in outs]
+        assert rows[0] == rows[1] == rows[2]
+
+    def test_negative_tolerance_rejected(self, spark, quotes):
+        trades = spark.createDataFrame(
+            [("A", _ts(9, 30))], "sym string, tts timestamp")
+        with pytest.raises(ValueError, match="tolerance must be"):
+            asof_join(trades, quotes, "tts", "qts", by=["sym"],
+                      tolerance=-1)
+
+    def test_non_orderable_tolerance_type_rejected(self, spark):
+        left = spark.createDataFrame([("A", "x")], "k string, s string")
+        right = spark.createDataFrame(
+            [("A", "y", 1.0)], "k string, rs string, v double")
+        with pytest.raises(ValueError, match="temporal or numeric"):
+            asof_join(left, right, "s", "rs", by=["k"],
+                      strategy="aggregate", tolerance=5).collect()
