@@ -1017,6 +1017,100 @@ def q_pmi_pairs(d: S.Dialect) -> str:
     """
 
 
+def q_sparse_cosine_pairs(d: S.Dialect) -> str:
+    """Sparse-vector cosine similarity join via an inverted index —
+    the way near-dup detection over TF vectors actually runs at lake
+    scale: a (term, doc, tf) index self-joined per TERM generates
+    partial products only for co-occurring terms, so candidate volume
+    is Σ_term df² (df-capped), never |docs|².  Terms are word bigrams
+    (the unigram vocabulary is degenerate in this corpus); weights
+    are raw integer term frequencies, which keeps every aggregate —
+    dot products and squared norms — an EXACT integer sum.  The one
+    float step (dot / √(ss1·ss2), IEEE-exact sqrt and divide on
+    integer inputs) happens identically per output row on both
+    engines, so the 6-decimal cosine is hash-stable by construction
+    rather than by ulp luck.
+
+    Scale shape: tokenize once, one (term, doc) aggregate, one
+    term-keyed self-join with the df ≤ 100 stop-term cap (the PPJoin
+    prefix filter's blunt cousin; at 100 TB the cap is what stops
+    'the the' from generating 10¹⁴ candidate pairs), one pair-keyed
+    sum.  Emits pairs with cosine ≥ 0.5."""
+    return f"""
+        WITH ta AS (
+            SELECT doc_id, {d.token_array('text')} AS ta FROM documents
+        ),
+        terms AS (
+            SELECT doc_id, {d.explode_arr(d.bigram_list('ta'))} AS term
+            FROM ta
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM terms GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            HAVING COUNT(*) <= 100
+        ),
+        idx AS (
+            SELECT t.term, t.doc_id, t.tf FROM tf t
+            JOIN df USING (term)
+        ),
+        norms AS (
+            SELECT doc_id, SUM(tf * tf) AS ss
+            FROM idx GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   SUM(a.tf * b.tf) AS dot
+            FROM idx a JOIN idx b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2, CAST(dot AS BIGINT) AS dot,
+               CAST(ROUND(CAST(dot AS DOUBLE)
+                          / SQRT(CAST(n1.ss AS DOUBLE)
+                                 * CAST(n2.ss AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS cos_micro
+        FROM dots
+        JOIN norms n1 ON n1.doc_id = d1
+        JOIN norms n2 ON n2.doc_id = d2
+        WHERE CAST(dot AS DOUBLE)
+              / SQRT(CAST(n1.ss AS DOUBLE) * CAST(n2.ss AS DOUBLE)) >= 0.5
+    """
+
+
+def q_equidepth_histogram(d: S.Dialect) -> str:
+    """Equi-DEPTH histogram of order totals (the planner-statistics
+    twin of the sketch family's equi-width `histogram_quantiles`):
+    NTILE(16) splits the ordered value stream into equal-count
+    buckets and each bucket reports its bounds and mass.  Bounds are
+    input values, never computed floats, so the hash sees only data
+    the parquet file already contains.
+
+    Scale shape: a global NTILE is a single-partition sort at 100 TB —
+    the scale form ranks via a two-phase percent_rank equivalent
+    (bucket = floor(16 · (rank-1)/n), rank from a range-partitioned
+    sort, Spark's repartitionByRange + per-partition offsets); NTILE
+    and the rank form agree exactly when n % 16 handling matches,
+    which the tie-break (orderkey) pins.  At sf scale the window form
+    is the honest measured path and the oracle twin."""
+    return """
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   NTILE(16) OVER (
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS bucket
+            FROM orders
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM ranked GROUP BY bucket
+    """
+
+
 def q_exact_dedup(d: S.Dialect) -> str:
     # exact dedup via content hash: canonical = min doc_id per hash
     return """
@@ -2050,6 +2144,12 @@ QUERIES: dict[str, QueryDef] = {
                                "inverted-index build"),
     "pmi_pairs": _sql_pair(q_pmi_pairs,
                            "co-occurrence PMI collocations"),
+    "sparse_cosine_pairs": _sql_pair(
+        q_sparse_cosine_pairs,
+        "dedup-sparse-vector cosine via inverted index"),
+    "equidepth_histogram": _sql_pair(
+        q_equidepth_histogram,
+        "planner-stats equi-depth quantile binning"),
     "cosine_near_dup_lsh": _sql_pair(ANN.q_cosine_near_dup_lsh,
                                      "dedup-embedding-cosine scale"),
     "json_props_stats": _sql_pair(q_json_props_stats,
@@ -2150,19 +2250,20 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
     "repetition_signals",
-    # 7 twice-witnessed entries (green r3 AND r4) completing the window
+    # 5 twice-witnessed entries (green r3 AND r4) completing the window
     "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
-    "ann_lsh_topk", "ann_ivf_topk", "cosine_near_dup", "semdedup_keep",
+    "ann_lsh_topk", "cosine_near_dup",
     "pricing_summary",
     # round-5 additions witnessed this round
     "simhash64_near_pairs",
     "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
     "span_dedup", "quality_gate",
     "asof_join_tolerance", "doc_chunking", "posting_lists", "pmi_pairs",
+    "sparse_cosine_pairs", "equidepth_histogram",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 17 twice-witnessed entries displaced by the round-5 rotation
+    # 19 twice-witnessed entries displaced by the round-5 rotation
     "ecdf_curve", "ecdf_curve_focused", "curve_stack_stats",
-    "hourly_event_stats",
+    "hourly_event_stats", "ann_ivf_topk", "semdedup_keep",
     "global_minmax", "distinct_users", "rollup_ladder",
     "stop_pair_counts", "asof_join",
     "anti_join", "spatial_neighbors", "latest_wins", "forward_fill",
