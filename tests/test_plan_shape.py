@@ -703,3 +703,91 @@ class TestTopKScalePlans:
         register_views(spark, sf_smoke)
         plan = plan_of(spark.sql(SAMP.q_vocab_topk_take(S.SPARK)))
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestRound5AdditionPlans:
+    """Scale-shape pins for the round-5 text/index operators."""
+
+    def test_doc_chunking_is_map_only(self, spark, sf_smoke):
+        """The chunker is generator + substring per document: zero
+        exchanges, and the scan reads only (doc_id, text)."""
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_doc_chunking,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(q_doc_chunking(S.SPARK))
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert read_cols == {"doc_id", "text"}, plan
+
+    def test_posting_lists_single_shuffle(self, spark, sf_smoke):
+        """One (token, doc_id) hash exchange builds the whole index;
+        partial aggregation compacts positions map-side."""
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_posting_lists,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(q_posting_lists(S.SPARK))
+        assert n_exchanges(df) == 1, plan_of(df)
+
+    def test_sparse_cosine_no_all_pairs_join(self, spark, sf_smoke):
+        """Candidates come from the per-term index self-join — never a
+        |corpus|² product; every join in the plan is an equi-join."""
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_sparse_cosine_pairs,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(q_sparse_cosine_pairs(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_pmi_pairs_only_scalar_count_crossjoin(self, spark, sf_smoke):
+        """The pair generator is a doc_id equi-join; the only
+        nested-loop site is the 1-row corpus-count broadcast."""
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_pmi_pairs,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(q_pmi_pairs(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+    def test_asof_tolerance_aggregate_prunes_candidates(self, spark):
+        """In the aggregate strategy the tolerance lands INSIDE the
+        join condition (fewer candidates), not as a post-filter."""
+        import datetime as dt
+
+        left = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1, 9))], "k string, ts timestamp")
+        right = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1, 8), 1.0)],
+            "k string, rts timestamp, v double")
+        from dystonse_gtfs_importer_spark.operators.joins import asof_join
+
+        df = asof_join(left, right, "ts", "rts", by=["k"],
+                       strategy="aggregate", tolerance=3600)
+        plan = plan_of(df)
+        # the tolerance comparison appears in the join, before the agg
+        assert "abs(" in plan.lower(), plan
