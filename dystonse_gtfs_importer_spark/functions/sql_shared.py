@@ -132,6 +132,12 @@ class Dialect:
         """BIGINT ``x`` >> ``bits`` (non-negative x)."""
         raise NotImplementedError
 
+    def intdiv(self, a: str, b: str) -> str:
+        """Integer division a/b; cross-engine-identical only for
+        NON-NEGATIVE operands (Spark DIV truncates toward zero,
+        DuckDB // floors)."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -221,6 +227,11 @@ class SparkDialect(Dialect):
 
     def shr(self, x: str, bits: int) -> str:
         return f"shiftright({x}, {bits})"
+
+    def intdiv(self, a: str, b: str) -> str:
+        # truncating on Spark; callers keep operands non-negative so
+        # this agrees with DuckDB's flooring //
+        return f"(({a}) DIV ({b}))"
 
 
 class DuckDBDialect(Dialect):
@@ -316,6 +327,9 @@ class DuckDBDialect(Dialect):
 
     def shr(self, x: str, bits: int) -> str:
         return f"(({x}) >> {bits})"
+
+    def intdiv(self, a: str, b: str) -> str:
+        return f"(({a}) // ({b}))"
 
 
 SPARK = SparkDialect()

@@ -117,3 +117,67 @@ def dedup_cluster_survivors(docs: DataFrame, pairs: DataFrame,
     return (docs.join(cc, docs[id_col] == cc["node"])
             .where(F.col("node") == F.col("component"))
             .drop("node", "component"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 10, damping_pct: int = 85,
+             scale: int = 10 ** 12) -> DataFrame:
+    """Deterministic fixed-point PageRank: ranks live as integer
+    ``scale``-units and every step — share split, damping, teleport —
+    is integer multiply/add/DIV, so the result is BIT-IDENTICAL across
+    engines, partition counts, and task retries.  The textbook float
+    formulation cannot promise that: its cross-partition SUM order is
+    nondeterministic and float addition is not associative.  The price
+    is bounded quantization: each truncating DIV loses < 1 unit, so
+    per-iteration mass drift is < (N + 2) units out of ``scale`` —
+    relative error ~ N/scale, vanishing at the default 10^12 for any
+    graph that fits a cluster.
+
+    Semantics per iteration (damping d = damping_pct/100):
+
+        share(u)  = rank(u) DIV out_deg(u)             (out_deg > 0)
+        dangling  = Σ rank(u) over out_deg(u) = 0
+        rank'(v)  = (100-d)·scale DIV (100·N)
+                  + d·(Σ_{u→v} share(u) + dangling DIV N) DIV 100
+
+    Scale shape: per iteration ONE edge-keyed equi-join (rank joins
+    edges on src — broadcastable when the rank table is small, AQE
+    decides) and ONE dst-keyed aggregation; the dangling mass is a
+    single-row aggregate collected to the driver (a scalar, like the
+    k-means centroid collect).  ``localCheckpoint`` per iteration
+    truncates lineage exactly as ``connected_components`` does.
+
+    Returns (node, rank_fp) — rank_fp in ``scale``-units.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), "
+                         f"got {damping_pct}")
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("d"))
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    base = (100 - damping_pct) * scale // (100 * n)
+    r = nodes.withColumn("rank_fp", F.lit(scale // n).cast("long"))
+    for _ in range(n_iter):
+        rd = r.join(deg, r["node"] == deg["s"], "left")
+        dangling = (rd.where(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)))
+                    .collect()[0][0])
+        # integer share: rank_fp DIV deg (both non-negative)
+        shares = (rd.where(F.col("deg").isNotNull())
+                  .select(F.col("s"), F.expr("rank_fp DIV deg").alias("sh")))
+        inflow = (e.join(shares, "s")
+                  .groupBy("d").agg(F.sum("sh").alias("m")))
+        r = (nodes.join(inflow, nodes["node"] == inflow["d"], "left")
+             .select("node",
+                     (F.lit(base)
+                      + F.expr(f"{damping_pct} * (coalesce(m, 0) "
+                               f"+ {dangling // n}) DIV 100"))
+                     .cast("long").alias("rank_fp"))
+             .localCheckpoint(eager=True))
+    return r

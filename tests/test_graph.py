@@ -94,3 +94,80 @@ def test_random_graphs_match_union_find(spark):
         want = uf_components(n, edges)
         got = _cc(spark, edges, nodes=list(range(n)))
         assert got == want, f"trial {trial}: n={n} edges={edges}"
+
+
+class TestPagerank:
+    """Fixed-point PageRank (operators/graph.py::pagerank) against a
+    Python reference of the same integer spec, plus invariants."""
+
+    @staticmethod
+    def _reference(edges, n_iter, scale=10 ** 12, damping_pct=85):
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        n = len(nodes)
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        r = {x: scale // n for x in nodes}
+        base = (100 - damping_pct) * scale // (100 * n)
+        for _ in range(n_iter):
+            dangling = sum(r[x] for x in nodes if x not in deg)
+            inflow = {x: 0 for x in nodes}
+            for u, v in edges:
+                inflow[v] += r[u] // deg[u]
+            r = {x: base + damping_pct * (inflow[x] + dangling // n) // 100
+                 for x in nodes}
+        return r
+
+    def test_matches_python_reference(self, spark):
+        from dystonse_gtfs_importer_spark.operators.graph import pagerank
+
+        # star + chain + sink: node 4 is dangling, 0 is a hub
+        edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 4),
+                 (1, 4), (5, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for n_iter in (1, 2, 5):
+            got = {r.node: r.rank_fp
+                   for r in pagerank(df, n_iter=n_iter).collect()}
+            assert got == self._reference(edges, n_iter), n_iter
+
+    def test_randomized_against_reference(self, spark):
+        import random
+
+        from dystonse_gtfs_importer_spark.operators.graph import pagerank
+
+        rng = random.Random(11)
+        edges = list({(rng.randrange(30), rng.randrange(30))
+                      for _ in range(120)})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank_fp for r in pagerank(df, n_iter=4).collect()}
+        assert got == self._reference(edges, 4)
+
+    def test_mass_approximately_conserved(self, spark):
+        """Total rank mass stays within the documented quantization
+        drift (< (N + 2) units per iteration) of the scale."""
+        from dystonse_gtfs_importer_spark.operators.graph import pagerank
+
+        edges = [(i, (i + 1) % 20) for i in range(20)] + [(3, 7), (9, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        n_iter, n = 6, 22
+        out = pagerank(df, n_iter=n_iter)
+        total = out.agg({"rank_fp": "sum"}).collect()[0][0]
+        assert 10 ** 12 - n_iter * (n + 2) * 50 <= total <= 10 ** 12
+
+    def test_determinism_across_partitionings(self, spark):
+        from dystonse_gtfs_importer_spark.operators.graph import pagerank
+
+        edges = [(i % 13, (i * 7) % 13) for i in range(60) if i % 13 != (i * 7) % 13]
+        a = spark.createDataFrame(edges, "src long, dst long")
+        b = a.repartition(17)
+        ra = sorted(map(tuple, pagerank(a, n_iter=3).collect()))
+        rb = sorted(map(tuple, pagerank(b, n_iter=3).collect()))
+        assert ra == rb
+
+    def test_bad_damping_rejected(self, spark):
+        from dystonse_gtfs_importer_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="damping_pct"):
+            pagerank(df, damping_pct=100)
