@@ -96,3 +96,32 @@ def configure_for_oracle(spark: SparkSession) -> SparkSession:
     """Session setup for DuckDB-oracle comparison queries: UTC so
     hour()/date_trunc() on instants match DuckDB's naive timestamps."""
     return configure(spark, tz="UTC")
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    application_side_min_bytes: int = 0,
+) -> SparkSession:
+    """Turn Spark's runtime bloom-filter join pruning all the way on —
+    the semi-join reduction that matters most at lake scale: for a
+    shuffle join whose build side carries a selective filter, Spark
+    injects ``might_contain(bloom(build keys))`` into the PROBE side's
+    scan filter, so fact rows that cannot match are dropped before
+    they are shuffled at all.
+
+    The feature is on by default (`...runtime.bloomFilter.enabled`)
+    but gated on the probe side scanning ≥ 10 GB
+    (`applicationSideScanSizeThreshold`) — correct on a cluster, and
+    exactly why local tests never see it fire.  This helper drops that
+    gate (default 0) so plan tests can pin the injection, and
+    documents the knob an operator would tune: raise
+    ``creationSideThreshold`` if the dimension's filtered size
+    estimate exceeds 10 MB yet is still worth a bloom build.
+    """
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        str(application_side_min_bytes))
+    return spark

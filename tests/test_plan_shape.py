@@ -791,3 +791,40 @@ class TestRound5AdditionPlans:
         plan = plan_of(df)
         # the tolerance comparison appears in the join, before the agg
         assert "abs(" in plan.lower(), plan
+
+
+class TestRuntimeBloomFilter:
+    """Runtime bloom-filter join pruning (semi-join reduction): with a
+    selectively-filtered build side and a shuffle join, Spark injects
+    a might_contain probe into the fact scan's filter — fact rows that
+    cannot match die before the shuffle.  The 10 GB application-side
+    gate keeps it off at toy scale; session.enable_runtime_bloom_filters
+    drops the gate so the injection is pinnable."""
+
+    def test_bloom_probe_injected_into_fact_side(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.session import (
+            enable_runtime_bloom_filters,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            enable_runtime_bloom_filters(spark)
+            li = load_table(spark, sf_smoke, "lineitem")
+            orders = (load_table(spark, sf_smoke, "orders")
+                      .where("o_totalprice > 400000"))
+            j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                 .groupBy("o_orderpriority").count())
+            plan = plan_of(j)
+            assert "might_contain" in plan, plan
+            # the probe sits on the FACT (lineitem) branch, keyed on
+            # the join key
+            m = re.search(r"might_contain[^\n]*l_orderkey", plan)
+            assert m is not None, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold", "10GB")
