@@ -1185,6 +1185,37 @@ def _pagerank_iter2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("rank_fp").cast("long").alias("rank_fp")))
 
 
+_SUFFIX_RANKS_ORACLE = """
+    WITH ta AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), ' +'),
+                           t -> t <> '') AS ta
+        FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(range(len(ta))) AS i, ta FROM ta)
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           CAST(DENSE_RANK() OVER (ORDER BY ta[i+1:]) AS BIGINT)
+               AS suffix_rank
+    FROM pos
+"""
+
+
+def _suffix_ranks_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-suffix ranking by distributed prefix doubling
+    (`operators/suffix.py::suffix_ranks` — the ExactSubstr dedup
+    index), hash-matched against DuckDB sorting the MATERIALIZED
+    suffix lists directly: two maximally-different derivations of the
+    same integer ranks.  The oracle's direct sort only a toy corpus
+    can afford; the operator's doubling rounds are the published
+    lake-scale construction (Flick & Aluru SC'15)."""
+    from ..operators.suffix import suffix_ranks
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return suffix_ranks(spark.table("documents"))
+
+
 def q_exact_dedup(d: S.Dialect) -> str:
     # exact dedup via content hash: canonical = min doc_id per hash
     return """
@@ -2228,6 +2259,11 @@ QUERIES: dict[str, QueryDef] = {
         spark=_pagerank_iter2_spark,
         oracle=lambda: q_pagerank_iter2(S.DUCKDB),
         survey_ref="graph fixed-point PageRank (operator vs unrolled SQL)"),
+    "suffix_ranks": QueryDef(
+        spark=_suffix_ranks_spark,
+        oracle=_SUFFIX_RANKS_ORACLE,
+        survey_ref="exact-substring dedup index (prefix doubling vs "
+                   "direct suffix sort)"),
     "cosine_near_dup_lsh": _sql_pair(ANN.q_cosine_near_dup_lsh,
                                      "dedup-embedding-cosine scale"),
     "json_props_stats": _sql_pair(q_json_props_stats,

@@ -1,0 +1,118 @@
+"""Distributed prefix-doubling suffix ranking (operators/suffix.py)
+against direct Python suffix sorts, plus the scalable dense-rank
+helper's invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _ref_ranks(texts: dict):
+    toks = {d: [t for t in s.lower().split(" ") if t] for d, s in texts.items()}
+    sufs = {(d, i): tuple(t[i:]) for d, t in toks.items()
+            for i in range(len(t))}
+    order = sorted(set(sufs.values()))
+    rank = {s: i + 1 for i, s in enumerate(order)}
+    return {k: rank[v] for k, v in sufs.items()}
+
+
+class TestDenseRankScalable:
+    def test_matches_window_dense_rank(self, spark):
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            dense_rank_scalable,
+        )
+
+        df = spark.createDataFrame(
+            [(x % 7, (x * 13) % 5) for x in range(200)], "a int, b int")
+        got = dense_rank_scalable(df, ["a", "b"], out="dr")
+        w = Window.orderBy("a", "b")
+        ref = df.withColumn("dr", F.dense_rank().over(w))
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, ref.collect()))
+
+    def test_independent_of_partition_count(self, spark):
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            dense_rank_scalable,
+        )
+
+        df = spark.createDataFrame(
+            [(x * 37 % 101,) for x in range(300)], "a int")
+        a = dense_rank_scalable(df, ["a"], num_partitions=3)
+        b = dense_rank_scalable(df.repartition(23), ["a"],
+                                num_partitions=11)
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect()))
+
+    def test_no_single_partition_window(self, spark):
+        """The whole point: no empty-partition-key Window in the plan
+        (Spark logs/serializes those through ONE task)."""
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            dense_rank_scalable,
+        )
+
+        df = spark.createDataFrame([(x,) for x in range(50)], "a int")
+        plan = dense_rank_scalable(df, ["a"])._jdf.queryExecution() \
+            .executedPlan().toString()
+        # every Window operator must carry a partition spec
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "windowspecdefinition(__pid" in line.replace(" ", "") \
+                    or "__pid" in line, line
+
+
+class TestSuffixRanks:
+    def test_matches_python_reference(self, spark):
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            suffix_ranks,
+        )
+
+        texts = {1: "a b a b c", 2: "b a b c", 3: "c a", 4: "a"}
+        docs = spark.createDataFrame(list(texts.items()),
+                                     "doc_id long, text string")
+        got = {(r.doc_id, r.pos): r.suffix_rank
+               for r in suffix_ranks(docs).collect()}
+        assert got == _ref_ranks(texts)
+
+    def test_identical_suffixes_share_rank(self, spark):
+        """Equal suffixes across documents — the repeated spans exact-
+        substring dedup hunts — must share one dense rank."""
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            suffix_ranks,
+        )
+
+        texts = {1: "x y z", 2: "w x y z", 3: "x y z"}
+        docs = spark.createDataFrame(list(texts.items()),
+                                     "doc_id long, text string")
+        rows = suffix_ranks(docs).collect()
+        by_key = {(r.doc_id, r.pos): r.suffix_rank for r in rows}
+        # suffix "x y z" occurs at (1,0), (2,1), (3,0)
+        assert by_key[(1, 0)] == by_key[(2, 1)] == by_key[(3, 0)]
+        # and "y z" at (1,1), (2,2), (3,1)
+        assert by_key[(1, 1)] == by_key[(2, 2)] == by_key[(3, 1)]
+        assert got_equal_ref(rows, texts)
+
+    def test_randomized_against_reference(self, spark):
+        import random
+
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            suffix_ranks,
+        )
+
+        rng = random.Random(5)
+        vocab = ["a", "b", "c", "d"]
+        texts = {d: " ".join(rng.choice(vocab)
+                             for _ in range(rng.randrange(1, 25)))
+                 for d in range(12)}
+        docs = spark.createDataFrame(list(texts.items()),
+                                     "doc_id long, text string")
+        got = {(r.doc_id, r.pos): r.suffix_rank
+               for r in suffix_ranks(docs).collect()}
+        assert got == _ref_ranks(texts)
+
+
+def got_equal_ref(rows, texts):
+    got = {(r.doc_id, r.pos): r.suffix_rank for r in rows}
+    return got == _ref_ranks(texts)

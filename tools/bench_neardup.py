@@ -44,10 +44,17 @@ TABLES = ("region nation customer supplier part orders lineitem "
 def templates():
     from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
     from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+    from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+        q_sparse_cosine_pairs,
+    )
 
     return {
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,
         "ngram_jaccard_prefix": D.q_ngram_jaccard_prefix,
+        # round-5 inverted-index TF-cosine: candidates = per-term df²
+        # under the df<=100 stop-term cap — linear here because the
+        # suffixed nd vocabulary keeps df tiny
+        "sparse_cosine_pairs": q_sparse_cosine_pairs,
         # the 60-bit width: the 16-bit oracle form emits ~1.1% of ALL
         # pairs by random collision — quadratic output at corpus scale
         "simhash64_near_pairs_banded": D.q_simhash64_near_pairs_banded,
