@@ -1216,6 +1216,44 @@ def _suffix_ranks_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_ranks(spark.table("documents"))
 
 
+def _equidepth_scale_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB derivation of `equidepth_histogram`: the global sort
+    NTILE needs becomes a two-phase range-partitioned rank
+    (`operators/suffix.dense_rank_scalable` over the UNIQUE
+    (o_totalprice, o_orderkey) tuples — unique keys make dense rank a
+    row number), and NTILE's remainder rule is reproduced exactly in
+    closed form: the first n % 16 buckets hold ⌈n/16⌉ rows, the rest
+    ⌊n/16⌋.  Hash-matched against DuckDB actually running NTILE —
+    the window's semantics pinned against the shuffle-parallel form
+    that never serializes the corpus through one task."""
+    import pyspark.sql.functions as F
+
+    from ..operators.suffix import dense_rank_scalable
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    orders = spark.table("orders").select("o_totalprice", "o_orderkey")
+    ranked = dense_rank_scalable(orders, ["o_totalprice", "o_orderkey"],
+                                 out="rn")
+    n = orders.count()
+    k = 16
+    big, n_big = -(-n // k), n % k  # ceil size, number of big buckets
+    cut = big * n_big
+    small = n // k
+    bucket = F.when(
+        F.col("rn") <= cut, (F.col("rn") - 1) / big
+    ).otherwise(n_big + (F.col("rn") - cut - 1) / F.lit(max(small, 1)))
+    return (ranked
+            .withColumn("bucket", F.floor(bucket).cast("int") + 1)
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"))
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    "n", "lo", "hi"))
+
+
 def q_exact_dedup(d: S.Dialect) -> str:
     # exact dedup via content hash: canonical = min doc_id per hash
     return """
@@ -2264,6 +2302,11 @@ QUERIES: dict[str, QueryDef] = {
         oracle=_SUFFIX_RANKS_ORACLE,
         survey_ref="exact-substring dedup index (prefix doubling vs "
                    "direct suffix sort)"),
+    "equidepth_histogram_scale": QueryDef(
+        spark=_equidepth_scale_spark,
+        oracle=lambda: q_equidepth_histogram(S.DUCKDB),
+        survey_ref="equi-depth scale path (range-partitioned rank vs "
+                   "NTILE window)"),
     "cosine_near_dup_lsh": _sql_pair(ANN.q_cosine_near_dup_lsh,
                                      "dedup-embedding-cosine scale"),
     "json_props_stats": _sql_pair(q_json_props_stats,

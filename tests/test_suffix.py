@@ -116,3 +116,35 @@ class TestSuffixRanks:
 def got_equal_ref(rows, texts):
     got = {(r.doc_id, r.pos): r.suffix_rank for r in rows}
     return got == _ref_ranks(texts)
+
+
+class TestEquidepthScaleForm:
+    def test_closed_form_matches_ntile(self, spark):
+        """The remainder rule (first n%k buckets get ceil(n/k)) must
+        reproduce Spark's own NTILE for awkward n."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            dense_rank_scalable,
+        )
+
+        for n in (16, 17, 31, 100, 97):
+            df = spark.createDataFrame(
+                [((x * 37) % n, x) for x in range(n)], "v int, id int")
+            k = 16
+            ranked = dense_rank_scalable(df, ["v", "id"], out="rn")
+            big, n_big = -(-n // k), n % k
+            cut = big * n_big
+            small = n // k
+            bucket = F.when(
+                F.col("rn") <= cut, (F.col("rn") - 1) / big
+            ).otherwise(n_big + (F.col("rn") - cut - 1)
+                        / F.lit(max(small, 1)))
+            got = ranked.withColumn(
+                "b", F.floor(bucket).cast("int") + 1)
+            ref = df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("v", "id")))
+            g = {(r.v, r.id): r.b for r in got.collect()}
+            r_ = {(r.v, r.id): r.b for r in ref.collect()}
+            assert g == r_, n
