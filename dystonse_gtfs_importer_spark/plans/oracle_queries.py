@@ -1254,6 +1254,105 @@ def _equidepth_scale_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n", "lo", "hi"))
 
 
+_REPEATED_SPANS_ORACLE = """
+    WITH ta AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), ' +'),
+                           t -> t <> '') AS ta
+        FROM documents
+    ),
+    pos AS (SELECT doc_id, unnest(range(len(ta))) AS i, ta FROM ta),
+    sfx AS (
+        SELECT doc_id, CAST(i AS INT) AS pos, ta[i+1:] AS s,
+               DENSE_RANK() OVER (ORDER BY ta[i+1:]) AS r,
+               COUNT(*) OVER (PARTITION BY ta[i+1:]) AS class_n
+        FROM pos
+    ),
+    reps AS (SELECT r, MIN(s ORDER BY s) AS s FROM sfx GROUP BY r),
+    adj AS (
+        SELECT r, s, LAG(s) OVER (ORDER BY r) AS prev,
+               LEAD(s) OVER (ORDER BY r) AS nxt
+        FROM reps
+    ),
+    lcps AS (
+        SELECT r, GREATEST(
+            COALESCE(len(list_filter(
+                range(1, least(len(s), len(prev)) + 1),
+                i -> s[1:i] = prev[1:i])), 0),
+            COALESCE(len(list_filter(
+                range(1, least(len(s), len(nxt)) + 1),
+                i -> s[1:i] = nxt[1:i])), 0)) AS adj_lcp
+        FROM adj
+    )
+    SELECT doc_id, pos, rep_len FROM (
+        SELECT sfx.doc_id, sfx.pos,
+               CAST(GREATEST(l.adj_lcp,
+                    CASE WHEN sfx.class_n >= 2 THEN len(sfx.s)
+                         ELSE 0 END) AS INT) AS rep_len
+        FROM sfx JOIN lcps l ON l.r = sfx.r
+    ) WHERE rep_len >= 8
+"""
+
+
+def _repeated_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-repeated-span profile — the ExactSubstr dedup signal
+    (Lee et al. 2022): for every token position, the length of the
+    longest span starting there that ALSO occurs elsewhere in the
+    corpus, reported where >= 8 tokens.  Suffix-array theory: that
+    length is max(LCP with the rank-predecessor suffix, LCP with the
+    rank-successor, full length when the whole suffix repeats).
+
+    The Spark side builds ranks by distributed prefix doubling
+    (`operators/suffix.suffix_ranks`) and — unlike the oracle's
+    LAG/LEAD over a global sort — finds rank-neighbors with an
+    EQUI-JOIN on r±1 (dense ranks are contiguous), so no corpus-wide
+    single-partition window exists anywhere in the plan.  LCP of two
+    materialized neighbor suffixes is a bounded prefix comparison.
+    DuckDB derives the same profile from an actual suffix sort."""
+    import pyspark.sql.functions as F
+
+    from ..operators.suffix import suffix_ranks
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    suffix_ranks(docs).createOrReplaceTempView("sr")
+    lcp = (lambda a, b:
+           f"size(filter(sequence(1, least(size({a}), size({b}))), "
+           f"i -> slice({a}, 1, i) = slice({b}, 1, i)))")
+    return spark.sql(f"""
+        WITH ta AS (
+            SELECT doc_id,
+                   filter(split(lower(text), ' +'), t -> t <> '') AS ta
+            FROM documents
+        ),
+        sfx AS (
+            SELECT sr.doc_id, sr.pos, sr.suffix_rank AS r,
+                   slice(ta.ta, sr.pos + 1, size(ta.ta) - sr.pos) AS s
+            FROM sr JOIN ta ON ta.doc_id = sr.doc_id
+        ),
+        cls AS (SELECT r, COUNT(*) AS class_n FROM sfx GROUP BY r),
+        reps AS (SELECT r, MIN(s) AS s FROM sfx GROUP BY r),
+        adj AS (
+            SELECT a.r, GREATEST(
+                COALESCE({lcp('a.s', 'p.s')}, 0),
+                COALESCE({lcp('a.s', 'n.s')}, 0)) AS adj_lcp
+            FROM reps a
+            LEFT JOIN reps p ON p.r = a.r - 1
+            LEFT JOIN reps n ON n.r = a.r + 1
+        )
+        SELECT doc_id, CAST(pos AS INT) AS pos, rep_len FROM (
+            SELECT sfx.doc_id, sfx.pos,
+                   CAST(GREATEST(adj.adj_lcp,
+                        CASE WHEN cls.class_n >= 2 THEN size(sfx.s)
+                             ELSE 0 END) AS INT) AS rep_len
+            FROM sfx JOIN adj ON adj.r = sfx.r
+            JOIN cls ON cls.r = sfx.r
+        ) WHERE rep_len >= 8
+    """)
+
+
 def q_exact_dedup(d: S.Dialect) -> str:
     # exact dedup via content hash: canonical = min doc_id per hash
     return """
@@ -2307,6 +2406,10 @@ QUERIES: dict[str, QueryDef] = {
         oracle=lambda: q_equidepth_histogram(S.DUCKDB),
         survey_ref="equi-depth scale path (range-partitioned rank vs "
                    "NTILE window)"),
+    "repeated_spans": QueryDef(
+        spark=_repeated_spans_spark,
+        oracle=_REPEATED_SPANS_ORACLE,
+        survey_ref="ExactSubstr longest-repeated-span profile"),
     "cosine_near_dup_lsh": _sql_pair(ANN.q_cosine_near_dup_lsh,
                                      "dedup-embedding-cosine scale"),
     "json_props_stats": _sql_pair(q_json_props_stats,
