@@ -32,15 +32,21 @@ from pyspark.sql import DataFrame, Window
 
 def dense_rank_scalable(df: DataFrame, cols: list[str],
                         out: str = "dr",
-                        num_partitions: int | None = None) -> DataFrame:
+                        num_partitions: int | None = None,
+                        with_count: bool = False):
     """DENSE_RANK() OVER (ORDER BY cols) without the single-partition
     global window: rank the DISTINCT key tuples via range partitioning
     (equal tuples co-locate; partitions are globally ordered), a local
     row_number per partition, and a driver-side cumulative offset —
     one row per PARTITION crosses the driver, never data.
 
-    Returns ``df`` with an ``out`` BIGINT column.  NULL key semantics
-    follow Spark's default NULLS FIRST ascending order.
+    Returns ``df`` with an ``out`` BIGINT column — or, with
+    ``with_count``, the tuple ``(df, n_distinct)``: the distinct-key
+    count is already on the driver as Σ partition sizes, so callers
+    that iterate to a rank fixed point (``suffix_ranks``) get their
+    convergence test for free instead of paying a distinct+count job
+    per round.  NULL key semantics follow Spark's default NULLS FIRST
+    ascending order.
     """
     d = df.select(*cols).distinct()
     if num_partitions:
@@ -62,7 +68,8 @@ def dense_rank_scalable(df: DataFrame, cols: list[str],
     ) if offsets else F.create_map()
     ranked = d.select(
         *cols, (F.col("__lr") + off[F.col("__pid")]).cast("long").alias(out))
-    return df.join(ranked, cols, "left")
+    joined = df.join(ranked, cols, "left")
+    return (joined, acc) if with_count else joined
 
 
 def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
@@ -88,14 +95,11 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
             F.filter(F.split(F.lower(F.col(text_col)), " +"),
                      lambda t: t != ""))
         .alias("pos", "tok"))
-    r = dense_rank_scalable(toks, ["tok"], out="r").select(
-        id_col, "pos", "r").localCheckpoint(eager=True)
-    n_distinct = r.select("r").distinct().count()
-    n_total = r.count()
+    r, n_distinct = dense_rank_scalable(toks, ["tok"], out="r",
+                                        with_count=True)
+    r = r.select(id_col, "pos", "r").localCheckpoint(eager=True)
     k = 1
     for _ in range(max_rounds):
-        if n_distinct >= n_total:
-            break
         nxt = r.select(F.col(id_col).alias("__id2"),
                        (F.col("pos") - k).alias("__p2"),
                        F.col("r").alias("r2"))
@@ -103,10 +107,10 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
                          & (F.col("pos") == F.col("__p2")), "left")
                   .select(id_col, "pos", "r",
                           F.coalesce("r2", F.lit(-1)).alias("r2")))
-        r = (dense_rank_scalable(paired, ["r", "r2"], out="nr")
-             .select(id_col, "pos", F.col("nr").alias("r"))
+        r2, new_distinct = dense_rank_scalable(paired, ["r", "r2"],
+                                               out="nr", with_count=True)
+        r = (r2.select(id_col, "pos", F.col("nr").alias("r"))
              .localCheckpoint(eager=True))
-        new_distinct = r.select("r").distinct().count()
         if new_distinct == n_distinct:
             break  # stable: remaining ties are genuinely equal suffixes
         n_distinct = new_distinct
