@@ -268,16 +268,17 @@ def _asof_fill(left: DataFrame, right: DataFrame,
     # the matched right_on, so an out-of-range match (or no match — the
     # NULL comparison) nulls the whole payload
     if tolerance is None:
-        keep = F.lit(True)
+        payload = [F.col("__fill").getField(c).alias(f"{c}{suffix}")
+                   for c in value_cols]
     else:
         keep = _within_tolerance(
             F.col("__t"), u.schema["__t"].dataType,
             F.col("__fill").getField("__on"),
             right.schema[right_on].dataType, tolerance)
+        payload = [F.when(keep, F.col("__fill").getField(c))
+                   .alias(f"{c}{suffix}") for c in value_cols]
     return filled.where(F.col("__kind") == 1).select(
-        *[F.col(c) for c in left.columns],
-        *[F.when(keep, F.col("__fill").getField(c)).alias(f"{c}{suffix}")
-          for c in value_cols])
+        *[F.col(c) for c in left.columns], *payload)
 
 
 def _salt_by_time_range(u: DataFrame, by: list[str], n_buckets: int,
