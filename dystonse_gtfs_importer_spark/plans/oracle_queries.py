@@ -1017,6 +1017,37 @@ def q_pmi_pairs(d: S.Dialect) -> str:
     """
 
 
+def q_token_entropy(d: S.Dialect) -> str:
+    """Shannon token entropy per document — the information-density
+    quality signal (low entropy ⇒ repetitive/template text):
+    H = ln(n) − Σ c·ln(c) / n over per-doc token counts.  The float
+    sum Σ c·ln(c) would be engine-order-dependent as a plain SUM, so
+    it runs as a LEFT-ASSOCIATED fold (``arr_fsum``) over the counts
+    ordered by token — identical element order and identical IEEE ops
+    on both engines make the double, and hence the micro-nat output,
+    bit-identical (the `hll_distinct`/`temperature_sample` trick).
+
+    Scale shape: one (doc, token) count aggregate, one doc-keyed
+    collect of the per-doc distinct-token counts (bounded by the
+    vocabulary a single document can contain) — no corpus state."""
+    fold = d.arr_fsum(d.ordered_list("CAST(c AS DOUBLE) * LN(c)", "tk"))
+    return f"""
+        WITH tc AS (
+            SELECT doc_id, tk, COUNT(*) AS c FROM (
+                SELECT doc_id, {d.explode_tokens('text')} AS tk
+                FROM documents
+            ) AS raw
+            WHERE tk <> ''
+            GROUP BY doc_id, tk
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(ROUND((LN(SUM(c)) - {fold} / SUM(c)) * 1e6)
+                    AS BIGINT) AS entropy_micronats
+        FROM tc GROUP BY doc_id
+    """
+
+
 def q_sparse_cosine_pairs(d: S.Dialect) -> str:
     """Sparse-vector cosine similarity join via an inverted index —
     the way near-dup detection over TF vectors actually runs at lake
@@ -2410,6 +2441,8 @@ QUERIES: dict[str, QueryDef] = {
         spark=_repeated_spans_spark,
         oracle=_REPEATED_SPANS_ORACLE,
         survey_ref="ExactSubstr longest-repeated-span profile"),
+    "token_entropy": _sql_pair(q_token_entropy,
+                               "text-quality information density"),
     "cosine_near_dup_lsh": _sql_pair(ANN.q_cosine_near_dup_lsh,
                                      "dedup-embedding-cosine scale"),
     "json_props_stats": _sql_pair(q_json_props_stats,
