@@ -56,7 +56,15 @@ def dense_rank_scalable(df: DataFrame, cols: list[str],
     d = (d.sortWithinPartitions(*cols)
          .withColumn("__pid", F.spark_partition_id()))
     w = Window.partitionBy("__pid").orderBy(*cols)
-    d = d.withColumn("__lr", F.row_number().over(w))
+    # PIN the ranked partitions before anything consumes them twice:
+    # repartitionByRange picks its bounds by SAMPLING, re-sampled on
+    # every recomputation — without the checkpoint the offset collect
+    # and the later join would each recompute the lineage and could
+    # see DIFFERENT partition boundaries, silently corrupting the
+    # global rank (observed at 270 k keys; invisible at toy sizes
+    # where both samplings land the same bounds)
+    d = d.withColumn("__lr", F.row_number().over(w)) \
+        .localCheckpoint(eager=True)
     sizes = {r["__pid"]: r["n"] for r in
              d.groupBy("__pid").agg(F.max("__lr").alias("n")).collect()}
     offsets, acc = {}, 0
@@ -82,8 +90,13 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
 
     Identical suffixes in different documents share a rank — that is
     the useful signal (they ARE the repeated spans exact-substring
-    dedup hunts), and the doubling loop terminates when the distinct-
-    rank count stops growing rather than demanding full uniqueness.
+    dedup hunts).  The loop therefore cannot stop at "all ranks
+    distinct" alone, and a "no new classes this round" shortcut is
+    UNSOUND — refinement can pause for a round and resume at a larger
+    shift (observed on the sf0.1 corpus: the shortcut under-split 527
+    classes) — so it runs until the covered prefix provably exceeds
+    the longest document (shift k ≥ max tokens ⇒ coverage 2k beyond
+    every suffix), with the all-distinct early exit kept.
 
     Returns (id_col, pos, suffix_rank); pos is the 0-based token
     offset.  Cost: ⌈log₂ max-repeat-length⌉ rounds of (one equi-join
@@ -98,8 +111,14 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
     r, n_distinct = dense_rank_scalable(toks, ["tok"], out="r",
                                         with_count=True)
     r = r.select(id_col, "pos", "r").localCheckpoint(eager=True)
+    stats = toks.groupBy(id_col).count() \
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n")) \
+        .collect()[0]
+    max_len, n_total = stats.mx or 0, stats.n or 0
     k = 1
     for _ in range(max_rounds):
+        if n_distinct >= n_total or k >= max_len:
+            break
         nxt = r.select(F.col(id_col).alias("__id2"),
                        (F.col("pos") - k).alias("__p2"),
                        F.col("r").alias("r2"))
@@ -107,13 +126,10 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
                          & (F.col("pos") == F.col("__p2")), "left")
                   .select(id_col, "pos", "r",
                           F.coalesce("r2", F.lit(-1)).alias("r2")))
-        r2, new_distinct = dense_rank_scalable(paired, ["r", "r2"],
-                                               out="nr", with_count=True)
+        r2, n_distinct = dense_rank_scalable(paired, ["r", "r2"],
+                                             out="nr", with_count=True)
         r = (r2.select(id_col, "pos", F.col("nr").alias("r"))
              .localCheckpoint(eager=True))
-        if new_distinct == n_distinct:
-            break  # stable: remaining ties are genuinely equal suffixes
-        n_distinct = new_distinct
         k *= 2
     return r.select(id_col, F.col("pos").cast("int").alias("pos"),
                     F.col("r").cast("long").alias("suffix_rank"))

@@ -148,3 +148,23 @@ class TestEquidepthScaleForm:
             g = {(r.v, r.id): r.b for r in got.collect()}
             r_ = {(r.v, r.id): r.b for r in ref.collect()}
             assert g == r_, n
+
+
+class TestSuffixRanksScaleRegression:
+    def test_sf01_matches_python_suffix_sort(self, spark):
+        """Regression for the unsound 'no new classes this round'
+        termination shortcut: on the sf0.1 corpus refinement pauses
+        for a round and resumes, so the shortcut under-split 527
+        classes (caught by tools/bench_suffix.py's rank-count probe
+        against DuckDB).  Full-corpus parity with a direct Python
+        suffix sort pins the provable termination rule."""
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            suffix_ranks,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        texts = {r.doc_id: r.text for r in
+                 docs.select("doc_id", "text").collect()}
+        got = {(r.doc_id, r.pos): r.suffix_rank
+               for r in suffix_ranks(docs).collect()}
+        assert got == _ref_ranks(texts)
