@@ -171,3 +171,15 @@ class TestPagerank:
         import pytest as _pt
         with _pt.raises(ValueError, match="damping_pct"):
             pagerank(df, damping_pct=100)
+
+    def test_no_window_no_cartesian_in_plan(self, spark):
+        """One iteration = one edge equi-join + one dst aggregate:
+        no Window operator, no cartesian anywhere."""
+        from dystonse_gtfs_importer_spark.operators.graph import pagerank
+
+        edges = [(i, (i + 3) % 11) for i in range(11)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = pagerank(df, n_iter=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

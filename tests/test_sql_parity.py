@@ -440,3 +440,25 @@ class TestJsonExtraction:
                                   ("other", 1, 1, 3)]
         finally:
             spark.catalog.dropTempView("events")
+
+
+class TestIntdivParity:
+    """d.intdiv must agree cross-engine on the non-negative range it
+    documents (Spark DIV truncates, DuckDB // floors — equal for
+    non-negative operands)."""
+
+    def test_grid(self, spark):
+        import duckdb
+
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        cases = [(a, b) for a in (0, 1, 7, 84, 10**12, 15 * 10**12)
+                 for b in (1, 2, 3, 100, 1600)]
+        vals = ", ".join(f"({a}, {b})" for a, b in cases)
+        q_s = (f"SELECT {S.SPARK.intdiv('a', 'b')} FROM "
+               f"VALUES {vals} AS t(a, b)")
+        q_d = (f"SELECT {S.DUCKDB.intdiv('a', 'b')} FROM "
+               f"(VALUES {vals}) t(a, b)")
+        got_s = [r[0] for r in spark.sql(q_s).collect()]
+        got_d = [r[0] for r in duckdb.sql(q_d).fetchall()]
+        assert got_s == got_d == [a // b for a, b in cases]
