@@ -521,3 +521,183 @@ def q_quality_budget_select_scale(d: S.Dialect,
         )
         {_QB_TAIL.format(budget=budget)}
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights + BM25 retrieval (round 5, second batch)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_common(d: S.Dialect) -> str:
+    """Shared CTE prefix for both DSIR derivations: tokenized docs,
+    the hashed-unigram feature stream, and the bucket log-ratio table.
+
+    Hashed n-gram importance resampling (DSIR, Xie et al. 2023):
+    features are word unigrams hashed into ``DSIR_BUCKETS`` buckets;
+    the per-bucket importance log-ratio compares add-one-smoothed
+    feature probabilities of the TARGET corpus (``lang = 'en'``)
+    against the BACKGROUND (everything else).
+
+    Cross-engine determinism: the ratio itself is built from exact
+    integer counts with only IEEE ``*``/``/`` double ops (bit-exact
+    in both engines); ``LN`` (libm, ulp-risky) touches ONLY the
+    bucket table — ``DSIR_BUCKETS`` values, each rounded once to
+    integer ten-thousandths — and every per-document number after
+    that is pure BIGINT arithmetic, so accumulation order can never
+    flip a hash."""
+    b = DSIR_BUCKETS
+    tgt = DSIR_TARGET_LANG
+    # 8 hex chars < 2**32, so hex_to_bigint never overflows; both
+    # engines' % on non-negative operands agree
+    bucket = f"({d.hex_to_bigint('SUBSTR(MD5(tok), 1, 8)')} % {b})"
+    return f"""docs AS (
+            SELECT doc_id, lang, {d.token_array('text')} AS toks
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, lang, {bucket} AS bucket
+            FROM (
+                SELECT doc_id, lang, {d.explode_arr('toks')} AS tok
+                FROM docs
+            ) t
+        ),
+        counts AS (
+            SELECT bucket,
+                   SUM(CASE WHEN lang = '{tgt}' THEN 1 ELSE 0 END) AS c_t,
+                   SUM(CASE WHEN lang = '{tgt}' THEN 0 ELSE 1 END) AS c_b
+            FROM toks GROUP BY bucket
+        ),
+        tot AS (
+            SELECT SUM(c_t) AS t_tot, SUM(c_b) AS g_tot FROM counts
+        ),
+        ratio AS (
+            SELECT bucket,
+                   CAST(ROUND(LN(((c_t + 1.0) * (g_tot + {b}))
+                                 / ((c_b + 1.0) * (t_tot + {b})))
+                              * 1e4) AS BIGINT) AS lr_e4
+            FROM counts CROSS JOIN tot
+        )"""
+
+
+def q_dsir_weights(d: S.Dialect) -> str:
+    """DSIR importance weight per document — the scale derivation.
+
+    Per-document hashed-unigram counts aggregate FIRST (map-side
+    combine over (doc_id, bucket) — the fact shuffle carries at most
+    ``docs x DSIR_BUCKETS`` rows, usually far fewer), then one
+    broadcast join against the {DSIR_BUCKETS}-row log-ratio table and
+    an integer dot product per document.  At 100 TB: one fact pass
+    builds the bucket table (vocabulary-free — the hash space is
+    fixed), a second pass scores; both joins broadcast.  Documents
+    with no tokens keep weight 0 via the LEFT JOIN."""
+    return f"""
+        WITH {_dsir_common(d)},
+        dbc AS (
+            SELECT doc_id, bucket, COUNT(*) AS n
+            FROM toks GROUP BY doc_id, bucket
+        ),
+        scored AS (
+            SELECT dbc.doc_id, SUM(dbc.n * r.lr_e4) AS w_e4
+            FROM dbc JOIN ratio r ON r.bucket = dbc.bucket
+            GROUP BY dbc.doc_id
+        )
+        SELECT dd.doc_id, dd.lang,
+               CAST({d.arr_len('dd.toks')} AS BIGINT) AS n_tok,
+               CAST(COALESCE(s.w_e4, 0) AS BIGINT) AS dsir_weight_e4
+        FROM docs dd
+        LEFT JOIN scored s ON s.doc_id = dd.doc_id
+    """
+
+
+def q_dsir_weights_oracle(d: S.Dialect) -> str:
+    """Textbook DSIR derivation (the oracle side): every token row
+    joins the log-ratio table directly and the per-document sum runs
+    over the raw token stream — no per-(doc, bucket) pre-aggregation.
+    Hash-matching :func:`q_dsir_weights` proves the map-side-combine
+    rewrite is semantics-preserving."""
+    return f"""
+        WITH {_dsir_common(d)},
+        scored AS (
+            SELECT t.doc_id, SUM(r.lr_e4) AS w_e4
+            FROM toks t JOIN ratio r ON r.bucket = t.bucket
+            GROUP BY t.doc_id
+        )
+        SELECT dd.doc_id, dd.lang,
+               CAST({d.arr_len('dd.toks')} AS BIGINT) AS n_tok,
+               CAST(COALESCE(s.w_e4, 0) AS BIGINT) AS dsir_weight_e4
+        FROM docs dd
+        LEFT JOIN scored s ON s.doc_id = dd.doc_id
+    """
+
+
+BM25_TERMS = ("merge", "batch", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_bm25_topk(d: S.Dialect, k: int = BM25_TOPK) -> str:
+    """BM25 top-k retrieval (Robertson/Zaragoza) for a fixed term set
+    — the retrieval scorer a RAG / dedup-by-query pipeline runs over
+    the corpus.  Uses the positive idf form
+    ``LN(1 + (N - df + 0.5) / (df + 0.5))``.
+
+    Scale shape: the token explode filters to the query terms BEFORE
+    any shuffle (the per-(doc, term) aggregate only ever sees matching
+    tokens); ``df``/``idf`` live in a terms-sized table (broadcast);
+    the final top-k is ORDER BY + LIMIT — TakeOrderedAndProject, per-
+    partition heaps, no global sort.  Determinism: ``LN`` is confined
+    to the per-term idf (rounded once to integer 1e-4 units); each
+    (doc, term) contribution rounds the IEEE-exact double factor to
+    BIGINT before the per-doc sum, so the sum is integer-exact in any
+    accumulation order."""
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, {d.token_array('text')} AS toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, CAST({d.arr_len('toks')} AS BIGINT) AS dl
+            FROM docs
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM sized
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id, {d.explode_arr('toks')} AS tok FROM docs
+            ) t
+            WHERE tok IN ({terms})
+            GROUP BY doc_id, tok
+        ),
+        idf AS (
+            SELECT tok,
+                   CAST(ROUND(LN(1 + (st.n_docs - df + 0.5) / (df + 0.5))
+                              * 1e4) AS BIGINT) AS idf_e4
+            FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok) f
+            CROSS JOIN stats st
+        ),
+        contrib AS (
+            SELECT tf.doc_id,
+                   CAST(ROUND(i.idf_e4 * (tf.tf * ({BM25_K1} + 1))
+                              / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                                 + {BM25_B} * sz.dl / st.avgdl)))
+                        AS BIGINT) AS c_e4
+            FROM tf
+            JOIN idf i ON i.tok = tf.tok
+            JOIN sized sz ON sz.doc_id = tf.doc_id
+            CROSS JOIN stats st
+        )
+        SELECT doc_id,
+               CAST(SUM(c_e4) AS BIGINT) AS bm25_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM contrib
+        GROUP BY doc_id
+        ORDER BY bm25_e4 DESC, doc_id
+        LIMIT {k}
+    """

@@ -2508,6 +2508,17 @@ QUERIES: dict[str, QueryDef] = {
         q_corpus_report,
         "corpus health report: volume/quality/dup-rate per "
         "source×lang"),
+    # round-5 second batch: data-selection + retrieval scorers
+    "dsir_weights": _sql_cross_pair(
+        SAMP.q_dsir_weights,
+        SAMP.q_dsir_weights_oracle,
+        "selection-dsir hashed-unigram importance log-ratio weights "
+        "(per-(doc,bucket) map-side-combine scale derivation vs raw "
+        "token-stream oracle)"),
+    "bm25_topk": _sql_pair(
+        SAMP.q_bm25_topk,
+        "retrieval-bm25 fixed-term top-k (TakeOrdered, "
+        "terms-sized idf broadcast)"),
 }
 
 
@@ -2543,18 +2554,18 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
     "repetition_signals",
-    # 4 twice-witnessed entries (green r3 AND r4) completing the window
+    # 2 twice-witnessed entries (green r3 AND r4) completing the window
     "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
-    "cosine_near_dup",
-    "pricing_summary",
     # round-5 additions witnessed this round
     "simhash64_near_pairs",
     "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
     "span_dedup", "quality_gate",
     "asof_join_tolerance", "doc_chunking", "posting_lists", "pmi_pairs",
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
+    "dsir_weights", "bm25_topk",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 20 twice-witnessed entries displaced by the round-5 rotation
+    # 22 twice-witnessed entries displaced by the round-5 rotation
+    "cosine_near_dup", "pricing_summary",
     "ecdf_curve", "ecdf_curve_focused", "curve_stack_stats",
     "hourly_event_stats", "ann_ivf_topk", "semdedup_keep",
     "ann_lsh_topk",

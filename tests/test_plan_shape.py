@@ -792,6 +792,43 @@ class TestRound5AdditionPlans:
         # the tolerance comparison appears in the join, before the agg
         assert "abs(" in plan.lower(), plan
 
+    def test_dsir_ratio_table_broadcasts(self, spark, sf_smoke):
+        """The 256-row bucket log-ratio table must broadcast to the
+        per-(doc, bucket) fact side (never a shuffled join on the
+        token stream), and the per-doc scoring sum must partial-
+        aggregate map-side before its exchange."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(SAMP.q_dsir_weights(S.SPARK)))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+    def test_bm25_topk_is_take_ordered(self, spark, sf_smoke):
+        """The final top-k must be TakeOrderedAndProject (per-partition
+        heaps), never a global Sort; the terms-sized idf table joins
+        broadcast."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(SAMP.q_bm25_topk(S.SPARK)))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+
 
 class TestRuntimeBloomFilter:
     """Runtime bloom-filter join pruning (semi-join reduction): with a
