@@ -17,7 +17,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions import sql_shared as S
-from ..operators.dedup import dedup_keep_canonical, minhash_lsh_pairs
+from ..operators.dedup import (
+    dedup_keep_canonical,
+    grouped_split,
+    minhash_lsh_pairs,
+)
 
 
 def annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -104,3 +108,106 @@ def corpus_report(docs: DataFrame, cleaned: DataFrame) -> dict:
         "avg_quality": float(agg.avg_quality) if agg.avg_quality else None,
         "total_tokens": int(agg.total_tokens) if agg.total_tokens else 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# Training-set preparation: DSIR weighting + leakage-safe split +
+# weight-ordered budget selection (round 5, second batch)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def dsir_weight(docs: DataFrame, is_target: F.Column,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DataFrame form of hashed-unigram importance resampling (DSIR,
+    Xie et al. 2023) — annotates ``docs`` with ``dsir_weight_e4``.
+
+    Same math as ``functions/sampling_sql.q_dsir_weights`` (the
+    driver-verified SQL rendering; parity pinned in test_corpus):
+    word unigrams hash into a FIXED ``buckets``-wide feature space, a
+    single conditional-aggregate pass builds the add-one-smoothed
+    target/background log-ratio table (corpus-size-independent →
+    broadcast), and each document's weight is the integer dot product
+    of its per-bucket counts with the once-rounded integer 1e-4
+    log-ratios — BIGINT-exact under any accumulation order, so
+    weights reproduce bit-identically across retries/partitionings.
+
+    ``is_target`` is any boolean Column over ``docs`` (a lang label, a
+    source allowlist, a classifier verdict...)."""
+    b = int(buckets)
+    toks = (docs
+            .select(F.col(id_col),
+                    is_target.cast("boolean").alias("_tgt"),
+                    F.explode(F.expr(
+                        S.SPARK.token_array(text_col))).alias("tok"))
+            .withColumn("bucket", F.expr(
+                f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) "
+                f"AS BIGINT) % {b}")))
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("c_b"))
+    tot = counts.agg(F.sum("c_t").alias("t_tot"),
+                     F.sum("c_b").alias("g_tot"))
+    ratio = (counts.crossJoin(F.broadcast(tot))
+             .select("bucket", F.expr(
+                 f"CAST(ROUND(LN(((c_t + 1.0) * (g_tot + {b})) "
+                 f"/ ((c_b + 1.0) * (t_tot + {b}))) * 1e4) AS BIGINT)"
+             ).alias("lr_e4")))
+    dbc = toks.groupBy(id_col, "bucket").agg(F.count("*").alias("n"))
+    scored = (dbc.join(F.broadcast(ratio), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("n") * F.col("lr_e4")).alias("_w")))
+    return (docs.join(scored, id_col, "left")
+            .withColumn("dsir_weight_e4",
+                        F.coalesce(F.col("_w"), F.lit(0)).cast("long"))
+            .drop("_w"))
+
+
+def prepare_training_set(docs: DataFrame, target_lang: str = "en",
+                         token_budget: int | None = None,
+                         split_seed: str = "split1",
+                         embeddings: DataFrame | None = None,
+                         **clean_kwargs) -> DataFrame:
+    """The full selection flow downstream of cleaning — what a
+    pretraining run consumes:
+
+    1. ``clean_corpus`` (exact dedup → near-dup tiers → annotation →
+       quality gate);
+    2. DSIR importance weights against the ``target_lang`` corpus;
+    3. leakage-safe train/valid/test split, atomic per exact-
+       normalized fingerprint family (near-dups were already removed
+       in step 1, so the remaining families are the exact-dup
+       survivors);
+    4. optional per-source token budget, filled best-DSIR-first
+       (``kept`` marks the selected set; the budget applies to the
+       TRAIN split only — eval sets stay complete).
+
+    Steps 2-4 add one fixed-size broadcast join, one map-only hash
+    split, and one per-(source, split) window over budget-ranked
+    survivors — nothing quadratic, nothing collected.  If one
+    (source, split) cell could outgrow a partition, swap the window
+    for the score-band prefix-sum decomposition of
+    ``sampling_sql.q_quality_budget_select_scale`` (same trick keyed
+    by ``dsir_weight_e4`` bands)."""
+    cleaned = clean_corpus(docs, embeddings=embeddings, **clean_kwargs)
+    weighted = dsir_weight(cleaned, F.col("lang") == target_lang)
+    fam = F.expr(
+        "md5(trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', ''), ' +', ' ')))")
+    split = grouped_split(weighted.withColumn("_fam", fam), "_fam",
+                          seed=split_seed).drop("_fam")
+    if token_budget is None:
+        return split.withColumn("kept", F.lit(1))
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("source", "split")
+         .orderBy(F.col("dsir_weight_e4").desc(), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return split.withColumn(
+        "kept",
+        F.when(F.col("split") != "train", F.lit(1))
+         .when(cum <= F.lit(token_budget), F.lit(1))
+         .otherwise(F.lit(0)))

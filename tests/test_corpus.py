@@ -128,3 +128,86 @@ class TestCleanCorpus:
         only = clean_corpus(docs, lang="en", min_quality=0.0, min_tokens=0)
         langs = {r.lang_pred for r in only.select("lang_pred").distinct().collect()}
         assert langs <= {"en"}
+
+
+class TestDsirWeightOperator:
+    def test_parity_with_sql_rendering(self, spark, sf_smoke):
+        """The DataFrame form must agree bit-for-bit with the
+        driver-verified SQL rendering (same corpus, same target)."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.plans.corpus import dsir_weight
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        full = load_table(spark, sf_smoke, "documents")
+        full.createOrReplaceTempView("documents")
+        try:
+            sql_rows = sorted(
+                (r.doc_id, r.dsir_weight_e4)
+                for r in spark.sql(SAMP.q_dsir_weights(S.SPARK)).collect())
+        finally:
+            spark.catalog.dropTempView("documents")
+        df_rows = sorted(
+            (r.doc_id, r.dsir_weight_e4)
+            for r in dsir_weight(full, F.col("lang") == "en")
+            .select("doc_id", "dsir_weight_e4").collect())
+        assert sql_rows == df_rows
+
+    def test_ratio_table_broadcasts_in_plan(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.plans.corpus import dsir_weight
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        full = load_table(spark, sf_smoke, "documents")
+        plan = dsir_weight(full, F.col("lang") == "en") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+class TestPrepareTrainingSet:
+    def test_end_to_end_invariants(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            prepare_training_set,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        full = load_table(spark, sf_smoke, "documents")
+        out = prepare_training_set(full, token_budget=500).cache()
+        rows = out.collect()
+        assert rows, "selection produced an empty training set"
+        # annotation + selection columns all present
+        for c in ("lang_pred", "quality", "n_tokens",
+                  "dsir_weight_e4", "split", "kept"):
+            assert c in out.columns, out.columns
+        # eval splits are never budget-trimmed
+        assert all(r.kept == 1 for r in rows if r.split != "train")
+        # the train budget holds per source
+        by_src: dict = {}
+        for r in rows:
+            if r.split == "train" and r.kept == 1:
+                by_src[r.source] = by_src.get(r.source, 0) + r.n_tokens
+        assert all(v <= 500 for v in by_src.values()), by_src
+        # within a source, every kept train doc out-weighs (or ties at
+        # the id tie-break) every dropped one — best-DSIR-first
+        for src in by_src:
+            kept_min = min((r.dsir_weight_e4 for r in rows
+                            if r.split == "train" and r.kept == 1
+                            and r.source == src), default=None)
+            dropped_max = max((r.dsir_weight_e4 for r in rows
+                               if r.split == "train" and r.kept == 0
+                               and r.source == src), default=None)
+            if kept_min is not None and dropped_max is not None:
+                assert kept_min >= dropped_max - 0, (src, kept_min,
+                                                     dropped_max)
+
+    def test_no_budget_keeps_everything(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            prepare_training_set,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        full = load_table(spark, sf_smoke, "documents")
+        out = prepare_training_set(full)
+        assert out.where(F.col("kept") != 1).count() == 0
