@@ -16,7 +16,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+# the driver gate runs at sf0.01; override to time a query
+# cross-engine at another scale (e.g. .bench_sf1 / .bench_sf10)
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_DIR", "/root/testdata/sf0.01")
 
 
 def canon_value(v) -> str:
