@@ -592,7 +592,13 @@ def q_dsir_weights(d: S.Dialect) -> str:
     an integer dot product per document.  At 100 TB: one fact pass
     builds the bucket table (vocabulary-free — the hash space is
     fixed), a second pass scores; both joins broadcast.  Documents
-    with no tokens keep weight 0 via the LEFT JOIN."""
+    with no tokens keep weight 0 via the LEFT JOIN.
+
+    Spark inlines CTEs, so this rendering would tokenize once per
+    consuming branch — the registry's Spark entry is the persisted
+    single-tokenize DataFrame pipeline ``plans/corpus.py::
+    dsir_weight`` (same contract, hash-identical); this rendering is
+    the shared semantic spec and the plan-shape test subject."""
     return f"""
         WITH {_dsir_common(d)},
         dbc AS (

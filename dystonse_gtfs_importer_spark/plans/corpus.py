@@ -120,22 +120,32 @@ DSIR_BUCKETS = 256
 
 def dsir_weight(docs: DataFrame, is_target: F.Column,
                 text_col: str = "text", id_col: str = "doc_id",
-                buckets: int = DSIR_BUCKETS) -> DataFrame:
+                buckets: int = DSIR_BUCKETS,
+                n_tok_col: str | None = None) -> DataFrame:
     """DataFrame form of hashed-unigram importance resampling (DSIR,
-    Xie et al. 2023) — annotates ``docs`` with ``dsir_weight_e4``.
+    Xie et al. 2023) — annotates ``docs`` with ``dsir_weight_e4``
+    (and, if ``n_tok_col`` is given, the token count).
 
-    Same math as ``functions/sampling_sql.q_dsir_weights`` (the
-    driver-verified SQL rendering; parity pinned in test_corpus):
-    word unigrams hash into a FIXED ``buckets``-wide feature space, a
-    single conditional-aggregate pass builds the add-one-smoothed
-    target/background log-ratio table (corpus-size-independent →
-    broadcast), and each document's weight is the integer dot product
+    Same math as ``functions/sampling_sql.q_dsir_weights`` (parity
+    pinned in test_corpus): word unigrams hash into a FIXED
+    ``buckets``-wide feature space, the add-one-smoothed target/
+    background log-ratio table is corpus-size-independent →
+    broadcast, and each document's weight is the integer dot product
     of its per-bucket counts with the once-rounded integer 1e-4
     log-ratios — BIGINT-exact under any accumulation order, so
     weights reproduce bit-identically across retries/partitionings.
 
+    Fact-scan discipline: the corpus is tokenized ONCE — the
+    per-(doc, bucket) count table (persisted, ≤ docs×buckets rows)
+    feeds BOTH the ratio-table derivation (re-aggregation, no second
+    corpus pass) and the scoring dot product; the final join back to
+    ``docs`` reads no text.
+
     ``is_target`` is any boolean Column over ``docs`` (a lang label, a
-    source allowlist, a classifier verdict...)."""
+    source allowlist, a classifier verdict...); NULL counts as
+    background, matching the SQL form's CASE."""
+    from pyspark.storagelevel import StorageLevel
+
     b = int(buckets)
     toks = (docs
             .select(F.col(id_col),
@@ -145,9 +155,13 @@ def dsir_weight(docs: DataFrame, is_target: F.Column,
             .withColumn("bucket", F.expr(
                 f"CAST(conv(substring(md5(tok), 1, 8), 16, 10) "
                 f"AS BIGINT) % {b}")))
-    counts = toks.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_t"),
-        F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).alias("c_b"))
+    # _tgt is constant per document, so grouping by it costs nothing
+    dbc = (toks.groupBy(id_col, "_tgt", "bucket")
+           .agg(F.count("*").alias("n"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    counts = dbc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("n")).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("_tgt"), 0).otherwise(F.col("n"))).alias("c_b"))
     tot = counts.agg(F.sum("c_t").alias("t_tot"),
                      F.sum("c_b").alias("g_tot"))
     ratio = (counts.crossJoin(F.broadcast(tot))
@@ -155,14 +169,17 @@ def dsir_weight(docs: DataFrame, is_target: F.Column,
                  f"CAST(ROUND(LN(((c_t + 1.0) * (g_tot + {b})) "
                  f"/ ((c_b + 1.0) * (t_tot + {b}))) * 1e4) AS BIGINT)"
              ).alias("lr_e4")))
-    dbc = toks.groupBy(id_col, "bucket").agg(F.count("*").alias("n"))
     scored = (dbc.join(F.broadcast(ratio), "bucket")
               .groupBy(id_col)
-              .agg(F.sum(F.col("n") * F.col("lr_e4")).alias("_w")))
-    return (docs.join(scored, id_col, "left")
-            .withColumn("dsir_weight_e4",
-                        F.coalesce(F.col("_w"), F.lit(0)).cast("long"))
-            .drop("_w"))
+              .agg(F.sum(F.col("n") * F.col("lr_e4")).alias("_w"),
+                   F.sum("n").alias("_nt")))
+    out = (docs.join(scored, id_col, "left")
+           .withColumn("dsir_weight_e4",
+                       F.coalesce(F.col("_w"), F.lit(0)).cast("long")))
+    if n_tok_col is not None:
+        out = out.withColumn(
+            n_tok_col, F.coalesce(F.col("_nt"), F.lit(0)).cast("long"))
+    return out.drop("_w", "_nt")
 
 
 def prepare_training_set(docs: DataFrame, target_lang: str = "en",

@@ -2276,6 +2276,95 @@ def _bigram_lm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("avg_logp")))
 
 
+def _dsir_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry Spark side of ``dsir_weights``: the single-tokenize
+    DataFrame pipeline (plans/corpus.py::dsir_weight) instead of the
+    pure-SQL rendering — Spark inlines CTEs, so the SQL form
+    re-tokenizes the corpus for the ratio-table and scoring branches
+    (measured 61.7 s vs 26 s at 500 k docs).  Output contract matches
+    ``sampling_sql.q_dsir_weights`` exactly; the DuckDB oracle runs
+    the textbook raw-token-stream derivation."""
+    import pyspark.sql.functions as F
+
+    from ..session import configure_for_oracle
+    from .corpus import dsir_weight
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    raw = spark.table("documents").select("doc_id", "lang", "text")
+    par = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    out = dsir_weight(raw, F.col("lang") == SAMP.DSIR_TARGET_LANG,
+                      n_tok_col="n_tok")
+    return out.select("doc_id", "lang", "n_tok", "dsir_weight_e4")
+
+
+def _bm25_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry Spark side of ``bm25_topk``: ONE tokenize pass
+    computes (dl, per-query-term tf) as whole-stage-codegen array
+    scans — no corpus-wide token explode for a |terms|-sized query,
+    and the persisted table is docs × (2 + |terms|) longs (the SQL
+    rendering's two ``docs`` consumers each re-tokenize under Spark's
+    CTE inlining, and its tf branch explodes every token).  Same
+    arithmetic as ``sampling_sql.q_bm25_topk`` — integer 1e-4 idf,
+    per-(doc, term) contribution rounded to BIGINT pre-sum,
+    TakeOrdered top-k."""
+    import pyspark.sql.functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    d = S.SPARK
+    raw = spark.table("documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    # one map-only pass: document length + per-query-term counts as
+    # array scans (no 10^8-row token explode for a 3-term query)
+    def _tf_expr(i: int, term: str):
+        # single-param lambda: a second param would make PySpark pass
+        # the element INDEX as the next argument
+        return (F.size(F.filter("toks", lambda t: t == F.lit(term)))
+                .cast("long").alias(f"_tf{i}"))
+
+    tf_exprs = [_tf_expr(i, term)
+                for i, term in enumerate(SAMP.BM25_TERMS)]
+    sized = (raw.select("doc_id",
+                        F.expr(d.token_array("text")).alias("toks"))
+             .select("doc_id", F.size("toks").cast("long").alias("dl"),
+                     *tf_exprs)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    stats = sized.agg(F.count("*").alias("n_docs"),
+                      F.avg("dl").alias("avgdl"))
+    stack_args = ", ".join(
+        f"'{term}', _tf{i}" for i, term in enumerate(SAMP.BM25_TERMS))
+    tf = (sized.select(
+        "doc_id", "dl",
+        F.expr(f"stack({len(SAMP.BM25_TERMS)}, {stack_args}) "
+               "AS (tok, tf)"))
+        .where(F.col("tf") > 0))
+    idf = (tf.groupBy("tok").agg(F.count("*").alias("df"))
+           .crossJoin(F.broadcast(stats))
+           .select("tok", F.expr(
+               "CAST(ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+               "* 1e4) AS BIGINT)").alias("idf_e4")))
+    contrib = (tf.join(F.broadcast(idf), "tok")
+               .crossJoin(F.broadcast(stats))
+               .select("doc_id", F.expr(
+                   f"CAST(ROUND(idf_e4 * (tf * ({SAMP.BM25_K1} + 1)) "
+                   f"/ (tf + {SAMP.BM25_K1} * (1 - {SAMP.BM25_B} "
+                   f"+ {SAMP.BM25_B} * dl / avgdl))) AS BIGINT)")
+                   .alias("c_e4")))
+    return (contrib.groupBy("doc_id")
+            .agg(F.sum("c_e4").cast("long").alias("bm25_e4"),
+                 F.count("*").cast("long").alias("n_terms_hit"))
+            .orderBy(F.col("bm25_e4").desc(), "doc_id")
+            .limit(SAMP.BM25_TOPK))
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
@@ -2509,16 +2598,17 @@ QUERIES: dict[str, QueryDef] = {
         "corpus health report: volume/quality/dup-rate per "
         "source×lang"),
     # round-5 second batch: data-selection + retrieval scorers
-    "dsir_weights": _sql_cross_pair(
-        SAMP.q_dsir_weights,
-        SAMP.q_dsir_weights_oracle,
-        "selection-dsir hashed-unigram importance log-ratio weights "
-        "(per-(doc,bucket) map-side-combine scale derivation vs raw "
-        "token-stream oracle)"),
-    "bm25_topk": _sql_pair(
-        SAMP.q_bm25_topk,
-        "retrieval-bm25 fixed-term top-k (TakeOrdered, "
-        "terms-sized idf broadcast)"),
+    "dsir_weights": QueryDef(
+        spark=_dsir_weights_spark,
+        oracle=SAMP.q_dsir_weights_oracle(S.DUCKDB),
+        survey_ref="selection-dsir hashed-unigram importance "
+                   "log-ratio weights (single-tokenize DataFrame "
+                   "pipeline vs raw token-stream oracle)"),
+    "bm25_topk": QueryDef(
+        spark=_bm25_topk_spark,
+        oracle=SAMP.q_bm25_topk(S.DUCKDB),
+        survey_ref="retrieval-bm25 fixed-term top-k (single-tokenize "
+                   "pipeline; TakeOrdered, terms-sized idf broadcast)"),
 }
 
 
