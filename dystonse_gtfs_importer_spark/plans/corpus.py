@@ -228,3 +228,26 @@ def prepare_training_set(docs: DataFrame, target_lang: str = "en",
         F.when(F.col("split") != "train", F.lit(1))
          .when(cum <= F.lit(token_budget), F.lit(1))
          .otherwise(F.lit(0)))
+
+
+def selection_report(selected: DataFrame) -> dict:
+    """Accounting of a ``prepare_training_set`` run (driver-sized
+    scalars): per split — documents seen/kept, tokens kept, and the
+    kept-set DSIR weight range.  One aggregate job."""
+    rows = (selected.groupBy("split").agg(
+        F.count("*").alias("docs"),
+        F.sum("kept").alias("docs_kept"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_tokens"))
+              .otherwise(0)).alias("tokens_kept"),
+        F.min(F.when(F.col("kept") == 1, F.col("dsir_weight_e4")))
+        .alias("w_min_e4"),
+        F.max(F.when(F.col("kept") == 1, F.col("dsir_weight_e4")))
+        .alias("w_max_e4")).collect())
+    return {r.split: {
+        "docs": r.docs,
+        "docs_kept": int(r.docs_kept),
+        "tokens_kept": int(r.tokens_kept),
+        "dsir_weight_e4_range": (
+            None if r.w_min_e4 is None
+            else (int(r.w_min_e4), int(r.w_max_e4))),
+    } for r in rows}

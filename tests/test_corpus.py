@@ -211,3 +211,22 @@ class TestPrepareTrainingSet:
         full = load_table(spark, sf_smoke, "documents")
         out = prepare_training_set(full)
         assert out.where(F.col("kept") != 1).count() == 0
+
+    def test_selection_report(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            prepare_training_set,
+            selection_report,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        full = load_table(spark, sf_smoke, "documents")
+        out = prepare_training_set(full, token_budget=500)
+        rep = selection_report(out)
+        assert set(rep) <= {"train", "valid", "test"} and "train" in rep
+        for split, r in rep.items():
+            assert r["docs_kept"] <= r["docs"]
+            if split != "train":
+                assert r["docs_kept"] == r["docs"]
+            if r["dsir_weight_e4_range"] is not None:
+                lo, hi = r["dsir_weight_e4_range"]
+                assert lo <= hi
