@@ -620,3 +620,75 @@ def q_kmeans_lloyd2(d: S.Dialect) -> str:
         FROM sizes s JOIN fp f ON f.cell = s.cell
         ORDER BY s.cell
     """
+
+
+def q_embedding_norm_outliers(d: S.Dialect) -> str:
+    """Per-label embedding health screen: the unit-norm check (mean
+    L2 norm in milli-units — a well-normalized encoder reports 1000
+    with zero spread) plus per-DIMENSION component outlier counts
+    (cells more than 2 standard deviations from their (label, dim)
+    mean) — the cheap first-pass a vector pipeline runs before
+    trusting embeddings for retrieval/dedup; degenerate encoders show
+    up as off-unit norms or heavy-tailed component columns.
+
+    Determinism: the per-row norm and each component are rounded ONCE
+    to integer units, so all moments are exact integer sums
+    (order-free in both engines); mean/stddev/threshold come from
+    single-expression IEEE arithmetic over exact integer operands —
+    identical doubles on both sides.  ``n*s2 - s1*s1`` stays
+    BIGINT-exact while per-(label, dim) row counts stay below ~10^6
+    at e6 component scaling; beyond that, a DECIMAL accumulator.
+
+    Scale shape: one explode-by-dimension aggregate — the shuffle
+    carries |labels|·{DIM} moment cells regardless of corpus size
+    — then the tiny stats table BROADCASTS back over a second
+    map-only scan.  No window over the fact table, no all-pairs."""
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, label,
+                   {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT label, COUNT(*) AS n_vec,
+                   SUM(CAST(ROUND(SQRT({d.arr_dot('emb', 'emb')}) * 1e3)
+                            AS BIGINT)) AS s_norm
+            FROM cv GROUP BY label
+        ),
+        comp AS (
+            SELECT label, i.i AS dim,
+                   CAST(ROUND({d.arr_get('emb', 'i.i')} * 1e6)
+                        AS BIGINT) AS x_e6
+            FROM cv CROSS JOIN {d.series(DIM)} i
+        ),
+        agg AS (
+            SELECT label, dim, COUNT(*) AS n,
+                   SUM(x_e6) AS s1, SUM(x_e6 * x_e6) AS s2
+            FROM comp GROUP BY label, dim
+        ),
+        stats AS (
+            SELECT label, dim,
+                   CAST(s1 AS DOUBLE) / n AS mean_d,
+                   SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS sd_d
+            FROM agg
+        ),
+        flagged AS (
+            SELECT c.label,
+                   CASE WHEN ABS(CAST(c.x_e6 AS DOUBLE) - st.mean_d)
+                             > 2.0 * st.sd_d
+                        THEN 1 ELSE 0 END AS o
+            FROM comp c
+            JOIN stats st ON st.label = c.label AND st.dim = c.dim
+        ),
+        cells AS (
+            SELECT label, COUNT(*) AS n_cells, SUM(o) AS n_out
+            FROM flagged GROUP BY label
+        )
+        SELECT n.label,
+               CAST(n.n_vec AS BIGINT) AS n_vec,
+               CAST(ROUND(CAST(n.s_norm AS DOUBLE) / n.n_vec) AS BIGINT)
+                   AS mean_norm_e3,
+               CAST(c.n_cells AS BIGINT) AS n_cells,
+               CAST(c.n_out AS BIGINT) AS n_outlier_cells
+        FROM norms n JOIN cells c ON c.label = n.label
+    """

@@ -707,3 +707,164 @@ def q_bm25_topk(d: S.Dialect, k: int = BM25_TOPK) -> str:
         ORDER BY bm25_e4 DESC, doc_id
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus distribution profiling: per-source KL divergence and Zipf slope
+# ---------------------------------------------------------------------------
+
+def _kl_common(d: S.Dialect) -> str:
+    """Shared CTEs for the per-source unigram KL divergence: one
+    tokenize+explode fact pass, then everything downstream runs over
+    the vocabulary-sized ``(source, tok)`` count table.
+
+    Cross-engine determinism follows the DSIR recipe: all
+    probabilities come from exact integer counts, ``LN`` (the only
+    libm call) touches each ``(source, tok)`` cell exactly once and is
+    rounded once to integer micro-nats — every later step is integer
+    arithmetic plus one final exact-operand division, so accumulation
+    order can never flip a hash."""
+    return f"""docs AS (
+            SELECT doc_id, source, {d.token_array('text')} AS toks
+            FROM documents
+        ),
+        toks AS (
+            SELECT source, {d.explode_arr('toks')} AS tok FROM docs
+        ),
+        sw AS (
+            SELECT source, tok, COUNT(*) AS c
+            FROM toks GROUP BY source, tok
+        ),
+        s_tot AS (
+            SELECT source, SUM(c) AS n_s, COUNT(*) AS vocab_s
+            FROM sw GROUP BY source
+        ),
+        w_tot AS (
+            SELECT tok, SUM(c) AS c_w FROM sw GROUP BY tok
+        ),
+        g_tot AS (SELECT SUM(c) AS n_g FROM sw),
+        lnr AS (
+            -- CAST AS DOUBLE, not "* 1.0": Spark types a 1.0 literal
+            -- as DECIMAL and the decimal division truncates the ratio
+            -- before LN sees it (DuckDB's 1.0 is a double — the two
+            -- engines would diverge in the 7th digit)
+            SELECT sw.source, sw.tok, sw.c,
+                   CAST(ROUND(LN((CAST(sw.c AS DOUBLE) * g.n_g)
+                                 / (CAST(st.n_s AS DOUBLE) * w.c_w))
+                              * 1e6)
+                        AS BIGINT) AS ln_e6
+            FROM sw
+            JOIN s_tot st ON st.source = sw.source
+            JOIN w_tot w ON w.tok = sw.tok
+            CROSS JOIN g_tot g
+        )"""
+
+
+def q_source_kl_divergence(d: S.Dialect) -> str:
+    """KL(source ‖ corpus) of unigram distributions, per source — the
+    standard distribution-shift screen before mixing corpora into a
+    training set (cf. the DSIR importance-weight derivation, which
+    uses the same log-ratio machinery per document).
+
+    Scale shape: the ONE fact pass is tokenize→explode→partial-count;
+    the shuffle carries at most ``|vocab| x |sources|`` rows (map-side
+    combine collapses per-document repeats).  Every CTE after ``sw``
+    is vocabulary-sized, so the joins broadcast and the final per-
+    source reduce is over integer cells.  At 100 TB this is one fact
+    scan + vocab-sized bookkeeping; BIGINT headroom note: ``c *
+    ln_e6`` stays below 2^63 while per-source token counts stay below
+    ~10^11 — beyond that, drop to e4 scaling or a DECIMAL
+    accumulator."""
+    return f"""
+        WITH {_kl_common(d)},
+        terms AS (
+            SELECT source, SUM(c * ln_e6) AS s_e6
+            FROM lnr GROUP BY source
+        )
+        SELECT st.source,
+               CAST(st.n_s AS BIGINT) AS n_tok,
+               CAST(st.vocab_s AS BIGINT) AS vocab,
+               CAST(ROUND(CAST(t.s_e6 AS DOUBLE) / st.n_s) AS BIGINT) AS kl_e6
+        FROM s_tot st JOIN terms t ON t.source = st.source
+    """
+
+
+def q_source_kl_divergence_oracle(d: S.Dialect) -> str:
+    """Textbook KL derivation (the oracle side): every token
+    OCCURRENCE joins the per-(source, tok) log-ratio and the
+    per-source sum runs over the raw token stream.  Hash-matching
+    :func:`q_source_kl_divergence` proves the count-weighted
+    (map-side-combine) rewrite is semantics-preserving."""
+    return f"""
+        WITH {_kl_common(d)},
+        occ AS (
+            SELECT t.source, l.ln_e6
+            FROM toks t
+            JOIN lnr l ON l.source = t.source AND l.tok = t.tok
+        ),
+        terms AS (
+            SELECT source, SUM(ln_e6) AS s_e6 FROM occ GROUP BY source
+        )
+        SELECT st.source,
+               CAST(st.n_s AS BIGINT) AS n_tok,
+               CAST(st.vocab_s AS BIGINT) AS vocab,
+               CAST(ROUND(CAST(t.s_e6 AS DOUBLE) / st.n_s) AS BIGINT) AS kl_e6
+        FROM s_tot st JOIN terms t ON t.source = st.source
+    """
+
+
+ZIPF_MAX_RANK = 1000
+
+
+def q_zipf_slope(d: S.Dialect, max_rank: int = ZIPF_MAX_RANK) -> str:
+    """Zipf rank-frequency slope per language: least-squares fit of
+    ``ln(freq)`` against ``ln(rank)`` over the top-{ZIPF_MAX_RANK}
+    vocabulary head (natural corpora sit near slope −1; a corpus that
+    doesn't is synthetic, templated, or broken — a cheap corpus-health
+    check alongside [[lang_id]]/quality scoring).
+
+    Determinism: both ``LN`` values are rounded once to integer
+    milli-units per (lang, rank) point; the regression moments are
+    then EXACT integer sums (order-free), and the slope is one
+    double division over exact operands.  Tied frequencies may swap
+    ranks between tokens, but the (rank, freq) point SET — and hence
+    every moment — is invariant under any tie order.
+
+    Scale shape: one tokenize fact pass → (lang, tok) partial counts;
+    the rank window runs per-lang over vocabulary-sized data and the
+    head filter bounds the regression to {ZIPF_MAX_RANK} points per
+    lang, so moments never overflow BIGINT."""
+    return f"""
+        WITH docs AS (
+            SELECT lang, {d.token_array('text')} AS toks FROM documents
+        ),
+        tf AS (
+            SELECT lang, tok, COUNT(*) AS freq
+            FROM (SELECT lang, {d.explode_arr('toks')} AS tok FROM docs) t
+            GROUP BY lang, tok
+        ),
+        ranked AS (
+            SELECT lang, freq,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY freq DESC, tok ASC) AS rnk
+            FROM tf
+        ),
+        pts AS (
+            SELECT lang,
+                   CAST(ROUND(LN(rnk) * 1e3) AS BIGINT) AS x_e3,
+                   CAST(ROUND(LN(freq) * 1e3) AS BIGINT) AS y_e3
+            FROM ranked WHERE rnk <= {max_rank}
+        ),
+        agg AS (
+            SELECT lang, COUNT(*) AS n,
+                   SUM(x_e3) AS sx, SUM(y_e3) AS sy,
+                   SUM(x_e3 * y_e3) AS sxy, SUM(x_e3 * x_e3) AS sxx
+            FROM pts GROUP BY lang
+        )
+        SELECT lang,
+               CAST(n AS BIGINT) AS vocab_ranks,
+               CAST(ROUND((n * sxy - sx * sy) * 1e4
+                          / (n * sxx - sx * sx)) AS BIGINT)
+                   AS zipf_slope_e4
+        FROM agg WHERE n >= 2
+    """

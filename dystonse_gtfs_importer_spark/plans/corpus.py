@@ -251,3 +251,45 @@ def selection_report(selected: DataFrame) -> dict:
             None if r.w_min_e4 is None
             else (int(r.w_min_e4), int(r.w_max_e4))),
     } for r in rows}
+
+
+def source_kl(docs: DataFrame, group_col: str = "source",
+              text_col: str = "text") -> DataFrame:
+    """Per-group unigram KL(group ‖ corpus) — the distribution-shift
+    screen run before mixing corpora into a training set.  DataFrame
+    form of ``functions/sampling_sql.q_source_kl_divergence`` (same
+    integer micro-nat contract; parity pinned in test_corpus).
+
+    Fact-scan discipline: the corpus is tokenized ONCE — the persisted
+    ``(group, tok)`` count table feeds the group totals, the token
+    totals, the grand total, AND the log-ratio cells (the SQL
+    rendering's CTEs would each re-tokenize under Spark inlining).
+    Everything after the one fact shuffle is vocabulary-sized; the
+    group-level and grand totals broadcast.  ``LN`` is rounded once
+    per (group, tok) cell to integer micro-nats, so the final reduce
+    is BIGINT-exact under any accumulation order."""
+    from pyspark.storagelevel import StorageLevel
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.expr(S.SPARK.token_array(text_col))).alias("tok"))
+    sw = (toks.groupBy("grp", "tok").agg(F.count("*").alias("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    s_tot = sw.groupBy("grp").agg(F.sum("c").alias("n_s"),
+                                  F.count("*").alias("vocab_s"))
+    w_tot = sw.groupBy("tok").agg(F.sum("c").alias("c_w"))
+    g_tot = sw.agg(F.sum("c").alias("n_g"))
+    lnr = (sw.join(F.broadcast(s_tot), "grp")
+           .join(w_tot, "tok")
+           .crossJoin(F.broadcast(g_tot))
+           .select("grp", "n_s", "vocab_s", "c", F.expr(
+               "CAST(ROUND(LN((CAST(c AS DOUBLE) * n_g)"
+               " / (CAST(n_s AS DOUBLE) * c_w)) * 1e6) AS BIGINT)"
+           ).alias("ln_e6")))
+    return (lnr.groupBy("grp", "n_s", "vocab_s")
+            .agg(F.sum(F.col("c") * F.col("ln_e6")).alias("s_e6"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("n_s").cast("long").alias("n_tok"),
+                    F.col("vocab_s").cast("long").alias("vocab"),
+                    F.expr("CAST(ROUND(CAST(s_e6 AS DOUBLE) / n_s)"
+                           " AS BIGINT)").alias("kl_e6")))

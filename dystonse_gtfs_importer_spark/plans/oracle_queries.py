@@ -2300,6 +2300,26 @@ def _dsir_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_tok", "dsir_weight_e4")
 
 
+def _source_kl_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry Spark side of ``source_kl_divergence``: the
+    single-tokenize DataFrame pipeline (plans/corpus.py::source_kl) —
+    Spark inlines CTEs, so the pure-SQL rendering
+    (``sampling_sql.q_source_kl_divergence``, kept as the semantic
+    spec and DuckDB twin) would re-tokenize the corpus once per
+    totals branch.  The DuckDB oracle runs the per-occurrence
+    textbook derivation."""
+    from ..session import configure_for_oracle
+    from .corpus import source_kl
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    raw = spark.table("documents").select("doc_id", "source", "text")
+    par = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < par:
+        raw = raw.repartition(par)
+    return source_kl(raw, group_col="source")
+
+
 def _bm25_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry Spark side of ``bm25_topk``: ONE tokenize pass
     computes (dl, per-query-term tf) as whole-stage-codegen array
@@ -2609,6 +2629,22 @@ QUERIES: dict[str, QueryDef] = {
         oracle=SAMP.q_bm25_topk(S.DUCKDB),
         survey_ref="retrieval-bm25 fixed-term top-k (single-tokenize "
                    "pipeline; TakeOrdered, terms-sized idf broadcast)"),
+    "source_kl_divergence": QueryDef(
+        spark=lambda spark, sf_dir: _source_kl_spark(spark, sf_dir),
+        oracle=SAMP.q_source_kl_divergence_oracle(S.DUCKDB),
+        survey_ref="corpus distribution-shift KL(source‖corpus) — "
+                   "single-tokenize DataFrame pipeline (persisted "
+                   "(source, tok) counts) vs the per-occurrence "
+                   "textbook oracle"),
+    "zipf_slope": _sql_pair(
+        SAMP.q_zipf_slope,
+        "corpus Zipf rank-frequency slope per lang (integer-moment "
+        "least squares over the vocab head)"),
+    "embedding_norm_outliers": _sql_pair(
+        ANN.q_embedding_norm_outliers,
+        "embedding health screen: unit-norm check + per-(label, dim) "
+        "2-sigma component outlier cells (moment shuffle is "
+        "|labels|*dim regardless of corpus size)"),
 }
 
 
@@ -2634,7 +2670,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "histogram_quantiles", "asof_join_salted", "cosine_near_dup_lsh",
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
-    # 25 once-witnessed entries (green in round 4 only)
+    # 24 once-witnessed entries (green in round 4 only;
+    # repetition_signals displaced below the boundary by the round-5
+    # late additions)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
     "salted_join", "bigram_lm_score", "temperature_sample",
@@ -2643,9 +2681,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
-    "repetition_signals",
-    # 2 twice-witnessed entries (green r3 AND r4) completing the window
-    "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
     # round-5 additions witnessed this round
     "simhash64_near_pairs",
     "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
@@ -2653,8 +2688,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "asof_join_tolerance", "doc_chunking", "posting_lists", "pmi_pairs",
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
     "dsir_weights", "bm25_topk",
+    # round-5 late additions: corpus profiling + embedding screening
+    "source_kl_divergence", "zipf_slope", "embedding_norm_outliers",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 22 twice-witnessed entries displaced by the round-5 rotation
+    # entries displaced by the round-5 rotation: the late additions
+    # above push repetition_signals (once-witnessed, green r4) and the
+    # two twice-witnessed ecdf JVM twins (green r3 AND r4) below the
+    # boundary — every displaced entry keeps >= 1 driver-green row.
+    "repetition_signals", "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
+    # 22 twice-witnessed entries displaced earlier in round 5
     "cosine_near_dup", "pricing_summary",
     "ecdf_curve", "ecdf_curve_focused", "curve_stack_stats",
     "hourly_event_stats", "ann_ivf_topk", "semdedup_keep",

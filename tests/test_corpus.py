@@ -230,3 +230,53 @@ class TestPrepareTrainingSet:
             if r["dsir_weight_e4_range"] is not None:
                 lo, hi = r["dsir_weight_e4_range"]
                 assert lo <= hi
+
+
+class TestSourceKlOperator:
+    def test_parity_with_sql_rendering(self, spark, sf_smoke):
+        """The single-tokenize DataFrame form must agree bit-for-bit
+        with the SQL semantic spec on the same corpus."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.plans.corpus import source_kl
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        full = load_table(spark, sf_smoke, "documents")
+        full.createOrReplaceTempView("documents")
+        try:
+            sql_rows = sorted(map(tuple, spark.sql(
+                SAMP.q_source_kl_divergence(S.SPARK)).collect()))
+        finally:
+            spark.catalog.dropTempView("documents")
+        df_rows = sorted(map(tuple, source_kl(full).collect()))
+        assert sql_rows == df_rows
+        # a KL of exactly 0 for every source would mean the statistic
+        # is degenerate on this corpus — require real signal
+        assert any(r[3] > 0 for r in df_rows)
+
+    def test_single_tokenize_and_broadcast_totals(self, spark, sf_smoke):
+        """The corpus must be tokenized once (the persisted count
+        table feeds every totals branch) and the group/grand totals
+        must broadcast — never a re-scan per CTE consumer."""
+        from dystonse_gtfs_importer_spark.plans.corpus import source_kl
+        from dystonse_gtfs_importer_spark.sources.testdata import load_table
+
+        spark.catalog.clearCache()
+        full = load_table(spark, sf_smoke, "documents")
+        try:
+            out = source_kl(full)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # all four count-table consumers (group totals, token
+            # totals, grand total, log-ratio cells) read the CACHE —
+            # the tokenize runs once at first materialization.  (The
+            # tokenize expression still appears once per scan because
+            # each InMemoryTableScan reprints the cached plan.)
+            assert plan.count("InMemoryTableScan") == 4, plan
+            assert "BroadcastHashJoin" in plan, plan
+            assert "CartesianProduct" not in plan, plan
+            # the only nested-loop site is the 1-row grand-total
+            assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+        finally:
+            spark.catalog.clearCache()

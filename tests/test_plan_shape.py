@@ -865,3 +865,54 @@ class TestRuntimeBloomFilter:
             spark.conf.set(
                 "spark.sql.optimizer.runtime.bloomFilter."
                 "applicationSideScanSizeThreshold", "10GB")
+
+
+class TestCorpusProfilingShapes:
+    """Round-5 late additions: Zipf slope and embedding outlier
+    screen must keep their vocabulary-/cell-sized shuffle shapes."""
+
+    def test_zipf_slope_window_over_vocab_only(self, spark, sf_smoke):
+        """The rank window runs over the AGGREGATED (lang, tok)
+        frequency table — after the partial-agg fact shuffle, never
+        over the raw token stream — and nothing goes quadratic."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(SAMP.q_zipf_slope(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        # map-side combine before the (lang, tok) exchange
+        assert "partial_count" in plan or "partial" in plan, plan
+        # the window consumes the aggregate's output — exactly one
+        # Window node; the rnk <= max_rank head filter pushes down as
+        # WindowGroupLimit so per-lang partitions carry only the head
+        assert plan.count("Window [") == 1, plan
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_embedding_outliers_broadcast_back(self, spark, sf_smoke):
+        """Moment cells aggregate once ((label, dim) keyed — bounded
+        by |labels|*dim); the stats join back to the component scan
+        must be a broadcast, and the only nested-loop site is the
+        constant dimension-index range build."""
+        from dystonse_gtfs_importer_spark.functions import (
+            ann_sql as ANN,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(ANN.q_embedding_norm_outliers(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # constant 64-row dim-range builds only (cv x series)
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
