@@ -888,6 +888,9 @@ class TestCorpusProfilingShapes:
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+        # tokenize must be explode+WHERE, not the filter() HOF (a
+        # whole-stage-codegen fallback, ~1.6x slower at 500 k docs)
+        assert "lambdafunction" not in plan, plan
         # map-side combine before the (lang, tok) exchange
         assert "partial_count" in plan or "partial" in plan, plan
         # the window consumes the aggregate's output — exactly one
