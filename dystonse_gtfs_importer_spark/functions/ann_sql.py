@@ -608,7 +608,9 @@ def q_kmeans_lloyd2(d: S.Dialect) -> str:
         a1 AS {pick('cv', 'c1n')},
         m2 AS {means('a1')},
         fp AS (
-            SELECT cell, SUM(CAST(ROUND(mv * 1e6) AS BIGINT)) AS cent_fp
+            SELECT cell,
+                   CAST(SUM(CAST(ROUND(mv * 1e6) AS BIGINT)) AS BIGINT)
+                       AS cent_fp
             FROM m2 GROUP BY cell
         ),
         sizes AS (
@@ -635,9 +637,13 @@ def q_embedding_norm_outliers(d: S.Dialect) -> str:
     to integer units, so all moments are exact integer sums
     (order-free in both engines); mean/stddev/threshold come from
     single-expression IEEE arithmetic over exact integer operands —
-    identical doubles on both sides.  ``n*s2 - s1*s1`` stays
-    BIGINT-exact while per-(label, dim) row counts stay below ~10^6
-    at e6 component scaling; beyond that, a DECIMAL accumulator.
+    identical doubles on both sides.  Components scale at e3 (norms
+    at e3 too): with |x| <= 1 (unit-norm encoders) ``x_e3`` is at
+    most 1e3, so ``n*s2 - s1*s1 <= n^2 * 1e6`` stays BIGINT-exact up
+    to n ~ 3e6 rows per (label, dim) — e6 scaling overflowed int64 at
+    n ~ 3e3 worst case, silently wrapping under non-ANSI Spark while
+    DuckDB widened to HUGEINT.  Beyond 3e6 per label, accumulate s2
+    as DECIMAL(38,0).
 
     Scale shape: one explode-by-dimension aggregate — the shuffle
     carries |labels|·{DIM} moment cells regardless of corpus size
@@ -657,13 +663,14 @@ def q_embedding_norm_outliers(d: S.Dialect) -> str:
         ),
         comp AS (
             SELECT label, i.i AS dim,
-                   CAST(ROUND({d.arr_get('emb', 'i.i')} * 1e6)
-                        AS BIGINT) AS x_e6
+                   CAST(ROUND({d.arr_get('emb', 'i.i')} * 1e3)
+                        AS BIGINT) AS x_e3
             FROM cv CROSS JOIN {d.series(DIM)} i
         ),
         agg AS (
             SELECT label, dim, COUNT(*) AS n,
-                   SUM(x_e6) AS s1, SUM(x_e6 * x_e6) AS s2
+                   CAST(SUM(x_e3) AS BIGINT) AS s1,
+                   CAST(SUM(x_e3 * x_e3) AS BIGINT) AS s2
             FROM comp GROUP BY label, dim
         ),
         stats AS (
@@ -674,7 +681,7 @@ def q_embedding_norm_outliers(d: S.Dialect) -> str:
         ),
         flagged AS (
             SELECT c.label,
-                   CASE WHEN ABS(CAST(c.x_e6 AS DOUBLE) - st.mean_d)
+                   CASE WHEN ABS(CAST(c.x_e3 AS DOUBLE) - st.mean_d)
                              > 2.0 * st.sd_d
                         THEN 1 ELSE 0 END AS o
             FROM comp c

@@ -575,8 +575,10 @@ def _dsir_common(d: S.Dialect) -> str:
         ),
         ratio AS (
             SELECT bucket,
-                   CAST(ROUND(LN(((c_t + 1.0) * (g_tot + {b}))
-                                 / ((c_b + 1.0) * (t_tot + {b})))
+                   CAST(ROUND(LN(((CAST(c_t AS DOUBLE) + 1.0)
+                                  * (g_tot + {b}))
+                                 / ((CAST(c_b AS DOUBLE) + 1.0)
+                                    * (t_tot + {b})))
                               * 1e4) AS BIGINT) AS lr_e4
             FROM counts CROSS JOIN tot
         )"""
@@ -683,7 +685,8 @@ def q_bm25_topk(d: S.Dialect, k: int = BM25_TOPK) -> str:
         ),
         idf AS (
             SELECT tok,
-                   CAST(ROUND(LN(1 + (st.n_docs - df + 0.5) / (df + 0.5))
+                   CAST(ROUND(LN(1 + (CAST(st.n_docs - df AS DOUBLE) + 0.5)
+                                     / (CAST(df AS DOUBLE) + 0.5))
                               * 1e4) AS BIGINT) AS idf_e4
             FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok) f
             CROSS JOIN stats st

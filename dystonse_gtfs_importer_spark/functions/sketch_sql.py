@@ -261,7 +261,8 @@ def q_histogram_quantiles(d: S.Dialect,
               ON r.vrk = CAST(CEIL(q.p * r.n) AS BIGINT)
             GROUP BY q.p
         )
-        SELECT CAST(ROUND(p.p * 100) AS INT) AS pct, p.n,
+        SELECT CAST(ROUND(p.p * 100) AS INT) AS pct,
+               CAST(p.n AS BIGINT) AS n,
                CAST(ROUND((p.bin * {w}
                      + (p.p * p.n - (p.cum - p.cnt)) / p.cnt * {w})
                      * 1e6) AS BIGINT) AS est_micros,

@@ -87,6 +87,14 @@ class Dialect:
         """Aggregate: array of ``val`` ordered by ``ord_col``."""
         raise NotImplementedError
 
+    def ordered_list_csv(self, val: str, ord_col: str,
+                         sep: str = ",") -> str:
+        """Aggregate: ``val`` rendered to string, ordered by
+        ``ord_col``, joined with ``sep`` — the driver-hashable scalar
+        form of :meth:`ordered_list` (array cells crash the driver's
+        pandas canonicalizer and hash engine-dependently)."""
+        raise NotImplementedError
+
     def token_array(self, text: str) -> str:
         """Array of non-empty lowercase whitespace tokens."""
         raise NotImplementedError
@@ -164,7 +172,11 @@ class SparkDialect(Dialect):
         return f"(SELECT explode(sequence(0, {n - 1})) AS {col})"
 
     def explode_range(self, n_expr: str) -> str:
-        return f"explode(sequence(0, ({n_expr}) - 1))"
+        # sequence(0, n-1) DESCENDS for n <= 0 in Spark (sequence(0,-1)
+        # = [0, -1]) where DuckDB's range(n<=0) is empty — slice to
+        # max(n, 0) elements so both engines emit nothing for empties
+        return (f"explode(slice(sequence(0, greatest(({n_expr}) - 1, 0)), "
+                f"1, greatest(({n_expr}), 0)))")
 
     def explode_tokens(self, text: str) -> str:
         return f"explode(split(lower({text}), ' +'))"
@@ -191,6 +203,12 @@ class SparkDialect(Dialect):
     def ordered_list(self, val: str, ord_col: str) -> str:
         return (f"transform(array_sort(collect_list("
                 f"struct({ord_col} AS o, {val} AS v))), x -> x.v)")
+
+    def ordered_list_csv(self, val: str, ord_col: str,
+                         sep: str = ",") -> str:
+        return (f"array_join(transform(array_sort(collect_list("
+                f"struct({ord_col} AS o, {val} AS v))), "
+                f"x -> CAST(x.v AS STRING)), '{sep}')")
 
     def token_array(self, text: str) -> str:
         return f"filter(split(lower({text}), ' +'), t -> t <> '')"
@@ -284,6 +302,11 @@ class DuckDBDialect(Dialect):
 
     def ordered_list(self, val: str, ord_col: str) -> str:
         return f"list({val} ORDER BY {ord_col})"
+
+    def ordered_list_csv(self, val: str, ord_col: str,
+                         sep: str = ",") -> str:
+        return (f"string_agg(CAST({val} AS VARCHAR), '{sep}' "
+                f"ORDER BY {ord_col})")
 
     def token_array(self, text: str) -> str:
         return (f"list_filter(string_split_regex(lower({text}), ' +'), "

@@ -76,7 +76,14 @@ def dense_rank_scalable(df: DataFrame, cols: list[str],
     ) if offsets else F.create_map()
     ranked = d.select(
         *cols, (F.col("__lr") + off[F.col("__pid")]).cast("long").alias(out))
-    joined = df.join(ranked, cols, "left")
+    # eqNullSafe, not bare column equality: a NULL key tuple WAS
+    # ranked (NULLS FIRST), but a null-unsafe equi-join would hand
+    # its source rows a NULL rank instead of the rank it earned
+    cond = None
+    for c in cols:
+        term = df[c].eqNullSafe(ranked[c])
+        cond = term if cond is None else cond & term
+    joined = df.join(ranked, cond, "left").drop(*[ranked[c] for c in cols])
     return (joined, acc) if with_count else joined
 
 

@@ -167,10 +167,17 @@ def dsir_weight(docs: DataFrame, is_target: F.Column,
         F.sum(F.when(F.col("_tgt"), 0).otherwise(F.col("n"))).alias("c_b"))
     tot = counts.agg(F.sum("c_t").alias("t_tot"),
                      F.sum("c_b").alias("g_tot"))
+    # CAST AS DOUBLE before the smoothing arithmetic: Spark types the
+    # bare `c_t + 1.0` as DECIMAL and the division as decimal(38,6),
+    # quantizing the ratio to 6 decimals before LN — DuckDB evaluates
+    # the same text as pure IEEE double, so lr_e4 could diverge by a
+    # whole unit on background-skewed buckets
     ratio = (counts.crossJoin(F.broadcast(tot))
              .select("bucket", F.expr(
-                 f"CAST(ROUND(LN(((c_t + 1.0) * (g_tot + {b})) "
-                 f"/ ((c_b + 1.0) * (t_tot + {b}))) * 1e4) AS BIGINT)"
+                 f"CAST(ROUND(LN(((CAST(c_t AS DOUBLE) + 1.0) "
+                 f"* (g_tot + {b})) "
+                 f"/ ((CAST(c_b AS DOUBLE) + 1.0) "
+                 f"* (t_tot + {b}))) * 1e4) AS BIGINT)"
              ).alias("lr_e4")))
     scored = (dbc.join(F.broadcast(ratio), "bucket")
               .groupBy(id_col)

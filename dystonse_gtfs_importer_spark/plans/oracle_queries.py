@@ -936,7 +936,9 @@ def q_doc_chunking(d: S.Dialect) -> str:
 
 def q_posting_lists(d: S.Dialect) -> str:
     """Positional inverted index over the corpus: one row per
-    (token, document) with the ordered 0-based token positions — the
+    (token, document) with the ordered 0-based token positions
+    (CSV-rendered: array cells crash the driver's pandas
+    canonicalizer, and arrays hash engine-dependently) — the
     posting representation phrase search and span lookup need.  Every
     row is bounded by a single document's length (whole-corpus
     doc-list rows would concentrate the df-heavy tokens into
@@ -965,7 +967,7 @@ def q_posting_lists(d: S.Dialect) -> str:
     return f"""
         WITH pos AS ({pos})
         SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
-               {d.ordered_list('i', 'i')} AS positions
+               {d.ordered_list_csv('i', 'i')} AS positions_csv
         FROM pos GROUP BY token, doc_id
     """
 
@@ -2018,9 +2020,11 @@ def q_corpus_report(d: S.Dialect) -> str:
         ),
         fam AS (SELECT fp, COUNT(*) AS n FROM base GROUP BY fp)
         SELECT b.source, b.lang, COUNT(*) AS n_docs,
-               SUM(b.n_tokens) AS total_tokens,
-               SUM(CAST(ROUND(b.q * 1e6) AS BIGINT)) AS q_micros_sum,
-               SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS n_dup_docs
+               CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(ROUND(b.q * 1e6) AS BIGINT)) AS BIGINT)
+                   AS q_micros_sum,
+               CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
         FROM base b JOIN fam f ON b.fp = f.fp
         GROUP BY b.source, b.lang
         ORDER BY b.source, b.lang
@@ -2031,7 +2035,8 @@ _JSONL_FIXTURE = str(Path(__file__).resolve().parents[2]
                      / "tests" / "data" / "documents.jsonl")
 
 _JSONL_ORACLE = f"""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
     FROM read_json('{_JSONL_FIXTURE}',
                    format='newline_delimited',
@@ -2369,7 +2374,12 @@ def _bm25_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = (tf.groupBy("tok").agg(F.count("*").alias("df"))
            .crossJoin(F.broadcast(stats))
            .select("tok", F.expr(
-               "CAST(ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+               # CAST AS DOUBLE: bare `df + 0.5` is DECIMAL on Spark
+               # and the division decimal(38,6) — 6-decimal
+               # quantization before LN that DuckDB (pure double)
+               # doesn't apply, flipping idf_e4 near .5 boundaries
+               "CAST(ROUND(LN(1 + (CAST(n_docs - df AS DOUBLE) + 0.5) "
+               "/ (CAST(df AS DOUBLE) + 0.5)) "
                "* 1e4) AS BIGINT)").alias("idf_e4")))
     contrib = (tf.join(F.broadcast(idf), "tok")
                .crossJoin(F.broadcast(stats))
