@@ -2659,30 +2659,36 @@ QUERIES: dict[str, QueryDef] = {
 
 
 # ---------------------------------------------------------------------------
-# Driver exposure order — FROZEN round 5 (rotated per VERDICT r4 #1).
+# Driver exposure order — FROZEN round 6.
 #
 # The driver's CORRECTNESS snapshot records only the FIRST 50 entries of
-# queries() dict order.  Round-4 rotation witnessed the 26 entries rounds
-# 1-3 had left outside the window (25 green; histogram_quantiles red on a
-# float-hash boundary, now integer-hardened).  Round 5 rotates the 8
-# still-unwitnessed names to the front: histogram_quantiles (for its first
-# GREEN driver row) plus the 7 round-4 appendees that were registered after
-# the r4 freeze.  They displace 7 twice-witnessed entries (green in r3 AND
-# r4) below the boundary.  After a green round 5, every registered query
-# has a driver-green row at least once across rounds.  Do NOT insert new
-# names anywhere above the "-- window boundary --" marker mid-round; new
-# round-5 queries may be inserted at the END of the window (displacing
-# further twice-witnessed entries) only before the round-5 freeze.
+# queries() dict order.  Rounds 4 and 5 rotated every then-registered
+# query through the window (r5: 48/50 green; histogram_quantiles red on
+# a DuckDB HUGEINT→float64 leak, posting_lists crashed the driver's
+# canonicalizer on an array cell — both fixed this round).  Round 6
+# front-loads the 13 entries with no driver-GREEN row yet: those two
+# plus the 11 round-5 late registrations that trailed the registry
+# (suffix/corpus/kmeans/jsonl families, registered after the r5
+# freeze).  They displace 11 once-witnessed r5-green entries below the
+# boundary.  After a green round 6, every registered query again has a
+# driver-green row at least once across rounds.  Do NOT insert new
+# names anywhere above the "-- window boundary --" marker mid-round;
+# new round-6 queries may be inserted at the END of the window
+# (displacing further multiply-witnessed entries) only before the
+# round-6 freeze.
 # tests/test_sql_parity.py::test_registry_window_frozen pins this.
 # ---------------------------------------------------------------------------
 REGISTRY_ORDER: tuple[str, ...] = (
-    # 8 entries never driver-witnessed green through round 4
-    "histogram_quantiles", "asof_join_salted", "cosine_near_dup_lsh",
+    # 13 entries with no driver-green row through round 5
+    "histogram_quantiles", "posting_lists",
+    "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
+    "token_entropy", "bpe_token_histogram", "kmeans_lloyd2",
+    "kmeans_clusters", "leakage_safe_split", "quality_budget_select",
+    "jsonl_scan", "corpus_report",
+    # once-witnessed entries (green in round 5), r5-window order
+    "asof_join_salted", "cosine_near_dup_lsh",
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
-    # 24 once-witnessed entries (green in round 4 only;
-    # repetition_signals displaced below the boundary by the round-5
-    # late additions)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
     "salted_join", "bigram_lm_score", "temperature_sample",
@@ -2691,20 +2697,17 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
-    # round-5 additions witnessed this round
     "simhash64_near_pairs",
     "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
     "span_dedup", "quality_gate",
-    "asof_join_tolerance", "doc_chunking", "posting_lists", "pmi_pairs",
+    # -- window boundary: entries below are outside the driver snapshot --
+    # 11 once-witnessed entries displaced by the round-6 rotation
+    # (all green in CORRECTNESS_r05)
+    "asof_join_tolerance", "doc_chunking", "pmi_pairs",
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
     "dsir_weights", "bm25_topk",
-    # round-5 late additions: corpus profiling + embedding screening
     "source_kl_divergence", "zipf_slope", "embedding_norm_outliers",
-    # -- window boundary: entries below are outside the driver snapshot --
-    # entries displaced by the round-5 rotation: the late additions
-    # above push repetition_signals (once-witnessed, green r4) and the
-    # two twice-witnessed ecdf JVM twins (green r3 AND r4) below the
-    # boundary — every displaced entry keeps >= 1 driver-green row.
+    # entries displaced by the round-5 rotation
     "repetition_signals", "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
     # 22 twice-witnessed entries displaced earlier in round 5
     "cosine_near_dup", "pricing_summary",

@@ -331,13 +331,15 @@ class TestRegistryWindow:
         # append (after the window), never displace the first 50
         assert tuple(names[: len(oq.REGISTRY_ORDER)]) == oq.REGISTRY_ORDER
         window = set(names[: oq.DRIVER_WINDOW])
-        # round-5 rotation: the 8 entries with no driver-green row
-        # through round 4 lead the window (VERDICT r4 next-round #1)
+        # round-6 rotation: the 13 entries with no driver-green row
+        # through round 5 lead the window (2 fixed reds + the 11
+        # post-freeze round-5 registrations)
         must_witness = {
-            "histogram_quantiles", "asof_join_salted",
-            "cosine_near_dup_lsh", "json_props_stats",
-            "json_key_histogram", "label_centroid_stats",
-            "knn_label_agreement", "interval_join_bucketed",
+            "histogram_quantiles", "posting_lists",
+            "suffix_ranks", "equidepth_histogram_scale",
+            "repeated_spans", "token_entropy", "bpe_token_histogram",
+            "kmeans_lloyd2", "kmeans_clusters", "leakage_safe_split",
+            "quality_budget_select", "jsonl_scan", "corpus_report",
         }
         assert must_witness <= window
 
