@@ -699,3 +699,117 @@ def q_embedding_norm_outliers(d: S.Dialect) -> str:
                CAST(c.n_out AS BIGINT) AS n_outlier_cells
         FROM norms n JOIN cells c ON c.label = n.label
     """
+
+
+PCA_ITERS = 3
+
+
+def q_pca_power_iter(d: S.Dialect, iters: int = PCA_ITERS) -> str:
+    """Leading principal component of the embedding cloud by POWER
+    ITERATION over the exact integer scatter matrix — the spectral
+    health check (and whitening/decorrelation input) an embedding
+    pipeline runs corpus-wide: a healthy encoder spreads variance;
+    one dominant component means collapsed representations.
+
+    Math: with components rounded once to e3 integers, the n²-scaled
+    centered scatter ``A[i][j] = n·Σx_i x_j − (Σx_i)(Σx_j)`` is
+    BIGINT-exact (|x_e3| ≤ 1e3 ⇒ |A| ≤ n²·1e6: int64-safe to
+    n ~ 3e6 vectors, DECIMAL beyond).  ``v₀ = 1/8`` uniform (exact:
+    unit norm at DIM=64); each iteration is one matvec + normalize.
+    Determinism: every Σ over doubles is a LEFT-ASSOCIATED fold of a
+    dim-ORDERED array (``arr_fsum``/``ordered_list``) — never a
+    parallel SUM — and v is re-quantized to e9 integers after each
+    normalize, so both engines iterate identical vectors bit for bit.
+    Output: (dim, v_e6 component, lambda_micro) where lambda_micro is
+    the Rayleigh quotient in micro-units of original variance.
+
+    Scale shape: the scatter build is ONE pass — a map-side DIM×DIM
+    expansion per vector (no self-join on vec_id, nothing shuffles
+    but the 4096 moment cells) with partial aggregation; the
+    iterations run on the 4096-row A and 64-row v — driver-scale
+    tables regardless of corpus size.  (As rendered SQL the engine
+    may re-expand the scan per matvec CTE reference; the production
+    DataFrame form persists the moment table — semantics identical.)
+
+    Sign is pinned by the iteration itself (v₀ all-positive), not by
+    an eigensolver's arbitrary choice."""
+    x_i = f"CAST(ROUND({d.arr_get('emb', 'i.i')} * 1e3) AS BIGINT)"
+    x_j = f"CAST(ROUND({d.arr_get('emb', 'j.i')} * 1e3) AS BIGINT)"
+    prev = "CAST(0.125 AS DOUBLE)"  # v0: exact 1/8, unit at DIM=64
+    steps = []
+    for k in range(1, iters + 1):
+        vk = (f"(CAST(v{k - 1}.v_e9 AS DOUBLE) / 1e9)"
+              if k > 1 else prev)
+        join = (f" JOIN v{k - 1} ON v{k - 1}.i = a.j" if k > 1 else "")
+        # the 64-row v table is post-aggregate, so Catalyst can't SIZE
+        # it for auto-broadcast — hint it (comment syntax: DuckDB
+        # ignores it as a plain comment)
+        hint = f"/*+ BROADCAST(v{k - 1}) */ " if k > 1 else ""
+        steps.append(f"""
+        r{k} AS (
+            SELECT {hint}a.i AS i,
+                   {d.arr_fsum(d.ordered_list(f'a.a * {vk}', 'a.j'))}
+                       AS r
+            FROM amat a{join}
+            GROUP BY a.i
+        ),
+        n{k} AS (
+            SELECT SQRT({d.arr_fsum(d.ordered_list('r * r', 'i'))})
+                       AS nv
+            FROM r{k}
+        ),
+        v{k} AS (
+            SELECT i, CAST(ROUND(r / nv * 1e9) AS BIGINT) AS v_e9
+            FROM r{k} CROSS JOIN n{k}
+        )""")
+    last = f"v{iters}"
+    vfin = f"(CAST({last}.v_e9 AS DOUBLE) / 1e9)"
+    return f"""
+        WITH cv AS (
+            SELECT {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT i.i AS i, j.i AS j, {x_i} AS xi, {x_j} AS xj
+            FROM cv
+            CROSS JOIN {d.series(DIM)} i
+            CROSS JOIN {d.series(DIM)} j
+        ),
+        mom AS (
+            SELECT i, j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xi) AS BIGINT) AS si,
+                   CAST(SUM(xj) AS BIGINT) AS sj,
+                   CAST(SUM(xi * xj) AS BIGINT) AS sij
+            FROM cells GROUP BY i, j
+        ),
+        amat AS (
+            SELECT i, j, CAST(n * sij - si * sj AS DOUBLE) AS a, n
+            FROM mom
+        ),{",".join(steps)},
+        ray AS (
+            SELECT /*+ BROADCAST(vi, vj) */ {d.arr_fsum(d.ordered_list(
+                f'a.a * (CAST(vj.v_e9 AS DOUBLE) / 1e9) '
+                f'* (CAST(vi.v_e9 AS DOUBLE) / 1e9)', 'a.i * 64 + a.j'))}
+                       AS num,
+                   MAX(a.n) AS n_vec
+            FROM amat a
+            JOIN {last} vi ON vi.i = a.i
+            JOIN {last} vj ON vj.i = a.j
+        ),
+        den AS (
+            SELECT {d.arr_fsum(d.ordered_list(
+                f'(CAST(v_e9 AS DOUBLE) / 1e9) '
+                f'* (CAST(v_e9 AS DOUBLE) / 1e9)', 'i'))} AS den
+            FROM {last}
+        )
+        SELECT {last}.i AS dim,
+               CAST(ROUND(CAST({last}.v_e9 AS DOUBLE) / 1e3) AS BIGINT)
+                   AS v_e6,
+               CAST(ROUND(r.num / d2.den
+                          / (CAST(r.n_vec AS DOUBLE)
+                             * CAST(r.n_vec AS DOUBLE))) AS BIGINT)
+                   AS lambda_micro
+        FROM {last} CROSS JOIN ray r CROSS JOIN den d2
+        ORDER BY dim
+    """

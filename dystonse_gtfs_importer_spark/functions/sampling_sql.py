@@ -875,3 +875,115 @@ def q_zipf_slope(d: S.Dialect, max_rank: int = ZIPF_MAX_RANK) -> str:
                    AS zipf_slope_e4
         FROM agg WHERE n >= 2
     """
+
+
+AES_TOPK = 400          # weighted-sample draw size
+AES_U_BITS = 52         # 13 hex chars — largest md5 prefix exact in a double
+
+
+def q_weighted_sample_topk(d: S.Dialect, k: int = AES_TOPK,
+                           seed: str = "aes1") -> str:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-ES one-pass reduction: each row draws a deterministic
+    uniform u from a seeded hash and is ranked by ``ln(u) / w`` (the
+    monotone form of ``u^(1/w)``); the global top-k IS an exact
+    w-weighted sample without replacement.  Weight here is document
+    size (``n_chars + 1``) — the "sample proportional to length"
+    draw a token-budgeted corpus selection makes; any positive weight
+    column drops in.
+
+    Determinism: u is the first 52 BITS of md5 (13 hex chars — the
+    largest prefix exactly representable in an IEEE double), mapped to
+    (0, 1] by an exact power-of-two division; ``LN(u)/w`` is a single
+    IEEE expression over exact operands, rounded once to 1e-12 units
+    (BIGINT) so the ranking key itself is integer; ties break on
+    doc_id.
+
+    Scale shape: map-only key computation + global top-k — Spark
+    plans ORDER BY..LIMIT k as TakeOrderedAndProject (per-partition
+    partial top-k, then a k-row merge on the driver); no full sort,
+    no shuffle of the corpus.  This is THE one-pass distributed
+    weighted-sampling plan: reservoir semantics with no sequential
+    reservoir."""
+    u52 = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('{seed}#', CAST(doc_id AS STRING))), 1, 13)")
+    # (u52 + 1) / 2^52 in (0, 1]: numerator <= 2^52 is double-exact,
+    # the division by a power of two only shifts the exponent
+    u01 = f"(CAST({u52} + 1 AS DOUBLE) / 4503599627370496E0)"
+    key = f"LN({u01}) / CAST(n_chars + 1 AS DOUBLE)"
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ROUND(({key}) * 1e12) AS BIGINT) AS key_e12
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, key_e12
+        FROM keyed
+        ORDER BY key_e12 DESC, doc_id
+        LIMIT {k}
+    """
+
+
+def q_curriculum_schedule(d: S.Dialect, seed: str = "curr1") -> str:
+    """Curriculum training order: every document gets a contiguous
+    global position 0..n-1 ordered by quality band (best band first —
+    the easy-to-hard curriculum), with a seeded shuffle WITHIN each
+    band so same-difficulty documents arrive in random order each
+    seed.  This is the epoch-ordering step after selection: consumers
+    shard ``position`` ranges.
+
+    The quality band reuses :func:`_quality_sized`'s 0.001-wide
+    ``FLOOR(q * -1000)`` bands (monotone with quality DESC — band 
+    order IS curriculum order); within a band the order key is the
+    seeded md5.
+
+    Scale shape (the same two-phase numbering as
+    :func:`q_seeded_shuffle`, keyed finer): positions come from a
+    ROW_NUMBER partitioned by (band, 3-hex bucket) — no partition
+    sees more than ~1/4096 of a band — plus per-(band, bucket)
+    offsets cumulated over the tiny count table.  The oracle
+    (:func:`q_curriculum_schedule_oracle`) is the textbook global
+    window; the hash match proves the two-phase numbering equals it
+    row for row."""
+    h = f"MD5(CONCAT('{seed}#', CAST(doc_id AS STRING)))"
+    return f"""
+        WITH {_quality_sized(d)},
+        keyed AS (
+            SELECT doc_id, band, {h} AS h,
+                   CAST({d.hex_to_bigint(f'SUBSTRING({h}, 1, 3)')}
+                        AS INT) AS bucket
+            FROM sized
+        ),
+        ranked AS (
+            SELECT doc_id, band, bucket, h,
+                   ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                      ORDER BY h, doc_id) AS r
+            FROM keyed
+        ),
+        offsets AS (
+            SELECT band, bucket,
+                   COALESCE(SUM(COUNT(*)) OVER (
+                       ORDER BY band, bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS off
+            FROM keyed GROUP BY band, bucket
+        )
+        SELECT r.doc_id, CAST(r.band AS BIGINT) AS band,
+               CAST(o.off + r.r - 1 AS BIGINT) AS position
+        FROM ranked r
+        JOIN offsets o ON r.band = o.band AND r.bucket = o.bucket
+    """
+
+
+def q_curriculum_schedule_oracle(d: S.Dialect, seed: str = "curr1") -> str:
+    """Cross-derivation reference for :func:`q_curriculum_schedule`:
+    the global single-partition window the Spark side must never run
+    at scale."""
+    h = f"MD5(CONCAT('{seed}#', CAST(doc_id AS STRING)))"
+    return f"""
+        WITH {_quality_sized(d)}
+        SELECT doc_id, CAST(band AS BIGINT) AS band,
+               ROW_NUMBER() OVER (ORDER BY band, {h}, doc_id) - 1
+                   AS position
+        FROM sized
+    """

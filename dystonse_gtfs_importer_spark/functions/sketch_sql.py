@@ -443,3 +443,57 @@ def q_hll_shard_merge(d: S.Dialect, seed: str = "hll1") -> str:
                    AS merge_is_lossless
         FROM nsh CROSS JOIN fin_m fm CROSS JOIN fin_d fd
     """
+
+
+def q_skew_profile(d: S.Dialect) -> str:
+    """Key-skew diagnostic per aggregation domain — the profile you
+    run BEFORE deciding whether a 100 TB groupBy/join needs salting:
+    per event_type, the user_id key-frequency distribution reduced to
+    key count, row count, heaviest-key share (1e-4 units), the
+    Herfindahl concentration index (1e-8 units — 1e8/n_keys for
+    uniform keys, 1e8 for one hot key), and the salt-bucket count the
+    repo's salted operators (operators/skew.py) would need to level
+    the heaviest key down to the mean (``CEIL(max/avg)``).
+
+    Determinism: everything derives from exact integer counts; the two
+    emitted ratios are single IEEE divisions of exact BIGINTs rounded
+    once to integer units.  ``SUM(c*c)`` stays int64-exact while
+    ``rows_total * max_key_rows < 2^63`` per domain (~3e9 x 3e9);
+    beyond that accumulate c*c as DECIMAL(38,0).
+
+    Scale shape: one partial-aggregatable (type, key) groupBy — the
+    only pass over the fact table — then a tiny per-type reduce.  The
+    profile's own aggregation is skew-IMMUNE: the inner groupBy key
+    includes the hot key itself, so its combine happens map-side."""
+    return f"""
+        WITH kc AS (
+            SELECT event_type, user_id, COUNT(*) AS c
+            FROM events
+            WHERE user_id IS NOT NULL
+            GROUP BY event_type, user_id
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(MAX(c) AS BIGINT) AS max_c,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM kc GROUP BY event_type
+        )
+        SELECT event_type,
+               n_keys,
+               n_rows AS rows_total,
+               max_c AS max_key_rows,
+               CAST(ROUND(1e4 * CAST(max_c AS DOUBLE)
+                          / CAST(n_rows AS DOUBLE)) AS BIGINT)
+                   AS top1_share_e4,
+               CAST(ROUND(1e8 * CAST(s2 AS DOUBLE)
+                          / (CAST(n_rows AS DOUBLE)
+                             * CAST(n_rows AS DOUBLE))) AS BIGINT)
+                   AS hhi_e8,
+               CAST(CEIL(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                         / CAST(n_rows AS DOUBLE)) AS BIGINT)
+                   AS salt_buckets
+        FROM agg
+        ORDER BY event_type
+    """

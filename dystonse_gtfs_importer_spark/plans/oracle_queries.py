@@ -2655,6 +2655,27 @@ QUERIES: dict[str, QueryDef] = {
         "embedding health screen: unit-norm check + per-(label, dim) "
         "2-sigma component outlier cells (moment shuffle is "
         "|labels|*dim regardless of corpus size)"),
+    # ---- round-6 additions ----
+    "weighted_sample_topk": _sql_pair(
+        SAMP.q_weighted_sample_topk,
+        "Efraimidis-Spirakis A-ES weighted sampling without "
+        "replacement: seeded-uniform ln(u)/w key, global top-k via "
+        "TakeOrdered (map-only + k-row driver merge, no corpus sort)"),
+    "skew_profile": _sql_pair(
+        SK.q_skew_profile,
+        "key-skew diagnostic per aggregation domain: key/row counts, "
+        "top-1 share, Herfindahl index, recommended salt buckets — "
+        "one partial-agg pass, skew-immune by construction"),
+    "curriculum_schedule": _sql_cross_pair(
+        SAMP.q_curriculum_schedule, SAMP.q_curriculum_schedule_oracle,
+        "quality-banded curriculum training order: two-phase "
+        "(band, bucket) numbering vs the global-window oracle"),
+    "pca_power_iter": _sql_pair(
+        ANN.q_pca_power_iter,
+        "leading principal component by power iteration over the "
+        "exact integer scatter matrix (one corpus pass; iterations "
+        "run on the 4096-cell moment table; deterministic ordered "
+        "folds)"),
 }
 
 
@@ -2697,12 +2718,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
-    "simhash64_near_pairs",
-    "embedding_quantize_int8", "ann_quantized_topk", "random_projection",
-    "span_dedup", "quality_gate",
+    # round-6 additions (registered before the round-6 freeze)
+    "weighted_sample_topk", "skew_profile",
+    "curriculum_schedule", "pca_power_iter",
     # -- window boundary: entries below are outside the driver snapshot --
-    # 11 once-witnessed entries displaced by the round-6 rotation
+    # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
+    "simhash64_near_pairs", "embedding_quantize_int8",
+    "ann_quantized_topk", "random_projection",
+    "span_dedup", "quality_gate",
     "asof_join_tolerance", "doc_chunking", "pmi_pairs",
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
     "dsir_weights", "bm25_topk",
