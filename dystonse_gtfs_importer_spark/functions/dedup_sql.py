@@ -500,3 +500,72 @@ def q_span_dedup(d: S.Dialect, span: int = SPAN_TOKENS) -> str:
         FROM flagged
         GROUP BY doc_id
     """
+
+
+def q_containment_pairs(d: S.Dialect, threshold_e3: int = 600,
+                        max_df: int = 64) -> str:
+    """ASYMMETRIC near-dup detection: fingerprint containment
+    ``|fp(A) ∩ fp(B)| / |fp(A)|`` over the winnowing sketches — the
+    relation Jaccard misses when one document quotes or extends
+    another (a long page containing a short page scores near-zero
+    Jaccard but containment ~1 for the short side).  Emits ordered
+    (contained, container) pairs with containment ≥ threshold (1e-3
+    units) and at least 2 shared fingerprints; both directions of an
+    A/B pair can qualify independently (mutual containment = exact
+    near-dup).
+
+    Determinism: containment is one division of exact integer counts,
+    rounded once to 1e-3 units.
+
+    Scale shape: the inverted fingerprint index equi-join generates
+    candidates (never an all-pairs product) AFTER the MOSS-standard
+    too-common-fingerprint drop: fingerprints present in more than
+    ``max_df`` documents are excluded from BOTH the index and the
+    per-doc size denominator, which caps the per-fingerprint join
+    fan-out at ``max_df²`` — without it a stop-gram-like fingerprint
+    (df in the thousands on duplicate-heavy corpora) alone emits df²
+    candidate rows.  The same candidate pass feeds both directions
+    (the join emits unordered pairs once; the SELECT fans them into
+    per-side containment rows)."""
+    return f"""
+        WITH {winnow_cte(d)},
+        fdf AS (
+            -- winnowed is DISTINCT (doc_id, fp), so COUNT(*) IS the df
+            SELECT fp, COUNT(*) AS df
+            FROM winnowed GROUP BY fp
+        ),
+        kept AS (
+            SELECT w.doc_id, w.fp
+            FROM winnowed w JOIN fdf ON fdf.fp = w.fp
+            WHERE fdf.df <= {max_df}
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared
+            FROM kept a
+            JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        directed AS (
+            SELECT s.doc_a AS contained, s.doc_b AS container,
+                   s.n_shared, za.n_fp AS n_contained_fp
+            FROM shared s JOIN sizes za ON za.doc_id = s.doc_a
+            UNION ALL
+            SELECT s.doc_b AS contained, s.doc_a AS container,
+                   s.n_shared, zb.n_fp AS n_contained_fp
+            FROM shared s JOIN sizes zb ON zb.doc_id = s.doc_b
+        )
+        SELECT contained, container,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_contained_fp AS BIGINT) AS n_contained_fp,
+               CAST(ROUND(1e3 * CAST(n_shared AS DOUBLE)
+                          / CAST(n_contained_fp AS DOUBLE)) AS BIGINT)
+                   AS containment_e3
+        FROM directed
+        WHERE 1e3 * CAST(n_shared AS DOUBLE)
+              / CAST(n_contained_fp AS DOUBLE) >= {threshold_e3}
+    """

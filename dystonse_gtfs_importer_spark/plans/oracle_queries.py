@@ -2367,6 +2367,162 @@ def _curriculum_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("position")))
 
 
+def q_decayed_engagement(d: S.Dialect, half_life_days: int = 7) -> str:
+    """Recency-weighted engagement per event type: each event's value
+    contributes ``value · 2^-k`` where k = whole half-lives between
+    the event and the corpus's newest event — the freshness weighting
+    a data pipeline applies when recent behavior should dominate
+    (content ranking, source-quality drift, crawl scheduling).
+
+    EXACT integer arithmetic where engines usually drift: the decay
+    factor is a RIGHT SHIFT of the 1e-6-quantized value (2^-k is the
+    half-life ladder itself, so no EXP/POWER libm call exists in the
+    plan), negative values decay through sign decomposition (shift of
+    the magnitude — engine-specific arithmetic-shift/flooring rules
+    never apply), k is capped at 62 so the shift stays defined, and
+    the per-group SUM is a sum of exact integers — associative under
+    any partitioning/combine order.
+
+    Scale shape: map-only weighting + one partial-aggregatable
+    groupBy; the anchor (global MAX ts) is a one-row broadcast."""
+    e = _epoch_s("ts", d)
+    # age is non-negative (anchor = MAX), so Spark's truncating DIV and
+    # DuckDB's flooring // agree
+    k = (f"LEAST(((a.anchor - {e}) DIV 86400) DIV {half_life_days}, 62)"
+         if d.name == "spark" else
+         f"LEAST(((a.anchor - {e}) // 86400) // {half_life_days}, 62)")
+    v6 = "CAST(ROUND(value * 1e6) AS BIGINT)"
+    shifted = (f"shiftright(ABS({v6}), CAST({k} AS INT))"
+               if d.name == "spark" else f"(ABS({v6}) >> ({k}))")
+    contrib = (f"(CASE WHEN {v6} >= 0 THEN {shifted} "
+               f"ELSE -{shifted} END)")
+    return f"""
+        WITH anch AS (
+            SELECT MAX({_epoch_s('ts', d)}) AS anchor FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM({contrib}) AS BIGINT) AS decayed_value_e6,
+               CAST(SUM({v6}) AS BIGINT) AS raw_value_e6
+        FROM events CROSS JOIN anch a
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+def _containment_pairs_spark(spark: SparkSession, sf_dir: str,
+                             threshold_e3: int = 600,
+                             max_df: int = 64) -> DataFrame:
+    """Registry Spark side of ``containment_pairs``: fingerprint the
+    corpus ONCE and persist the df-capped (doc_id, fp) index — the
+    SQL spec (``dedup_sql.q_containment_pairs``) references its
+    ``winnowed`` CTE from multiple consumers, and Spark's CTE
+    inlining would run the rolling-hash winnowing once per consumer.
+    One fingerprint pass + the MOSS too-common-fingerprint drop
+    (df > ``max_df`` excluded everywhere, capping join fan-out at
+    df²) IS the 100 TB shape: the capped index is what a production
+    near-dup service materializes."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions import dedup_sql as D2
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    raw = (spark.sql(
+        f"WITH {D2.winnow_cte(S.SPARK)} SELECT doc_id, fp FROM winnowed")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    fdf = raw.groupBy("fp").agg(F.count("*").alias("df"))
+    winnowed = (raw.join(fdf.where(F.col("df") <= max_df), "fp")
+                .select("doc_id", "fp")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    sizes = winnowed.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = winnowed.alias("a"), winnowed.alias("b")
+    shared = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("n_shared"))
+              .where(F.col("n_shared") >= 2))
+    # ONE pass over the candidate pairs: join both size tables, then
+    # explode the two directions — a UNION ALL of two branches would
+    # recompute the fingerprint join per branch under plan sharing
+    both = (shared
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_fp").alias("n_fp_a")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_fp").alias("n_fp_b")), "doc_b"))
+    directed = (both.select(
+        "n_shared",
+        F.explode(F.array(
+            F.struct(F.col("doc_a").alias("contained"),
+                     F.col("doc_b").alias("container"),
+                     F.col("n_fp_a").alias("n_contained_fp")),
+            F.struct(F.col("doc_b").alias("contained"),
+                     F.col("doc_a").alias("container"),
+                     F.col("n_fp_b").alias("n_contained_fp"))))
+        .alias("dirn"))
+        .select("dirn.contained", "dirn.container", "n_shared",
+                "dirn.n_contained_fp"))
+    ratio = (F.lit(1e3) * F.col("n_shared").cast("double")
+             / F.col("n_contained_fp").cast("double"))
+    return (directed
+            .where(ratio >= threshold_e3)
+            .select("contained", "container",
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    F.col("n_contained_fp").cast("long")
+                    .alias("n_contained_fp"),
+                    F.round(ratio).cast("long").alias("containment_e3")))
+
+
+def q_perplexity_tiers(d: S.Dialect) -> str:
+    """CCNet-style corpus tiering: per language, rank documents by
+    their corpus-self-trained bigram LM score and cut into three
+    equal-population tiers (1 = head / most fluent, 3 = tail) — the
+    standard head/middle/tail partition a web-corpus pipeline keeps,
+    downsamples, and drops respectively (Wenzek et al. 2020's
+    perplexity buckets, with the repo's add-one bigram LM standing in
+    for KenLM).
+
+    Determinism: the score is the already-hash-stable ROUND(.,4)
+    avg_logp; the NTILE order adds doc_id as tiebreak; scoreless
+    documents (no bigrams) sort NULLS LAST into the tail.
+
+    Scale shape: scoring is the bigram_lm pipeline (vocabulary-sized
+    count tables, one doc-keyed SUM); the tier cut is a per-language
+    NTILE — the oracle's windowed form here, with the two-phase
+    range-partitioned numbering of ``equidepth_histogram_scale`` as
+    the proven scale path for terabyte strata."""
+    return f"""
+        WITH base AS ({SAMP.q_bigram_lm_score(d)}),
+        langd AS (SELECT doc_id, lang FROM documents)
+        SELECT b.doc_id, l.lang, b.avg_logp,
+               CAST(NTILE(3) OVER (PARTITION BY l.lang
+                    ORDER BY b.avg_logp DESC NULLS LAST, b.doc_id)
+                    AS INT) AS tier
+        FROM base b JOIN langd l ON l.doc_id = b.doc_id
+    """
+
+
+def _perplexity_tiers_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry Spark side of ``perplexity_tiers``: tiers windowed
+    over the persisted single-tokenize ``_bigram_lm_spark`` scores
+    (the pure-SQL rendering re-tokenizes per CTE consumer under
+    Spark's inlining — same reason bigram_lm_score registers the
+    DataFrame form)."""
+    from pyspark.sql import Window, functions as F
+
+    scores = _bigram_lm_spark(spark, sf_dir)
+    lang = spark.table("documents").select("doc_id", "lang")
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("avg_logp").desc_nulls_last(), F.col("doc_id")))
+    return (scores.join(lang, "doc_id")
+            .select("doc_id", "lang", "avg_logp",
+                    F.ntile(3).over(w).cast("int").alias("tier")))
+
+
 def _bm25_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry Spark side of ``bm25_topk``: ONE tokenize pass
     computes (dl, per-query-term tf) as whole-stage-codegen array
@@ -2721,6 +2877,25 @@ QUERIES: dict[str, QueryDef] = {
         "exact integer scatter matrix (one corpus pass; iterations "
         "run on the 4096-cell moment table; deterministic ordered "
         "folds)"),
+    "containment_pairs": QueryDef(
+        spark=_containment_pairs_spark,
+        oracle=D.q_containment_pairs(S.DUCKDB),
+        survey_ref="asymmetric near-dup: winnow-fingerprint "
+                   "containment |fp(A) n fp(B)| / |fp(A)| — catches "
+                   "quote/expansion relations Jaccard misses; "
+                   "persisted one-pass fingerprint index (SQL spec "
+                   "q_containment_pairs)"),
+    "perplexity_tiers": QueryDef(
+        spark=_perplexity_tiers_spark,
+        oracle=q_perplexity_tiers(S.DUCKDB),
+        survey_ref="CCNet-style per-lang head/middle/tail tiers over "
+                   "the bigram LM score (single-tokenize pipeline; "
+                   "SQL spec q_perplexity_tiers)"),
+    "decayed_engagement": _sql_pair(
+        q_decayed_engagement,
+        "recency-weighted engagement: exact half-life decay via "
+        "right-shift of quantized values (no libm), map-only + one "
+        "partial agg"),
 }
 
 
@@ -2755,7 +2930,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "asof_join_salted", "cosine_near_dup_lsh",
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
-    "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
     "salted_join", "bigram_lm_score", "temperature_sample",
     "stratified_sample", "hash_bernoulli_sample", "seeded_shuffle",
@@ -2766,9 +2940,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # round-6 additions (registered before the round-6 freeze)
     "weighted_sample_topk", "skew_profile",
     "curriculum_schedule", "pca_power_iter",
+    "containment_pairs", "perplexity_tiers", "decayed_engagement",
+    "winnow_fingerprints",
     # -- window boundary: entries below are outside the driver snapshot --
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
+    "winnow_near_pairs", "cosine_topk",
     "simhash64_near_pairs", "embedding_quantize_int8",
     "ann_quantized_topk", "random_projection",
     "span_dedup", "quality_gate",

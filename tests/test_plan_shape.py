@@ -1005,3 +1005,59 @@ class TestRound6AdditionPlans:
         plan = plan_of(spark.sql(ANN.q_pca_power_iter(S.SPARK)))
         assert "SortMergeJoin" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+    def test_containment_pairs_index_join_only(self, spark, sf_smoke):
+        """Candidates come from the winnow fingerprint equi-join —
+        never an all-pairs product."""
+        from dystonse_gtfs_importer_spark.functions import (
+            dedup_sql as D,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(D.q_containment_pairs(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_decayed_engagement_map_then_one_agg(self, spark, sf_smoke):
+        """Half-life weighting is map-only (anchor broadcast); the
+        only fact shuffle is the partial-aggregated event_type
+        groupBy. No EXP/POWER in the plan — decay is a right shift."""
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_decayed_engagement,
+        )
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(q_decayed_engagement(S.SPARK))
+        plan = plan_of(df)
+        assert "POWER" not in plan.upper().replace(
+            "SHIFTRIGHT", ""), plan
+        assert "EXP(" not in plan.upper(), plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert read_cols == {"event_type", "ts", "value"}, plan
+
+    def test_perplexity_tiers_lang_partitioned_window(self, spark,
+                                                      sf_smoke):
+        """The tier NTILE windows per language stratum — never an
+        unpartitioned window over the scored corpus — and the
+        pipeline stays JVM-side."""
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            _perplexity_tiers_spark,
+        )
+
+        df = _perplexity_tiers_spark(spark, sf_smoke)
+        plan = plan_of(df)
+        assert "ArrowEvalPython" not in plan, plan
+        assert "ntile(3)" in plan, plan
+        # the ntile window node must partition by lang
+        import re as _re
+        w = [ln for ln in plan.splitlines() if "ntile" in ln]
+        assert w and all("lang" in ln for ln in w), plan
