@@ -497,3 +497,108 @@ def q_skew_profile(d: S.Dialect) -> str:
         FROM agg
         ORDER BY event_type
     """
+
+
+KMV_K = 256
+
+
+def q_kmv_source_overlap(d: S.Dialect, k: int = KMV_K) -> str:
+    """Cross-source overlap from K-MINIMUM-VALUES sketches — the
+    mergeable way to estimate Jaccard between datasets when the exact
+    fingerprint join (``source_overlap``) is too big to run: each
+    source keeps only its k smallest fingerprint hashes, and for any
+    source pair the k smallest of the union (with membership bits)
+    give ``J ≈ |bottom-k(A∪B) ∩ A ∩ B| / k`` (Beyer et al.,
+    SIGMOD'07).  Sketches merge by min-union, so shards combine like
+    the HLL registers.
+
+    The driver-verified output pins BOTH the sketch mechanics and its
+    accuracy: the exact Jaccard (computed on the same fingerprint
+    universe — affordable at oracle scale) rides along with the
+    estimate and the absolute error in 1e-4 units.  Everything
+    derives from deterministic MD5 order (binary collation, identical
+    in both engines) and exact integer counts.
+
+    Scale shape: fingerprints collapse to DISTINCT (source, h) — one
+    hash-keyed shuffle, partial-aggregated — then the bottom-k window
+    runs per source (k rows survive per source, |S|·k total); the
+    pair stage touches only sketch rows, so its cost is |S|²·k no
+    matter the corpus.  The exact-truth CTEs exist for verification,
+    a production run emits the sketch estimate alone."""
+    fp_expr = f"MD5({d.arr_slice_join(d.token_array('text'), '0', 5)})"
+    return f"""
+        WITH fp AS (
+            SELECT DISTINCT source, {fp_expr} AS h
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h)
+                       AS r
+            FROM fp
+        ),
+        bk AS (SELECT source, h, r FROM ranked WHERE r <= {k}),
+        srcs AS (SELECT DISTINCT source FROM fp),
+        pairs AS (
+            SELECT a.source AS sa, b.source AS sb
+            FROM srcs a JOIN srcs b ON a.source < b.source
+        ),
+        u AS (
+            SELECT p.sa, p.sb, s.h,
+                   MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END)
+                       AS in_a,
+                   MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END)
+                       AS in_b
+            FROM pairs p
+            JOIN bk s ON s.source = p.sa OR s.source = p.sb
+            GROUP BY p.sa, p.sb, s.h
+        ),
+        mk AS (
+            SELECT sa, sb, in_a, in_b,
+                   ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h)
+                       AS r
+            FROM u
+        ),
+        est AS (
+            SELECT sa, sb,
+                   CAST(LEAST({k}, COUNT(*)) AS BIGINT) AS k_used,
+                   CAST(SUM(CASE WHEN r <= {k} AND in_a = 1
+                                  AND in_b = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_k
+            FROM mk GROUP BY sa, sb
+        ),
+        exact AS (
+            SELECT p.sa, p.sb,
+                   CAST(SUM(CASE WHEN fa.in_a = 1 AND fa.in_b = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+                   CAST(COUNT(*) AS BIGINT) AS n_union
+            FROM (
+                SELECT p2.sa, p2.sb, f.h,
+                       MAX(CASE WHEN f.source = p2.sa THEN 1 ELSE 0 END)
+                           AS in_a,
+                       MAX(CASE WHEN f.source = p2.sb THEN 1 ELSE 0 END)
+                           AS in_b
+                FROM pairs p2
+                JOIN fp f ON f.source = p2.sa OR f.source = p2.sb
+                GROUP BY p2.sa, p2.sb, f.h
+            ) fa
+            JOIN pairs p ON p.sa = fa.sa AND p.sb = fa.sb
+            GROUP BY p.sa, p.sb
+        )
+        SELECT e.sa AS source_a, e.sb AS source_b, e.k_used,
+               e.n_both_k,
+               CAST(ROUND(1e4 * CAST(e.n_both_k AS DOUBLE)
+                          / CAST(e.k_used AS DOUBLE)) AS BIGINT)
+                   AS jaccard_kmv_e4,
+               CAST(ROUND(1e4 * CAST(x.n_inter AS DOUBLE)
+                          / CAST(x.n_union AS DOUBLE)) AS BIGINT)
+                   AS jaccard_exact_e4,
+               ABS(CAST(ROUND(1e4 * CAST(e.n_both_k AS DOUBLE)
+                              / CAST(e.k_used AS DOUBLE)) AS BIGINT)
+                   - CAST(ROUND(1e4 * CAST(x.n_inter AS DOUBLE)
+                                / CAST(x.n_union AS DOUBLE)) AS BIGINT))
+                   AS abs_err_e4
+        FROM est e
+        JOIN exact x ON x.sa = e.sa AND x.sb = e.sb
+        ORDER BY e.sa, e.sb
+    """

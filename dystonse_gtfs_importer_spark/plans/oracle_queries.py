@@ -2896,6 +2896,11 @@ QUERIES: dict[str, QueryDef] = {
         "recency-weighted engagement: exact half-life decay via "
         "right-shift of quantized values (no libm), map-only + one "
         "partial agg"),
+    "kmv_source_overlap": _sql_pair(
+        SK.q_kmv_source_overlap,
+        "cross-source Jaccard from K-minimum-values sketches "
+        "(|S|*k sketch rows regardless of corpus size; exact truth "
+        "rides along so the driver pins the estimation error)"),
 }
 
 
@@ -2941,11 +2946,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "weighted_sample_topk", "skew_profile",
     "curriculum_schedule", "pca_power_iter",
     "containment_pairs", "perplexity_tiers", "decayed_engagement",
-    "winnow_fingerprints",
+    "kmv_source_overlap",
     # -- window boundary: entries below are outside the driver snapshot --
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
-    "winnow_near_pairs", "cosine_topk",
+    "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
     "simhash64_near_pairs", "embedding_quantize_int8",
     "ann_quantized_topk", "random_projection",
     "span_dedup", "quality_gate",

@@ -1061,3 +1061,23 @@ class TestRound6AdditionPlans:
         import re as _re
         w = [ln for ln in plan.splitlines() if "ntile" in ln]
         assert w and all("lang" in ln for ln in w), plan
+
+    def test_kmv_sketch_rows_bounded(self, spark, sf_smoke):
+        """The pair stage consumes only bottom-k sketch rows (|S|*k
+        regardless of corpus size): the bottom-k filter must appear
+        as a rank predicate pushed over the per-source window, and
+        the corpus never cross-joins itself."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sketch_sql as SK,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        plan = plan_of(spark.sql(SK.q_kmv_source_overlap(S.SPARK)))
+        assert "CartesianProduct" not in plan, plan
+        # the OR-membership join against the tiny sketch/fingerprint
+        # side plans as BroadcastNestedLoopJoin — bounded by |S|*k
+        assert "ArrowEvalPython" not in plan, plan
