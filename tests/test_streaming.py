@@ -326,3 +326,94 @@ class TestStreamingSessionization:
         assert len(u0) == 2 and got[u0[0]][0] == 3 and got[u0[1]][0] == 2
         u1 = [k for k in got if k[0] == 1]
         assert len(u1) == 1 and got[u1[0]][0] == 4
+
+
+class TestDecayedCounterStream:
+    def _write(self, path, rows):
+        import json
+
+        path.write_text("\n".join(json.dumps(r) for r in rows))
+
+    def test_stream_matches_batch_across_batches(self, spark, tmp_path):
+        """Two micro-batches (the second including a LATE event) must
+        leave exactly the state the batch fold over all rows computes
+        — exact integer decay, so equality is ==, not approx."""
+        import pyspark.sql.functions as F
+
+        from dystonse_gtfs_importer_spark.streaming.windows import (
+            decayed_counter_batch,
+            decayed_counter_stream,
+        )
+
+        src = tmp_path / "dev"
+        src.mkdir()
+        base = 1704067200  # 2024-01-01T00:00Z
+        day = 86400
+        # user 1: events spanning three half-life buckets;
+        # user 2: single event
+        self._write(src / "a.json", [
+            {"user_id": 1, "ts": (base + 0 * day) * 1000000,
+             "value": 8.0},
+            {"user_id": 1, "ts": (base + 7 * day) * 1000000,
+             "value": 2.0},
+            {"user_id": 2, "ts": (base + 1 * day) * 1000000,
+             "value": 1.5},
+        ])
+        self._write(src / "b.json", [
+            # late event (one bucket older than user 1's current:
+            # buckets are CALENDAR-aligned, and base day 19723 sits 4
+            # days into its 7-day bucket, so +2d stays in the old
+            # bucket while +3d would already share the +7d bucket)
+            {"user_id": 1, "ts": (base + 2 * day) * 1000000,
+             "value": 4.0},
+            {"user_id": 1, "ts": (base + 14 * day) * 1000000,
+             "value": 1.0},
+        ])
+
+        schema = "user_id long, ts long, value double"
+        to_ts = lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.col("ts")))
+
+        batch = decayed_counter_batch(
+            to_ts(spark.read.schema(schema).json(str(src))))
+        stream = decayed_counter_stream(
+            to_ts(spark.readStream
+                  .schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src))))
+        assert stream.isStreaming
+        q = (stream.writeStream.format("memory").queryName("decct")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "dck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        # update mode: the LAST row per key is the final state
+        import pandas as pd
+
+        got_df = spark.sql("SELECT * FROM decct").toPandas()
+        got = {int(r.key): (int(r.last_bucket),
+                            int(r.decayed_value_e6), int(r.n_events))
+               for _, r in got_df.iterrows()}  # later rows overwrite
+        want = {int(r.key): (int(r.last_bucket),
+                             int(r.decayed_value_e6), int(r.n_events))
+                for r in batch.collect()}
+        assert got == want and len(want) == 2
+
+    def test_fold_hand_values(self):
+        """Fold arithmetic by hand: 8.0 at bucket b, 2.0 one
+        half-life later, a LATE 4.0 back in bucket b, 1.0 another
+        half-life on: ((8>>1)+2 ... ) in 1e-6 units."""
+        from dystonse_gtfs_importer_spark.streaming.windows import (
+            _decay_fold,
+        )
+
+        day = 86400
+        base = 1704067200
+        rows = [(base, 8.0), (base + 7 * day, 2.0),
+                (base + 2 * day, 4.0), (base + 14 * day, 1.0)]
+        sum_e6, bucket, n = _decay_fold(rows, 0, None, 0)
+        # buckets are calendar-aligned: base day 19723 -> bucket B,
+        # +2d still B (LATE once B+1 is current), +7d -> B+1,
+        # +14d -> B+2.  Fold: B: 8e6; B+1: 8e6>>1 + 2e6 = 6e6;
+        # late 4.0 at B: + 4e6>>1 -> 8e6; B+2: 8e6>>1 + 1e6 = 5e6
+        assert (sum_e6, n) == (5_000_000, 4)
+        assert bucket == ((base + 14 * day) // day) // 7
