@@ -440,6 +440,72 @@ def q_median_rank(d: S.Dialect) -> str:
     """
 
 
+def q_mad_outliers(d: S.Dialect, k_sigma: float = 3.0) -> str:
+    """Robust anomaly screen per event type: median + MAD (median
+    absolute deviation) and the count of values beyond
+    ``k_sigma`` · MAD — the outlier detector that survives the heavy
+    tails that wreck mean/stddev z-scores (a single sensor spike
+    inflates stddev until nothing is an outlier; the median pair
+    doesn't move).
+
+    Determinism: both medians are the engines' exact interpolated
+    percentile (hash-equal cross-engine, as ``median_rank`` pins),
+    ROUNDed once to 1e-6 before any comparison; the outlier test then
+    compares exact parquet doubles against rounded constants —
+    identical decisions on both sides.
+
+    Scale shape: exact MAD is inherently TWO passes (the deviation
+    needs the median first) — pass one is a per-type aggregate, whose
+    tiny result broadcasts back over pass two; there is no per-type
+    sort visible to the caller (percentile aggregates internally).
+    At 100 TB swap the exact medians for the mergeable equi-depth /
+    histogram sketch rungs (``equidepth_histogram_scale``,
+    ``histogram_quantiles``) — same shape, one pass each."""
+    med = ("percentile(value, 0.5)" if d.name == "spark"
+           else "quantile_cont(value, 0.5)")
+    mad = ("percentile(ad, 0.5)" if d.name == "spark"
+           else "quantile_cont(ad, 0.5)")
+    ks = f"CAST({k_sigma} AS DOUBLE)"
+    return f"""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(ROUND({med} * 1e6) AS BIGINT) AS med_e6,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type,
+                   ABS(e.value - m.med_e6 / 1e6) AS ad
+            FROM events e JOIN m ON m.event_type = e.event_type
+            WHERE e.value IS NOT NULL
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(ROUND({mad} * 1e6) AS BIGINT) AS mad_e6
+            FROM dev GROUP BY event_type
+        ),
+        flagged AS (
+            SELECT d2.event_type,
+                   CASE WHEN d2.ad > {ks} * (s.mad_e6 / 1e6)
+                        THEN 1 ELSE 0 END AS o
+            FROM dev d2 JOIN s ON s.event_type = d2.event_type
+        ),
+        oc AS (
+            SELECT event_type, CAST(SUM(o) AS BIGINT) AS n_outliers
+            FROM flagged GROUP BY event_type
+        )
+        SELECT m.event_type, m.n, m.med_e6, s.mad_e6, oc.n_outliers,
+               CAST(ROUND(1e4 * CAST(oc.n_outliers AS DOUBLE)
+                          / CAST(m.n AS DOUBLE)) AS BIGINT)
+                   AS outlier_share_e4
+        FROM m
+        JOIN s ON s.event_type = m.event_type
+        JOIN oc ON oc.event_type = m.event_type
+        ORDER BY m.event_type
+    """
+
+
 def q_sessionization(d: S.Dialect, gap_s: int = 1800) -> str:
     """Gap-based sessionization: consecutive events of a user belong
     to one session while the gap stays under ``gap_s``; session ids
@@ -2901,6 +2967,11 @@ QUERIES: dict[str, QueryDef] = {
         "cross-source Jaccard from K-minimum-values sketches "
         "(|S|*k sketch rows regardless of corpus size; exact truth "
         "rides along so the driver pins the estimation error)"),
+    "mad_outliers": _sql_pair(
+        q_mad_outliers,
+        "robust per-type anomaly screen: exact interpolated "
+        "median + MAD, outliers beyond 3*MAD (two aggregate passes, "
+        "tiny stats broadcast back; sketch rungs at lake scale)"),
 }
 
 
@@ -2948,6 +3019,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "containment_pairs", "perplexity_tiers", "decayed_engagement",
     "kmv_source_overlap",
     # -- window boundary: entries below are outside the driver snapshot --
+    # round-6 addition that did not fit the 50-row window (mad_outliers
+    # is judge-verified via tools/check_correctness.py this round and
+    # rotates into the window next round)
+    "mad_outliers",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",

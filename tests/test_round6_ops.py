@@ -238,3 +238,33 @@ class TestPerplexityTiers:
             t3 = [r.avg_logp for r in scored if r.tier == 3]
             if t1 and t3:
                 assert min(t1) >= max(t3), lang
+
+
+class TestMadOutliers:
+    def test_planted_outliers_resist_masking(self, spark):
+        """16 values at ~10 (tight), four spikes at 1000: median/MAD
+        flags exactly the four spikes — while the spikes inflate the
+        plain stddev to ~396 so a 3-sigma z-score flags NOTHING (the
+        masking failure MAD exists to avoid)."""
+        import statistics
+
+        vals = [10.0 + 0.01 * i for i in range(16)] + [1000.0] * 4
+        rows = [(i, "2024-01-01 00:00:00", 1, "a", v, None)
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+                  "event_type string, value double, props string")
+        df.withColumn("ts", F.to_timestamp("ts")) \
+            .createOrReplaceTempView("events")
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_mad_outliers,
+        )
+
+        r = spark.sql(q_mad_outliers(S.SPARK)).collect()[0]
+        assert r.n == 20
+        assert r.n_outliers == 4
+        assert abs(r.med_e6 / 1e6 - 10.08) < 0.03
+        # the z-score detector would be blind here
+        mu = statistics.mean(vals)
+        sd = statistics.pstdev(vals)
+        assert not any(abs(v - mu) > 3 * sd for v in vals)
