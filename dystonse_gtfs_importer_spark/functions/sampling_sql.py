@@ -987,3 +987,43 @@ def q_curriculum_schedule_oracle(d: S.Dialect, seed: str = "curr1") -> str:
                    AS position
         FROM sized
     """
+
+
+def q_weighted_stratified_sample(d: S.Dialect, per_stratum: int = 50,
+                                 seed: str = "aes2") -> str:
+    """A-ES weighted sampling without replacement PER STRATUM: the
+    top ``per_stratum`` documents of each language by the
+    Efraimidis–Spirakis key ``ln(u)/w`` — exact per-stratum quotas
+    (unlike a weighted Bernoulli) with size-proportional draw inside
+    each stratum.  This is the mixture-building primitive: fix the
+    language budget, let weights pick WHICH documents fill it.
+
+    Same integer-exact key as :func:`q_weighted_sample_topk` (52-bit
+    seeded uniform, one IEEE expression, 1e-12 quantization, doc_id
+    tiebreak).
+
+    Scale shape: one window partitioned by (lang) over the keyed scan
+    — the oracle form; a terabyte stratum would use the
+    (lang, key-prefix bucket) two-phase trick of
+    ``q_stratified_sample_scale``, or per-partition heaps via
+    TakeOrdered per stratum."""
+    u52 = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('{seed}#', CAST(doc_id AS STRING))), 1, 13)")
+    u01 = f"(CAST({u52} + 1 AS DOUBLE) / 4503599627370496E0)"
+    key = f"LN({u01}) / CAST(n_chars + 1 AS DOUBLE)"
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ROUND(({key}) * 1e12) AS BIGINT) AS key_e12
+            FROM documents WHERE lang IS NOT NULL
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_chars, key_e12,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY key_e12 DESC, doc_id) AS draw_rank
+            FROM keyed
+        )
+        SELECT doc_id, lang, n_chars, key_e12,
+               CAST(draw_rank AS BIGINT) AS draw_rank
+        FROM ranked WHERE draw_rank <= {per_stratum}
+    """

@@ -2972,6 +2972,11 @@ QUERIES: dict[str, QueryDef] = {
         "robust per-type anomaly screen: exact interpolated "
         "median + MAD, outliers beyond 3*MAD (two aggregate passes, "
         "tiny stats broadcast back; sketch rungs at lake scale)"),
+    "weighted_stratified_sample": _sql_pair(
+        SAMP.q_weighted_stratified_sample,
+        "A-ES weighted sampling per stratum: exact per-lang quotas, "
+        "size-proportional draw inside each (mixture-building "
+        "primitive)"),
 }
 
 
@@ -3019,10 +3024,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "containment_pairs", "perplexity_tiers", "decayed_engagement",
     "kmv_source_overlap",
     # -- window boundary: entries below are outside the driver snapshot --
-    # round-6 addition that did not fit the 50-row window (mad_outliers
-    # is judge-verified via tools/check_correctness.py this round and
-    # rotates into the window next round)
-    "mad_outliers",
+    # round-6 additions that did not fit the 50-row window (both are
+    # verified via tools/check_correctness.py this round and rotate
+    # into the window next round)
+    "mad_outliers", "weighted_stratified_sample",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",

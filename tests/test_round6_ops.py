@@ -268,3 +268,30 @@ class TestMadOutliers:
         mu = statistics.mean(vals)
         sd = statistics.pstdev(vals)
         assert not any(abs(v - mu) > 3 * sd for v in vals)
+
+
+class TestWeightedStratifiedSample:
+    def test_quota_and_weight_bias_per_stratum(self, spark):
+        """Two strata, each 200 docs with 20 heavies: exactly 50 drawn
+        per stratum, heavies overrepresented in both."""
+        rows = []
+        did = 0
+        for lang in ("en", "de"):
+            for i in range(200):
+                rows.append((did, "x", lang, "s",
+                             20000 if i < 20 else 1))
+                did += 1
+        _docs(spark, rows)
+        out = spark.sql(
+            SAMP.q_weighted_stratified_sample(S.SPARK)).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append(r)
+        assert set(by_lang) == {"en", "de"}
+        for lang, rs in by_lang.items():
+            assert len(rs) == 50
+            heavy = sum(1 for r in rs if r.n_chars == 20000)
+            # uniform would draw 20*(50/200) = 5 heavies in
+            # expectation; 20000x weights must pull in ~all 20
+            assert heavy >= 18, (lang, heavy)
+            assert sorted(r.draw_rank for r in rs) == list(range(1, 51))
