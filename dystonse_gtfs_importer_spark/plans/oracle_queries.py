@@ -3022,12 +3022,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "weighted_sample_topk", "skew_profile",
     "curriculum_schedule", "pca_power_iter",
     "containment_pairs", "perplexity_tiers", "decayed_engagement",
-    "kmv_source_overlap",
+    "kmv_source_overlap", "mad_outliers",
     # -- window boundary: entries below are outside the driver snapshot --
-    # round-6 additions that did not fit the 50-row window (both are
-    # verified via tools/check_correctness.py this round and rotate
-    # into the window next round)
-    "mad_outliers", "weighted_stratified_sample",
+    # round-6 addition that did not fit the 50-row window (verified
+    # via tools/check_correctness.py this round; rotates into the
+    # window next round)
+    "weighted_stratified_sample",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
