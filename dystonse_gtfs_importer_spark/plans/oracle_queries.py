@@ -440,69 +440,103 @@ def q_median_rank(d: S.Dialect) -> str:
     """
 
 
+def _hist_median(src: str, key: str, val: str, cnt: str,
+                 prefix: str, d: S.Dialect) -> str:
+    """CTE pair computing the exact interpolated median over a
+    (key, quantized value, count) HISTOGRAM: cumulative counts give
+    the order statistics without ever holding a group's raw values in
+    one task (the classic sufficient-statistics median).  The two
+    middle ranks for even n make ``frac`` exactly 0 or 0.5, so the
+    interpolated median of integer-quantized values is an exact
+    half-integer — deterministic cross-engine.  Emits
+    ``{prefix}med({key}, n, med2)`` where med2 = 2 x median (kept
+    doubled so it stays a BIGINT)."""
+    return f"""
+        {prefix}cum AS (
+            SELECT {key} AS k, {val} AS v, {cnt} AS c,
+                   SUM({cnt}) OVER (PARTITION BY {key} ORDER BY {val}
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM({cnt}) OVER (PARTITION BY {key}) AS n
+            FROM {src}
+        ),
+        {prefix}med AS (
+            SELECT k, MAX(n) AS n,
+                   CAST(MIN(CASE WHEN cum >= {d.intdiv('(n + 1)', '2')}
+                            THEN v END)
+                        + MIN(CASE WHEN cum >= {d.intdiv('n', '2')} + 1
+                              THEN v END)
+                        AS BIGINT) AS med2
+            FROM {prefix}cum
+            GROUP BY k
+        )"""
+
+
 def q_mad_outliers(d: S.Dialect, k_sigma: float = 3.0) -> str:
     """Robust anomaly screen per event type: median + MAD (median
-    absolute deviation) and the count of values beyond
-    ``k_sigma`` · MAD — the outlier detector that survives the heavy
-    tails that wreck mean/stddev z-scores (a single sensor spike
-    inflates stddev until nothing is an outlier; the median pair
-    doesn't move).
+    absolute deviation) of the 1e-6-quantized values and the count of
+    values beyond ``k_sigma`` · MAD — the outlier detector that
+    survives the heavy tails that wreck mean/stddev z-scores (spikes
+    inflate stddev until nothing is an outlier; the median pair
+    doesn't move — see the masking test).
 
-    Determinism: both medians are the engines' exact interpolated
-    percentile (hash-equal cross-engine, as ``median_rank`` pins),
-    ROUNDed once to 1e-6 before any comparison; the outlier test then
-    compares exact parquet doubles against rounded constants —
-    identical decisions on both sides.
+    Both medians are exact interpolated order statistics over the
+    quantized-value HISTOGRAM (``_hist_median``): integer ranks from
+    cumulative counts, interpolation fraction exactly 0 or 1/2 —
+    every emitted number is integer-exact, nothing floats.
 
-    Scale shape: exact MAD is inherently TWO passes (the deviation
-    needs the median first) — pass one is a per-type aggregate, whose
-    tiny result broadcasts back over pass two; there is no per-type
-    sort visible to the caller (percentile aggregates internally).
-    At 100 TB swap the exact medians for the mergeable equi-depth /
-    histogram sketch rungs (``equidepth_histogram_scale``,
-    ``histogram_quantiles``) — same shape, one pass each."""
-    med = ("percentile(value, 0.5)" if d.name == "spark"
-           else "quantile_cont(value, 0.5)")
-    mad = ("percentile(ad, 0.5)" if d.name == "spark"
-           else "quantile_cont(ad, 0.5)")
-    ks = f"CAST({k_sigma} AS DOUBLE)"
+    Scale shape (this replaced an exact-``percentile`` form that ran
+    14× behind DuckDB at sf10 and buffered an entire type's values
+    in ONE aggregation task): one (type, v6) partial-aggregated fact
+    pass builds the histogram; the deviation histogram is DERIVED
+    from it (map + re-aggregate on the already-reduced table, no
+    second fact scan); cumulative sums run per type over DISTINCT
+    values with spill-safe sort-based windows.  A terabyte
+    single-type stratum swaps the per-type window for the
+    range-partitioned two-phase rank of
+    ``equidepth_histogram_scale`` — same arithmetic."""
     return f"""
-        WITH m AS (
+        WITH vals AS (
             SELECT event_type,
-                   CAST(ROUND({med} * 1e6) AS BIGINT) AS med_e6,
-                   CAST(COUNT(*) AS BIGINT) AS n
+                   CAST(ROUND(value * 1e6) AS BIGINT) AS v6
             FROM events WHERE value IS NOT NULL
-            GROUP BY event_type
         ),
+        hist AS (
+            SELECT event_type, v6, COUNT(*) AS c
+            FROM vals GROUP BY event_type, v6
+        ),
+        {_hist_median('hist', 'event_type', 'v6', 'c', 'v', d)},
         dev AS (
-            SELECT e.event_type,
-                   ABS(e.value - m.med_e6 / 1e6) AS ad
-            FROM events e JOIN m ON m.event_type = e.event_type
-            WHERE e.value IS NOT NULL
+            SELECT h.event_type,
+                   ABS(2 * h.v6 - m.med2) AS d6x2, SUM(h.c) AS c
+            FROM hist h JOIN vmed m ON m.k = h.event_type
+            GROUP BY h.event_type, ABS(2 * h.v6 - m.med2)
         ),
-        s AS (
-            SELECT event_type,
-                   CAST(ROUND({mad} * 1e6) AS BIGINT) AS mad_e6
-            FROM dev GROUP BY event_type
-        ),
-        flagged AS (
-            SELECT d2.event_type,
-                   CASE WHEN d2.ad > {ks} * (s.mad_e6 / 1e6)
-                        THEN 1 ELSE 0 END AS o
-            FROM dev d2 JOIN s ON s.event_type = d2.event_type
-        ),
+        {_hist_median('dev', 'event_type', 'd6x2', 'c', 'd', d)},
         oc AS (
-            SELECT event_type, CAST(SUM(o) AS BIGINT) AS n_outliers
-            FROM flagged GROUP BY event_type
+            -- dev > k*MAD with dev = d6x2/2 and MAD = dmed.med2/4:
+            -- 2*d6x2 > k*med2, x10 to keep one-decimal k integral
+            SELECT h.event_type,
+                   CAST(SUM(CASE WHEN 20 * ABS(2 * h.v6 - m.med2)
+                                      > CAST({int(round(k_sigma * 10))}
+                                             AS BIGINT) * s.med2
+                                 THEN h.c ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM hist h
+            JOIN vmed m ON m.k = h.event_type
+            JOIN dmed s ON s.k = h.event_type
+            GROUP BY h.event_type
         )
-        SELECT m.event_type, m.n, m.med_e6, s.mad_e6, oc.n_outliers,
+        SELECT m.k AS event_type, CAST(m.n AS BIGINT) AS n,
+               CAST(m.med2 AS BIGINT) AS med_e6_x2,
+               CAST(s.med2 AS BIGINT) AS mad_e6_x4,
+               oc.n_outliers,
                CAST(ROUND(1e4 * CAST(oc.n_outliers AS DOUBLE)
                           / CAST(m.n AS DOUBLE)) AS BIGINT)
                    AS outlier_share_e4
-        FROM m
-        JOIN s ON s.event_type = m.event_type
-        JOIN oc ON oc.event_type = m.event_type
-        ORDER BY m.event_type
+        FROM vmed m
+        JOIN dmed s ON s.k = m.k
+        JOIN oc ON oc.event_type = m.k
+        ORDER BY event_type
     """
 
 

@@ -263,7 +263,8 @@ class TestMadOutliers:
         r = spark.sql(q_mad_outliers(S.SPARK)).collect()[0]
         assert r.n == 20
         assert r.n_outliers == 4
-        assert abs(r.med_e6 / 1e6 - 10.08) < 0.03
+        # interpolated median of the 10th/11th values: 10.095
+        assert r.med_e6_x2 == 20_190_000
         # the z-score detector would be blind here
         mu = statistics.mean(vals)
         sd = statistics.pstdev(vals)
