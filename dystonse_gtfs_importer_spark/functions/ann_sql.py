@@ -790,7 +790,8 @@ def q_pca_power_iter(d: S.Dialect, iters: int = PCA_ITERS) -> str:
         ray AS (
             SELECT /*+ BROADCAST(vi, vj) */ {d.arr_fsum(d.ordered_list(
                 f'a.a * (CAST(vj.v_e9 AS DOUBLE) / 1e9) '
-                f'* (CAST(vi.v_e9 AS DOUBLE) / 1e9)', 'a.i * 64 + a.j'))}
+                f'* (CAST(vi.v_e9 AS DOUBLE) / 1e9)',
+                f'a.i * {DIM} + a.j'))}
                        AS num,
                    MAX(a.n) AS n_vec
             FROM amat a

@@ -566,6 +566,7 @@ def q_containment_pairs(d: S.Dialect, threshold_e3: int = 600,
                           / CAST(n_contained_fp AS DOUBLE)) AS BIGINT)
                    AS containment_e3
         FROM directed
-        WHERE 1e3 * CAST(n_shared AS DOUBLE)
-              / CAST(n_contained_fp AS DOUBLE) >= {threshold_e3}
+        WHERE CAST(ROUND(1e3 * CAST(n_shared AS DOUBLE)
+                         / CAST(n_contained_fp AS DOUBLE)) AS BIGINT)
+              >= {threshold_e3}
     """

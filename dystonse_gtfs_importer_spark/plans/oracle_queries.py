@@ -2096,6 +2096,58 @@ def _kmeans_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cell", "n_points", "min_id", "max_id", "cent_fp"))
 
 
+# Literal-table oracles for the two iterative registry entries (the
+# round-3 curve_stack_stats pattern): both algorithms are seeded and
+# deterministic, so their expected output over the driver's sf0.01
+# fixture is a stable VALUES table recomputed OUTSIDE Spark
+# (plans/ref_single.py — pyarrow + pure Python/NumPy twins, including
+# a verified XXH64 twin of the k-means|| sampling hash).  The driver's
+# hash gate then checks the distributed pipelines end to end instead
+# of recording the weaker rows-only result.
+_ITER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_bpe_oracle_sql: str | None = None
+_kmeans_oracle_sql: str | None = None
+
+
+def _bpe_histogram_oracle() -> str:
+    global _bpe_oracle_sql
+    if _bpe_oracle_sql is None:
+        from .ref_single import ref_bpe_token_histogram
+
+        rows = ref_bpe_token_histogram(_ITER_ORACLE_SF_DIR)
+        values = ",\n        ".join(
+            "('{}', {})".format(tok.replace("'", "''"), cnt)
+            for tok, cnt in rows)
+        _bpe_oracle_sql = f"""
+        SELECT token, CAST(cnt AS BIGINT) AS cnt FROM (VALUES
+        {values}
+        ) AS t(token, cnt)
+    """
+    return _bpe_oracle_sql
+
+
+def _kmeans_clusters_oracle() -> str:
+    global _kmeans_oracle_sql
+    if _kmeans_oracle_sql is None:
+        from .ref_single import ref_kmeans_clusters
+
+        rows = ref_kmeans_clusters(_ITER_ORACLE_SF_DIR)
+        values = ",\n        ".join(
+            f"({c}, {n}, {lo}, {hi}, {fp})"
+            for c, n, lo, hi, fp in rows)
+        _kmeans_oracle_sql = f"""
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(n_points AS BIGINT) AS n_points,
+               CAST(min_id AS BIGINT) AS min_id,
+               CAST(max_id AS BIGINT) AS max_id,
+               CAST(cent_fp AS BIGINT) AS cent_fp
+        FROM (VALUES
+        {values}
+        ) AS t(cell, n_points, min_id, max_id, cent_fp)
+    """
+    return _kmeans_oracle_sql
+
+
 def q_corpus_report(d: S.Dialect) -> str:
     """The corpus health report a curation run starts from: per
     (source, lang) document and token volumes, summed quality (exact
@@ -2568,13 +2620,17 @@ def _containment_pairs_spark(spark: SparkSession, sf_dir: str,
                 "dirn.n_contained_fp"))
     ratio = (F.lit(1e3) * F.col("n_shared").cast("double")
              / F.col("n_contained_fp").cast("double"))
+    # filter on the SAME rounded expression that is emitted, so the
+    # containment_e3 column can never contradict the predicate at the
+    # boundary (a 599.6 ratio is reported as 600 and must be kept)
+    rounded = F.round(ratio).cast("long")
     return (directed
-            .where(ratio >= threshold_e3)
+            .where(rounded >= threshold_e3)
             .select("contained", "container",
                     F.col("n_shared").cast("long").alias("n_shared"),
                     F.col("n_contained_fp").cast("long")
                     .alias("n_contained_fp"),
-                    F.round(ratio).cast("long").alias("containment_e3")))
+                    rounded.alias("containment_e3")))
 
 
 def q_perplexity_tiers(d: S.Dialect) -> str:
@@ -2890,22 +2946,24 @@ QUERIES: dict[str, QueryDef] = {
     "quality_gate": _sql_pair(
         q_quality_gate,
         "text-quality composite keep/drop gate"),
-    # iterative algorithm — deterministic but not SQL-expressible, so
-    # no DuckDB oracle: the driver records the weaker rows-only check
-    # (parity with a single-process reference BPE is pinned in
-    # tests/test_bpe.py instead)
+    # iterative algorithm — not SQL-expressible, so the oracle is the
+    # literal table recomputed single-process outside Spark
+    # (_bpe_histogram_oracle; the round-3 curve_stack_stats pattern),
+    # turning the former rows-only row into a full hash check; merge
+    # sequence parity is additionally pinned in tests/test_bpe.py
     "bpe_token_histogram": QueryDef(
         spark=_bpe_histogram_spark,
-        oracle=None,
+        oracle=_bpe_histogram_oracle,
         survey_ref="text-tokenizer BPE induction"),
     # distributed k-means: the 2-round Lloyd kernel hash-verified
-    # cross-engine; the full convergent operator rows-only (iterative)
+    # cross-engine; the full convergent operator against the NumPy
+    # k-means||+Lloyd literal recomputation (plans/ref_single.py)
     "kmeans_lloyd2": _sql_pair(
         ANN.q_kmeans_lloyd2,
         "clustering k-means Lloyd kernel"),
     "kmeans_clusters": QueryDef(
         spark=_kmeans_clusters_spark,
-        oracle=None,
+        oracle=_kmeans_clusters_oracle,
         survey_ref="clustering k-means full operator (k-means|| init)"),
     # leakage-safe eval split + budgeted quality selection
     "leakage_safe_split": _sql_pair(

@@ -75,39 +75,44 @@ _DECAY_OUT = ("key bigint, last_bucket bigint, "
               "decayed_value_e6 bigint, n_events bigint")
 
 
-def _decay_fold(rows, sum_e6: int, bucket, n: int,
-                half_life_days: int = DECAY_HALF_LIFE_DAYS):
-    """Shared fold for the streaming operator and its batch twin:
-    events arrive as (epoch_s, value) in event-time order; state is
-    (decayed sum in 1e-6 units, current calendar bucket, count).
+def _shr(x: int, k: int) -> int:
+    """Truncate-toward-zero right shift (sign decomposition, capped at
+    62 so the shift stays defined) — the exact 2^-k half-life decay."""
+    k = min(k, 62)
+    return -((-x) >> k) if x < 0 else x >> k
+
+
+def _fold_bucket_sums(rows, acc: dict, n: int,
+                      half_life_days: int = DECAY_HALF_LIFE_DAYS):
+    """Shared accumulation for the streaming operator and its batch
+    twin: events arrive as (epoch_s, value); state is a map of
+    calendar half-life bucket → exact integer sum of the bucket's
+    1e-6-quantized values, plus the event count.
 
     Buckets are ABSOLUTE calendar half-life epochs
-    (``epoch // 86400 // H``) so bucket deltas telescope exactly
-    across batches — a relative-age bucketing would make the result
-    depend on where the stream was cut.  Advancing k buckets shifts
-    the accumulated sum right k places (truncating toward zero via
-    sign decomposition — engine/platform-independent); late events
-    (older buckets) decay their own contribution instead.  The fold
-    is deterministic for a given event order; ties on the same epoch
-    fold in (epoch, value) order, which both the twin and the stream
-    reproduce."""
-    def shr(x: int, k: int) -> int:
-        k = min(k, 62)
-        return -((-x) >> k) if x < 0 else x >> k
-
+    (``epoch // 86400 // H``) so the state is a pure function of the
+    event multiset — NOT of arrival order: per-bucket integer addition
+    is commutative/associative, and the decay shift is applied only at
+    read time (:func:`_decayed_total`).  A late event (older bucket)
+    simply lands in its own bucket's sum, so stream == batch holds
+    EXACTLY for arbitrary values and arbitrary micro-batch cuts — the
+    progressive-shift fold this replaced lost up to 1 micro-unit per
+    late event because shr(a+b, k) != shr(a, k) + shr(b, k)."""
     for epoch, value in rows:
         b = (epoch // 86400) // half_life_days
-        v6 = round(value * 1e6)
-        if bucket is None:
-            bucket = b
-        if b > bucket:
-            sum_e6 = shr(sum_e6, b - bucket)
-            bucket = b
-            sum_e6 += v6
-        else:
-            sum_e6 += shr(v6, bucket - b)
+        acc[b] = acc.get(b, 0) + round(value * 1e6)
         n += 1
-    return sum_e6, bucket, n
+    return acc, n
+
+
+def _decayed_total(acc: dict) -> tuple[int, int]:
+    """(last_bucket, decayed sum): each bucket's exact sum decays by
+    its whole-bucket age from the newest bucket — one truncating shift
+    per bucket, applied to the final sums, so the result is
+    order-independent.  Ages ≥ 62 clamp to a 62-place shift (zero for
+    any |value·1e6| < 2^62)."""
+    last = max(acc)
+    return last, sum(_shr(v, last - b) for b, v in sorted(acc.items()))
 
 
 def decayed_counter_stream(events: DataFrame,
@@ -123,16 +128,19 @@ def decayed_counter_stream(events: DataFrame,
     trending/recency ranker reads ("who is active NOW") without ever
     re-scanning history.
 
-    State per key is three scalars (sum_e6, bucket, n) — constant
-    size however long the key lives — with a processing-time TTL to
-    drop keys idle for ``ttl_hours``.  One updated row per key per
-    batch.  Exact integer arithmetic throughout (see
-    :func:`_decay_fold`): no EXP, no float accumulation, so a replay
-    from a checkpoint reproduces byte-identical state.
+    State per key is the per-bucket exact-sum map (one bigint pair per
+    half-life bucket the key ever touched — ≤ 53/year at the 7-day
+    default, and the TTL drops keys idle for ``ttl_hours``) plus the
+    event count.  One updated row per key per batch.  Exact integer
+    arithmetic throughout (see :func:`_fold_bucket_sums`): no EXP, no
+    float accumulation, and the state is a pure function of the event
+    multiset — a replay from a checkpoint OR any re-ordering of events
+    across micro-batches (late data included) reproduces byte-identical
+    output.
 
     Batch equality: :func:`decayed_counter_batch` runs the identical
-    fold groupwise; tests pin stream (availableNow) == batch,
-    including late-data batches."""
+    accumulation groupwise; tests pin stream (availableNow) == batch,
+    including late-data batches and non-power-of-two values."""
     import pandas as pd
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -142,23 +150,26 @@ def decayed_counter_stream(events: DataFrame,
         if state.hasTimedOut:
             state.remove()
             return
-        sum_e6, bucket, n = (state.get if state.exists
-                             else (0, None, 0))
-        if bucket is not None and bucket < 0:
-            bucket = None  # sentinel for "no events yet"
+        if state.exists:
+            buckets, sums, n = state.get
+            acc = dict(zip(buckets, sums))
+        else:
+            acc, n = {}, 0
         frames = list(pdfs)
         df = (pd.concat(frames, ignore_index=True) if frames else None)
         if df is None or df.empty:
             return
-        df = df.sort_values(["_epoch", value_col], kind="mergesort")
-        sum_e6, bucket, n = _decay_fold(
+        acc, n = _fold_bucket_sums(
             zip(df["_epoch"].astype("int64"), df[value_col]),
-            int(sum_e6), bucket, int(n), half_life_days)
-        state.update((int(sum_e6), int(bucket), int(n)))
+            acc, int(n), half_life_days)
+        items = sorted(acc.items())
+        state.update(([int(b) for b, _ in items],
+                      [int(v) for _, v in items], int(n)))
         state.setTimeoutDuration(ttl_hours * 3600 * 1000)
+        last, total = _decayed_total(acc)
         yield pd.DataFrame({"key": [key[0]],
-                            "last_bucket": [int(bucket)],
-                            "decayed_value_e6": [int(sum_e6)],
+                            "last_bucket": [int(last)],
+                            "decayed_value_e6": [int(total)],
                             "n_events": [int(n)]})
 
     prepped = (events
@@ -170,8 +181,8 @@ def decayed_counter_stream(events: DataFrame,
             .applyInPandasWithState(
                 fold,
                 outputStructType=_DECAY_OUT,
-                stateStructType=("sum_e6 bigint, bucket bigint, "
-                                 "n bigint"),
+                stateStructType=("buckets array<bigint>, "
+                                 "sums array<bigint>, n bigint"),
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
 
@@ -182,19 +193,21 @@ def decayed_counter_batch(events: DataFrame,
                           value_col: str = "value",
                           half_life_days: int = DECAY_HALF_LIFE_DAYS
                           ) -> DataFrame:
-    """Batch twin of :func:`decayed_counter_stream`: the same ordered
-    fold per key via ``applyInPandas`` — the ground truth the stream
-    must equal after its final batch."""
+    """Batch twin of :func:`decayed_counter_stream`: the same
+    bucket-sum accumulation per key via ``applyInPandas`` — the ground
+    truth the stream must equal after its final batch (exactly, for
+    any values and any micro-batch cuts, because both sides compute a
+    pure function of the event multiset)."""
     import pandas as pd
 
     def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_epoch", value_col], kind="mergesort")
-        sum_e6, bucket, n = _decay_fold(
+        acc, n = _fold_bucket_sums(
             zip(pdf["_epoch"].astype("int64"), pdf[value_col]),
-            0, None, 0, half_life_days)
+            {}, 0, half_life_days)
+        last, total = _decayed_total(acc)
         return pd.DataFrame({"key": [pdf["_k"].iloc[0]],
-                             "last_bucket": [int(bucket)],
-                             "decayed_value_e6": [int(sum_e6)],
+                             "last_bucket": [int(last)],
+                             "decayed_value_e6": [int(total)],
                              "n_events": [int(n)]})
 
     prepped = (events

@@ -979,14 +979,30 @@ class TestRound6AdditionPlans:
         )
 
         register_views(spark, sf_smoke)
-        plan = plan_of(spark.sql(SAMP.q_curriculum_schedule(S.SPARK)))
-        # every Window node that partitions by nothing must consume an
-        # aggregate (the count table), not the raw corpus: assert the
-        # plan windows over the post-agg side by checking the fact scan
-        # feeds a partitioned window first
-        assert "partitionBy: [band" in plan.replace(
-            "partitionBy=[band", "partitionBy: [band") or \
-            "band" in plan, plan
+        df = spark.sql(SAMP.q_curriculum_schedule(S.SPARK))
+
+        def nodes(n, out):
+            out.append(n)
+            kids = n.children()
+            for i in range(kids.length()):
+                nodes(kids.apply(i), out)
+            return out
+
+        root = df._jdf.queryExecution().optimizedPlan()
+        windows = [n for n in nodes(root, [])
+                   if n.nodeName() == "Window"]
+        assert windows, "expected Window nodes in the plan"
+        for w in windows:
+            if w.partitionSpec().length() > 0:
+                parts = str(w.partitionSpec())
+                assert "band" in parts or "bucket" in parts, parts
+            else:
+                # an unpartitioned window is only allowed over the
+                # tiny (band, bucket) COUNT table — its subtree must
+                # contain the Aggregate, never the raw document scan
+                sub = [n.nodeName() for n in nodes(w, [])]
+                assert "Aggregate" in sub, sub
+        plan = plan_of(df)
         assert "CartesianProduct" not in plan, plan
 
     def test_pca_moment_build_no_vecid_self_join(self, spark, sf_smoke):

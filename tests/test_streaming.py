@@ -351,11 +351,15 @@ class TestDecayedCounterStream:
         day = 86400
         # user 1: events spanning three half-life buckets;
         # user 2: single event
+        # deliberately NOT powers of two: the bucket-sum state must
+        # make stream == batch exact for arbitrary values, including
+        # the late event below (the old progressive-shift fold only
+        # held for power-of-two planted values)
         self._write(src / "a.json", [
             {"user_id": 1, "ts": (base + 0 * day) * 1000000,
-             "value": 8.0},
+             "value": 8.3},
             {"user_id": 1, "ts": (base + 7 * day) * 1000000,
-             "value": 2.0},
+             "value": 2.7},
             {"user_id": 2, "ts": (base + 1 * day) * 1000000,
              "value": 1.5},
         ])
@@ -365,9 +369,9 @@ class TestDecayedCounterStream:
             # days into its 7-day bucket, so +2d stays in the old
             # bucket while +3d would already share the +7d bucket)
             {"user_id": 1, "ts": (base + 2 * day) * 1000000,
-             "value": 4.0},
+             "value": 4.9},
             {"user_id": 1, "ts": (base + 14 * day) * 1000000,
-             "value": 1.0},
+             "value": 1.1},
         ])
 
         schema = "user_id long, ts long, value double"
@@ -399,21 +403,76 @@ class TestDecayedCounterStream:
         assert got == want and len(want) == 2
 
     def test_fold_hand_values(self):
-        """Fold arithmetic by hand: 8.0 at bucket b, 2.0 one
-        half-life later, a LATE 4.0 back in bucket b, 1.0 another
-        half-life on: ((8>>1)+2 ... ) in 1e-6 units."""
+        """Bucket-sum arithmetic by hand: 8.0 and a late 4.0 in bucket
+        B, 2.0 in B+1, 1.0 in B+2 — each bucket's exact sum decays by
+        its whole-bucket age from the newest bucket."""
         from dystonse_gtfs_importer_spark.streaming.windows import (
-            _decay_fold,
+            _decayed_total,
+            _fold_bucket_sums,
         )
 
         day = 86400
         base = 1704067200
         rows = [(base, 8.0), (base + 7 * day, 2.0),
                 (base + 2 * day, 4.0), (base + 14 * day, 1.0)]
-        sum_e6, bucket, n = _decay_fold(rows, 0, None, 0)
+        acc, n = _fold_bucket_sums(rows, {}, 0)
         # buckets are calendar-aligned: base day 19723 -> bucket B,
-        # +2d still B (LATE once B+1 is current), +7d -> B+1,
-        # +14d -> B+2.  Fold: B: 8e6; B+1: 8e6>>1 + 2e6 = 6e6;
-        # late 4.0 at B: + 4e6>>1 -> 8e6; B+2: 8e6>>1 + 1e6 = 5e6
-        assert (sum_e6, n) == (5_000_000, 4)
-        assert bucket == ((base + 14 * day) // day) // 7
+        # +2d still B, +7d -> B+1, +14d -> B+2.  Sums: B: 12e6,
+        # B+1: 2e6, B+2: 1e6.  Decayed at B+2:
+        # (12e6>>2) + (2e6>>1) + 1e6 = 3e6 + 1e6 + 1e6 = 5e6
+        last, total = _decayed_total(acc)
+        assert (total, n) == (5_000_000, 4)
+        assert last == ((base + 14 * day) // day) // 7
+
+    def test_fold_order_independent_non_power_of_two(self):
+        """The accumulation is a pure function of the event multiset:
+        any arrival order (late data included) gives identical state —
+        the invariant the progressive-shift fold broke for values
+        whose bucket sums are not powers of two (shr(a+b,k) !=
+        shr(a,k)+shr(b,k)): {1e-6 at t0, 1e-6 at t0+1h, 0 at t0+7d}
+        must decay to 1 micro-unit regardless of which micro-batch
+        the +1h event lands in."""
+        import itertools
+
+        from dystonse_gtfs_importer_spark.streaming.windows import (
+            _decayed_total,
+            _fold_bucket_sums,
+        )
+
+        day = 86400
+        base = 1704067200  # day 19723, 4 days into its 7-day bucket
+        rows = [(base, 1e-6), (base + 3600, 1e-6),
+                (base + 7 * day, 0.0)]
+        results = set()
+        for perm in itertools.permutations(rows):
+            # fold one event per "micro-batch" (worst-case cuts)
+            acc, n = {}, 0
+            for ev in perm:
+                acc, n = _fold_bucket_sums([ev], acc, n)
+            results.add(_decayed_total(acc) + (n,))
+        assert len(results) == 1
+        (last, total, n), = results
+        assert total == 1 and n == 3  # (1+1) >> 1, not (1>>1)+(1>>1)
+
+    def test_pre_1970_buckets_survive_state_roundtrip(self):
+        """Negative calendar buckets are legitimate (pre-1970 event
+        times) — the state schema stores the bucket map explicitly, so
+        restoring a key whose newest bucket is negative must not
+        re-anchor the decay (the old scalar state overloaded bucket<0
+        as the 'no events yet' sentinel and silently discarded it)."""
+        from dystonse_gtfs_importer_spark.streaming.windows import (
+            _decayed_total,
+            _fold_bucket_sums,
+        )
+
+        day = 86400
+        t0 = -400 * day  # late 1968
+        acc, n = _fold_bucket_sums([(t0, 4.0)], {}, 0)
+        # state round-trip as the operator stores it: sorted arrays
+        items = sorted(acc.items())
+        restored = dict(zip([b for b, _ in items],
+                            [v for _, v in items]))
+        acc2, n2 = _fold_bucket_sums([(t0 + 7 * day, 1.0)], restored, n)
+        last, total = _decayed_total(acc2)
+        assert last == ((t0 + 7 * day) // day) // 7 < 0
+        assert total == (4_000_000 >> 1) + 1_000_000 and n2 == 2
