@@ -570,3 +570,111 @@ def q_containment_pairs(d: S.Dialect, threshold_e3: int = 600,
                          / CAST(n_contained_fp AS DOUBLE)) AS BIGINT)
               >= {threshold_e3}
     """
+
+
+EXACTSUBSTR_MIN_LEN = 8
+
+
+def exactsubstr_cut_tail(d: S.Dialect,
+                         min_len: int = EXACTSUBSTR_MIN_LEN) -> str:
+    """Shared post-profile SQL for the ExactSubstr CUT operator (Lee
+    et al. 2022 §4: remove the actual repeated spans the suffix index
+    finds, not fixed windows): assumes CTEs ``ta(doc_id, ta)`` (token
+    arrays) and ``prof(doc_id, pos, rep_len)`` (the repeated-span
+    profile, rep_len >= ``min_len``) are already defined — the Spark
+    registry form derives ``prof`` from distributed prefix doubling
+    (operators/suffix.suffix_ranks), the DuckDB oracle from a direct
+    suffix sort, so the hash match cross-verifies both the profile
+    AND the excision.
+
+    Semantics: each profile position anchors a repeated span; anchors
+    are keyed by their exact leading ``min_len``-token text, the
+    lowest-doc_id occurrence of a key OWNS it (that document keeps
+    ALL its occurrences — the span_dedup keeper rule), and every
+    non-owner document cuts tokens [pos, pos + rep_len).  Overlapping
+    cuts merge into maximal regions (running-max interval union), so
+    ``n_removed`` counts each token once.  Within-document repeats
+    whose key never leaves the document are self-owned, hence kept —
+    this operator removes CROSS-document contamination.
+
+    Emits one row per AFFECTED document: token totals, removed token
+    count, merged region count, and MD5 of the excised text (the
+    reassembly, hash-portable across engines; a fully-cut document
+    emits MD5('')).
+
+    Scale shape: anchors live at profile grain (duplicated positions
+    only); the owner table is one akey-keyed aggregate; the interval
+    union windows per document (never corpus-wide); the excision is
+    one doc_id-keyed join of token positions against the (tiny,
+    post-union) region list plus one per-doc aggregate.  Nothing
+    corpus-sized is broadcast or single-tasked."""
+    return f"""
+        sized AS (
+            SELECT doc_id, {d.arr_len('ta')} AS n_tok FROM ta
+        ),
+        anchors AS (
+            SELECT p.doc_id, p.pos, p.rep_len,
+                   {d.arr_slice_join('t.ta', 'p.pos', min_len)} AS akey
+            FROM prof p JOIN ta t ON t.doc_id = p.doc_id
+        ),
+        owner AS (
+            SELECT akey, MIN(doc_id) AS odoc FROM anchors GROUP BY akey
+        ),
+        cuts AS (
+            SELECT a.doc_id, a.pos AS st, a.pos + a.rep_len AS en
+            FROM anchors a JOIN owner o ON o.akey = a.akey
+            WHERE a.doc_id <> o.odoc
+        ),
+        marked AS (
+            SELECT doc_id, st, en,
+                   CASE WHEN st > COALESCE(MAX(en) OVER (
+                            PARTITION BY doc_id ORDER BY st, en
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS is_new
+            FROM cuts
+        ),
+        grp AS (
+            SELECT doc_id, st, en,
+                   SUM(is_new) OVER (
+                       PARTITION BY doc_id ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS g
+            FROM marked
+        ),
+        regions AS (
+            SELECT doc_id, g, MIN(st) AS st, MAX(en) AS en
+            FROM grp GROUP BY doc_id, g
+        ),
+        rstats AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_regions,
+                   CAST(SUM(en - st) AS BIGINT) AS n_removed
+            FROM regions GROUP BY doc_id
+        ),
+        toks AS (
+            SELECT t.doc_id, {d.explode_range(d.arr_len('t.ta'))} AS i,
+                   t.ta
+            FROM ta t JOIN rstats rs ON rs.doc_id = t.doc_id
+        ),
+        keep AS (
+            SELECT tk.doc_id, tk.i, {d.arr_get('tk.ta', 'tk.i')} AS tok
+            FROM toks tk LEFT JOIN regions r
+                ON r.doc_id = tk.doc_id
+                AND tk.i >= r.st AND tk.i < r.en
+            WHERE r.doc_id IS NULL
+        ),
+        keepagg AS (
+            SELECT doc_id,
+                   {d.ordered_list_csv('tok', 'i', ' ')} AS kept
+            FROM keep GROUP BY doc_id
+        )
+        SELECT rs.doc_id,
+               CAST(sz.n_tok AS BIGINT) AS n_tok,
+               rs.n_removed, rs.n_regions,
+               MD5(COALESCE(k.kept, '')) AS kept_fp
+        FROM rstats rs
+        JOIN sized sz ON sz.doc_id = rs.doc_id
+        LEFT JOIN keepagg k ON k.doc_id = rs.doc_id
+        ORDER BY rs.doc_id
+    """

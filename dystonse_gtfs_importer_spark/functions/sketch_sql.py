@@ -502,32 +502,15 @@ def q_skew_profile(d: S.Dialect) -> str:
 KMV_K = 256
 
 
-def q_kmv_source_overlap(d: S.Dialect, k: int = KMV_K) -> str:
-    """Cross-source overlap from K-MINIMUM-VALUES sketches — the
-    mergeable way to estimate Jaccard between datasets when the exact
-    fingerprint join (``source_overlap``) is too big to run: each
-    source keeps only its k smallest fingerprint hashes, and for any
-    source pair the k smallest of the union (with membership bits)
-    give ``J ≈ |bottom-k(A∪B) ∩ A ∩ B| / k`` (Beyer et al.,
-    SIGMOD'07).  Sketches merge by min-union, so shards combine like
-    the HLL registers.
-
-    The driver-verified output pins BOTH the sketch mechanics and its
-    accuracy: the exact Jaccard (computed on the same fingerprint
-    universe — affordable at oracle scale) rides along with the
-    estimate and the absolute error in 1e-4 units.  Everything
-    derives from deterministic MD5 order (binary collation, identical
-    in both engines) and exact integer counts.
-
-    Scale shape: fingerprints collapse to DISTINCT (source, h) — one
-    hash-keyed shuffle, partial-aggregated — then the bottom-k window
-    runs per source (k rows survive per source, |S|·k total); the
-    pair stage touches only sketch rows, so its cost is |S|²·k no
-    matter the corpus.  The exact-truth CTEs exist for verification,
-    a production run emits the sketch estimate alone."""
+def _kmv_sketch_ctes(d: S.Dialect, k: int) -> str:
+    """Shared sketch-side CTE chain for the KMV overlap family: the
+    per-source bottom-k fingerprint sketches and the pairwise
+    ``(k_used, n_both_k)`` estimator counts.  Cost is |S|²·k rows in
+    the pair stage regardless of corpus size; the corpus is touched
+    only by the DISTINCT (source, h) collapse."""
     fp_expr = f"MD5({d.arr_slice_join(d.token_array('text'), '0', 5)})"
     return f"""
-        WITH fp AS (
+        fp AS (
             SELECT DISTINCT source, {fp_expr} AS h
             FROM documents
         ),
@@ -566,7 +549,59 @@ def q_kmv_source_overlap(d: S.Dialect, k: int = KMV_K) -> str:
                                   AND in_b = 1
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both_k
             FROM mk GROUP BY sa, sb
-        ),
+        )"""
+
+
+def q_kmv_overlap_estimate(d: S.Dialect, k: int = KMV_K) -> str:
+    """KMV cross-source Jaccard — the PRODUCTION entry point: sketch
+    estimate only, no exact-truth branch.  This is the form a
+    pipeline (``prepare_training_set``-style source mixing, crawl
+    dedup planning) should call: total cost beyond the one DISTINCT
+    (source, h) collapse is |S|²·k rows, however large the corpus.
+    The verified combined form (:func:`q_kmv_source_overlap`) keeps
+    the exact fingerprint-universe join alongside so the driver can
+    pin the estimation error — run that one only at oracle/test
+    scale.  Estimate columns are byte-identical between the two forms
+    (same CTE chain — pinned in tests)."""
+    return f"""
+        WITH {_kmv_sketch_ctes(d, k)}
+        SELECT sa AS source_a, sb AS source_b, k_used, n_both_k,
+               CAST(ROUND(1e4 * CAST(n_both_k AS DOUBLE)
+                          / CAST(k_used AS DOUBLE)) AS BIGINT)
+                   AS jaccard_kmv_e4
+        FROM est
+        ORDER BY sa, sb
+    """
+
+
+def q_kmv_source_overlap(d: S.Dialect, k: int = KMV_K) -> str:
+    """Cross-source overlap from K-MINIMUM-VALUES sketches — the
+    mergeable way to estimate Jaccard between datasets when the exact
+    fingerprint join (``source_overlap``) is too big to run: each
+    source keeps only its k smallest fingerprint hashes, and for any
+    source pair the k smallest of the union (with membership bits)
+    give ``J ≈ |bottom-k(A∪B) ∩ A ∩ B| / k`` (Beyer et al.,
+    SIGMOD'07).  Sketches merge by min-union, so shards combine like
+    the HLL registers.
+
+    The driver-verified output pins BOTH the sketch mechanics and its
+    accuracy: the exact Jaccard (computed on the same fingerprint
+    universe — affordable at oracle scale) rides along with the
+    estimate and the absolute error in 1e-4 units.  Everything
+    derives from deterministic MD5 order (binary collation, identical
+    in both engines) and exact integer counts.
+
+    Scale shape: fingerprints collapse to DISTINCT (source, h) — one
+    hash-keyed shuffle, partial-aggregated — then the bottom-k window
+    runs per source (k rows survive per source, |S|·k total); the
+    pair stage touches only sketch rows, so its cost is |S|²·k no
+    matter the corpus.  The exact-truth CTEs here exist for
+    verification ONLY — they join the full fingerprint universe, the
+    exact cost the sketch avoids; production pipelines call
+    :func:`q_kmv_overlap_estimate` (same sketch CTE chain, estimate
+    columns byte-identical) instead."""
+    return f"""
+        WITH {_kmv_sketch_ctes(d, k)},
         exact AS (
             SELECT p.sa, p.sb,
                    CAST(SUM(CASE WHEN fa.in_a = 1 AND fa.in_b = 1

@@ -1387,8 +1387,13 @@ def _equidepth_scale_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n", "lo", "hi"))
 
 
-_REPEATED_SPANS_ORACLE = """
-    WITH ta AS (
+# DuckDB-side repeated-span profile CTE chain (direct suffix sort —
+# the toy-affordable cross-derivation of operators/suffix's prefix
+# doubling).  Ends with prof(doc_id, pos, rep_len), rep_len >= min_len;
+# shared by the repeated_spans profile query and the ExactSubstr cut.
+def _suffix_profile_oracle_ctes(min_len: int = 8) -> str:
+    return f"""
+    ta AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), ' +'),
                            t -> t <> '') AS ta
@@ -1416,46 +1421,33 @@ _REPEATED_SPANS_ORACLE = """
                 range(1, least(len(s), len(nxt)) + 1),
                 i -> s[1:i] = nxt[1:i])), 0)) AS adj_lcp
         FROM adj
-    )
-    SELECT doc_id, pos, rep_len FROM (
-        SELECT sfx.doc_id, sfx.pos,
-               CAST(GREATEST(l.adj_lcp,
-                    CASE WHEN sfx.class_n >= 2 THEN len(sfx.s)
-                         ELSE 0 END) AS INT) AS rep_len
-        FROM sfx JOIN lcps l ON l.r = sfx.r
-    ) WHERE rep_len >= 8
+    ),
+    prof AS (
+        SELECT doc_id, pos, rep_len FROM (
+            SELECT sfx.doc_id, sfx.pos,
+                   CAST(GREATEST(l.adj_lcp,
+                        CASE WHEN sfx.class_n >= 2 THEN len(sfx.s)
+                             ELSE 0 END) AS INT) AS rep_len
+            FROM sfx JOIN lcps l ON l.r = sfx.r
+        ) WHERE rep_len >= {min_len}
+    )"""
+
+
+_REPEATED_SPANS_ORACLE = f"""
+    WITH {_suffix_profile_oracle_ctes()}
+    SELECT doc_id, pos, rep_len FROM prof
 """
 
 
-def _repeated_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Longest-repeated-span profile — the ExactSubstr dedup signal
-    (Lee et al. 2022): for every token position, the length of the
-    longest span starting there that ALSO occurs elsewhere in the
-    corpus, reported where >= 8 tokens.  Suffix-array theory: that
-    length is max(LCP with the rank-predecessor suffix, LCP with the
-    rank-successor, full length when the whole suffix repeats).
-
-    The Spark side builds ranks by distributed prefix doubling
-    (`operators/suffix.suffix_ranks`) and — unlike the oracle's
-    LAG/LEAD over a global sort — finds rank-neighbors with an
-    EQUI-JOIN on r±1 (dense ranks are contiguous), so no corpus-wide
-    single-partition window exists anywhere in the plan.  LCP of two
-    materialized neighbor suffixes is a bounded prefix comparison.
-    DuckDB derives the same profile from an actual suffix sort."""
-    import pyspark.sql.functions as F
-
-    from ..operators.suffix import suffix_ranks
-    from ..session import configure_for_oracle
-
-    configure_for_oracle(spark)
-    register_views(spark, sf_dir)
-    docs = spark.table("documents")
-    suffix_ranks(docs).createOrReplaceTempView("sr")
+# Spark-side twin: the same prof CTE chain, but ranks come from the
+# distributed prefix-doubling view ``sr`` (operators/suffix) instead
+# of a corpus-wide sort — no single-partition window anywhere.
+def _suffix_profile_spark_ctes(min_len: int = 8) -> str:
     lcp = (lambda a, b:
            f"size(filter(sequence(1, least(size({a}), size({b}))), "
            f"i -> slice({a}, 1, i) = slice({b}, 1, i)))")
-    return spark.sql(f"""
-        WITH ta AS (
+    return f"""
+        ta AS (
             SELECT doc_id,
                    filter(split(lower(text), ' +'), t -> t <> '') AS ta
             FROM documents
@@ -1474,16 +1466,72 @@ def _repeated_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM reps a
             LEFT JOIN reps p ON p.r = a.r - 1
             LEFT JOIN reps n ON n.r = a.r + 1
-        )
-        SELECT doc_id, CAST(pos AS INT) AS pos, rep_len FROM (
-            SELECT sfx.doc_id, sfx.pos,
-                   CAST(GREATEST(adj.adj_lcp,
-                        CASE WHEN cls.class_n >= 2 THEN size(sfx.s)
-                             ELSE 0 END) AS INT) AS rep_len
-            FROM sfx JOIN adj ON adj.r = sfx.r
-            JOIN cls ON cls.r = sfx.r
-        ) WHERE rep_len >= 8
+        ),
+        prof AS (
+            SELECT doc_id, pos, rep_len FROM (
+                SELECT sfx.doc_id, sfx.pos,
+                       CAST(GREATEST(adj.adj_lcp,
+                            CASE WHEN cls.class_n >= 2 THEN size(sfx.s)
+                                 ELSE 0 END) AS INT) AS rep_len
+                FROM sfx JOIN adj ON adj.r = sfx.r
+                JOIN cls ON cls.r = sfx.r
+            ) WHERE rep_len >= {min_len}
+        )"""
+
+
+def _repeated_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-repeated-span profile — the ExactSubstr dedup signal
+    (Lee et al. 2022): for every token position, the length of the
+    longest span starting there that ALSO occurs elsewhere in the
+    corpus, reported where >= 8 tokens.  Suffix-array theory: that
+    length is max(LCP with the rank-predecessor suffix, LCP with the
+    rank-successor, full length when the whole suffix repeats).
+
+    The Spark side builds ranks by distributed prefix doubling
+    (`operators/suffix.suffix_ranks`) and — unlike the oracle's
+    LAG/LEAD over a global sort — finds rank-neighbors with an
+    EQUI-JOIN on r±1 (dense ranks are contiguous), so no corpus-wide
+    single-partition window exists anywhere in the plan.  LCP of two
+    materialized neighbor suffixes is a bounded prefix comparison.
+    DuckDB derives the same profile from an actual suffix sort."""
+    from ..operators.suffix import suffix_ranks
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    suffix_ranks(spark.table("documents")).createOrReplaceTempView("sr")
+    return spark.sql(f"""
+        WITH {_suffix_profile_spark_ctes()}
+        SELECT doc_id, CAST(pos AS INT) AS pos, rep_len FROM prof
     """)
+
+
+def _exactsubstr_cut_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4) — the cut
+    operator on top of the repeated-span profile: excise the actual
+    variable-length repeated spans the suffix index finds (not fixed
+    windows like ``span_dedup``), keeping every span's lowest-doc_id
+    owner intact.  The profile comes from distributed prefix doubling
+    (operators/suffix.suffix_ranks — no corpus-wide sort); ownership,
+    interval union and excision are the shared dual-dialect tail
+    (functions/dedup_sql.exactsubstr_cut_tail), so the DuckDB oracle
+    cross-derives the whole chain from a direct suffix sort."""
+    from ..operators.suffix import suffix_ranks
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    suffix_ranks(spark.table("documents")).createOrReplaceTempView("sr")
+    return spark.sql(f"""
+        WITH {_suffix_profile_spark_ctes()},
+        {D.exactsubstr_cut_tail(S.SPARK)}
+    """)
+
+
+_EXACTSUBSTR_CUT_ORACLE = f"""
+    WITH {_suffix_profile_oracle_ctes()},
+    {D.exactsubstr_cut_tail(S.DUCKDB)}
+"""
 
 
 def q_exact_dedup(d: S.Dialect) -> str:
@@ -3059,6 +3107,20 @@ QUERIES: dict[str, QueryDef] = {
         "cross-source Jaccard from K-minimum-values sketches "
         "(|S|*k sketch rows regardless of corpus size; exact truth "
         "rides along so the driver pins the estimation error)"),
+    # ---- round-7 additions ----
+    "kmv_overlap_estimate": _sql_pair(
+        SK.q_kmv_overlap_estimate,
+        "KMV overlap production form: sketch estimate only — the "
+        "exact-truth pair join stays in the verified combined form; "
+        "this is the pipeline entry point (|S|^2*k beyond one "
+        "DISTINCT collapse)"),
+    "exactsubstr_cut": QueryDef(
+        spark=_exactsubstr_cut_spark,
+        oracle=_EXACTSUBSTR_CUT_ORACLE,
+        survey_ref="dedup ExactSubstr variable-length span removal "
+                   "(suffix-index profile -> owner -> interval-union "
+                   "excision; prefix-doubling ranks vs direct-sort "
+                   "oracle)"),
     "mad_outliers": _sql_pair(
         q_mad_outliers,
         "robust per-type anomaly screen: exact interpolated "
@@ -3073,53 +3135,57 @@ QUERIES: dict[str, QueryDef] = {
 
 
 # ---------------------------------------------------------------------------
-# Driver exposure order — FROZEN round 6.
+# Driver exposure order — FROZEN round 7.
 #
 # The driver's CORRECTNESS snapshot records only the FIRST 50 entries of
-# queries() dict order.  Rounds 4 and 5 rotated every then-registered
-# query through the window (r5: 48/50 green; histogram_quantiles red on
-# a DuckDB HUGEINT→float64 leak, posting_lists crashed the driver's
-# canonicalizer on an array cell — both fixed this round).  Round 6
-# front-loads the 13 entries with no driver-GREEN row yet: those two
-# plus the 11 round-5 late registrations that trailed the registry
-# (suffix/corpus/kmeans/jsonl families, registered after the r5
-# freeze).  They displace 11 once-witnessed r5-green entries below the
-# boundary.  After a green round 6, every registered query again has a
+# queries() dict order.  Round 6 went 48/50 green — the two non-green
+# rows were the rows-only (oracle=None) registrations bpe_token_histogram
+# and kmeans_clusters, which could never hash-match as registered.
+# Round 7 gives both literal recomputed-VALUES oracles
+# (plans/ref_single.py) and front-loads them for their first GREEN row,
+# together with weighted_stratified_sample (registered in round 6
+# outside the window, never driver-witnessed) and the two round-7
+# additions (kmv_overlap_estimate, exactsubstr_cut).  The three
+# sampling siblings temperature_sample / stratified_sample /
+# hash_bernoulli_sample (driver-green in rounds 5 AND 6, family
+# further covered by weighted_sample_topk + stratified_sample_scale
+# still in the window) are displaced below the boundary to make room.
+# After a green round 7, all 124 registered queries have a
 # driver-green row at least once across rounds.  Do NOT insert new
 # names anywhere above the "-- window boundary --" marker mid-round;
-# new round-6 queries may be inserted at the END of the window
+# new round-7 queries may be inserted at the END of the window
 # (displacing further multiply-witnessed entries) only before the
-# round-6 freeze.
+# round-7 freeze.
 # tests/test_sql_parity.py::test_registry_window_frozen pins this.
 # ---------------------------------------------------------------------------
 REGISTRY_ORDER: tuple[str, ...] = (
-    # 13 entries with no driver-green row through round 5
+    # 5 entries with no driver-GREEN row through round 6: the
+    # never-witnessed round-6 straggler, the two newly-oracled
+    # iterative entries, and the two round-7 additions
+    "weighted_stratified_sample", "bpe_token_histogram",
+    "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
+    # round-6-witnessed entries, r6-window order
     "histogram_quantiles", "posting_lists",
     "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
-    "token_entropy", "bpe_token_histogram", "kmeans_lloyd2",
-    "kmeans_clusters", "leakage_safe_split", "quality_budget_select",
+    "token_entropy", "kmeans_lloyd2",
+    "leakage_safe_split", "quality_budget_select",
     "jsonl_scan", "corpus_report",
-    # once-witnessed entries (green in round 5), r5-window order
     "asof_join_salted", "cosine_near_dup_lsh",
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
-    "salted_join", "bigram_lm_score", "temperature_sample",
-    "stratified_sample", "hash_bernoulli_sample", "seeded_shuffle",
+    "salted_join", "bigram_lm_score", "seeded_shuffle",
     "stratified_sample_scale", "countmin_heavy_hitters", "hll_distinct",
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
-    # round-6 additions (registered before the round-6 freeze)
     "weighted_sample_topk", "skew_profile",
     "curriculum_schedule", "pca_power_iter",
     "containment_pairs", "perplexity_tiers", "decayed_engagement",
     "kmv_source_overlap", "mad_outliers",
     # -- window boundary: entries below are outside the driver snapshot --
-    # round-6 addition that did not fit the 50-row window (verified
-    # via tools/check_correctness.py this round; rotates into the
-    # window next round)
-    "weighted_stratified_sample",
+    # displaced by the round-7 rotation (driver-green in r5 and r6)
+    "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",

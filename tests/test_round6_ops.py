@@ -219,6 +219,40 @@ class TestKmvSourceOverlap:
         assert r.jaccard_exact_e4 == 3333
         assert r.abs_err_e4 <= 400, r
 
+    def test_estimate_form_matches_combined_form(self, spark, sf_smoke):
+        """The production estimate-only form must emit estimate
+        columns byte-identical to the verified combined form — same
+        sketch CTE chain, just without the exact-truth pair join."""
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        est = spark.sql(SK.q_kmv_overlap_estimate(S.SPARK)).collect()
+        full = spark.sql(SK.q_kmv_source_overlap(S.SPARK)).collect()
+        lean = [(r.source_a, r.source_b, r.k_used, r.n_both_k,
+                 r.jaccard_kmv_e4) for r in est]
+        ref = [(r.source_a, r.source_b, r.k_used, r.n_both_k,
+                r.jaccard_kmv_e4) for r in full]
+        assert lean == ref and lean
+
+    def test_estimate_form_has_no_exact_branch(self, spark, sf_smoke):
+        """The estimate form must not pay the exact-truth cost: the
+        full fingerprint universe appears once (sketch build), never
+        a second time for a universe-wide pair join."""
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        est = spark.sql(SK.q_kmv_overlap_estimate(S.SPARK))
+        full = spark.sql(SK.q_kmv_source_overlap(S.SPARK))
+        n_est = str(est._jdf.queryExecution().optimizedPlan()).count(
+            "Relation")
+        n_full = str(full._jdf.queryExecution().optimizedPlan()).count(
+            "Relation")
+        assert n_est < n_full, (n_est, n_full)
+
 
 class TestPerplexityTiers:
     def test_tiers_balanced_and_ordered(self, spark, sf_smoke):

@@ -1,0 +1,154 @@
+"""Semantic tests for the round-7 operators on PLANTED data: the
+ExactSubstr cut must excise exactly the planted duplicated passage
+from every non-owner document and nothing else."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from dystonse_gtfs_importer_spark.functions import (
+    dedup_sql as D,
+    sql_shared as S,
+)
+
+
+@pytest.fixture(autouse=True)
+def _utc(spark):
+    from dystonse_gtfs_importer_spark.session import configure_for_oracle
+
+    configure_for_oracle(spark)
+
+
+def _docs(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def _run_cut(spark):
+    from dystonse_gtfs_importer_spark.operators.suffix import suffix_ranks
+    from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+        _suffix_profile_spark_ctes,
+    )
+
+    suffix_ranks(spark.table("documents")).createOrReplaceTempView("sr")
+    return spark.sql(f"""
+        WITH {_suffix_profile_spark_ctes()},
+        {D.exactsubstr_cut_tail(S.SPARK)}
+    """)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+PASSAGE = ("alpha beta gamma delta epsilon zeta eta theta iota "
+           "kappa lam mu")  # 12 tokens, >= the 8-token threshold
+
+
+class TestExactSubstrCut:
+    def test_planted_duplicated_passage(self, spark):
+        """Doc 1 and doc 5 share an exact 12-token passage; doc 1
+        (lowest doc_id) owns it and keeps everything, doc 5 loses
+        exactly those 12 tokens; unrelated docs are unaffected."""
+        rows = [
+            (1, f"intro one two three {PASSAGE} outro four", "en", "A", 1),
+            (5, f"prefix tokens here {PASSAGE} suffix bits", "en", "B", 1),
+            (9, "wholly unrelated text with enough words to exist",
+             "en", "C", 1),
+        ]
+        _docs(spark, rows)
+        out = {r.doc_id: r for r in _run_cut(spark).collect()}
+        # only the non-owner document is affected
+        assert set(out) == {5}
+        r = out[5]
+        assert r.n_tok == 17            # 3 prefix + 12 passage + 2 suffix
+        assert r.n_removed == 12
+        assert r.n_regions == 1
+        assert r.kept_fp == _md5("prefix tokens here suffix bits")
+
+    def test_overlapping_cuts_merge(self, spark):
+        """Two duplicated passages overlapping in the victim doc merge
+        into ONE region and each token is counted once."""
+        # doc 30 contains A-passage then B-passage sharing 4 tokens:
+        # a1..a8 o1 o2 o3 o4 + b5..b12 where owner docs hold each
+        a = "a1 a2 a3 a4 a5 a6 a7 a8 o1 o2 o3 o4"
+        b = "o1 o2 o3 o4 b5 b6 b7 b8 b9 b10 b11 b12"
+        victim = ("lead " + a + " b5 b6 b7 b8 b9 b10 b11 b12 tail")
+        rows = [
+            (10, "pad words " + a + " more pad", "en", "A", 1),
+            (20, b + " closing words", "en", "B", 1),
+            (30, victim, "en", "C", 1),
+        ]
+        _docs(spark, rows)
+        out = {r.doc_id: r for r in _run_cut(spark).collect()}
+        assert 30 in out
+        r = out[30]
+        # tokens 1..20 (a-block + b-tail) are covered, merged: 1 region
+        assert r.n_regions == 1
+        assert r.n_removed == 20
+        assert r.kept_fp == _md5("lead tail")
+
+    def test_within_document_repeats_kept(self, spark):
+        """A passage repeated only INSIDE one document is self-owned
+        — the cut removes cross-document contamination, not internal
+        structure."""
+        p = "r1 r2 r3 r4 r5 r6 r7 r8"
+        rows = [
+            (1, f"{p} middle words {p}", "en", "A", 1),
+            (2, "totally different content with many words here",
+             "en", "B", 1),
+        ]
+        _docs(spark, rows)
+        out = _run_cut(spark).collect()
+        assert out == []                # nothing crosses documents
+
+    def test_fully_cut_document(self, spark):
+        """A document that IS the duplicated passage loses everything:
+        n_removed == n_tok and kept_fp is MD5('')."""
+        rows = [
+            (1, f"leading context {PASSAGE} trailing context",
+             "en", "A", 1),
+            (7, PASSAGE, "en", "B", 1),
+        ]
+        _docs(spark, rows)
+        out = {r.doc_id: r for r in _run_cut(spark).collect()}
+        assert set(out) == {7}
+        r = out[7]
+        assert r.n_tok == 12 and r.n_removed == 12 and r.n_regions == 1
+        assert r.kept_fp == _md5("")
+
+    def test_matches_duckdb_oracle_on_planted_rows(self, spark):
+        """Cross-engine: the full chain (profile from prefix doubling
+        vs direct suffix sort, then the shared tail) agrees row-for-row
+        on the planted fixture."""
+        import duckdb
+
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            _EXACTSUBSTR_CUT_ORACLE,
+        )
+
+        rows = [
+            (1, f"intro one two three {PASSAGE} outro four", "en", "A", 1),
+            (5, f"prefix tokens here {PASSAGE} suffix bits", "en", "B", 1),
+            (9, "wholly unrelated text with enough words to exist",
+             "en", "C", 1),
+        ]
+        _docs(spark, rows)
+        got = sorted(
+            (r.doc_id, r.n_tok, r.n_removed, r.n_regions, r.kept_fp)
+            for r in _run_cut(spark).collect())
+        con = duckdb.connect()
+        con.execute("""
+            CREATE VIEW documents AS SELECT * FROM (VALUES
+            {}) AS t(doc_id, text, lang, source, n_chars)
+        """.format(",".join(
+            f"({d}, '{t}', '{lg}', '{s}', {n})"
+            for d, t, lg, s, n in rows)))
+        want = sorted(tuple(r) for r in
+                      con.execute(_EXACTSUBSTR_CUT_ORACLE).fetchall())
+        assert got == want and got

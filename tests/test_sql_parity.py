@@ -331,15 +331,14 @@ class TestRegistryWindow:
         # append (after the window), never displace the first 50
         assert tuple(names[: len(oq.REGISTRY_ORDER)]) == oq.REGISTRY_ORDER
         window = set(names[: oq.DRIVER_WINDOW])
-        # round-6 rotation: the 13 entries with no driver-green row
-        # through round 5 lead the window (2 fixed reds + the 11
-        # post-freeze round-5 registrations)
+        # round-7 rotation: the 5 entries with no driver-GREEN row
+        # through round 6 lead the window (the never-witnessed round-6
+        # straggler, the two newly-oracled iterative entries, and the
+        # two round-7 additions)
         must_witness = {
-            "histogram_quantiles", "posting_lists",
-            "suffix_ranks", "equidepth_histogram_scale",
-            "repeated_spans", "token_entropy", "bpe_token_histogram",
-            "kmeans_lloyd2", "kmeans_clusters", "leakage_safe_split",
-            "quality_budget_select", "jsonl_scan", "corpus_report",
+            "weighted_stratified_sample", "bpe_token_histogram",
+            "kmeans_clusters", "kmv_overlap_estimate",
+            "exactsubstr_cut",
         }
         assert must_witness <= window
 
