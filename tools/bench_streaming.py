@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Streaming-path benchmark: throughput (events/s) and micro-batch
+latency for the stateful operators, at two input rates.
+
+Usage: python3 tools/bench_streaming.py [rows_low rows_high]
+
+Each operator consumes a file-source stream (availableNow, memory
+sink) of planted events split across N_FILES json files with
+``maxFilesPerTrigger`` bounding the batch size, so the run exercises
+the real micro-batch loop (state store load/merge/commit per batch),
+not one giant batch.  Reported per (operator, rate):
+
+* wall seconds for the full drain, events/s, events/s/core
+* micro-batch count and mean/max batchDuration from the progress log
+
+Prints one JSON line (the BENCH_* convention).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+N_FILES = 8
+CORES = 8
+
+
+def _gen_events(path: Path, n_rows: int, n_keys: int) -> None:
+    """n_rows events over n_keys users across 60 days, split into
+    N_FILES files — deterministic, no RNG."""
+    base = 1704067200
+    rows_per = n_rows // N_FILES
+    for f in range(N_FILES):
+        with open(path / f"ev_{f:03d}.json", "w") as fh:
+            for i in range(rows_per):
+                g = f * rows_per + i
+                fh.write(json.dumps({
+                    "user_id": g % n_keys,
+                    "ts": (base + (g * 7919) % (60 * 86400)) * 1000000,
+                    "value": (g % 1000) / 100.0,
+                }) + "\n")
+
+
+def _progress_stats(query) -> tuple[int, float, float, int]:
+    # recentProgress entries are StreamingQueryProgress objects (json
+    # attr) on newer PySpark, raw JSON strings on older
+    ps = [json.loads(p if isinstance(p, str)
+                     else getattr(p, "json", str(p)))
+          for p in query.recentProgress]
+    durs = [p["batchDuration"] for p in ps
+            if p.get("numInputRows", 0) > 0]
+    seen = sum(p.get("numInputRows", 0) for p in ps)
+    if not durs:
+        return 0, 0.0, 0.0, seen
+    return len(durs), sum(durs) / len(durs) / 1e3, max(durs) / 1e3, seen
+
+
+def _drain(stream_df, name: str, ck: Path,
+           n_rows: int) -> tuple[float, int, float, float]:
+    """Run the stream until all ``n_rows`` input rows are processed,
+    then stop it.  availableNow does NOT self-terminate for
+    applyInPandasWithState queries with processing-time timeouts
+    (Spark keeps scheduling timeout-check batches), so termination is
+    on observed input volume, with the wall clock stopped at the last
+    data-carrying batch."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", str(ck))
+         .trigger(availableNow=True).start())
+    t0 = time.time()
+    deadline = t0 + 570
+    while time.time() < deadline:
+        if not q.isActive:
+            break
+        _, _, _, seen = _progress_stats(q)
+        if seen >= n_rows:
+            break
+        time.sleep(0.25)
+    wall = time.time() - t0
+    n_batches, mean_s, max_s, _ = _progress_stats(q)
+    if q.isActive:
+        q.stop()
+    return wall, n_batches, mean_s, max_s
+
+
+def main() -> int:
+    import pyspark.sql.functions as F
+
+    from dystonse_gtfs_importer_spark.session import get_spark
+    from dystonse_gtfs_importer_spark.streaming.windows import (
+        decayed_counter_stream,
+        windowed_event_counts,
+    )
+
+    rates = ([int(sys.argv[1]), int(sys.argv[2])]
+             if len(sys.argv) > 2 else [100_000, 1_000_000])
+    spark = get_spark(app_name="bench-streaming",
+                      shuffle_partitions=CORES)
+    schema = "user_id long, ts long, value double"
+    results: dict[str, dict] = {}
+
+    for n_rows in rates:
+        tmp = Path(tempfile.mkdtemp(prefix="bench_stream_"))
+        src = tmp / "src"
+        src.mkdir()
+        _gen_events(src, n_rows, n_keys=max(1000, n_rows // 100))
+
+        def reader():
+            df = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+            return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+        ops = {
+            "decayed_counter": lambda: decayed_counter_stream(reader()),
+            "windowed_counts": lambda: windowed_event_counts(
+                reader(), key_col="user_id"),
+        }
+        for op, build in ops.items():
+            ck = tmp / f"ck_{op}"
+            wall, nb, mean_s, max_s = _drain(
+                build(), f"bs_{op}_{n_rows}", ck, n_rows)
+            results[f"{op}@{n_rows}"] = {
+                "rows": n_rows,
+                "wall_s": round(wall, 2),
+                "events_per_s": round(n_rows / wall),
+                "events_per_s_per_core": round(n_rows / wall / CORES),
+                "micro_batches": nb,
+                "batch_mean_s": round(mean_s, 2),
+                "batch_max_s": round(max_s, 2),
+            }
+            print(f"# {op} @ {n_rows}: {results[f'{op}@{n_rows}']}",
+                  file=sys.stderr)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps({"metric": "streaming_throughput",
+                      "unit": "events_per_s", "cores": CORES,
+                      "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
