@@ -89,7 +89,8 @@ def dense_rank_scalable(df: DataFrame, cols: list[str],
 
 def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text",
-                 max_rounds: int = 40) -> DataFrame:
+                 max_rounds: int = 40,
+                 prefix_cap: int | None = None) -> DataFrame:
     """Dense rank of every token-level suffix of every document under
     corpus-wide lexicographic order (element-wise on tokens, shorter-
     prefix-first — exactly SQL's list comparison, reproduced by
@@ -105,10 +106,22 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
     the longest document (shift k ≥ max tokens ⇒ coverage 2k beyond
     every suffix), with the all-distinct early exit kept.
 
+    ``prefix_cap`` (a power of two) stops the doubling once the
+    covered prefix reaches the cap, yielding dense ranks of the
+    CAP-TRUNCATED suffixes — the document-length-independent form the
+    capped ExactSubstr profile consumes (prefix doubling covers
+    exactly 2^j tokens after j rounds, so a power-of-two cap is an
+    exact truncation, and suffixes already distinct within a shorter
+    prefix keep the identical order).  The all-distinct early exit
+    stays valid under the cap: lexicographic order is fixed by the
+    first differing token.
+
     Returns (id_col, pos, suffix_rank); pos is the 0-based token
-    offset.  Cost: ⌈log₂ max-repeat-length⌉ rounds of (one equi-join
-    on (doc, pos+2^k) + one scalable dense rank).
+    offset.  Cost: ⌈log₂ min(max-repeat-length, cap)⌉ rounds of (one
+    equi-join on (doc, pos+2^k) + one scalable dense rank).
     """
+    if prefix_cap is not None and prefix_cap & (prefix_cap - 1):
+        raise ValueError("prefix_cap must be a power of two")
     toks = docs.select(
         F.col(id_col),
         F.posexplode(
@@ -122,6 +135,8 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.max("count").alias("mx"), F.sum("count").alias("n")) \
         .collect()[0]
     max_len, n_total = stats.mx or 0, stats.n or 0
+    if prefix_cap is not None:
+        max_len = min(max_len, prefix_cap)
     k = 1
     for _ in range(max_rounds):
         if n_distinct >= n_total or k >= max_len:

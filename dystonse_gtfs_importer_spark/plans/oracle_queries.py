@@ -1391,7 +1391,12 @@ def _equidepth_scale_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the toy-affordable cross-derivation of operators/suffix's prefix
 # doubling).  Ends with prof(doc_id, pos, rep_len), rep_len >= min_len;
 # shared by the repeated_spans profile query and the ExactSubstr cut.
-def _suffix_profile_oracle_ctes(min_len: int = 8) -> str:
+# ``cap`` truncates every suffix to its first ``cap`` tokens before
+# ranking/LCP (the document-length-independent profile: rep_len
+# becomes min(true, cap) pointwise — see _exactsubstr_cut_capped).
+def _suffix_profile_oracle_ctes(min_len: int = 8,
+                                cap: int | None = None) -> str:
+    s_expr = f"ta[i+1:]" if cap is None else f"ta[i+1:i+{cap}]"
     return f"""
     ta AS (
         SELECT doc_id,
@@ -1401,9 +1406,9 @@ def _suffix_profile_oracle_ctes(min_len: int = 8) -> str:
     ),
     pos AS (SELECT doc_id, unnest(range(len(ta))) AS i, ta FROM ta),
     sfx AS (
-        SELECT doc_id, CAST(i AS INT) AS pos, ta[i+1:] AS s,
-               DENSE_RANK() OVER (ORDER BY ta[i+1:]) AS r,
-               COUNT(*) OVER (PARTITION BY ta[i+1:]) AS class_n
+        SELECT doc_id, CAST(i AS INT) AS pos, {s_expr} AS s,
+               DENSE_RANK() OVER (ORDER BY {s_expr}) AS r,
+               COUNT(*) OVER (PARTITION BY {s_expr}) AS class_n
         FROM pos
     ),
     reps AS (SELECT r, MIN(s ORDER BY s) AS s FROM sfx GROUP BY r),
@@ -1441,11 +1446,17 @@ _REPEATED_SPANS_ORACLE = f"""
 
 # Spark-side twin: the same prof CTE chain, but ranks come from the
 # distributed prefix-doubling view ``sr`` (operators/suffix) instead
-# of a corpus-wide sort — no single-partition window anywhere.
-def _suffix_profile_spark_ctes(min_len: int = 8) -> str:
+# of a corpus-wide sort — no single-partition window anywhere.  With
+# ``cap`` the materialized suffix slices are cap-truncated (the ``sr``
+# view must then be built with the same ``prefix_cap``), turning the
+# slice mass from O(Σ per-doc L²/2) into O(Σ L·cap).
+def _suffix_profile_spark_ctes(min_len: int = 8,
+                               cap: int | None = None) -> str:
     lcp = (lambda a, b:
            f"size(filter(sequence(1, least(size({a}), size({b}))), "
            f"i -> slice({a}, 1, i) = slice({b}, 1, i)))")
+    n_take = ("size(ta.ta) - sr.pos" if cap is None
+              else f"least(size(ta.ta) - sr.pos, {cap})")
     return f"""
         ta AS (
             SELECT doc_id,
@@ -1454,7 +1465,7 @@ def _suffix_profile_spark_ctes(min_len: int = 8) -> str:
         ),
         sfx AS (
             SELECT sr.doc_id, sr.pos, sr.suffix_rank AS r,
-                   slice(ta.ta, sr.pos + 1, size(ta.ta) - sr.pos) AS s
+                   slice(ta.ta, sr.pos + 1, {n_take}) AS s
             FROM sr JOIN ta ON ta.doc_id = sr.doc_id
         ),
         cls AS (SELECT r, COUNT(*) AS class_n FROM sfx GROUP BY r),
@@ -1530,6 +1541,44 @@ def _exactsubstr_cut_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXACTSUBSTR_CUT_ORACLE = f"""
     WITH {_suffix_profile_oracle_ctes()},
+    {D.exactsubstr_cut_tail(S.DUCKDB)}
+"""
+
+EXACTSUBSTR_PREFIX_CAP = 16  # power of two, >= the 8-token anchor
+
+
+def _exactsubstr_cut_capped_spark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The 100 TB form of the ExactSubstr cut: every suffix is
+    truncated to its first ``EXACTSUBSTR_PREFIX_CAP`` tokens before
+    ranking and LCP, so (a) prefix doubling stops at ⌈log₂ cap⌉
+    rounds regardless of document length and (b) the profile's
+    materialized slice mass is O(corpus·cap) instead of O(Σ per-doc
+    L²/2) — the uncapped form's hidden quadratic for long documents.
+
+    The CUT OUTPUT IS IDENTICAL to the uncapped operator's
+    (test-pinned): inside a long repeated region every interior
+    position is itself flagged with rep_len ≥ min(remaining, cap) ≥
+    min_len, so consecutive capped intervals [p+j, p+j+cap) union to
+    exactly the true region, and anchor ownership keys on the leading
+    8 tokens either way.  Only the PROFILE's rep_len values clamp at
+    the cap (min(true, cap) pointwise)."""
+    from ..operators.suffix import suffix_ranks
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    suffix_ranks(spark.table("documents"),
+                 prefix_cap=EXACTSUBSTR_PREFIX_CAP) \
+        .createOrReplaceTempView("sr")
+    return spark.sql(f"""
+        WITH {_suffix_profile_spark_ctes(cap=EXACTSUBSTR_PREFIX_CAP)},
+        {D.exactsubstr_cut_tail(S.SPARK)}
+    """)
+
+
+_EXACTSUBSTR_CUT_CAPPED_ORACLE = f"""
+    WITH {_suffix_profile_oracle_ctes(cap=EXACTSUBSTR_PREFIX_CAP)},
     {D.exactsubstr_cut_tail(S.DUCKDB)}
 """
 
@@ -3121,6 +3170,14 @@ QUERIES: dict[str, QueryDef] = {
                    "(suffix-index profile -> owner -> interval-union "
                    "excision; prefix-doubling ranks vs direct-sort "
                    "oracle)"),
+    "exactsubstr_cut_capped": QueryDef(
+        spark=_exactsubstr_cut_capped_spark,
+        oracle=_EXACTSUBSTR_CUT_CAPPED_ORACLE,
+        survey_ref="dedup ExactSubstr cut, document-length-independent "
+                   "form: cap-truncated suffix ranks/LCP (O(L*cap) "
+                   "slice mass, log2(cap) doubling rounds); cut "
+                   "output identical to the uncapped operator "
+                   "(test-pinned)"),
     "mad_outliers": _sql_pair(
         q_mad_outliers,
         "robust per-type anomaly screen: exact interpolated "
@@ -3164,6 +3221,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # iterative entries, and the two round-7 additions
     "weighted_stratified_sample", "bpe_token_histogram",
     "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
+    "exactsubstr_cut_capped",
     # round-6-witnessed entries, r6-window order
     "histogram_quantiles", "posting_lists",
     "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
@@ -3174,7 +3232,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
-    "salted_join", "bigram_lm_score", "seeded_shuffle",
+    "salted_join", "bigram_lm_score",
     "stratified_sample_scale", "countmin_heavy_hitters", "hll_distinct",
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
@@ -3186,6 +3244,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- window boundary: entries below are outside the driver snapshot --
     # displaced by the round-7 rotation (driver-green in r5 and r6)
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
+    "seeded_shuffle",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",

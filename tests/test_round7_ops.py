@@ -29,15 +29,16 @@ def _docs(spark, rows):
     return df
 
 
-def _run_cut(spark):
+def _run_cut(spark, cap=None):
     from dystonse_gtfs_importer_spark.operators.suffix import suffix_ranks
     from dystonse_gtfs_importer_spark.plans.oracle_queries import (
         _suffix_profile_spark_ctes,
     )
 
-    suffix_ranks(spark.table("documents")).createOrReplaceTempView("sr")
+    suffix_ranks(spark.table("documents"),
+                 prefix_cap=cap).createOrReplaceTempView("sr")
     return spark.sql(f"""
-        WITH {_suffix_profile_spark_ctes()},
+        WITH {_suffix_profile_spark_ctes(cap=cap)},
         {D.exactsubstr_cut_tail(S.SPARK)}
     """)
 
@@ -152,3 +153,78 @@ class TestExactSubstrCut:
         want = sorted(tuple(r) for r in
                       con.execute(_EXACTSUBSTR_CUT_ORACLE).fetchall())
         assert got == want and got
+
+
+class TestExactSubstrCutCapped:
+    """The cap-truncated form (O(L·cap) slice mass) must produce the
+    IDENTICAL cut: interior positions of a long span are themselves
+    flagged, so capped intervals union to the true region."""
+
+    def test_long_passage_beyond_cap_fully_excised(self, spark):
+        """A 40-token duplicated passage, cap 16: the victim still
+        loses all 40 tokens — the union of capped intervals covers
+        the whole region even though no single rep_len exceeds 16."""
+        passage = " ".join(f"p{i}" for i in range(40))
+        rows = [
+            (1, f"owner head {passage} owner tail", "en", "A", 1),
+            (6, f"victim head words {passage} victim tail words",
+             "en", "B", 1),
+        ]
+        _docs(spark, rows)
+        out = {r.doc_id: r for r in _run_cut(spark, cap=16).collect()}
+        assert set(out) == {6}
+        r = out[6]
+        assert r.n_removed == 40 and r.n_regions == 1
+        assert r.kept_fp == _md5("victim head words victim tail words")
+
+    def test_capped_equals_uncapped(self, spark):
+        """Row-for-row equality of the capped and uncapped operators
+        on a fixture mixing short spans, a long (> cap) span, an
+        internal-only repeat, and a fully-duplicated doc."""
+        passage = " ".join(f"q{i}" for i in range(30))
+        short = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+        rows = [
+            (1, f"alpha {passage} beta", "en", "A", 1),
+            (2, f"gamma delta {passage} epsilon", "en", "B", 1),
+            (3, f"{short} filler words here", "en", "C", 1),
+            (4, f"other filler {short}", "en", "D", 1),
+            (5, "r1 r2 r3 r4 r5 r6 r7 r8 mid r1 r2 r3 r4 r5 r6 r7 r8",
+             "en", "E", 1),
+            (7, short, "en", "F", 1),
+        ]
+        _docs(spark, rows)
+        full = sorted(tuple(r) for r in _run_cut(spark).collect())
+        capped = sorted(tuple(r) for r in
+                        _run_cut(spark, cap=16).collect())
+        assert capped == full and capped
+
+    def test_capped_rank_rounds_bounded(self, spark):
+        """prefix_cap stops the doubling: with cap 16 the covered
+        prefix never exceeds 16 tokens, so ranks of two suffixes that
+        agree on their first 16 tokens collide by design."""
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            suffix_ranks,
+        )
+
+        long_common = " ".join(f"c{i}" for i in range(16))
+        rows = [(1, f"{long_common} endone", "en", "A", 1),
+                (2, f"{long_common} endtwo", "en", "B", 1)]
+        df = _docs(spark, rows)
+        r = suffix_ranks(df, prefix_cap=16)
+        at0 = {row.doc_id: row.suffix_rank
+               for row in r.where("pos = 0").collect()}
+        assert at0[1] == at0[2]          # capped: 16-token tie
+        r_full = suffix_ranks(df)
+        at0f = {row.doc_id: row.suffix_rank
+                for row in r_full.where("pos = 0").collect()}
+        assert at0f[1] != at0f[2]        # uncapped: discriminated
+
+    def test_cap_must_be_power_of_two(self, spark):
+        import pytest as _pytest
+
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            suffix_ranks,
+        )
+
+        with _pytest.raises(ValueError):
+            suffix_ranks(spark.table("documents"), prefix_cap=24)

@@ -338,7 +338,7 @@ class TestRegistryWindow:
         must_witness = {
             "weighted_stratified_sample", "bpe_token_histogram",
             "kmeans_clusters", "kmv_overlap_estimate",
-            "exactsubstr_cut",
+            "exactsubstr_cut", "exactsubstr_cut_capped",
         }
         assert must_witness <= window
 

@@ -138,6 +138,46 @@ def main() -> int:
                   file=sys.stderr)
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # dedup-on-arrival stream (foreachBatch + growing fingerprint
+    # store): document feed with a planted 25% duplicate rate
+    from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+        run_dedup_stream,
+    )
+
+    for n_rows in rates:
+        n_docs = max(N_FILES, n_rows // 10)   # ~10-token docs
+        tmp = Path(tempfile.mkdtemp(prefix="bench_dedup_"))
+        src = tmp / "src"
+        src.mkdir()
+        per = n_docs // N_FILES
+        for f in range(N_FILES):
+            with open(src / f"d_{f:03d}.json", "w") as fh:
+                for i in range(per):
+                    g = f * per + i
+                    uniq = g if g % 4 else g // 4  # 25% exact repeats
+                    fh.write(json.dumps({
+                        "doc_id": g,
+                        "text": f"document body {uniq} " + "tok " * 8,
+                        "lang": "en", "source": f"s{g % 5}",
+                    }) + "\n")
+        t0 = time.time()
+        q = run_dedup_stream(spark, str(src), str(tmp / "out"),
+                             str(tmp / "ck"), max_files_per_trigger=1)
+        q.awaitTermination(570)
+        wall = time.time() - t0
+        kept = spark.read.parquet(str(tmp / "out" / "documents")).count()
+        results[f"dedup_stream@{n_docs}"] = {
+            "rows": n_docs,
+            "wall_s": round(wall, 2),
+            "events_per_s": round(n_docs / wall),
+            "events_per_s_per_core": round(n_docs / wall / CORES),
+            "micro_batches": N_FILES,
+            "kept_docs": kept,
+        }
+        print(f"# dedup_stream @ {n_docs}: "
+              f"{results[f'dedup_stream@{n_docs}']}", file=sys.stderr)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     print(json.dumps({"metric": "streaming_throughput",
                       "unit": "events_per_s", "cores": CORES,
                       "results": results}))
