@@ -1517,7 +1517,8 @@ def _repeated_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def _exactsubstr_cut_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exactsubstr_cut_spark(spark: SparkSession, sf_dir: str,
+                           cap: int | None = None) -> DataFrame:
     """ExactSubstr span REMOVAL (Lee et al. 2022 §4) — the cut
     operator on top of the repeated-span profile: excise the actual
     variable-length repeated spans the suffix index finds (not fixed
@@ -1526,15 +1527,38 @@ def _exactsubstr_cut_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/suffix.suffix_ranks — no corpus-wide sort); ownership,
     interval union and excision are the shared dual-dialect tail
     (functions/dedup_sql.exactsubstr_cut_tail), so the DuckDB oracle
-    cross-derives the whole chain from a direct suffix sort."""
+    cross-derives the whole chain from a direct suffix sort.
+
+    The profile is MATERIALIZED (eager localCheckpoint) before the
+    tail: the tail's ``regions`` CTE has three consumers (rstats, the
+    token join, the keep anti-join) and Spark's CTE inlining
+    re-derives everything upstream per consumer — without the pin the
+    optimized plan replays the suffix/LCP chain ~3× (38 parquet scans
+    observed; the known multi-consumer CTE trap).  localCheckpoint
+    rather than persist(): view expansion re-aliases the plan per CTE
+    consumer and the CacheManager's sameResult match fails against
+    the re-aliased LogicalRDD copies, so persist() silently caches
+    nothing here — the checkpoint replaces the plan wholesale and
+    cannot be missed."""
     from ..operators.suffix import suffix_ranks
     from ..session import configure_for_oracle
 
     configure_for_oracle(spark)
     register_views(spark, sf_dir)
-    suffix_ranks(spark.table("documents")).createOrReplaceTempView("sr")
+    suffix_ranks(spark.table("documents"),
+                 prefix_cap=cap).createOrReplaceTempView("sr")
+    prof = spark.sql(f"""
+        WITH {_suffix_profile_spark_ctes(cap=cap)}
+        SELECT doc_id, pos, rep_len FROM prof
+    """).localCheckpoint(eager=True)
+    prof.createOrReplaceTempView("prof_v")
     return spark.sql(f"""
-        WITH {_suffix_profile_spark_ctes()},
+        WITH ta AS (
+            SELECT doc_id,
+                   filter(split(lower(text), ' +'), t -> t <> '') AS ta
+            FROM documents
+        ),
+        prof AS (SELECT * FROM prof_v),
         {D.exactsubstr_cut_tail(S.SPARK)}
     """)
 
@@ -1563,18 +1587,8 @@ def _exactsubstr_cut_capped_spark(spark: SparkSession,
     exactly the true region, and anchor ownership keys on the leading
     8 tokens either way.  Only the PROFILE's rep_len values clamp at
     the cap (min(true, cap) pointwise)."""
-    from ..operators.suffix import suffix_ranks
-    from ..session import configure_for_oracle
-
-    configure_for_oracle(spark)
-    register_views(spark, sf_dir)
-    suffix_ranks(spark.table("documents"),
-                 prefix_cap=EXACTSUBSTR_PREFIX_CAP) \
-        .createOrReplaceTempView("sr")
-    return spark.sql(f"""
-        WITH {_suffix_profile_spark_ctes(cap=EXACTSUBSTR_PREFIX_CAP)},
-        {D.exactsubstr_cut_tail(S.SPARK)}
-    """)
+    return _exactsubstr_cut_spark(spark, sf_dir,
+                                  cap=EXACTSUBSTR_PREFIX_CAP)
 
 
 _EXACTSUBSTR_CUT_CAPPED_ORACLE = f"""

@@ -1097,3 +1097,41 @@ class TestRound6AdditionPlans:
         # the OR-membership join against the tiny sketch/fingerprint
         # side plans as BroadcastNestedLoopJoin — bounded by |S|*k
         assert "ArrowEvalPython" not in plan, plan
+
+
+class TestRound7AdditionPlans:
+    def test_exactsubstr_cut_scale_shape(self, spark, sf_smoke):
+        """The cut's plan: no cartesian anywhere, every Window
+        partitions (by doc_id for the interval union — never an
+        unpartitioned corpus window), and the repeated-span profile is
+        materialized (LogicalRDD checkpoint) so the tail's three
+        regions-consumers cannot re-derive the suffix/LCP chain per
+        consumer — without the pin the plan replays it ~3× (38
+        parquet scans; with it only the cheap tokenize CTE repeats)."""
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            _exactsubstr_cut_capped_spark,
+        )
+
+        df = _exactsubstr_cut_capped_spark(spark, sf_smoke)
+
+        def nodes(n, out):
+            out.append(n)
+            kids = n.children()
+            for i in range(kids.length()):
+                nodes(kids.apply(i), out)
+            return out
+
+        root = df._jdf.queryExecution().optimizedPlan()
+        all_nodes = nodes(root, [])
+        names = [n.nodeName() for n in all_nodes]
+        assert "Join" in names              # tail joins exist
+        plan = root.toString()
+        assert "CartesianProduct" not in plan, plan
+        for w in (n for n in all_nodes if n.nodeName() == "Window"):
+            assert w.partitionSpec().length() > 0, str(w)
+        # profile pinned: the suffix chain never reaches this plan —
+        # only the tail's tokenize CTE scans documents (≤ a handful of
+        # parquet scans, vs 38 when the CTE re-derivation leaks in)
+        assert "LogicalRDD" in plan, plan
+        n_scans = plan.count(" parquet")
+        assert n_scans <= 10, f"{n_scans} parquet scans:\n{plan[:2000]}"
