@@ -120,6 +120,34 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
     offset.  Cost: ⌈log₂ min(max-repeat-length, cap)⌉ rounds of (one
     equi-join on (doc, pos+2^k) + one scalable dense rank).
     """
+    levels, _ = suffix_rank_levels(docs, id_col=id_col,
+                                   text_col=text_col,
+                                   max_rounds=max_rounds,
+                                   prefix_cap=prefix_cap)
+    r = levels[-1][1]
+    return r.select(id_col, F.col("pos").cast("int").alias("pos"),
+                    F.col("r").cast("long").alias("suffix_rank"))
+
+
+def suffix_rank_levels(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       max_rounds: int = 40,
+                       prefix_cap: int | None = None
+                       ) -> tuple[list[tuple[int, DataFrame]], int]:
+    """The prefix-doubling ladder itself: every intermediate rank
+    table, not just the final one.  Returns ``(levels, max_len)``
+    where ``levels[j] = (coverage, DF(id_col, pos, r))`` ranks each
+    suffix by its first ``coverage = 2^j`` tokens (shorter-prefix
+    first, exactly SQL list order) — the last level is the
+    fully-discriminating rank :func:`suffix_ranks` returns.
+
+    Keeping the ladder is what makes EXACT rank-neighbor LCPs
+    computable WITHOUT materializing suffix slices
+    (:func:`lcp_from_levels`): the ladder is the binary-decomposition
+    index, one checkpointed corpus-grain table per level — O(N log L)
+    storage, the published suffix-array recipe (Manber-Myers rank
+    tables).  Each level is eagerly checkpointed, so consumers replay
+    nothing."""
     if prefix_cap is not None and prefix_cap & (prefix_cap - 1):
         raise ValueError("prefix_cap must be a power of two")
     toks = docs.select(
@@ -131,6 +159,7 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
     r, n_distinct = dense_rank_scalable(toks, ["tok"], out="r",
                                         with_count=True)
     r = r.select(id_col, "pos", "r").localCheckpoint(eager=True)
+    levels: list[tuple[int, DataFrame]] = [(1, r)]
     stats = toks.groupBy(id_col).count() \
         .agg(F.max("count").alias("mx"), F.sum("count").alias("n")) \
         .collect()[0]
@@ -153,5 +182,160 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
         r = (r2.select(id_col, "pos", F.col("nr").alias("r"))
              .localCheckpoint(eager=True))
         k *= 2
-    return r.select(id_col, F.col("pos").cast("int").alias("pos"),
-                    F.col("r").cast("long").alias("suffix_rank"))
+        levels.append((k, r))
+    return levels, max_len
+
+
+def lcp_from_levels(pairs: DataFrame,
+                    levels: list[tuple[int, DataFrame]],
+                    id_col: str = "doc_id",
+                    out: str = "lcp") -> DataFrame:
+    """Exact token LCP for suffix-position pairs via binary
+    decomposition over the rank ladder — ZERO suffix materialization.
+
+    ``pairs`` carries (da, pa, db, pb): two suffix positions per row.
+    For each level coverage c (descending): if both positions exist
+    and their level-c ranks are equal, the c-truncated suffixes are
+    identical, so advance both positions by c and add c to the
+    accumulator; a truncation equality at the document tail implies
+    full remaining equality, so the final clamp to min(remaining
+    lengths) is exact.  Correctness of the decomposition: the ladder
+    ranks truncations, and two suffixes sharing more than c tokens
+    would share their c-truncation — so after the largest matching
+    level, strictly smaller ones complete the LCP, and the
+    all-distinct early exit in the ladder construction bounds every
+    LCP below the last coverage.
+
+    Cost: 2 pair-grain equi-joins per level (⌈log₂ L⌉ levels); the
+    pair table is checkpoint-truncated EVERY level — without that the
+    accumulated CASE-WHEN position expressions substitute into each
+    next level's join condition and Catalyst's analysis blows up
+    super-linearly in the level count (measured: 10 levels never
+    finished planning at 51 k pairs; with per-level truncation the
+    whole profile runs in seconds).  The checkpoint is pair-grain,
+    i.e. tiny next to the corpus.  Returns ``pairs`` + BIGINT
+    ``out``."""
+    # AQE re-plans every eager materialization in this loop; with one
+    # tiny pair-grain job per level that re-planning dominates
+    # (measured 290 s -> 124 s on a 51 k-pair ladder with AQE off for
+    # the loop).  Restore the caller's setting afterwards.
+    spark = pairs.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _lcp_loop(pairs, levels, id_col, out)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _lcp_loop(pairs: DataFrame, levels: list[tuple[int, DataFrame]],
+              id_col: str, out: str) -> DataFrame:
+    # remaining suffix lengths, derived from the level-1 table (it
+    # holds every (doc, pos)): len = n_tok - pos
+    base = levels[0][1]
+    lens = base.groupBy(id_col).agg(
+        (F.max("pos") + 1).alias("__ntok"))
+    cur = (pairs
+           .join(lens.select(F.col(id_col).alias("da"),
+                             F.col("__ntok").alias("__la")), "da")
+           .join(lens.select(F.col(id_col).alias("db"),
+                             F.col("__ntok").alias("__lb")), "db")
+           .withColumn("__acc", F.lit(0).cast("long"))
+           .withColumn("__ia", F.col("pa").cast("long"))
+           .withColumn("__ib", F.col("pb").cast("long")))
+    for i, (cov, rdf) in enumerate(reversed(levels)):
+        ra = rdf.select(F.col(id_col).alias("__rda"),
+                        F.col("pos").alias("__rpa"),
+                        F.col("r").alias("__ra"))
+        rb = rdf.select(F.col(id_col).alias("__rdb"),
+                        F.col("pos").alias("__rpb"),
+                        F.col("r").alias("__rb"))
+        cur = (cur
+               .join(ra, (F.col("da") == F.col("__rda"))
+                     & (F.col("__ia") == F.col("__rpa")), "left")
+               .join(rb, (F.col("db") == F.col("__rdb"))
+                     & (F.col("__ib") == F.col("__rpb")), "left"))
+        hit = (F.col("__ra").isNotNull() & F.col("__rb").isNotNull()
+               & (F.col("__ra") == F.col("__rb")))
+        cur = (cur
+               .withColumn("__acc", F.when(hit, F.col("__acc") + cov)
+                           .otherwise(F.col("__acc")))
+               .withColumn("__ia", F.when(hit, F.col("__ia") + cov)
+                           .otherwise(F.col("__ia")))
+               .withColumn("__ib", F.when(hit, F.col("__ib") + cov)
+                           .otherwise(F.col("__ib")))
+               .drop("__rda", "__rpa", "__ra", "__rdb", "__rpb", "__rb"))
+        cur = cur.localCheckpoint(eager=True)
+    return (cur.withColumn(
+        out, F.least(F.col("__acc"),
+                     F.col("__la") - F.col("pa"),
+                     F.col("__lb") - F.col("pb")).cast("long"))
+        .drop("__acc", "__ia", "__ib", "__la", "__lb"))
+
+
+def repeated_span_profile(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          min_len: int = 8) -> DataFrame:
+    """EXACT longest-repeated-span profile with ZERO suffix
+    materialization — the lake-scale form of the ExactSubstr signal
+    (Lee et al. 2022): per position, the longest span starting there
+    that also occurs elsewhere in the corpus, reported where
+    >= ``min_len`` tokens.
+
+    Suffix-array identity: that length is max(LCP with the
+    rank-predecessor suffix, LCP with the rank-successor, full
+    remaining length when the whole suffix repeats).  Here the ranks
+    come from the prefix-doubling ladder (:func:`suffix_rank_levels`)
+    and BOTH neighbor LCPs from binary decomposition over the same
+    ladder (:func:`lcp_from_levels`) — no suffix slice is ever built,
+    so the DATA cost is O(N log L) rows end to end, independent of
+    document length (the materialized-slice form the oracle runs is
+    O(Σ per-doc L²/2)).
+
+    Honest local-mode caveat (SCALING.md round 7): the form runs
+    ~2·log₂ L sequential materialized jobs, and in local[32] each
+    eager materialization carries a 10-30 s floor unrelated to data
+    volume — so at fixture scale the materialized and CAPPED forms
+    are faster, and the production recommendation for the CUT remains
+    the capped profile (identical cut output).  This form is the
+    EXACT-rep_len option: its per-level cost is flat in document
+    length, which pays off only where per-job overhead amortizes
+    (real clusters, very long documents).
+
+    Returns (id_col, pos INT, rep_len INT) — identical rows to the
+    ``repeated_spans`` registry query and its DuckDB direct-sort
+    oracle (hash-matched as ``repeated_spans_scalable``)."""
+    levels, _ = suffix_rank_levels(docs, id_col=id_col,
+                                   text_col=text_col)
+    final = levels[-1][1]
+    cls = (final.groupBy("r")
+           .agg(F.count("*").alias("class_n"),
+                F.min(F.struct(F.col(id_col), F.col("pos")))
+                .alias("rep"))
+           .localCheckpoint(eager=True))
+    lo = cls.select(F.col("r").alias("r_lo"),
+                    F.col("rep")[id_col].alias("da"),
+                    F.col("rep")["pos"].alias("pa"))
+    hi = cls.select((F.col("r") - 1).alias("r_lo"),
+                    F.col("rep")[id_col].alias("db"),
+                    F.col("rep")["pos"].alias("pb"))
+    pairs = lo.join(hi, "r_lo")        # adjacent rank classes
+    lcps = lcp_from_levels(pairs, levels, id_col=id_col, out="lcp")
+    per_class = (lcps.select(F.col("r_lo").alias("r"), "lcp")
+                 .unionByName(lcps.select(
+                     (F.col("r_lo") + 1).alias("r"), "lcp"))
+                 .groupBy("r").agg(F.max("lcp").alias("adj_lcp")))
+    lens = (levels[0][1].groupBy(id_col)
+            .agg((F.max("pos") + 1).alias("__ntok")))
+    out = (final
+           .join(cls.select("r", "class_n"), "r")
+           .join(per_class, "r", "left")
+           .join(lens, id_col)
+           .withColumn("rep_len", F.greatest(
+               F.coalesce(F.col("adj_lcp"), F.lit(0)),
+               F.when(F.col("class_n") >= 2,
+                      F.col("__ntok") - F.col("pos"))
+               .otherwise(F.lit(0))))
+           .where(F.col("rep_len") >= min_len))
+    return out.select(id_col, F.col("pos").cast("int").alias("pos"),
+                      F.col("rep_len").cast("int").alias("rep_len"))

@@ -1597,6 +1597,23 @@ _EXACTSUBSTR_CUT_CAPPED_ORACLE = f"""
 """
 
 
+def _repeated_spans_scalable_spark(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Registry wrapper for operators/suffix.repeated_span_profile —
+    the exact zero-materialization repeated-span profile (rank-ladder
+    binary-decomposition LCPs): hash-matched against the SAME DuckDB
+    direct-sort oracle as ``repeated_spans``, so three maximally
+    different derivations (materialized-slice LCP over prefix-doubling
+    ranks, ladder-decomposition LCP, and the oracle's suffix sort)
+    must agree row-for-row."""
+    from ..operators.suffix import repeated_span_profile
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return repeated_span_profile(spark.table("documents"))
+
+
 def q_exact_dedup(d: S.Dialect) -> str:
     # exact dedup via content hash: canonical = min doc_id per hash
     return """
@@ -3192,6 +3209,15 @@ QUERIES: dict[str, QueryDef] = {
                    "slice mass, log2(cap) doubling rounds); cut "
                    "output identical to the uncapped operator "
                    "(test-pinned)"),
+    "repeated_spans_scalable": QueryDef(
+        spark=lambda spark, sf_dir: _repeated_spans_scalable_spark(
+            spark, sf_dir),
+        oracle=_REPEATED_SPANS_ORACLE,
+        survey_ref="ExactSubstr profile, EXACT zero-materialization "
+                   "form: rank-ladder binary-decomposition LCPs "
+                   "(operators/suffix.lcp_from_levels, O(N log L)); "
+                   "same oracle as repeated_spans — three independent "
+                   "derivations hash-equal"),
     "mad_outliers": _sql_pair(
         q_mad_outliers,
         "robust per-type anomaly screen: exact interpolated "
@@ -3235,7 +3261,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # iterative entries, and the two round-7 additions
     "weighted_stratified_sample", "bpe_token_histogram",
     "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
-    "exactsubstr_cut_capped",
+    "exactsubstr_cut_capped", "repeated_spans_scalable",
     # round-6-witnessed entries, r6-window order
     "histogram_quantiles", "posting_lists",
     "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
@@ -3246,7 +3272,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
-    "salted_join", "bigram_lm_score",
+    "salted_join",
     "stratified_sample_scale", "countmin_heavy_hitters", "hll_distinct",
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
@@ -3258,7 +3284,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- window boundary: entries below are outside the driver snapshot --
     # displaced by the round-7 rotation (driver-green in r5 and r6)
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
-    "seeded_shuffle",
+    "seeded_shuffle", "bigram_lm_score",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",

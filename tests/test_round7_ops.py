@@ -228,3 +228,92 @@ class TestExactSubstrCutCapped:
 
         with _pytest.raises(ValueError):
             suffix_ranks(spark.table("documents"), prefix_cap=24)
+
+
+class TestLcpFromLevels:
+    """The rank-ladder binary-decomposition LCP (zero suffix
+    materialization) must equal brute-force token LCPs."""
+
+    def test_hand_pairs(self, spark):
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            lcp_from_levels,
+            suffix_rank_levels,
+        )
+
+        rows = [
+            (1, "a b c d e f g h", "en", "A", 1),
+            (2, "a b c d x y z", "en", "B", 1),
+            (3, "a b c d e f g h", "en", "C", 1),   # exact copy of 1
+            (4, "q r s", "en", "D", 1),
+        ]
+        df = _docs(spark, rows)
+        levels, _ = suffix_rank_levels(df)
+        pairs = spark.createDataFrame(
+            [(1, 0, 2, 0),   # share "a b c d"      -> 4
+             (1, 0, 3, 0),   # identical suffixes   -> 8 (min len)
+             (1, 4, 3, 4),   # identical tails      -> 4
+             (1, 0, 4, 0),   # nothing shared       -> 0
+             (2, 4, 1, 0)],  # "x y z" vs "a b ..." -> 0
+            "da long, pa int, db long, pb int")
+        got = {(r.da, r.pa, r.db, r.pb): r.lcp
+               for r in lcp_from_levels(pairs, levels).collect()}
+        assert got == {(1, 0, 2, 0): 4, (1, 0, 3, 0): 8,
+                       (1, 4, 3, 4): 4, (1, 0, 4, 0): 0,
+                       (2, 4, 1, 0): 0}
+
+    def test_brute_force_parity_randomized(self, spark):
+        """Every suffix pair of a small planted corpus: decomposition
+        LCP == pure-Python token LCP."""
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            lcp_from_levels,
+            suffix_rank_levels,
+        )
+
+        texts = {1: "p q r p q r p q", 2: "r p q r", 3: "p q x p q r"}
+        rows = [(d, t, "en", "S", 1) for d, t in texts.items()]
+        df = _docs(spark, rows)
+        levels, _ = suffix_rank_levels(df)
+        toks = {d: t.split() for d, t in texts.items()}
+        want, pair_rows = {}, []
+        for da, ta in toks.items():
+            for db, tb in toks.items():
+                for pa in range(len(ta)):
+                    for pb in range(len(tb)):
+                        if (da, pa) >= (db, pb):
+                            continue
+                        sa, sb = ta[pa:], tb[pb:]
+                        n = 0
+                        while (n < len(sa) and n < len(sb)
+                               and sa[n] == sb[n]):
+                            n += 1
+                        want[(da, pa, db, pb)] = n
+                        pair_rows.append((da, pa, db, pb))
+        pairs = spark.createDataFrame(
+            pair_rows, "da long, pa int, db long, pb int")
+        got = {(r.da, r.pa, r.db, r.pb): r.lcp
+               for r in lcp_from_levels(pairs, levels).collect()}
+        assert got == want
+
+
+class TestRepeatedSpanProfileScalable:
+    def test_matches_materialized_form(self, spark, sf_smoke):
+        """Three derivations of the profile must agree; here the
+        ladder-decomposition form vs the materialized-slice form on
+        the smoke corpus (the DuckDB direct sort is the third leg,
+        hash-checked by the driver as repeated_spans_scalable)."""
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            repeated_span_profile,
+        )
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            _repeated_spans_spark,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        a = sorted(map(tuple, repeated_span_profile(
+            spark.table("documents")).collect()))
+        b = sorted(map(tuple,
+                       _repeated_spans_spark(spark, sf_smoke).collect()))
+        assert a == b and a
