@@ -576,7 +576,8 @@ EXACTSUBSTR_MIN_LEN = 8
 
 
 def exactsubstr_cut_tail(d: S.Dialect,
-                         min_len: int = EXACTSUBSTR_MIN_LEN) -> str:
+                         min_len: int = EXACTSUBSTR_MIN_LEN,
+                         emit: str = "fingerprint") -> str:
     """Shared post-profile SQL for the ExactSubstr CUT operator (Lee
     et al. 2022 §4: remove the actual repeated spans the suffix index
     finds, not fixed windows): assumes CTEs ``ta(doc_id, ta)`` (token
@@ -596,6 +597,11 @@ def exactsubstr_cut_tail(d: S.Dialect,
     ``n_removed`` counts each token once.  Within-document repeats
     whose key never leaves the document are self-owned, hence kept —
     this operator removes CROSS-document contamination.
+
+    ``emit='fingerprint'`` (default) hashes the excised text (the
+    driver-comparable scalar); ``emit='text'`` returns the excised
+    text itself as ``kept_text`` — the form the corpus-pipeline
+    excision stage (operators/dedup.exactsubstr_excise) consumes.
 
     Emits one row per AFFECTED document: token totals, removed token
     count, merged region count, and MD5 of the excised text (the
@@ -672,7 +678,9 @@ def exactsubstr_cut_tail(d: S.Dialect,
         SELECT rs.doc_id,
                CAST(sz.n_tok AS BIGINT) AS n_tok,
                rs.n_removed, rs.n_regions,
-               MD5(COALESCE(k.kept, '')) AS kept_fp
+               {"MD5(COALESCE(k.kept, '')) AS kept_fp"
+                if emit == "fingerprint"
+                else "COALESCE(k.kept, '') AS kept_text"}
         FROM rstats rs
         JOIN sized sz ON sz.doc_id = rs.doc_id
         LEFT JOIN keepagg k ON k.doc_id = rs.doc_id

@@ -101,3 +101,66 @@ def grouped_split(df: DataFrame, cluster_col: str,
         expr = F.when(cond, name) if expr is None \
             else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(names[-1]))
+
+
+def exactsubstr_excise(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_len: int = 8,
+                       prefix_cap: int = 16) -> DataFrame:
+    """ExactSubstr span excision as a PIPELINE stage: returns ``docs``
+    with cross-document repeated spans (>= ``min_len`` tokens) cut
+    out of every non-owner document's ``text_col``, plus
+    ``n_spans_cut`` / ``n_tokens_cut`` accounting columns (0 for
+    untouched documents).
+
+    Composition of the registered primitives: the cap-truncated
+    suffix-rank profile (document-length-independent, O(corpus·cap)
+    — the cut is IDENTICAL to the uncapped operator's, see
+    oracle_queries._exactsubstr_cut_capped_spark) feeding the shared
+    ownership/interval-union/excision tail with ``emit='text'``.
+    Excised text is the kept tokens rejoined with single spaces —
+    run this BEFORE annotation so token counts and quality scores see
+    the post-cut text (plans/corpus.clean_corpus does).
+
+    Lee et al. 2022 §4 anchor; the keeper rule (lowest-doc_id owner
+    keeps all its occurrences) matches ``q_span_dedup``."""
+    from ..plans.oracle_queries import _suffix_profile_spark_ctes
+    from .suffix import suffix_ranks
+
+    spark = docs.sparkSession
+    docs.createOrReplaceTempView("__esx_docs")
+    suffix_ranks(docs, id_col=id_col, text_col=text_col,
+                 prefix_cap=prefix_cap) \
+        .createOrReplaceTempView("__esx_sr")
+    prof = spark.sql(f"""
+        WITH {_suffix_profile_spark_ctes(min_len=min_len,
+                                         cap=prefix_cap,
+                                         doc_table='__esx_docs',
+                                         sr_table='__esx_sr')}
+        SELECT doc_id, pos, rep_len FROM prof
+    """).localCheckpoint(eager=True)
+    prof.createOrReplaceTempView("__esx_prof")
+    cut = spark.sql(f"""
+        WITH ta AS (
+            SELECT {id_col} AS doc_id,
+                   filter(split(lower({text_col}), ' +'),
+                          t -> t <> '') AS ta
+            FROM __esx_docs
+        ),
+        prof AS (SELECT * FROM __esx_prof),
+        {D.exactsubstr_cut_tail(S.SPARK, min_len=min_len,
+                                emit='text')}
+    """).select(F.col("doc_id").alias("__cut_id"),
+                F.col("kept_text"),
+                F.col("n_removed").alias("n_tokens_cut"),
+                F.col("n_regions").alias("n_spans_cut"))
+    return (docs.join(cut, docs[id_col] == F.col("__cut_id"), "left")
+            .withColumn(text_col, F.coalesce("kept_text",
+                                             F.col(text_col)))
+            .withColumn("n_spans_cut",
+                        F.coalesce("n_spans_cut", F.lit(0))
+                        .cast("long"))
+            .withColumn("n_tokens_cut",
+                        F.coalesce("n_tokens_cut", F.lit(0))
+                        .cast("long"))
+            .drop("__cut_id", "kept_text"))

@@ -73,11 +73,17 @@ def clean_corpus(docs: DataFrame, lang: str | None = None,
                  near_dup_threshold: float = 0.8,
                  winnow_min_shared: int | None = None,
                  embeddings: DataFrame | None = None,
-                 embedding_threshold: float = 0.92) -> DataFrame:
+                 embedding_threshold: float = 0.92,
+                 exactsubstr_min_len: int | None = None) -> DataFrame:
     """The full cleaning pass. Returns surviving documents with
     annotation columns; order of operations mirrors production
     pipelines (cheap exact dedup before quadratic-ish near-dup, then
-    optional shift-robust winnowing and semantic embedding tiers)."""
+    optional shift-robust winnowing and semantic embedding tiers).
+    ``exactsubstr_min_len`` additionally excises cross-document
+    repeated SPANS of at least that many tokens from surviving
+    non-owner documents (operators/dedup.exactsubstr_excise, the
+    capped Lee-et-al cut) BEFORE annotation, so token counts and
+    quality gates see the post-cut text."""
     step1 = dedup_keep_canonical(docs)
     drops = near_dup_ids(step1, near_dup_threshold)
     if winnow_min_shared is not None:
@@ -88,6 +94,11 @@ def clean_corpus(docs: DataFrame, lang: str | None = None,
             embedding_dup_ids(step1, embeddings,
                               embedding_threshold)).distinct()
     step2 = step1.join(drops, "doc_id", "left_anti")
+    if exactsubstr_min_len is not None:
+        from ..operators.dedup import exactsubstr_excise
+
+        step2 = exactsubstr_excise(step2,
+                                   min_len=exactsubstr_min_len)
     step3 = annotate(step2)
     cond = (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     if lang is not None:

@@ -1451,7 +1451,9 @@ _REPEATED_SPANS_ORACLE = f"""
 # view must then be built with the same ``prefix_cap``), turning the
 # slice mass from O(Σ per-doc L²/2) into O(Σ L·cap).
 def _suffix_profile_spark_ctes(min_len: int = 8,
-                               cap: int | None = None) -> str:
+                               cap: int | None = None,
+                               doc_table: str = "documents",
+                               sr_table: str = "sr") -> str:
     lcp = (lambda a, b:
            f"size(filter(sequence(1, least(size({a}), size({b}))), "
            f"i -> slice({a}, 1, i) = slice({b}, 1, i)))")
@@ -1461,12 +1463,12 @@ def _suffix_profile_spark_ctes(min_len: int = 8,
         ta AS (
             SELECT doc_id,
                    filter(split(lower(text), ' +'), t -> t <> '') AS ta
-            FROM documents
+            FROM {doc_table}
         ),
         sfx AS (
             SELECT sr.doc_id, sr.pos, sr.suffix_rank AS r,
                    slice(ta.ta, sr.pos + 1, {n_take}) AS s
-            FROM sr JOIN ta ON ta.doc_id = sr.doc_id
+            FROM {sr_table} sr JOIN ta ON ta.doc_id = sr.doc_id
         ),
         cls AS (SELECT r, COUNT(*) AS class_n FROM sfx GROUP BY r),
         reps AS (SELECT r, MIN(s) AS s FROM sfx GROUP BY r),

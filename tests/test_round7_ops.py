@@ -317,3 +317,49 @@ class TestRepeatedSpanProfileScalable:
         b = sorted(map(tuple,
                        _repeated_spans_spark(spark, sf_smoke).collect()))
         assert a == b and a
+
+
+class TestExactSubstrExcise:
+    def test_pipeline_stage_rewrites_text(self, spark):
+        """The excision stage must rewrite the victim's text, leave
+        the owner and unrelated docs byte-identical, and account the
+        cut in n_spans_cut / n_tokens_cut."""
+        from dystonse_gtfs_importer_spark.operators.dedup import (
+            exactsubstr_excise,
+        )
+
+        rows = [
+            (1, f"intro one two three {PASSAGE} outro four", "en", "A", 1),
+            (5, f"prefix tokens here {PASSAGE} suffix bits", "en", "B", 1),
+            (9, "wholly unrelated text with enough words to exist",
+             "en", "C", 1),
+        ]
+        df = _docs(spark, rows)
+        out = {r.doc_id: r for r in exactsubstr_excise(df).collect()}
+        assert out[5].text == "prefix tokens here suffix bits"
+        assert out[5].n_spans_cut == 1 and out[5].n_tokens_cut == 12
+        assert out[1].text == rows[0][1] and out[1].n_spans_cut == 0
+        assert out[9].text == rows[2][1] and out[9].n_spans_cut == 0
+
+    def test_clean_corpus_integration(self, spark):
+        """clean_corpus(exactsubstr_min_len=8): the victim survives
+        doc-level dedup (it is NOT a near-dup of the owner) but loses
+        the contaminating passage, and its n_tokens reflects the
+        post-cut text."""
+        from dystonse_gtfs_importer_spark.plans.corpus import clean_corpus
+
+        filler_v = " ".join(f"v{i}" for i in range(12))
+        filler_o = " ".join(f"o{i}" for i in range(12))
+        rows = [
+            (1, f"{filler_o} {PASSAGE}", "en", "A", 1),
+            (5, f"{filler_v} {PASSAGE}", "en", "B", 1),
+        ]
+        df = _docs(spark, rows)
+        out = {r.doc_id: r for r in clean_corpus(
+            df, min_quality=0.0, min_tokens=1,
+            exactsubstr_min_len=8).collect()}
+        assert set(out) == {1, 5}
+        assert out[1].text == rows[0][1]          # owner intact
+        assert out[5].text == filler_v            # passage excised
+        assert out[5].n_tokens == 12              # post-cut count
+        assert out[5].n_tokens_cut == 12 and out[5].n_spans_cut == 1
