@@ -208,3 +208,57 @@ def q_token_shard_packing_scale(d: S.Dialect,
                     / {budget}.0) AS BIGINT) AS shard_id
         FROM within w JOIN off o ON w.source = o.source AND w.b = o.b
     """
+
+
+PACKING_CONTEXTS = (512, 2048, 8192)
+
+
+def q_packing_efficiency(d: S.Dialect,
+                         contexts: tuple[int, ...] = PACKING_CONTEXTS
+                         ) -> str:
+    """Context-length planner for training-sequence packing: for each
+    candidate context length L and source, the cost of the SIMPLEST
+    packing policy (one document per sequence, oversize documents
+    split into ⌈n/L⌉ full chunks) — sequences produced, padding
+    tokens (seqs·L − tokens), padding share, and how many documents
+    need splitting.  This is the table a pipeline reads before
+    choosing L and before reaching for a smarter packer
+    (``q_token_shard_packing`` is the contiguous-concat form; the gap
+    between this table's padding and zero is exactly the budget a
+    concat/best-fit packer can recover).
+
+    Everything is exact integer arithmetic (⌈n/L⌉ via non-negative
+    truncating division), map-only per document then one
+    (context, source) partial aggregate — scan-bound at any corpus
+    size, nothing windowed."""
+    vals = ", ".join(f"({c})" for c in contexts)
+    seqs = d.intdiv("sized.n_tokens + L.ctx - 1", "L.ctx")
+    return f"""
+        WITH sized AS (
+            SELECT source,
+                   CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT L.ctx, sized.source, sized.n_tokens,
+                   CAST({seqs} AS BIGINT) AS n_seqs,
+                   CASE WHEN sized.n_tokens > L.ctx THEN 1 ELSE 0 END
+                       AS oversize
+            FROM sized CROSS JOIN (VALUES {vals}) AS L(ctx)
+        )
+        SELECT CAST(ctx AS INT) AS context_len, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+               CAST(SUM(n_seqs) * ctx - SUM(n_tokens) AS BIGINT)
+                   AS padding_tokens,
+               CAST(ROUND(1e4 * (CAST(SUM(n_seqs) AS DOUBLE) * ctx
+                                 - CAST(SUM(n_tokens) AS DOUBLE))
+                          / (CAST(SUM(n_seqs) AS DOUBLE) * ctx))
+                    AS BIGINT) AS padding_share_e4,
+               CAST(SUM(oversize) AS BIGINT) AS oversize_docs
+        FROM per_doc
+        GROUP BY ctx, source
+        ORDER BY ctx, source
+    """

@@ -3220,6 +3220,12 @@ QUERIES: dict[str, QueryDef] = {
                    "(operators/suffix.lcp_from_levels, O(N log L)); "
                    "same oracle as repeated_spans — three independent "
                    "derivations hash-equal"),
+    "packing_efficiency": _sql_pair(
+        DC.q_packing_efficiency,
+        "training-sequence packing planner: per (context length, "
+        "source) sequences/padding/oversize under one-doc-per-seq "
+        "with chunked splits — exact integers, map-only + one "
+        "partial agg"),
     "mad_outliers": _sql_pair(
         q_mad_outliers,
         "robust per-type anomaly screen: exact interpolated "
@@ -3264,6 +3270,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "weighted_stratified_sample", "bpe_token_histogram",
     "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
     "exactsubstr_cut_capped", "repeated_spans_scalable",
+    "packing_efficiency",
     # round-6-witnessed entries, r6-window order
     "histogram_quantiles", "posting_lists",
     "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
@@ -3274,8 +3281,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
-    "salted_join",
-    "stratified_sample_scale", "countmin_heavy_hitters", "hll_distinct",
+    "salted_join", "countmin_heavy_hitters", "hll_distinct",
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
@@ -3286,7 +3292,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- window boundary: entries below are outside the driver snapshot --
     # displaced by the round-7 rotation (driver-green in r5 and r6)
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
-    "seeded_shuffle", "bigram_lm_score",
+    "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",

@@ -363,3 +363,42 @@ class TestExactSubstrExcise:
         assert out[5].text == filler_v            # passage excised
         assert out[5].n_tokens == 12              # post-cut count
         assert out[5].n_tokens_cut == 12 and out[5].n_spans_cut == 1
+
+
+class TestPackingEfficiency:
+    def test_hand_values(self, spark):
+        """Two docs under context 512 (7 and 600 tokens): 600 splits
+        into 2 sequences, padding = 3*512 - 607."""
+        from dystonse_gtfs_importer_spark.functions import (
+            decontam_sql as DC,
+        )
+
+        rows = [
+            (1, " ".join(f"a{i}" for i in range(7)), "en", "S", 1),
+            (2, " ".join(f"b{i}" for i in range(600)), "en", "S", 1),
+        ]
+        _docs(spark, rows)
+        out = {r.context_len: r for r in spark.sql(
+            DC.q_packing_efficiency(S.SPARK, contexts=(512,))
+        ).collect()}
+        r = out[512]
+        assert r.n_docs == 2 and r.total_tokens == 607
+        assert r.n_seqs == 3                 # 1 + ceil(600/512)=2
+        assert r.padding_tokens == 3 * 512 - 607
+        assert r.oversize_docs == 1
+        assert r.padding_share_e4 == round(
+            1e4 * (3 * 512 - 607) / (3 * 512))
+
+    def test_larger_context_fewer_sequences(self, spark):
+        from dystonse_gtfs_importer_spark.functions import (
+            decontam_sql as DC,
+        )
+
+        rows = [(i, " ".join(f"t{i}x{j}" for j in range(100 + i)),
+                 "en", "S", 1) for i in range(10)]
+        _docs(spark, rows)
+        out = {r.context_len: r for r in spark.sql(
+            DC.q_packing_efficiency(S.SPARK)).collect()}
+        assert out[512].n_seqs >= out[2048].n_seqs >= out[8192].n_seqs
+        assert out[8192].n_seqs == 10        # nothing splits
+        assert out[512].oversize_docs == 0

@@ -339,7 +339,7 @@ class TestRegistryWindow:
             "weighted_stratified_sample", "bpe_token_histogram",
             "kmeans_clusters", "kmv_overlap_estimate",
             "exactsubstr_cut", "exactsubstr_cut_capped",
-            "repeated_spans_scalable",
+            "repeated_spans_scalable", "packing_efficiency",
         }
         assert must_witness <= window
 
