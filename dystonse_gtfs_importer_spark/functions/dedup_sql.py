@@ -577,7 +577,8 @@ EXACTSUBSTR_MIN_LEN = 8
 
 def exactsubstr_cut_tail(d: S.Dialect,
                          min_len: int = EXACTSUBSTR_MIN_LEN,
-                         emit: str = "fingerprint") -> str:
+                         emit: str = "fingerprint",
+                         keep_array: str = "ta") -> str:
     """Shared post-profile SQL for the ExactSubstr CUT operator (Lee
     et al. 2022 §4: remove the actual repeated spans the suffix index
     finds, not fixed windows): assumes CTEs ``ta(doc_id, ta)`` (token
@@ -602,6 +603,10 @@ def exactsubstr_cut_tail(d: S.Dialect,
     driver-comparable scalar); ``emit='text'`` returns the excised
     text itself as ``kept_text`` — the form the corpus-pipeline
     excision stage (operators/dedup.exactsubstr_excise) consumes.
+    ``keep_array`` names the ``ta``-CTE column the kept tokens are
+    read from: matching/ownership always use the lowercase ``ta``,
+    but an excision caller can supply a case-preserving token array
+    (same ' +' split, so positions align) and pass its name here.
 
     Emits one row per AFFECTED document: token totals, removed token
     count, merged region count, and MD5 of the excised text (the
@@ -660,11 +665,11 @@ def exactsubstr_cut_tail(d: S.Dialect,
         ),
         toks AS (
             SELECT t.doc_id, {d.explode_range(d.arr_len('t.ta'))} AS i,
-                   t.ta
+                   t.{keep_array} AS ka
             FROM ta t JOIN rstats rs ON rs.doc_id = t.doc_id
         ),
         keep AS (
-            SELECT tk.doc_id, tk.i, {d.arr_get('tk.ta', 'tk.i')} AS tok
+            SELECT tk.doc_id, tk.i, {d.arr_get('tk.ka', 'tk.i')} AS tok
             FROM toks tk LEFT JOIN regions r
                 ON r.doc_id = tk.doc_id
                 AND tk.i >= r.st AND tk.i < r.en

@@ -118,9 +118,13 @@ def exactsubstr_excise(docs: DataFrame, id_col: str = "doc_id",
     — the cut is IDENTICAL to the uncapped operator's, see
     oracle_queries._exactsubstr_cut_capped_spark) feeding the shared
     ownership/interval-union/excision tail with ``emit='text'``.
-    Excised text is the kept tokens rejoined with single spaces —
-    run this BEFORE annotation so token counts and quality scores see
-    the post-cut text (plans/corpus.clean_corpus does).
+    Matching and ownership run on LOWERCASED tokens (dedup identity),
+    but the kept tokens are read from a case-preserving array at the
+    same positions (the ' +' split is case-blind), so untouched spans
+    keep their original casing; the rewritten text is the kept tokens
+    rejoined with single spaces (whitespace runs collapse).  Run this
+    BEFORE annotation so token counts and quality scores see the
+    post-cut text (plans/corpus.clean_corpus does).
 
     Lee et al. 2022 §4 anchor; the keeper rule (lowest-doc_id owner
     keeps all its occurrences) matches ``q_span_dedup``."""
@@ -144,12 +148,14 @@ def exactsubstr_excise(docs: DataFrame, id_col: str = "doc_id",
         WITH ta AS (
             SELECT {id_col} AS doc_id,
                    filter(split(lower({text_col}), ' +'),
-                          t -> t <> '') AS ta
+                          t -> t <> '') AS ta,
+                   filter(split({text_col}, ' +'),
+                          t -> t <> '') AS ta_orig
             FROM __esx_docs
         ),
         prof AS (SELECT * FROM __esx_prof),
         {D.exactsubstr_cut_tail(S.SPARK, min_len=min_len,
-                                emit='text')}
+                                emit='text', keep_array='ta_orig')}
     """).select(F.col("doc_id").alias("__cut_id"),
                 F.col("kept_text"),
                 F.col("n_removed").alias("n_tokens_cut"),

@@ -402,3 +402,27 @@ class TestPackingEfficiency:
         assert out[512].n_seqs >= out[2048].n_seqs >= out[8192].n_seqs
         assert out[8192].n_seqs == 10        # nothing splits
         assert out[512].oversize_docs == 0
+
+
+class TestExciseCasePreserved:
+    def test_untouched_spans_keep_original_case(self, spark):
+        """Matching is case-insensitive (dedup identity) but excision
+        reads from the case-preserving token array: the victim's kept
+        tokens retain their original casing even though the passage
+        matched in lowercase."""
+        from dystonse_gtfs_importer_spark.operators.dedup import (
+            exactsubstr_excise,
+        )
+
+        upper_passage = PASSAGE.upper()
+        rows = [
+            (1, f"owner head words {PASSAGE} owner tail", "en", "A", 1),
+            (5, f"Victim HEAD here {upper_passage} Tail BITS",
+             "en", "B", 1),
+        ]
+        df = _docs(spark, rows)
+        out = {r.doc_id: r for r in exactsubstr_excise(df).collect()}
+        # the UPPERCASE passage matched the lowercase owner passage
+        assert out[5].n_tokens_cut == 12
+        assert out[5].text == "Victim HEAD here Tail BITS"
+        assert out[1].text == rows[0][1]
