@@ -1027,3 +1027,68 @@ def q_weighted_stratified_sample(d: S.Dialect, per_stratum: int = 50,
                CAST(draw_rank AS BIGINT) AS draw_rank
         FROM ranked WHERE draw_rank <= {per_stratum}
     """
+
+
+def q_weighted_stratified_sample_scale(d: S.Dialect,
+                                       per_stratum: int = 50,
+                                       seed: str = "aes2",
+                                       band_width: int = 10 ** 10
+                                       ) -> str:
+    """Scale derivation of :func:`q_weighted_stratified_sample` —
+    identical output with NO whole-stratum window: at 100 TB one
+    language is most of the corpus, and ``PARTITION BY lang`` puts
+    terabytes through single window partitions.
+
+    Two phases on the negated A-ES key (``-key_e12 >= 0``, ascending
+    = best-first, so truncating and flooring integer division agree
+    cross-engine): (1) one partial-aggregated (lang, band) COUNT
+    table (band = neg_key // ``band_width``; ~3,600 bands max since
+    |ln(u)/w| <= 52·ln 2) gives each band its preceding cumulative
+    count; (2) ONLY rows of bands whose preceding count < the quota
+    are ranked — a window over (lang, band) partitions of ~quota
+    size, everything past the cutoff band never enters a window.
+    draw_rank = band offset + within-band rank, exactly the windowed
+    oracle's ROW_NUMBER (ties: doc_id, which the band split
+    preserves because banding is order-aligned with the key)."""
+    u52 = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('{seed}#', CAST(doc_id AS STRING))), 1, 13)")
+    u01 = f"(CAST({u52} + 1 AS DOUBLE) / 4503599627370496E0)"
+    key = f"LN({u01}) / CAST(n_chars + 1 AS DOUBLE)"
+    band = d.intdiv("neg_key", str(band_width))
+    return f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(ROUND(({key}) * 1e12) AS BIGINT) AS key_e12
+            FROM documents WHERE lang IS NOT NULL
+        ),
+        banded AS (
+            SELECT doc_id, lang, n_chars, key_e12,
+                   {band} AS band
+            FROM (SELECT doc_id, lang, n_chars, key_e12,
+                         -key_e12 AS neg_key FROM keyed) t
+        ),
+        off AS (
+            SELECT lang, band,
+                   COALESCE(SUM(COUNT(*)) OVER (PARTITION BY lang
+                       ORDER BY band
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS off
+            FROM banded GROUP BY lang, band
+        ),
+        live AS (
+            SELECT b.doc_id, b.lang, b.n_chars, b.key_e12, b.band,
+                   o.off
+            FROM banded b
+            JOIN off o ON o.lang = b.lang AND o.band = b.band
+            WHERE o.off < {per_stratum}
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_chars, key_e12, off,
+                   ROW_NUMBER() OVER (PARTITION BY lang, band
+                       ORDER BY key_e12 DESC, doc_id) AS r
+            FROM live
+        )
+        SELECT doc_id, lang, n_chars, key_e12,
+               CAST(off + r AS BIGINT) AS draw_rank
+        FROM ranked WHERE off + r <= {per_stratum}
+    """

@@ -3220,6 +3220,12 @@ QUERIES: dict[str, QueryDef] = {
                    "(operators/suffix.lcp_from_levels, O(N log L)); "
                    "same oracle as repeated_spans — three independent "
                    "derivations hash-equal"),
+    "weighted_stratified_sample_scale": _sql_cross_pair(
+        SAMP.q_weighted_stratified_sample_scale,
+        SAMP.q_weighted_stratified_sample,
+        "per-stratum A-ES at terabyte-stratum scale: banded two-phase "
+        "numbering (only rows of bands before the quota cutoff enter "
+        "a window) vs the whole-stratum ROW_NUMBER oracle"),
     "packing_efficiency": _sql_pair(
         DC.q_packing_efficiency,
         "training-sequence packing planner: per (context length, "
@@ -3270,7 +3276,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "weighted_stratified_sample", "bpe_token_histogram",
     "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
     "exactsubstr_cut_capped", "repeated_spans_scalable",
-    "packing_efficiency",
+    "packing_efficiency", "weighted_stratified_sample_scale",
     # round-6-witnessed entries, r6-window order
     "histogram_quantiles", "posting_lists",
     "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
@@ -3281,7 +3287,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
-    "salted_join", "countmin_heavy_hitters", "hll_distinct",
+    "salted_join", "hll_distinct",
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
@@ -3293,6 +3299,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # displaced by the round-7 rotation (driver-green in r5 and r6)
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
+    "countmin_heavy_hitters",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",

@@ -1135,3 +1135,38 @@ class TestRound7AdditionPlans:
         assert "LogicalRDD" in plan, plan
         n_scans = plan.count(" parquet")
         assert n_scans <= 10, f"{n_scans} parquet scans:\n{plan[:2000]}"
+
+    def test_weighted_stratified_scale_no_stratum_window(
+            self, spark, sf_smoke):
+        """The banded A-ES form must never window a whole stratum:
+        corpus-side Window nodes partition by (lang, band); a
+        lang-only partition is allowed ONLY over the tiny (lang, band)
+        COUNT table (its subtree contains the Aggregate)."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(SAMP.q_weighted_stratified_sample_scale(S.SPARK))
+
+        def nodes(n, out):
+            out.append(n)
+            kids = n.children()
+            for i in range(kids.length()):
+                nodes(kids.apply(i), out)
+            return out
+
+        root = df._jdf.queryExecution().optimizedPlan()
+        wins = [n for n in nodes(root, []) if n.nodeName() == "Window"]
+        assert wins
+        for w in wins:
+            parts = str(w.partitionSpec())
+            assert w.partitionSpec().length() > 0, str(w)
+            if "band" not in parts:
+                sub = [n.nodeName() for n in nodes(w, [])]
+                assert "Aggregate" in sub, (parts, sub)
+        assert "CartesianProduct" not in str(root)
