@@ -253,10 +253,12 @@ def q_packing_efficiency(d: S.Dialect,
                CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
                CAST(SUM(n_seqs) * ctx - SUM(n_tokens) AS BIGINT)
                    AS padding_tokens,
-               CAST(ROUND(1e4 * (CAST(SUM(n_seqs) AS DOUBLE) * ctx
-                                 - CAST(SUM(n_tokens) AS DOUBLE))
-                          / (CAST(SUM(n_seqs) AS DOUBLE) * ctx))
-                    AS BIGINT) AS padding_share_e4,
+               CASE WHEN SUM(n_seqs) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(1e4 *
+                              (CAST(SUM(n_seqs) AS DOUBLE) * ctx
+                               - CAST(SUM(n_tokens) AS DOUBLE))
+                              / (CAST(SUM(n_seqs) AS DOUBLE) * ctx))
+                         AS BIGINT) END AS padding_share_e4,
                CAST(SUM(oversize) AS BIGINT) AS oversize_docs
         FROM per_doc
         GROUP BY ctx, source

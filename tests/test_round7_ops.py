@@ -403,6 +403,25 @@ class TestPackingEfficiency:
         assert out[8192].n_seqs == 10        # nothing splits
         assert out[512].oversize_docs == 0
 
+    def test_empty_documents_source(self, spark):
+        """A source of all-empty documents produces zero sequences and
+        a DEFINED zero padding share (no division-by-zero NULL/inf
+        divergence between engines)."""
+        from dystonse_gtfs_importer_spark.functions import (
+            decontam_sql as DC,
+        )
+
+        rows = [(1, "", "en", "E", 0), (2, "   ", "en", "E", 0),
+                (3, "one real doc here", "en", "R", 1)]
+        _docs(spark, rows)
+        out = {(r.context_len, r.source): r for r in spark.sql(
+            DC.q_packing_efficiency(S.SPARK, contexts=(512,))
+        ).collect()}
+        e = out[(512, "E")]
+        assert e.n_seqs == 0 and e.padding_tokens == 0
+        assert e.padding_share_e4 == 0 and e.total_tokens == 0
+        assert out[(512, "R")].n_seqs == 1
+
 
 class TestExciseCasePreserved:
     def test_untouched_spans_keep_original_case(self, spark):
