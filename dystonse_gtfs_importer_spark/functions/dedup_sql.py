@@ -691,3 +691,57 @@ def exactsubstr_cut_tail(d: S.Dialect,
         LEFT JOIN keepagg k ON k.doc_id = rs.doc_id
         ORDER BY rs.doc_id
     """
+
+
+NOVELTY_NGRAM = 8
+
+
+def q_ngram_novelty(d: S.Dialect, n: int = NOVELTY_NGRAM) -> str:
+    """Per-document n-gram NOVELTY: the share of a document's distinct
+    ``n``-token shingles that occur in NO other document — the
+    memorization-risk / freshness scalar a curation run thresholds on
+    (a low-novelty doc is mostly assembled from text that exists
+    elsewhere even when no single pair-similarity fires).  The
+    complement of the containment/Jaccard family: per-document scalar,
+    no pairs.
+
+    Scale shape: shingles are map-only (index-range slices, no
+    self-join); ONE shingle-keyed aggregate builds (df, one owner) per
+    shingle; novelty re-aggregates per document.  A shingle occurring
+    in >1 documents is non-novel for ALL of them — including repeats
+    inside one document only, which stay novel (df counts DISTINCT
+    documents).  Cost is two partial-aggregated shuffles at shingle
+    grain, corpus-linear."""
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, {d.token_array('text')} AS toks
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, toks, {d.arr_len('toks')} AS n_tok
+            FROM docs WHERE {d.arr_len('toks')} >= {n}
+        ),
+        shingles AS (
+            SELECT DISTINCT doc_id,
+                   {d.arr_slice_join('toks', 'i', n)} AS sh
+            FROM (
+                SELECT doc_id, toks,
+                       {d.explode_range(f'n_tok - {n} + 1')} AS i
+                FROM sized
+            ) g
+        ),
+        df AS (
+            SELECT sh, COUNT(*) AS n_docs FROM shingles GROUP BY sh
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(ROUND(1e4 * CAST(SUM(CASE WHEN f.n_docs = 1
+                                             THEN 1 ELSE 0 END)
+                                 AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS novelty_e4
+        FROM shingles s JOIN df f ON f.sh = s.sh
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """

@@ -3226,6 +3226,11 @@ QUERIES: dict[str, QueryDef] = {
         "per-stratum A-ES at terabyte-stratum scale: banded two-phase "
         "numbering (only rows of bands before the quota cutoff enter "
         "a window) vs the whole-stratum ROW_NUMBER oracle"),
+    "ngram_novelty": _sql_pair(
+        D.q_ngram_novelty,
+        "per-document n-gram novelty: share of 8-token shingles "
+        "occurring in no other document (memorization-risk scalar; "
+        "two shingle-grain partial-agg shuffles, no pairs)"),
     "packing_efficiency": _sql_pair(
         DC.q_packing_efficiency,
         "training-sequence packing planner: per (context length, "
@@ -3277,6 +3282,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
     "exactsubstr_cut_capped", "repeated_spans_scalable",
     "packing_efficiency", "weighted_stratified_sample_scale",
+    "ngram_novelty",
     # round-6-witnessed entries, r6-window order
     "histogram_quantiles", "posting_lists",
     "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
@@ -3287,7 +3293,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "json_props_stats", "json_key_histogram", "label_centroid_stats",
     "knn_label_agreement", "interval_join_bucketed",
     "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
-    "salted_join", "hll_distinct",
+    "salted_join",
     "hll_shard_merge", "bloom_membership",
     "tfidf_topk", "decontaminate", "token_shard_packing",
     "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
@@ -3299,7 +3305,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # displaced by the round-7 rotation (driver-green in r5 and r6)
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
-    "countmin_heavy_hitters",
+    "countmin_heavy_hitters", "hll_distinct",
     # once-witnessed entries displaced by the round-6 rotation
     # (all green in CORRECTNESS_r05)
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",

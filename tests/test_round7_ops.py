@@ -423,6 +423,35 @@ class TestPackingEfficiency:
         assert out[(512, "R")].n_seqs == 1
 
 
+class TestNgramNovelty:
+    def test_planted_shared_passage(self, spark):
+        """A doc sharing an 8-gram with another doc loses exactly the
+        shingles that overlap the shared passage; a fully-unique doc
+        scores 10000; within-document repeats stay novel."""
+        from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+
+        p8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+        rows = [
+            (1, f"{p8} u1 u2 u3", "en", "A", 1),       # 4 shingles
+            (2, f"w1 w2 w3 {p8}", "en", "B", 1),       # 4 shingles
+            (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9", "en", "C", 1),
+            (4, f"r1 r2 r3 r4 r5 r6 r7 r8 {'r1 r2 r3 r4 r5 r6 r7 r8'}",
+             "en", "D", 1),                            # self-repeat
+            (5, "too short", "en", "E", 1),            # < 8 tokens
+        ]
+        _docs(spark, rows)
+        out = {r.doc_id: r for r in spark.sql(
+            D.q_ngram_novelty(S.SPARK)).collect()}
+        assert 5 not in out                            # no shingles
+        # docs 1/2: only the exact shared 8-gram is non-novel
+        assert out[1].n_shingles == 4 and out[1].n_novel == 3
+        assert out[2].n_shingles == 4 and out[2].n_novel == 3
+        assert out[1].novelty_e4 == 7500
+        assert out[3].novelty_e4 == 10000
+        # within-document repeat: df counts DISTINCT docs -> novel
+        assert out[4].novelty_e4 == 10000
+
+
 class TestExciseCasePreserved:
     def test_untouched_spans_keep_original_case(self, spark):
         """Matching is case-insensitive (dedup identity) but excision

@@ -340,7 +340,7 @@ class TestRegistryWindow:
             "kmeans_clusters", "kmv_overlap_estimate",
             "exactsubstr_cut", "exactsubstr_cut_capped",
             "repeated_spans_scalable", "packing_efficiency",
-            "weighted_stratified_sample_scale",
+            "weighted_stratified_sample_scale", "ngram_novelty",
         }
         assert must_witness <= window
 
