@@ -128,22 +128,31 @@ def exactsubstr_excise(docs: DataFrame, id_col: str = "doc_id",
 
     Lee et al. 2022 §4 anchor; the keeper rule (lowest-doc_id owner
     keeps all its occurrences) matches ``q_span_dedup``."""
+    import uuid
+
     from ..plans.oracle_queries import _suffix_profile_spark_ctes
     from .suffix import suffix_ranks
 
     spark = docs.sparkSession
-    docs.createOrReplaceTempView("__esx_docs")
+    # Per-call view names: concurrent / repeated excisions in one
+    # session must not clobber each other's views mid-build, and the
+    # views are dropped below once the plans referencing them are
+    # analyzed (spark.sql resolves views eagerly at call time).
+    tag = uuid.uuid4().hex[:12]
+    v_docs, v_sr, v_prof = (f"__esx_docs_{tag}", f"__esx_sr_{tag}",
+                            f"__esx_prof_{tag}")
+    docs.createOrReplaceTempView(v_docs)
     suffix_ranks(docs, id_col=id_col, text_col=text_col,
                  prefix_cap=prefix_cap) \
-        .createOrReplaceTempView("__esx_sr")
+        .createOrReplaceTempView(v_sr)
     prof = spark.sql(f"""
         WITH {_suffix_profile_spark_ctes(min_len=min_len,
                                          cap=prefix_cap,
-                                         doc_table='__esx_docs',
-                                         sr_table='__esx_sr')}
+                                         doc_table=v_docs,
+                                         sr_table=v_sr)}
         SELECT doc_id, pos, rep_len FROM prof
     """).localCheckpoint(eager=True)
-    prof.createOrReplaceTempView("__esx_prof")
+    prof.createOrReplaceTempView(v_prof)
     cut = spark.sql(f"""
         WITH ta AS (
             SELECT {id_col} AS doc_id,
@@ -151,15 +160,17 @@ def exactsubstr_excise(docs: DataFrame, id_col: str = "doc_id",
                           t -> t <> '') AS ta,
                    filter(split({text_col}, ' +'),
                           t -> t <> '') AS ta_orig
-            FROM __esx_docs
+            FROM {v_docs}
         ),
-        prof AS (SELECT * FROM __esx_prof),
+        prof AS (SELECT * FROM {v_prof}),
         {D.exactsubstr_cut_tail(S.SPARK, min_len=min_len,
                                 emit='text', keep_array='ta_orig')}
     """).select(F.col("doc_id").alias("__cut_id"),
                 F.col("kept_text"),
                 F.col("n_removed").alias("n_tokens_cut"),
                 F.col("n_regions").alias("n_spans_cut"))
+    for v in (v_docs, v_sr, v_prof):
+        spark.catalog.dropTempView(v)
     return (docs.join(cut, docs[id_col] == F.col("__cut_id"), "left")
             .withColumn(text_col, F.coalesce("kept_text",
                                              F.col(text_col)))

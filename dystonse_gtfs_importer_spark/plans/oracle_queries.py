@@ -20,6 +20,7 @@ Design rules (scale-first):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 from pathlib import Path
@@ -2234,7 +2235,13 @@ def _kmeans_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a verified XXH64 twin of the k-means|| sampling hash).  The driver's
 # hash gate then checks the distributed pipelines end to end instead
 # of recording the weaker rows-only result.
-_ITER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# The literal oracles recompute expected VALUES from the SAME fixture
+# dir the checker compares against: honor the checker's
+# SPARK_GRAFT_CHECK_DIR override so a non-default scale factor doesn't
+# silently compare a Spark run at one SF against sf0.01-derived
+# literals (ADVICE r7).
+_ITER_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_DIR",
+                                     "/root/testdata/sf0.01")
 _bpe_oracle_sql: str | None = None
 _kmeans_oracle_sql: str | None = None
 

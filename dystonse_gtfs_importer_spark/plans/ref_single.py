@@ -168,6 +168,44 @@ def _assign(x, vn2, cents):
     return j, d2[np.arange(len(j)), j]
 
 
+def _ref_greedy_weighted_kmeanspp(vecs, weights, k: int):
+    """Independent re-derivation of the greedy weighted k-means++
+    reduction (the ~20-line driver-side step of
+    operators/clustering.py::kmeans_init).  ADVICE r7: the literal
+    oracle previously IMPORTED the live ``_greedy_weighted_kmeanspp``,
+    so a bug in that step was invisible to the driver hash gate; this
+    twin re-states the rules from scratch so the gate exercises them.
+
+    Rules (candidates indexed 0..m-1 by the caller's re-keying):
+    first center = heaviest weight, ties to the lowest index; each
+    subsequent center = argmax of weight × squared-distance-to-nearest
+    -chosen, ties to the lowest index."""
+    import numpy as np
+
+    x = np.asarray(vecs, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    m = len(w)
+    start = 0
+    for i in range(1, m):
+        if w[i] > w[start]:
+            start = i
+    chosen = [start]
+    taken = {start}
+    near2 = np.sum((x - x[start]) ** 2, axis=1)
+    while len(chosen) < min(k, m):
+        gain = w * near2
+        best, best_gain = -1, -1.0
+        for i in range(m):
+            if i in taken:
+                continue
+            if gain[i] > best_gain:
+                best, best_gain = i, float(gain[i])
+        chosen.append(best)
+        taken.add(best)
+        near2 = np.minimum(near2, np.sum((x - x[best]) ** 2, axis=1))
+    return [x[i].tolist() for i in chosen]
+
+
 def ref_kmeans_clusters(sf_dir: str, k: int = 8, max_iter: int = 12,
                         tol: float = 1e-4, rounds: int = 3,
                         seed: int = 0x5EED
@@ -176,8 +214,6 @@ def ref_kmeans_clusters(sf_dir: str, k: int = 8, max_iter: int = 12,
     ``kmeans_clusters`` registry query over the embeddings fixture."""
     import numpy as np
     import pyarrow.parquet as pq
-
-    from ..operators.clustering import _greedy_weighted_kmeanspp
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
@@ -210,9 +246,8 @@ def ref_kmeans_clusters(sf_dir: str, k: int = 8, max_iter: int = 12,
     cmat = np.vstack(cands)
     a, _ = _assign(x, vn2, cmat)
     w = np.bincount(a, minlength=len(cands))
-    centers = _greedy_weighted_kmeanspp(
-        [{"pid": i, "vec": cands[i].tolist(), "w": int(w[i])}
-         for i in range(len(cands))], k)
+    centers = _ref_greedy_weighted_kmeanspp(
+        [c.tolist() for c in cands], [int(v) for v in w], k)
     cents = np.asarray(centers, dtype=np.float64)
 
     # --- Lloyd to convergence (clustering.py::kmeans) ---

@@ -105,6 +105,19 @@ def _fold_bucket_sums(rows, acc: dict, n: int,
     return acc, n
 
 
+def _prune_zero_buckets(acc: dict) -> dict:
+    """Drop buckets whose read-time contribution is exactly zero:
+    age > 62 half-lives from the newest bucket (the shift clamps at
+    62) and ``_shr(sum, 62) == 0``.  Keeps per-key state bounded at
+    ~63 buckets for any lifetime while leaving :func:`_decayed_total`
+    unchanged on the pruned map (property-tested)."""
+    if not acc:
+        return acc
+    last = max(acc)
+    return {b: v for b, v in acc.items()
+            if last - b <= 62 or _shr(v, 62) != 0}
+
+
 def _decayed_total(acc: dict) -> tuple[int, int]:
     """(last_bucket, decayed sum): each bucket's exact sum decays by
     its whole-bucket age from the newest bucket — one truncating shift
@@ -140,7 +153,27 @@ def decayed_counter_stream(events: DataFrame,
 
     Batch equality: :func:`decayed_counter_batch` runs the identical
     accumulation groupwise; tests pin stream (availableNow) == batch,
-    including late-data batches and non-power-of-two values."""
+    including late-data batches and non-power-of-two values.
+
+    State bound: before every ``state.update`` the fold drops buckets
+    whose decayed contribution is exactly zero (age > 62 half-lives
+    AND ``|sum| < 2**62`` — the read-time shift clamps at 62 places),
+    so a long-lived key holds at most ~63 live buckets instead of one
+    per half-life it was ever active in.  Output is unchanged except
+    one pathological corner: a bucket whose |sum| reached ~2**62
+    micro-units (|value| sum ≈ 4.6e12), then sat idle > 62 half-lives
+    (> 1.2 years at the 7-day default), then received ANOTHER event,
+    may lose a ±1 carry in the read-time truncating shift.
+
+    .. versionchanged:: round 7
+        STATE-SCHEMA BREAK: ``stateStructType`` changed from the
+        round-6 ``(sum_e6 bigint, bucket bigint, n bigint)`` scalars
+        to ``(buckets array<bigint>, sums array<bigint>, n bigint)``.
+        The change is silent to the state store — a checkpoint written
+        by the old layout will fail or MISREAD state on restart.
+        Deploying across this boundary requires a FRESH
+        ``checkpointLocation`` (replay the source); do not resume an
+        old checkpoint."""
     import pandas as pd
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -162,6 +195,7 @@ def decayed_counter_stream(events: DataFrame,
         acc, n = _fold_bucket_sums(
             zip(df["_epoch"].astype("int64"), df[value_col]),
             acc, int(n), half_life_days)
+        acc = _prune_zero_buckets(acc)
         items = sorted(acc.items())
         state.update(([int(b) for b, _ in items],
                       [int(v) for _, v in items], int(n)))

@@ -76,6 +76,26 @@ class TestDecayAlgebra:
         assert neg <= total <= pos
         assert n == len(events)
 
+    @given(st.dictionaries(st.integers(-10**6, 10**6),
+                           st.integers(-2**70, 2**70),
+                           min_size=1, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_prune_preserves_decayed_total(self, acc):
+        """Dropping zero-contribution buckets (age > 62 AND shifted
+        sum == 0) changes neither the decayed total nor last_bucket,
+        and bounds live state: every surviving bucket is either
+        within 62 half-lives of the newest or still contributes."""
+        from dystonse_gtfs_importer_spark.streaming.windows import (
+            _prune_zero_buckets,
+        )
+
+        pruned = _prune_zero_buckets(dict(acc))
+        assert pruned  # newest bucket always survives (age 0)
+        assert _decayed_total(pruned) == _decayed_total(acc)
+        last = max(acc)
+        for b, v in pruned.items():
+            assert last - b <= 62 or _shr(v, 62) != 0
+
 
 def _ref_union(intervals):
     """Reference interval union (sorted sweep)."""
