@@ -210,6 +210,93 @@ def q_token_shard_packing_scale(d: S.Dialect,
     """
 
 
+SEQ_PACK_CTX = 64       # fixed training-sequence length (tokens)
+SEQ_PACK_BAND = 64      # documents per packing band
+
+
+def q_sequence_pack(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
+                    band_docs: int = SEQ_PACK_BAND) -> str:
+    """Next-fit-decreasing training-sequence packer — the step that
+    RECOVERS the padding budget :func:`q_packing_efficiency` measures:
+    documents are packed whole into fixed-``ctx``-token sequences
+    (oversize documents split into chained full chunks, the classic
+    boundary-respecting packer of LLM data prep).
+
+    Per document: its packing band, token count, the band-local
+    sequence index and token offset where it starts, and how many
+    sequences it spans (1 unless it was split).  Sequences are
+    globally addressed as (band, start_seq).
+
+    Algorithm (deterministic, hence cross-engine hashable): within a
+    band, walk documents in (n_tokens DESC, doc_id ASC) order carrying
+    (open_seq, fill); a document goes into the open sequence when it
+    fits, else it starts at the next sequence — spanning
+    ``ceil(n/ctx)`` of them when longer than ``ctx``.  Zero-token
+    documents are excluded (nothing to pack).
+
+    This template is the sequential REFERENCE derivation: a recursive
+    CTE advancing one rank per step and carrying the (seq, fill)
+    state.  The registered Spark side is
+    ``operators/packing.pack_sequences`` — the same NFD walk run
+    band-parallel (one shuffle on ``band``, one bounded Arrow batch
+    per band), which the driver hash gate proves identical.
+
+    Scale shape: bands are fixed-width doc_id ranges (the id-bucket
+    trick of :func:`q_token_shard_packing_scale`), so parallelism is
+    |corpus| / ``band_docs`` and NO state crosses bands — at 100 TB
+    every band packs independently and the per-band walk touches
+    ``band_docs`` rows.  Next-fit on a descending walk is a 2-approx
+    of optimal bin count (and strictly <= the one-doc-per-sequence
+    policy the planner prices, pinned in tests); the band locality
+    trades a few more part-full sequences for unbounded parallelism.
+    """
+    div, mod = d.intdiv, "%"
+    return f"""
+        WITH RECURSIVE sized AS (
+            SELECT doc_id,
+                   CAST({div('doc_id', str(band_docs))} AS BIGINT) AS band,
+                   CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, band, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY band
+                                      ORDER BY n_tokens DESC, doc_id) AS r
+            FROM sized WHERE n_tokens > 0
+        ),
+        pack AS (
+            SELECT band, r, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS start_seq,
+                   CAST(0 AS BIGINT) AS start_off,
+                   CAST({div('n_tokens - 1', str(ctx))} AS BIGINT)
+                       AS seq_after,
+                   CAST(((n_tokens - 1) {mod} {ctx}) + 1 AS BIGINT)
+                       AS fill_after
+            FROM ranked WHERE r = 1
+            UNION ALL
+            SELECT x.band, x.r, x.doc_id, x.n_tokens,
+                   CASE WHEN p.fill_after + x.n_tokens <= {ctx}
+                        THEN p.seq_after ELSE p.seq_after + 1 END,
+                   CASE WHEN p.fill_after + x.n_tokens <= {ctx}
+                        THEN p.fill_after ELSE CAST(0 AS BIGINT) END,
+                   CASE WHEN p.fill_after + x.n_tokens <= {ctx}
+                        THEN p.seq_after
+                        ELSE p.seq_after + 1
+                             + {div('x.n_tokens - 1', str(ctx))} END,
+                   CASE WHEN p.fill_after + x.n_tokens <= {ctx}
+                        THEN p.fill_after + x.n_tokens
+                        ELSE ((x.n_tokens - 1) {mod} {ctx}) + 1 END
+            FROM pack p JOIN ranked x
+              ON x.band = p.band AND x.r = p.r + 1
+        )
+        SELECT doc_id, band, n_tokens, start_seq, start_off,
+               CAST({div('start_off + n_tokens - 1', str(ctx))} + 1
+                    AS BIGINT) AS n_seqs_spanned
+        FROM pack
+    """
+
+
 PACKING_CONTEXTS = (512, 2048, 8192)
 
 

@@ -1,0 +1,92 @@
+"""Training-sequence packing: assign whole documents to fixed-length
+token sequences so the padding budget measured by
+``functions/decontam_sql.q_packing_efficiency`` is actually recovered.
+
+The packer is next-fit-decreasing within bounded doc_id bands:
+
+* **band-parallel** — bands are fixed-width doc_id ranges, so at
+  100 TB every band packs independently (one shuffle on ``band``,
+  then one bounded Arrow batch per band; parallelism =
+  |corpus| / band_docs, no cross-band state, no global window);
+* **deterministic** — (n_tokens DESC, doc_id ASC) walk order and
+  integer-only state, so the result is a pure function of the corpus
+  and is hash-verified cross-engine against the sequential
+  recursive-CTE derivation ``q_sequence_pack`` (DuckDB);
+* **boundary-respecting** — documents are never split unless longer
+  than the context; oversize documents chain ``ceil(n/ctx)``
+  dedicated sequences (the only split case).
+
+Guarantee (tests): per band, packed sequence count <= the naive
+one-doc-per-sequence policy's count (the planner's baseline), and
+every document's tokens are fully assigned exactly once.
+
+The per-band walk is genuinely sequential (bin-packing state), which
+is exactly the per-partition imperative case ``applyInPandas`` exists
+for; everything before it (tokenize, count, band) is JVM-side SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.decontam_sql import SEQ_PACK_BAND, SEQ_PACK_CTX
+
+_PACK_SCHEMA = ("doc_id bigint, band bigint, n_tokens bigint, "
+                "start_seq bigint, start_off bigint, "
+                "n_seqs_spanned bigint")
+
+
+def _nfd_walk(pdf: pd.DataFrame, ctx: int) -> pd.DataFrame:
+    """One band's next-fit-decreasing walk (integer state only)."""
+    pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True])
+    out = []
+    seq, fill = -1, ctx + 1  # no open sequence yet
+    for doc_id, band, n in zip(pdf["doc_id"], pdf["band"],
+                               pdf["n_tokens"]):
+        n = int(n)
+        if fill + n <= ctx:
+            out.append((int(doc_id), int(band), n, seq, fill, 1))
+            fill += n
+        else:
+            start = seq + 1
+            seq = start + (n - 1) // ctx
+            fill = ((n - 1) % ctx) + 1
+            out.append((int(doc_id), int(band), n, start, 0,
+                        (n - 1) // ctx + 1))
+    return pd.DataFrame(out, columns=["doc_id", "band", "n_tokens",
+                                      "start_seq", "start_off",
+                                      "n_seqs_spanned"])
+
+
+def pack_sequences(docs: DataFrame, ctx: int = SEQ_PACK_CTX,
+                   band_docs: int = SEQ_PACK_BAND,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per document: (doc_id, band, n_tokens, start_seq, start_off,
+    n_seqs_spanned) — see module docstring.  Zero-token documents are
+    excluded (nothing to pack)."""
+    sized = (docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(f"{id_col} DIV {band_docs}").cast("long").alias("band"),
+        F.expr(f"size(filter(split(lower({text_col}), ' +'), "
+               f"t -> t <> ''))").cast("long").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0))
+    return sized.groupBy("band").applyInPandas(
+        lambda pdf: _nfd_walk(pdf, ctx), _PACK_SCHEMA)
+
+
+def packed_band_stats(packed: DataFrame, ctx: int = SEQ_PACK_CTX
+                      ) -> DataFrame:
+    """Per band: sequences produced, tokens packed, padding tokens —
+    the accounting that closes the loop with the planner's
+    one-doc-per-sequence baseline (`q_packing_efficiency`)."""
+    return (packed.groupBy("band").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max(F.col("start_seq") + F.col("n_seqs_spanned")))
+        .alias("n_seqs"))
+        .withColumn("padding_tokens",
+                    F.col("n_seqs") * ctx - F.col("total_tokens")))

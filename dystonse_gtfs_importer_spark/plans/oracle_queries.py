@@ -28,6 +28,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import ann_sql as ANN
+from ..functions import blocklist_sql as BLK
 from ..functions import decontam_sql as DC
 from ..functions import dedup_sql as D
 from ..functions import pii_sql as PII
@@ -2886,6 +2887,19 @@ def _bm25_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(SAMP.BM25_TOPK))
 
 
+def _sequence_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-parallel NFD packer (operators/packing.pack_sequences):
+    tokenize + band JVM-side, one shuffle on band, one bounded Arrow
+    batch per band — hash-checked against the sequential
+    recursive-CTE derivation (q_sequence_pack, DuckDB)."""
+    from ..operators.packing import pack_sequences
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return pack_sequences(spark.table("documents"))
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
@@ -3244,6 +3258,21 @@ QUERIES: dict[str, QueryDef] = {
         "source) sequences/padding/oversize under one-doc-per-seq "
         "with chunked splits — exact integers, map-only + one "
         "partial agg"),
+    # ---- round-8 additions ----
+    "sequence_pack": QueryDef(
+        spark=_sequence_pack_spark,
+        oracle=DC.q_sequence_pack(S.DUCKDB),
+        survey_ref="training-sequence NFD packer (band-parallel "
+                   "applyInPandas walk vs the sequential "
+                   "recursive-CTE reference) — recovers the padding "
+                   "budget packing_efficiency prices; packed seqs <= "
+                   "naive one-doc-per-seq test-pinned"),
+    "blocklist_filter": _sql_pair(
+        BLK.q_blocklist_filter,
+        "multi-pattern blocklist screen: per-length gram join (the "
+        "distributed Aho-Corasick-equivalent set-at-once scan), "
+        "overlap-safe blocked-token interval union, broadcast "
+        "pattern table, doc-keyed aggregate only"),
     "mad_outliers": _sql_pair(
         q_mad_outliers,
         "robust per-type anomaly screen: exact interpolated "

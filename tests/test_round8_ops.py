@@ -1,0 +1,151 @@
+"""Semantic tests for the round-8 operators on PLANTED data: the NFD
+sequence packer must place known documents at known (seq, offset)
+positions (including the oversize-split chain) and never pack worse
+than the planner's one-doc-per-sequence baseline; the blocklist
+filter must count OVERLAPPING matches individually while the
+blocked-token accounting unions them."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dystonse_gtfs_importer_spark.functions import blocklist_sql as BLK
+from dystonse_gtfs_importer_spark.operators.packing import (
+    pack_sequences,
+    packed_band_stats,
+)
+
+
+@pytest.fixture(autouse=True)
+def _utc(spark):
+    from dystonse_gtfs_importer_spark.session import configure_for_oracle
+
+    configure_for_oracle(spark)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def _word_doc(doc_id, n_tokens):
+    return (doc_id, " ".join(["w"] * n_tokens), "en", "s", n_tokens * 2)
+
+
+class TestSequencePack:
+    def test_planted_nfd_walk(self, spark):
+        """ctx=10, one band: lengths 12,7,5,4,3,1 walk to the exact
+        NFD layout, with the 12-token doc split across two chained
+        sequences."""
+        docs = _docs(spark, [_word_doc(i, n) for i, n in
+                             enumerate([1, 3, 4, 5, 7, 12])])
+        got = {r["doc_id"]: (r["band"], r["n_tokens"], r["start_seq"],
+                             r["start_off"], r["n_seqs_spanned"])
+               for r in pack_sequences(docs, ctx=10,
+                                       band_docs=100).collect()}
+        assert got == {
+            5: (0, 12, 0, 0, 2),   # oversize: seqs 0-1, fill 2
+            4: (0, 7, 1, 2, 1),    # fits after the split remainder
+            3: (0, 5, 2, 0, 1),    # 9+5 > 10 -> new seq
+            2: (0, 4, 2, 5, 1),
+            1: (0, 3, 3, 0, 1),    # 9+3 > 10 -> new seq
+            0: (0, 1, 3, 3, 1),
+        }
+
+    def test_zero_token_docs_excluded(self, spark):
+        docs = _docs(spark, [_word_doc(0, 5), (1, "   ", "en", "s", 3)])
+        rows = pack_sequences(docs, ctx=10, band_docs=10).collect()
+        assert [r["doc_id"] for r in rows] == [0]
+
+    def test_band_isolation_and_partition_invariance(self, spark):
+        """Band state never crosses bands, and the result is identical
+        for any input partitioning (the 100 TB property: bands pack
+        independently)."""
+        docs = _docs(spark, [_word_doc(i, 3 + (i * 7) % 11)
+                             for i in range(40)])
+        a = sorted(map(tuple, pack_sequences(
+            docs.repartition(7), ctx=16, band_docs=8).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            docs.repartition(1), ctx=16, band_docs=8).collect()))
+        assert a == b
+        assert {r[1] for r in a} == {i // 8 for i in range(40)}
+        # every band starts its own sequence 0
+        for band in {r[1] for r in a}:
+            assert min(r[3] for r in a if r[1] == band) == 0
+
+    def test_packed_never_worse_than_planner_baseline(self, spark):
+        """The packer must RECOVER padding vs the one-doc-per-sequence
+        policy q_packing_efficiency prices: per band, packed sequence
+        count <= sum(ceil(n/ctx)), and all tokens are conserved."""
+        ctx = 64
+        docs = (spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"))
+        packed = pack_sequences(docs, ctx=ctx)
+        stats = {r["band"]: r for r in
+                 packed_band_stats(packed, ctx=ctx).collect()}
+        naive = {r["band"]: (r["naive_seqs"], r["toks"]) for r in
+                 packed.groupBy("band").agg(
+                     F.expr(f"sum((n_tokens + {ctx} - 1) DIV {ctx})")
+                     .alias("naive_seqs"),
+                     F.expr("sum(n_tokens)").alias("toks")).collect()}
+        assert stats and set(stats) == set(naive)
+        saved = 0
+        for band, st in stats.items():
+            n_naive, toks = naive[band]
+            assert st["n_seqs"] <= n_naive
+            assert st["total_tokens"] == toks
+            assert st["padding_tokens"] == st["n_seqs"] * ctx - toks
+            assert st["padding_tokens"] >= 0
+            saved += n_naive - st["n_seqs"]
+        assert saved > 0  # the fixture has pack-able slack
+
+
+class TestBlocklistFilter:
+    def _run(self, spark, docs, patterns):
+        return {r["doc_id"]: r for r in
+                BLK.apply_blocklist(docs, patterns).collect()}
+
+    def test_overlapping_matches_counted_union_blocked(self, spark):
+        """'a b a b a' vs {a b, b a, a b a}: six individual matches
+        (overlaps included), three patterns, but the blocked-token
+        union is the whole 5-token doc — no double counting."""
+        docs = _docs(spark, [(1, "a b a b a", "en", "s", 9),
+                             (2, "x y z", "en", "s", 5)])
+        got = self._run(spark, docs, ("a b", "b a", "a b a", "zz"))
+        assert (got[1]["n_matches"], got[1]["n_patterns"],
+                got[1]["blocked_tokens"], got[1]["keep"]) == (6, 3, 5, 0)
+        assert (got[2]["n_matches"], got[2]["n_patterns"],
+                got[2]["blocked_tokens"], got[2]["keep"]) == (0, 0, 0, 1)
+        assert got[1]["n_tokens"] == 5 and got[2]["n_tokens"] == 3
+
+    def test_disjoint_islands_and_single_token(self, spark):
+        """Two separated hits of a 1-token pattern block 2 tokens in
+        2 islands; case-insensitive match."""
+        docs = _docs(spark, [(1, "BAD x y bad", "en", "s", 11)])
+        got = self._run(spark, docs, ("bad",))
+        assert (got[1]["n_matches"], got[1]["blocked_tokens"],
+                got[1]["keep"]) == (2, 2, 0)
+
+    def test_adjacent_intervals_merge(self, spark):
+        """Back-to-back matches [0,2) and [2,4) merge into one blocked
+        region of 4 (pos == prev_max is NOT a gap)."""
+        docs = _docs(spark, [(1, "p q r s", "en", "s", 7)])
+        got = self._run(spark, docs, ("p q", "r s"))
+        assert got[1]["blocked_tokens"] == 4
+        assert got[1]["n_matches"] == 2
+
+    def test_duplicate_patterns_rejected(self, spark):
+        docs = _docs(spark, [(1, "a", "en", "s", 1)])
+        with pytest.raises(ValueError):
+            BLK.apply_blocklist(docs, ("a b", "A  B"))
+
+    def test_gram_join_is_broadcast(self, spark):
+        """The pattern side must broadcast — a shuffle join against a
+        KB-scale blocklist would be the wrong 100 TB plan."""
+        docs = _docs(spark, [(1, "a b c", "en", "s", 5)])
+        plan = BLK.apply_blocklist(
+            docs, ("a b", "c d e"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
