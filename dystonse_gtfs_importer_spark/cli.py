@@ -121,6 +121,21 @@ def _parser() -> argparse.ArgumentParser:
     ms = msub.add_parser("serve", help="HTML departure-board server "
                          "(the reference's `monitor` entry point)")
     ms.add_argument("--port", type=int, default=3000)
+
+    cor = sub.add_parser("corpus", help="training-corpus preparation")
+    csub = cor.add_subparsers(dest="cmode", required=True)
+    cps = csub.add_parser(
+        "prepare-shards",
+        help="seeded shuffle -> token-budget shards -> snapshot-atomic "
+             "manifest with per-shard counts + content fingerprints")
+    cps.add_argument("--docs", default=None,
+                     help="documents parquet path "
+                          "(default <dir>/documents.parquet)")
+    cps.add_argument("--out", default=None,
+                     help="shard store root (default <dir>/shards)")
+    cps.add_argument("--shard-tokens", type=int, default=2000)
+    cps.add_argument("--seed", default="shuf1")
+    cps.add_argument("--batch-id", type=int, default=1)
     return p
 
 
@@ -507,6 +522,24 @@ def cmd_monitor(spark, args) -> int:
     return 0
 
 
+def cmd_corpus(spark, args) -> int:
+    """Training-corpus preparation commands (`corpus prepare-shards`):
+    the CLI face of plans/corpus.prepare_shards — prints the manifest
+    accounting as one JSON line."""
+    import json
+
+    from .plans.corpus import prepare_shards
+
+    docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
+    out_root = args.out or str(Path(args.dir) / "shards")
+    docs = spark.read.parquet(docs_path)
+    result = prepare_shards(docs, out_root,
+                            shard_tokens=args.shard_tokens,
+                            seed=args.seed, batch_id=args.batch_id)
+    print(json.dumps(result, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = _parser().parse_args(argv)
     if spark is None:
@@ -514,7 +547,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         spark = get_spark(app_name="dystonse-cli")
     dispatch = {"import": cmd_import, "analyse": cmd_analyse,
-                "predict": cmd_predict, "monitor": cmd_monitor}
+                "predict": cmd_predict, "monitor": cmd_monitor,
+                "corpus": cmd_corpus}
     return dispatch[args.mode](spark, args)
 
 

@@ -297,6 +297,46 @@ def q_sequence_pack(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
     """
 
 
+def q_shard_manifest_oracle(d: S.Dialect, shard_tokens: int = 2000,
+                            seed: str = "shuf1") -> str:
+    """Sequential reference for the ``prepare_shards`` manifest table
+    (plans/corpus.shard_assignments + shard_stats): global seeded-md5
+    ROW_NUMBER positions, one global running token sum, shard =
+    budget-bucket of the starting offset, per-shard doc/token counts
+    and the commutative 32-bit-md5-prefix content fingerprint.
+
+    The registered Spark side computes the same table with the banded
+    two-phase prefix sums (never a corpus-wide window); the hash match
+    proves the distributed composition equals this textbook form."""
+    fp = d.hex_to_bigint(
+        "SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), '#', text)), 1, 8)")
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (
+                       ORDER BY MD5(CONCAT('{seed}#',
+                                    CAST(doc_id AS STRING))), doc_id)
+                       - 1 AS position,
+                   CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, text, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY position
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM pos
+        )
+        SELECT CAST({d.intdiv('cum_tokens - n_tokens',
+                              str(shard_tokens))} AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM({fp}) AS BIGINT) AS content_fp
+        FROM cum
+        GROUP BY 1
+    """
+
+
 PACKING_CONTEXTS = (512, 2048, 8192)
 
 

@@ -225,7 +225,8 @@ def q_tfidf_topk(d: S.Dialect, per_doc: int = 3) -> str:
 TEMP_TARGET = 150   # total docs the temperature-balanced mix keeps
 
 
-def q_seeded_shuffle(d: S.Dialect, seed: str = "shuf1") -> str:
+def q_seeded_shuffle(d: S.Dialect, seed: str = "shuf1",
+                     doc_table: str = "documents") -> str:
     """Deterministic global training-order shuffle: every document gets
     a contiguous position 0..n-1 in seeded-md5 order (the standard
     corpus-shuffle step before epoch sharding).
@@ -245,7 +246,7 @@ def q_seeded_shuffle(d: S.Dialect, seed: str = "shuf1") -> str:
             SELECT doc_id, {h} AS h,
                    CAST(CONV(SUBSTRING({h}, 1, 3), 16, 10) AS INT)
                        AS bucket
-            FROM documents
+            FROM {doc_table}
         ),
         ranked AS (
             SELECT doc_id, h, bucket,

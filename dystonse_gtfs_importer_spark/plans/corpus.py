@@ -317,3 +317,126 @@ def source_kl(docs: DataFrame, group_col: str = "source",
                     F.col("vocab_s").cast("long").alias("vocab"),
                     F.expr("CAST(ROUND(CAST(s_e6 AS DOUBLE) / n_s)"
                            " AS BIGINT)").alias("kl_e6")))
+
+
+# ---------------------------------------------------------------------------
+# shard preparation: seeded shuffle -> token-budget shards -> atomic
+# manifest (the step between selection and the training loader)
+# ---------------------------------------------------------------------------
+
+SHARD_TOKENS_DEFAULT = 2_000
+_POS_BAND = 65_536  # positions per prefix-sum band (tiny offsets table)
+
+
+def shard_assignments(docs: DataFrame,
+                      shard_tokens: int = SHARD_TOKENS_DEFAULT,
+                      seed: str = "shuf1",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """``docs`` plus (position, n_tokens, shard_id): every document
+    gets a seeded-shuffle position (q_seeded_shuffle's banded
+    two-phase numbering — no corpus-wide window), then contiguous
+    ~``shard_tokens``-token shards in position order.
+
+    The running token total over positions is the SECOND two-phase
+    prefix sum: positions are contiguous integers, so fixed-width
+    position bands are order-aligned by construction; cum =
+    within-band running sum + the band's offset from a
+    |corpus|/65536-row totals table (broadcast back).  A document's
+    shard is the budget-bucket of its starting offset — deterministic
+    and identical for ANY input partitioning, which is what makes the
+    manifest fingerprints replayable.
+
+    100 TB shape: one md5-bucket shuffle (positions), one doc_id join,
+    one band shuffle; the offsets tables are corpus/65536-sized.  No
+    single-partition window touches corpus-scale data."""
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from ..functions import sampling_sql as SAMP
+
+    spark = docs.sparkSession
+    view = f"__shard_docs_{uuid.uuid4().hex[:12]}"
+    docs.select(F.col(id_col).alias("doc_id")).createOrReplaceTempView(view)
+    pos = spark.sql(SAMP.q_seeded_shuffle(S.SPARK, seed=seed,
+                                          doc_table=view))
+    spark.catalog.dropTempView(view)
+    sized = docs.withColumn(
+        "n_tokens",
+        F.expr(f"size(filter(split(lower({text_col}), ' +'), "
+               f"t -> t <> ''))").cast("long"))
+    joined = (sized.join(pos, sized[id_col] == pos["doc_id"], "inner")
+              .drop(pos["doc_id"])
+              .withColumn("band", F.expr(f"position DIV {_POS_BAND}")))
+    w_in = (Window.partitionBy("band").orderBy("position")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_off = (Window.orderBy("band")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (joined.groupBy("band")
+               .agg(F.sum("n_tokens").alias("band_tokens"))
+               .withColumn("off", F.coalesce(
+                   F.sum("band_tokens").over(w_off), F.lit(0)))
+               .select("band", "off"))
+    return (joined
+            .withColumn("cum_in_band", F.sum("n_tokens").over(w_in))
+            .join(F.broadcast(offsets), "band")
+            .withColumn("cum_tokens",
+                        (F.col("off") + F.col("cum_in_band")).cast("long"))
+            .withColumn("shard_id",
+                        F.expr(f"(cum_tokens - n_tokens) DIV {shard_tokens}")
+                        .cast("long"))
+            .drop("band", "cum_in_band", "off"))
+
+
+def shard_stats(assigned: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per shard: document count, token count, and an order-insensitive
+    content fingerprint (sum of 32-bit md5 prefixes of doc_id#text —
+    commutative, so identical under any partitioning / replay)."""
+    fp = F.expr(
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT(CAST({id_col} AS STRING), "
+        f"'#', {text_col})), 1, 8), 16, 10) AS BIGINT)")
+    return (assigned.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(fp).cast("long").alias("content_fp")))
+
+
+def prepare_shards(docs: DataFrame, out_root: str,
+                   shard_tokens: int = SHARD_TOKENS_DEFAULT,
+                   seed: str = "shuf1", batch_id: int | None = 1,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> dict:
+    """The CLI-reachable shard writer: seeded shuffle -> token-budget
+    shard assignment -> snapshot-atomic publish (SnapshotStore), with
+    per-shard token counts and content fingerprints recorded ON the
+    manifest so a training loader can verify and budget shards without
+    opening data files.
+
+    Deterministic end to end: the manifest's shard table is a pure
+    function of (corpus, seed, shard_tokens) — identical across input
+    partition counts and across replays (same ``batch_id`` re-commits
+    are no-ops; a fresh run reproduces byte-identical fingerprints).
+    Returns the accounting dict (shard table + totals + whether this
+    call committed)."""
+    from ..sources.snapshot import SnapshotStore
+
+    assigned = shard_assignments(docs, shard_tokens=shard_tokens,
+                                 seed=seed, id_col=id_col,
+                                 text_col=text_col)
+    stats = sorted(
+        (r["shard_id"], r["n_docs"], r["n_tokens"], r["content_fp"])
+        for r in shard_stats(assigned, id_col, text_col).collect())
+    shard_table = [{"shard_id": s, "n_docs": d, "n_tokens": t,
+                    "content_fp": f} for s, d, t, f in stats]
+    store = SnapshotStore(out_root, ["shard_id"])
+    committed = store.commit(
+        assigned, batch_id=batch_id,
+        extra={"shards": shard_table, "seed": seed,
+               "shard_tokens": shard_tokens})
+    return {"committed": committed,
+            "n_shards": len(shard_table),
+            "total_docs": sum(s["n_docs"] for s in shard_table),
+            "total_tokens": sum(s["n_tokens"] for s in shard_table),
+            "shards": shard_table}

@@ -2887,6 +2887,19 @@ def _bm25_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(SAMP.BM25_TOPK))
 
 
+def _shard_manifest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prepare_shards manifest table via the DISTRIBUTED
+    composition (plans/corpus: banded two-phase position numbering +
+    banded two-phase token prefix sum + commutative fingerprints) —
+    hash-checked against the sequential global-window oracle."""
+    from ..plans.corpus import shard_assignments, shard_stats
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return shard_stats(shard_assignments(spark.table("documents")))
+
+
 def _sequence_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-parallel NFD packer (operators/packing.pack_sequences):
     tokenize + band JVM-side, one shuffle on band, one bounded Arrow
@@ -3267,6 +3280,15 @@ QUERIES: dict[str, QueryDef] = {
                    "recursive-CTE reference) — recovers the padding "
                    "budget packing_efficiency prices; packed seqs <= "
                    "naive one-doc-per-seq test-pinned"),
+    "shard_manifest": QueryDef(
+        spark=_shard_manifest_spark,
+        oracle=DC.q_shard_manifest_oracle(S.DUCKDB),
+        survey_ref="shard-manifest writer accounting: seeded shuffle "
+                   "-> token-budget shards -> per-shard counts + "
+                   "commutative content fingerprints (the table "
+                   "prepare_shards publishes on the atomic manifest); "
+                   "banded two-phase prefix sums vs the global-window "
+                   "oracle"),
     "blocklist_filter": _sql_pair(
         BLK.q_blocklist_filter,
         "multi-pattern blocklist screen: per-length gram join (the "

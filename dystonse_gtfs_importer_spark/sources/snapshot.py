@@ -104,12 +104,18 @@ class SnapshotStore:
 
     # -- commit ------------------------------------------------------
 
-    def commit(self, merged: DataFrame, batch_id: int | None = None) -> bool:
+    def commit(self, merged: DataFrame, batch_id: int | None = None,
+               extra: dict | None = None) -> bool:
         """Publish ``merged`` as the NEW full content of every
         partition it contains; other partitions carry over unchanged.
         Returns False (no-op) when ``batch_id`` was already committed
         — the replay guard that makes foreachBatch retries exactly-
-        once at the table level."""
+        once at the table level.
+
+        ``extra`` (optional, JSON-serializable) is stored on the
+        manifest under reserved-key protection — e.g. the per-shard
+        token counts and content fingerprints a training loader reads
+        without touching data files."""
         if batch_id is not None and batch_id == self.last_batch_id():
             return False
         self.root.mkdir(parents=True, exist_ok=True)
@@ -136,11 +142,17 @@ class SnapshotStore:
         old = self.manifest() or {"version": 0, "files": []}
         carried = [e for e in old["files"]
                    if tuple(sorted(e["partition"].items())) not in touched]
-        self._publish({
+        manifest = {
             "version": old["version"] + 1,
             "batch_id": batch_id,
             "files": carried + new_entries,
-        })
+        }
+        if extra:
+            clash = set(extra) & set(manifest)
+            if clash:
+                raise ValueError(f"extra keys clash with manifest: {clash}")
+            manifest.update(extra)
+        self._publish(manifest)
         # staged dir now holds only _SUCCESS/metadata; drop it
         import shutil
 

@@ -149,3 +149,92 @@ class TestBlocklistFilter:
             docs, ("a b", "c d e"))._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestPrepareShards:
+    """The shard-manifest writer: seeded shuffle -> token-budget
+    shards -> atomic manifest.  The manifest's shard table must be a
+    pure function of (corpus, seed, budget): identical across input
+    partition counts and across replays."""
+
+    def _docs(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+
+    def test_manifest_stable_across_partitioning_and_replay(
+            self, spark, tmp_path):
+        import json
+
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            prepare_shards,
+        )
+
+        docs = self._docs(spark)
+        r1 = prepare_shards(docs.repartition(7), str(tmp_path / "a"),
+                            shard_tokens=500)
+        r2 = prepare_shards(docs.repartition(1), str(tmp_path / "b"),
+                            shard_tokens=500)
+        assert r1["committed"] and r2["committed"]
+        assert r1["shards"] == r2["shards"]
+        assert r1["n_shards"] > 1
+        # replay with the same batch_id: no-op, manifest byte-identical
+        ma = (tmp_path / "a" / "MANIFEST").read_bytes()
+        r3 = prepare_shards(docs.repartition(3), str(tmp_path / "a"),
+                            shard_tokens=500)
+        assert r3["committed"] is False
+        assert (tmp_path / "a" / "MANIFEST").read_bytes() == ma
+        # the shard table is ON the manifest (loader needs no data files)
+        m = json.loads(ma)
+        assert m["shards"] == r1["shards"]
+        assert m["shard_tokens"] == 500 and m["seed"] == "shuf1"
+
+    def test_loader_roundtrip_matches_manifest(self, spark, tmp_path):
+        """Reading one shard through the snapshot store reproduces the
+        manifest's counts and fingerprint for that shard (manifest-
+        level pruning, no full-table read)."""
+        import pyspark.sql.functions as F2
+
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            prepare_shards,
+        )
+        from dystonse_gtfs_importer_spark.sources.snapshot import (
+            SnapshotStore,
+        )
+
+        docs = self._docs(spark)
+        res = prepare_shards(docs, str(tmp_path / "s"), shard_tokens=500)
+        store = SnapshotStore(str(tmp_path / "s"), ["shard_id"])
+        target = res["shards"][1]
+        got = (store.read_partitions(spark, shard_id=target["shard_id"])
+               .agg(F2.count("*").alias("n"),
+                    F2.sum("n_tokens").alias("t"),
+                    F2.sum(F2.expr(
+                        "CAST(CONV(SUBSTRING(MD5(CONCAT("
+                        "CAST(doc_id AS STRING), '#', text)), 1, 8), "
+                        "16, 10) AS BIGINT)")).alias("fp"))
+               .collect()[0])
+        assert (got["n"], got["t"], got["fp"]) == (
+            target["n_docs"], target["n_tokens"], target["content_fp"])
+        # shard token budget respected up to one document of overhang
+        for s in res["shards"][:-1]:
+            assert s["n_tokens"] >= 1
+
+    def test_cli_prepare_shards(self, spark, tmp_path, capsys):
+        import json
+        import shutil
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        lake = tmp_path / "lake"
+        lake.mkdir()
+        shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                    lake / "documents.parquet")
+        rc = main(["-s", "x", "--dir", str(lake), "corpus",
+                   "prepare-shards", "--shard-tokens", "700"],
+                  spark=spark)
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["committed"] is True
+        assert out["total_docs"] == spark.read.parquet(
+            str(lake / "documents.parquet")).count()
+        assert (lake / "shards" / "MANIFEST").exists()
