@@ -331,16 +331,21 @@ class TestRegistryWindow:
         # append (after the window), never displace the first 50
         assert tuple(names[: len(oq.REGISTRY_ORDER)]) == oq.REGISTRY_ORDER
         window = set(names[: oq.DRIVER_WINDOW])
-        # round-7 rotation: the 5 entries with no driver-GREEN row
-        # through round 6 lead the window (the never-witnessed round-6
-        # straggler, the two newly-oracled iterative entries, and the
-        # two round-7 additions)
+        # round-8 rotation: the stalest driver records (the 26 queries
+        # last witnessed in round 3) and the never-witnessed round-8
+        # additions must all sit inside the snapshot window
         must_witness = {
-            "weighted_stratified_sample", "bpe_token_histogram",
-            "kmeans_clusters", "kmv_overlap_estimate",
-            "exactsubstr_cut", "exactsubstr_cut_capped",
-            "repeated_spans_scalable", "packing_efficiency",
-            "weighted_stratified_sample_scale", "ngram_novelty",
+            "scd2_intervals", "rolling_hour_avg", "non_final_stops",
+            "time_slot_histogram", "route_sections", "delay_rounding",
+            "interval_overlap", "autocomplete", "token_stats",
+            "lang_id", "quality_score", "exact_dedup",
+            "fingerprint_dedup", "source_overlap", "union_service_days",
+            "latest_in_past", "orders_by_size", "trip_resolution",
+            "noon_datetime", "contiguous_trips", "value_percentiles",
+            "minhash_lsh_pairs", "simhash", "simhash_near_pairs",
+            "simhash_near_pairs_banded", "ngram_jaccard_pairs",
+            # round-8 additions
+            "sequence_pack", "blocklist_filter", "shard_manifest",
         }
         assert must_witness <= window
 
