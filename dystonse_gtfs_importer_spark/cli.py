@@ -272,6 +272,23 @@ def cmd_import(spark, args) -> int:
     return 0
 
 
+def _csv_count(spark, path: str) -> int:
+    """Row count of a just-written CSV report, read back from the
+    file (one cheap scan of a driver-sized report) instead of
+    re-running the pipeline that produced it."""
+    return (spark.read.option("header", True).option("sep", ";")
+            .csv(path).count())
+
+
+def _written_count(spark, base: str, name: str) -> int:
+    """Row count of a just-written stats table, read back from the
+    parquet FOOTERS (a metadata-only job) instead of re-running the
+    curve pipeline that produced it — the ×1..×100 analyse wall was
+    dominated by count() reporting actions recomputing every stage
+    (SCALING.md, round-7 ~70-job floor)."""
+    return spark.read.parquet(f"{base}/{name}").count()
+
+
 def cmd_analyse(spark, args) -> int:
     from .plans.analyse_gtfs import (
         default_curves, general_delay_curves, prepare_dbitems,
@@ -298,8 +315,9 @@ def cmd_analyse(spark, args) -> int:
         if args.amode == "import-exp":
             tables = import_exp(spark, args.exp_file)
             write_curve_tables(tables, stats_dir)
-            for name, df in tables.items():
-                print(f"{name}: {df.count()} rows imported")
+            for name in tables:
+                print(f"{name}: {_written_count(spark, stats_dir, name)}"
+                      " rows imported")
         else:
             from .sources.store import read_curve_tables
 
@@ -327,7 +345,8 @@ def cmd_analyse(spark, args) -> int:
             # materialization instead of recomputing the pipeline
             series = series.persist()
         write_csv_report(series, str(Path(args.dir) / "curves_csv"))
-        print(f"{series.count()} curve points -> {args.dir}/curves_csv")
+        n_pts = _csv_count(spark, str(Path(args.dir) / "curves_csv"))
+        print(f"{n_pts} curve points -> {args.dir}/curves_csv")
         if args.render:
             from .rendering import render_curve_pages
 
@@ -362,7 +381,8 @@ def cmd_analyse(spark, args) -> int:
                  "pos", "pt.stop_index", "pt.delay_arrival",
                  "pt.delay_departure")
         write_csv_report(series, str(Path(args.dir) / "graph_csv"))
-        print(f"{series.count()} graph points -> {args.dir}/graph_csv")
+        n_pts = _csv_count(spark, str(Path(args.dir) / "graph_csv"))
+        print(f"{n_pts} graph points -> {args.dir}/graph_csv")
         if args.render:
             from .plans.visual_schedule import schedule_page_series
             from .rendering import render_schedule_pages
@@ -389,8 +409,10 @@ def cmd_analyse(spark, args) -> int:
         tables = incremental_analyse(spark, str(Path(args.dir) / "stats"),
                                      items, sched["routes"])
         write_curve_tables(tables, str(Path(args.dir) / "stats"))
-        for name, df in tables.items():
-            print(f"{name}: {df.count()} curve rows (incremental)")
+        for name in tables:
+            print(f"{name}: "
+                  f"{_written_count(spark, str(Path(args.dir) / 'stats'), name)}"
+                  " curve rows (incremental)")
         return 0
 
     records = _read_records(spark, args)
@@ -411,8 +433,10 @@ def cmd_analyse(spark, args) -> int:
         if want_default:
             tables["default"] = default_curves(items, sched["routes"])
         write_curve_tables(tables, str(Path(args.dir) / "stats"))
-        for name, df in tables.items():
-            print(f"{name}: {df.count()} curve rows")
+        for name in tables:
+            print(f"{name}: "
+                  f"{_written_count(spark, str(Path(args.dir) / 'stats'), name)}"
+                  " curve rows")
     finally:
         items.unpersist()
     return 0

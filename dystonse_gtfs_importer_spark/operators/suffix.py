@@ -207,12 +207,18 @@ def lcp_from_levels(pairs: DataFrame,
     LCP below the last coverage.
 
     Cost: 2 pair-grain equi-joins per level (⌈log₂ L⌉ levels); the
-    pair table is checkpoint-truncated EVERY level — without that the
+    pair table is checkpoint-truncated every
+    ``LCP_LEVELS_PER_CHECKPOINT`` levels — without truncation the
     accumulated CASE-WHEN position expressions substitute into each
     next level's join condition and Catalyst's analysis blows up
-    super-linearly in the level count (measured: 10 levels never
-    finished planning at 51 k pairs; with per-level truncation the
-    whole profile runs in seconds).  The checkpoint is pair-grain,
+    super-linearly in the level count (measured: 10 unchecked levels
+    never finished planning at 51 k pairs).  Truncating every level
+    kept planning linear but serialized one materialized job per
+    level, and in LOCAL mode each eager materialization carries a
+    10-30 s data-independent floor (SCALING.md round 7); batching 2
+    levels per checkpoint (round 8) halves the sequential job count
+    for the same hashes — the CASE-WHEN depth between checkpoints is
+    1, far below the blowup regime.  The checkpoint is pair-grain,
     i.e. tiny next to the corpus.  Returns ``pairs`` + BIGINT
     ``out``."""
     # AQE re-plans every eager materialization in this loop; with one
@@ -228,8 +234,18 @@ def lcp_from_levels(pairs: DataFrame,
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
+# Levels folded between checkpoint truncations in the LCP loop: the
+# join-condition expression depth between checkpoints grows linearly
+# with this, and Catalyst planning blows up super-linearly somewhere
+# below 10 — 2 halves the sequential job count (the local-mode wall
+# driver) while staying far from the planning cliff.
+LCP_LEVELS_PER_CHECKPOINT = 2
+
+
 def _lcp_loop(pairs: DataFrame, levels: list[tuple[int, DataFrame]],
-              id_col: str, out: str) -> DataFrame:
+              id_col: str, out: str,
+              levels_per_ckpt: int = LCP_LEVELS_PER_CHECKPOINT
+              ) -> DataFrame:
     # remaining suffix lengths, derived from the level-1 table (it
     # holds every (doc, pos)): len = n_tok - pos
     base = levels[0][1]
@@ -265,7 +281,8 @@ def _lcp_loop(pairs: DataFrame, levels: list[tuple[int, DataFrame]],
                .withColumn("__ib", F.when(hit, F.col("__ib") + cov)
                            .otherwise(F.col("__ib")))
                .drop("__rda", "__rpa", "__ra", "__rdb", "__rpb", "__rb"))
-        cur = cur.localCheckpoint(eager=True)
+        if (i + 1) % levels_per_ckpt == 0 or i == len(levels) - 1:
+            cur = cur.localCheckpoint(eager=True)
     return (cur.withColumn(
         out, F.least(F.col("__acc"),
                      F.col("__la") - F.col("pa"),

@@ -55,9 +55,14 @@ class TestDedupStream:
 
         docs = spark.read.parquet(str(out / "documents"))
         assert sorted(r.doc_id for r in docs.collect()) == [1, 3, 11]
-        fps = spark.read.parquet(str(out / "fingerprints"))
+        # the corpus table IS the fingerprint store (one column read)
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            read_fingerprint_store,
+        )
+
+        fps = read_fingerprint_store(spark, str(out))
         assert fps.count() == 3
-        assert fps.select("fingerprint").distinct().count() == 3
+        assert fps.distinct().count() == 3
 
     def test_batch_function_replay_idempotent(self, spark):
         from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
