@@ -1170,3 +1170,79 @@ class TestRound7AdditionPlans:
                 sub = [n.nodeName() for n in nodes(w, [])]
                 assert "Aggregate" in sub, (parts, sub)
         assert "CartesianProduct" not in str(root)
+
+
+class TestRound8PlanShapes:
+    """100 TB shapes of the round-8 operators: the packer is one band
+    shuffle + one bounded Arrow stage; shard assignment never runs a
+    corpus-grain unpartitioned window; the blocklist's gram join
+    broadcasts the pattern side."""
+
+    def test_sequence_pack_one_band_shuffle(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            pack_sequences,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            load_table,
+        )
+
+        df = pack_sequences(load_table(spark, sf_smoke, "documents"))
+        plan = plan_of(df)
+        assert "FlatMapGroupsInPandas" in plan, plan
+        # exactly one shuffle: the band groupBy; tokenize/band are
+        # map-side and no window exists anywhere
+        assert n_exchanges(df) == 1, plan
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_shard_assignment_windows_are_band_scoped(self, spark,
+                                                      sf_smoke):
+        """Fact-grain windows partition by bucket/band; unpartitioned
+        windows are allowed only over aggregate (band-count-sized)
+        subtrees — the two-phase prefix-sum contract."""
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            shard_assignments,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            load_table,
+        )
+
+        df = shard_assignments(load_table(spark, sf_smoke, "documents"))
+
+        def nodes(n, out):
+            out.append(n)
+            kids = n.children()
+            for i in range(kids.length()):
+                nodes(kids.apply(i), out)
+            return out
+
+        root = df._jdf.queryExecution().optimizedPlan()
+        wins = [n for n in nodes(root, []) if n.nodeName() == "Window"]
+        assert wins, "expected Window nodes"
+        for w in wins:
+            if w.partitionSpec().length() > 0:
+                parts = str(w.partitionSpec())
+                assert "band" in parts or "bucket" in parts, parts
+            else:
+                sub = [n.nodeName() for n in nodes(w, [])]
+                assert "Aggregate" in sub, sub
+        assert "CartesianProduct" not in str(root)
+
+    def test_blocklist_patterns_broadcast_and_pruned_scan(self, spark,
+                                                          sf_smoke):
+        from dystonse_gtfs_importer_spark.functions import (
+            blocklist_sql as BLK,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(BLK.q_blocklist_filter(S.SPARK))
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # the scan reads only what the query needs
+        assert "ReadSchema" in plan
+        assert "n_chars" not in plan.split("ReadSchema")[1][:400], plan
