@@ -60,14 +60,11 @@ def _pattern_rows(patterns: tuple[str, ...]) -> list[tuple[int, str, int]]:
     return rows
 
 
-def q_blocklist_filter(d: S.Dialect,
-                       patterns: tuple[str, ...] = BLOCKLIST,
-                       doc_table: str = "documents") -> str:
-    """Per document: blocklist match count (overlaps counted
-    individually), distinct patterns hit, blocked tokens (union of
-    match intervals), total tokens, and the keep verdict — the full
-    corpus annotation (unmatched documents appear with zeros, LEFT
-    JOIN like ``q_decontaminate``)."""
+def _match_ctes(d: S.Dialect, patterns: tuple[str, ...],
+                doc_table: str) -> str:
+    """Shared CTE chain ``pats`` / ``ta`` / ``matches``: the
+    per-length gram join producing one row per (doc_id, pos, pat_id,
+    n_toks) match occurrence (overlaps included)."""
     rows = _pattern_rows(patterns)
     vals = ", ".join("({}, '{}', {})".format(i, p.replace("'", "''"), n)
                      for i, p, n in rows)
@@ -89,8 +86,7 @@ def q_blocklist_filter(d: S.Dialect,
                 ) x
             ) g JOIN pats p ON p.n_toks = {n} AND p.pat = g.gram""")
     matches_sql = "\n            UNION ALL".join(branches)
-    return f"""
-        WITH pats AS (
+    return f"""pats AS (
             SELECT * FROM (VALUES {vals}) AS t(pat_id, pat, n_toks)
         ),
         ta AS (
@@ -98,7 +94,19 @@ def q_blocklist_filter(d: S.Dialect,
             FROM {doc_table}
         ),
         matches AS ({matches_sql}
-        ),
+        )"""
+
+
+def q_blocklist_filter(d: S.Dialect,
+                       patterns: tuple[str, ...] = BLOCKLIST,
+                       doc_table: str = "documents") -> str:
+    """Per document: blocklist match count (overlaps counted
+    individually), distinct patterns hit, blocked tokens (union of
+    match intervals), total tokens, and the keep verdict — the full
+    corpus annotation (unmatched documents appear with zeros, LEFT
+    JOIN like ``q_decontaminate``)."""
+    return f"""
+        WITH {_match_ctes(d, patterns, doc_table)},
         spans AS (
             SELECT doc_id, CAST(pos AS BIGINT) AS pos,
                    CAST(pos + n_toks AS BIGINT) AS en
@@ -142,6 +150,56 @@ def q_blocklist_filter(d: S.Dialect,
         FROM ta t
         LEFT JOIN per_doc m ON m.doc_id = t.doc_id
         LEFT JOIN blocked b ON b.doc_id = t.doc_id
+    """
+
+
+def q_blocklist_scrub(d: S.Dialect,
+                      patterns: tuple[str, ...] = BLOCKLIST,
+                      doc_table: str = "documents") -> str:
+    """Excision form of the blocklist screen: instead of dropping
+    whole documents, every token covered by ANY match is cut and the
+    survivors are re-joined in order — the targeted-removal sibling
+    of ``q_boilerplate_scrub`` (same coverage anti-join + ordered
+    re-join tail), driven by the arbitrary pattern set rather than by
+    corpus-frequent n-grams.  Overlapping matches cover positions
+    once (coverage is a DISTINCT position set).
+
+    Same scale shape as :func:`q_blocklist_filter` plus one map-only
+    position explode and a doc_id-co-partitioned anti join — the
+    pattern side broadcasts, nothing windows corpus-wide."""
+    return f"""
+        WITH {_match_ctes(d, patterns, doc_table)},
+        cov AS (
+            SELECT DISTINCT doc_id, pos + j AS p
+            FROM (
+                SELECT doc_id, pos, {d.explode_range('n_toks')} AS j
+                FROM matches
+            ) x
+        ),
+        toks_pos AS (
+            SELECT doc_id, i AS pos, {d.arr_get('ta', 'i')} AS tok
+            FROM (
+                SELECT doc_id, ta, {d.explode_range(d.arr_len('ta'))} AS i
+                FROM ta WHERE {d.arr_len('ta')} >= 1
+            ) y
+        ),
+        kept AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   {d.arr_join(d.ordered_list('t.tok', 't.pos'))}
+                       AS clean_text
+            FROM toks_pos t
+            LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.pos
+            WHERE c.p IS NULL
+            GROUP BY t.doc_id
+        )
+        SELECT t0.doc_id,
+               CAST({d.arr_len('t0.ta')} AS BIGINT) AS n_tokens,
+               CAST({d.arr_len('t0.ta')} - COALESCE(k.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(k.clean_text, '') AS clean_text
+        FROM ta t0
+        LEFT JOIN kept k ON k.doc_id = t0.doc_id
     """
 
 

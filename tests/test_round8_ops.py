@@ -141,6 +141,28 @@ class TestBlocklistFilter:
         with pytest.raises(ValueError):
             BLK.apply_blocklist(docs, ("a b", "A  B"))
 
+    def test_scrub_excises_overlaps_once(self, spark):
+        """'a b a b a' vs {a b, b a}: overlapping matches cover
+        positions 0..4, so the whole doc is cut; disjoint hits in a
+        second doc cut exactly their tokens; an untouched doc survives
+        (lower-cased, single-spaced — the token identity)."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sql_shared as S,
+        )
+
+        docs = _docs(spark, [(1, "a b a b a", "en", "s", 9),
+                             (2, "x BAD y bad z", "en", "s", 13),
+                             (3, "Clean   Doc", "en", "s", 11)])
+        docs.createOrReplaceTempView("documents")
+        got = {r["doc_id"]: r for r in spark.sql(
+            BLK.q_blocklist_scrub(S.SPARK, ("a b", "b a", "bad"))
+        ).collect()}
+        assert (got[1]["n_removed"], got[1]["clean_text"]) == (5, "")
+        assert (got[2]["n_removed"], got[2]["clean_text"]) == (2, "x y z")
+        assert (got[3]["n_removed"], got[3]["clean_text"]) == (0,
+                                                               "clean doc")
+        assert got[2]["n_tokens"] == 5
+
     def test_gram_join_is_broadcast(self, spark):
         """The pattern side must broadcast — a shuffle join against a
         KB-scale blocklist would be the wrong 100 TB plan."""
