@@ -696,6 +696,76 @@ def exactsubstr_cut_tail(d: S.Dialect,
 NOVELTY_NGRAM = 8
 
 
+def q_lsh_config_planner(d: S.Dialect, k: int = K_MINHASH) -> str:
+    """LSH banding planner: for every (rows_per_band r, n_bands b)
+    factorization of the k-hash MinHash signature, the EXACT probe
+    cost the candidate join would pay — without materializing a
+    single candidate pair.
+
+    Per config: bucket count, multi-occupancy buckets, candidate-pair
+    probe volume Σ_buckets C(n,2) (with cross-band multiplicity —
+    the join's actual fan-in; the DISTINCT pair set is what
+    ``q_minhash_lsh_pairs`` then builds for the chosen config), the
+    number of documents that would enter any candidate pair, and the
+    S-curve midpoint threshold t ≈ (1/b)^(1/r) (emitted as a literal
+    per config — no cross-engine float math).  This is the table a
+    pipeline reads BEFORE committing to a banding: more bands → lower
+    effective threshold → more candidates; the planner prices that
+    tradeoff on the actual corpus.
+
+    Scale shape: band rows are doc-grain × Σb (a small constant),
+    bucket counts are one partial-aggregated groupBy, the doc counter
+    is one bucket-keyed join + distinct — everything linear in the
+    corpus, nothing pairwise, no window."""
+    configs = [(r, k // r) for r in (1, 2, 4, 8) if k % r == 0]
+    branches = []
+    for r, b in configs:
+        for band in range(b):
+            cols = "||'|'||".join(
+                f"mh{band * r + j}" for j in range(r))
+            branches.append(
+                f"SELECT doc_id, {r} AS rows_per_band, {band} AS band, "
+                f"MD5({cols}) AS bh FROM signatures")
+    allbands = "\n            UNION ALL ".join(branches)
+    thr = " ".join(
+        f"WHEN {r} THEN {round(1e4 * (1.0 / b) ** (1.0 / r))}"
+        for r, b in configs)
+    pairs = d.intdiv("k * (k - 1)", "2")
+    return f"""
+        WITH {doc_tokens_cte(d)},
+        {minhash_signature_cte(d, k)},
+        allbands AS (
+            {allbands}
+        ),
+        buckets AS (
+            SELECT rows_per_band, band, bh, COUNT(*) AS k
+            FROM allbands GROUP BY rows_per_band, band, bh
+        ),
+        cand_docs AS (
+            SELECT a.rows_per_band,
+                   COUNT(DISTINCT a.doc_id) AS docs_in_candidates
+            FROM allbands a
+            JOIN buckets c ON c.rows_per_band = a.rows_per_band
+                          AND c.band = a.band AND c.bh = a.bh
+            WHERE c.k >= 2
+            GROUP BY a.rows_per_band
+        )
+        SELECT CAST(b.rows_per_band AS INT) AS rows_per_band,
+               CAST({k} / b.rows_per_band AS INT) AS n_bands,
+               CAST(CASE b.rows_per_band {thr} END AS BIGINT)
+                   AS threshold_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN b.k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS multi_buckets,
+               CAST(SUM({pairs}) AS BIGINT) AS candidate_pairs,
+               CAST(COALESCE(MAX(cd.docs_in_candidates), 0) AS BIGINT)
+                   AS docs_in_candidates
+        FROM buckets b
+        LEFT JOIN cand_docs cd ON cd.rows_per_band = b.rows_per_band
+        GROUP BY b.rows_per_band
+    """
+
+
 def q_ngram_novelty(d: S.Dialect, n: int = NOVELTY_NGRAM) -> str:
     """Per-document n-gram NOVELTY: the share of a document's distinct
     ``n``-token shingles that occur in NO other document — the

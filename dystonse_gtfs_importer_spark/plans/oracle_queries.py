@@ -3301,6 +3301,12 @@ QUERIES: dict[str, QueryDef] = {
         "re-join survivors in order (targeted-removal sibling of "
         "boilerplate_scrub over an arbitrary pattern set; coverage "
         "anti-join, doc-co-partitioned)"),
+    "lsh_config_planner": _sql_pair(
+        D.q_lsh_config_planner,
+        "LSH banding planner: exact per-(rows, bands) candidate probe "
+        "volume / bucket occupancy / docs-in-candidates via bucket "
+        "counts (sum C(n,2)) - never a pair materialization; the "
+        "table read before committing to a banding"),
     "mad_outliers": _sql_pair(
         q_mad_outliers,
         "robust per-type anomaly screen: exact interpolated "
@@ -3322,11 +3328,11 @@ QUERIES: dict[str, QueryDef] = {
 # least one driver-green row; the freshness policy is now a simple
 # ROTATION: each round's window = oldest-witnessed entries first, plus
 # the round's new registrations.  Round 8 re-witnesses the 26 queries
-# last recorded in round 3, adds the 4 round-8 registrations, and
-# fills with 20 of the 25 round-4-witnessed entries — after a green
+# last recorded in round 3, adds the 5 round-8 registrations, and
+# fills with 19 of the 25 round-4-witnessed entries — after a green
 # round 8 no query's latest driver row is older than round 4, and
-# round 9's window should start from the remaining round-4 quintet
-# plus the round-5 block.
+# round 9's window should start from the remaining six round-4
+# entries plus the round-5 block.
 # Do NOT insert new names anywhere above the "-- window boundary --"
 # marker mid-round; new round-8 queries may be inserted at the END of
 # the window (displacing entries with fresher records) only before
@@ -3353,23 +3359,25 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     # -- round-8 additions (never driver-witnessed) --
     "sequence_pack", "blocklist_filter", "blocklist_scrub",
-    "shard_manifest",
-    # -- 20 of the 25 round-4-witnessed entries (the 5 left below the
+    "shard_manifest", "lsh_config_planner",
+    # -- 19 of the 25 round-4-witnessed entries (the 6 left below the
     #    boundary each have an in-window or fresher family sibling:
     #    the two JVM Column twins of the in-window ECDF queries,
     #    cosine_near_dup / ann_lsh_topk whose production-path siblings
-    #    cosine_near_dup_lsh (r7) and ann_ivf_topk are covered, and
+    #    cosine_near_dup_lsh (r7) and ann_ivf_topk are covered,
     #    repetition_signals whose quality-family siblings lang_id /
-    #    quality_score sit in-window) --
+    #    quality_score sit in-window, and retention_cohorts whose
+    #    event-funnel siblings sessionization / funnel_steps are
+    #    in-window) --
     "pricing_summary", "ecdf_curve", "ecdf_curve_focused",
     "curve_stack_stats", "hourly_event_stats", "ann_ivf_topk",
     "semdedup_keep", "global_minmax", "distinct_users", "rollup_ladder",
     "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
     "latest_wins", "forward_fill", "median_rank", "sessionization",
-    "funnel_steps", "retention_cohorts",
+    "funnel_steps",
     # -- window boundary: entries below are outside the driver snapshot --
     # round-4-witnessed entries displaced by sibling coverage (see above)
-    "repetition_signals",
+    "retention_cohorts", "repetition_signals",
     "ecdf_curve_jvm", "ecdf_curve_focused_jvm", "cosine_near_dup",
     "ann_lsh_topk",
     # round-5-witnessed entries

@@ -136,3 +136,50 @@ class TestIntervalUnionReference:
         for s, e in intervals:
             covered.update(range(s, e))
         assert sum(b - a for a, b in got) == len(covered)
+
+
+class TestNfdPackerAlgebra:
+    """Round-8 packer: the pure per-band walk must satisfy the packing
+    invariants on ARBITRARY length multisets (the oracle pins one
+    fixture; these pin the algorithm)."""
+
+    @given(st.lists(st.integers(min_value=1, max_value=300),
+                    min_size=1, max_size=60),
+           st.integers(min_value=4, max_value=64))
+    @settings(max_examples=300, deadline=None)
+    def test_walk_invariants(self, lengths, ctx):
+        import pandas as pd
+
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            _nfd_walk,
+        )
+
+        pdf = pd.DataFrame({
+            "doc_id": range(len(lengths)),
+            "band": [0] * len(lengths),
+            "n_tokens": lengths,
+        })
+        out = _nfd_walk(pdf, ctx)
+        rows = list(out.itertuples(index=False))
+        # every doc packed exactly once, tokens conserved
+        assert sorted(r.doc_id for r in rows) == sorted(range(len(lengths)))
+        assert sum(r.n_tokens for r in rows) == sum(lengths)
+        # per-sequence occupancy: reconstruct token intervals in the
+        # flat (seq * ctx + offset) address space; they must be
+        # disjoint, within bounds, and start_off < ctx
+        intervals = []
+        for r in rows:
+            assert 0 <= r.start_off < ctx
+            # only split docs span; split only if longer than ctx
+            assert r.n_seqs_spanned == (r.start_off + r.n_tokens - 1) // ctx + 1
+            if r.n_seqs_spanned > 1:
+                assert r.start_off == 0 and r.n_tokens > ctx
+            a = r.start_seq * ctx + r.start_off
+            intervals.append((a, a + r.n_tokens))
+        intervals.sort()
+        for (a1, b1), (a2, b2) in zip(intervals, intervals[1:]):
+            assert b1 <= a2, "overlapping placements"
+        # never worse than one-doc-per-sequence (the planner baseline)
+        n_seqs = max(r.start_seq + r.n_seqs_spanned for r in rows)
+        naive = sum((n + ctx - 1) // ctx for n in lengths)
+        assert n_seqs <= naive

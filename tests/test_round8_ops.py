@@ -173,6 +173,40 @@ class TestBlocklistFilter:
         assert "BroadcastHashJoin" in plan
 
 
+class TestLshConfigPlanner:
+    def test_planted_trio_counts(self, spark):
+        """Three identical docs collide in EVERY band of every config,
+        a token-disjoint fourth doc in none: candidate_pairs =
+        n_bands * C(3,2) exactly, docs_in_candidates = 3, and probe
+        volume is monotone in the band count (the planner's whole
+        point: more bands -> lower threshold -> more probe work)."""
+        from dystonse_gtfs_importer_spark.functions import (
+            dedup_sql as D,
+            sql_shared as S,
+        )
+
+        same = "alpha beta gamma delta epsilon"
+        docs = _docs(spark, [(1, same, "en", "s", 1),
+                             (2, same, "en", "s", 1),
+                             (3, same, "en", "s", 1),
+                             (4, "zeta eta theta iota kappa", "en",
+                              "s", 1)])
+        docs.createOrReplaceTempView("documents")
+        got = {r["rows_per_band"]: r for r in spark.sql(
+            D.q_lsh_config_planner(S.SPARK)).collect()}
+        assert set(got) == {1, 2, 4, 8}
+        for r, row in got.items():
+            assert row["n_bands"] == 8 // r
+            assert row["candidate_pairs"] == row["n_bands"] * 3
+            assert row["docs_in_candidates"] == 3
+            assert row["multi_buckets"] == row["n_bands"]
+        # monotone probe volume, and the literal S-curve midpoints
+        assert (got[1]["candidate_pairs"] > got[2]["candidate_pairs"]
+                > got[4]["candidate_pairs"] > got[8]["candidate_pairs"])
+        assert got[8]["threshold_e4"] == 10000
+        assert got[2]["threshold_e4"] == 5000
+
+
 class TestPrepareShards:
     """The shard-manifest writer: seeded shuffle -> token-budget
     shards -> atomic manifest.  The manifest's shard table must be a

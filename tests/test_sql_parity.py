@@ -346,7 +346,7 @@ class TestRegistryWindow:
             "simhash_near_pairs_banded", "ngram_jaccard_pairs",
             # round-8 additions
             "sequence_pack", "blocklist_filter", "blocklist_scrub",
-            "shard_manifest",
+            "shard_manifest", "lsh_config_planner",
         }
         assert must_witness <= window
 
