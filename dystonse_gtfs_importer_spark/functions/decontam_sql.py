@@ -250,9 +250,21 @@ def q_sequence_pack(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
     policy the planner prices, pinned in tests); the band locality
     trades a few more part-full sequences for unbounded parallelism.
     """
-    div, mod = d.intdiv, "%"
+    div = d.intdiv
     return f"""
-        WITH RECURSIVE sized AS (
+        WITH RECURSIVE {_sequence_pack_ctes(d, ctx, band_docs)}
+        SELECT doc_id, band, n_tokens, start_seq, start_off,
+               CAST({div('start_off + n_tokens - 1', str(ctx))} + 1
+                    AS BIGINT) AS n_seqs_spanned
+        FROM pack
+    """
+
+
+def _sequence_pack_ctes(d: S.Dialect, ctx: int, band_docs: int) -> str:
+    """Shared recursive CTE chain ``sized`` / ``ranked`` / ``pack``:
+    the sequential NFD reference walk (see :func:`q_sequence_pack`)."""
+    div, mod = d.intdiv, "%"
+    return f"""sized AS (
             SELECT doc_id,
                    CAST({div('doc_id', str(band_docs))} AS BIGINT) AS band,
                    CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
@@ -289,11 +301,47 @@ def q_sequence_pack(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
                         ELSE ((x.n_tokens - 1) {mod} {ctx}) + 1 END
             FROM pack p JOIN ranked x
               ON x.band = p.band AND x.r = p.r + 1
+        )"""
+
+
+def q_sequence_fill(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
+                    band_docs: int = SEQ_PACK_BAND) -> str:
+    """Per (band, sequence): documents touching it, fill tokens, and
+    padding — the loader-facing occupancy table of the NFD packer
+    (the number a training run actually pays for).  Derived by
+    expanding each placement over the sequences it spans: a doc
+    contributes ``ctx`` to every spanned sequence except the last,
+    which gets the remainder; an unsplit doc contributes its whole
+    length to its one sequence.
+
+    The registered Spark side expands the OPERATOR's band-parallel
+    placements (operators/packing.sequence_fill); this template is
+    the sequential recursive-CTE reference — same independent-
+    derivation pairing as ``sequence_pack``.  Invariants (also
+    property-tested): 0 < fill <= ctx, pad = ctx - fill, per-band
+    fill sums equal the band's token count."""
+    div = d.intdiv
+    spanned = f"({div('start_off + n_tokens - 1', str(ctx))} + 1)"
+    return f"""
+        WITH RECURSIVE {_sequence_pack_ctes(d, ctx, band_docs)},
+        expanded AS (
+            SELECT band, start_seq + j AS seq,
+                   CASE WHEN j < {spanned} - 1 THEN {ctx}
+                        WHEN {spanned} = 1 THEN n_tokens
+                        ELSE n_tokens - ({spanned} - 1) * {ctx}
+                        - start_off END AS contrib
+            FROM (
+                SELECT band, start_seq, start_off, n_tokens,
+                       {d.explode_range(spanned)} AS j
+                FROM pack
+            ) x
         )
-        SELECT doc_id, band, n_tokens, start_seq, start_off,
-               CAST({div('start_off + n_tokens - 1', str(ctx))} + 1
-                    AS BIGINT) AS n_seqs_spanned
-        FROM pack
+        SELECT band, CAST(seq AS BIGINT) AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(contrib) AS BIGINT) AS fill_tokens,
+               CAST({ctx} - SUM(contrib) AS BIGINT) AS pad_tokens
+        FROM expanded
+        GROUP BY band, seq
     """
 
 

@@ -78,6 +78,34 @@ def pack_sequences(docs: DataFrame, ctx: int = SEQ_PACK_CTX,
         lambda pdf: _nfd_walk(pdf, ctx), _PACK_SCHEMA)
 
 
+def sequence_fill(packed: DataFrame, ctx: int = SEQ_PACK_CTX
+                  ) -> DataFrame:
+    """Per (band, seq): documents touching it, fill tokens, padding —
+    the loader-facing occupancy table (what a training run actually
+    pays).  Expands each placement over its spanned sequences: ctx to
+    every spanned sequence except the last (remainder), the whole
+    length for unsplit docs.  Map-only explode + one (band, seq)
+    aggregate; hash-verified against the recursive-CTE reference
+    (``q_sequence_fill``)."""
+    spanned = "n_seqs_spanned"
+    contrib = (f"CASE WHEN j < {spanned} - 1 THEN {ctx} "
+               f"WHEN {spanned} = 1 THEN n_tokens "
+               f"ELSE n_tokens - ({spanned} - 1) * {ctx} END")
+    return (packed
+            .select("band", "start_seq", "n_tokens", spanned,
+                    F.expr(f"explode(sequence(0, {spanned} - 1))")
+                    .alias("j"))
+            .select("band",
+                    (F.col("start_seq") + F.col("j")).cast("long")
+                    .alias("seq"),
+                    F.expr(contrib).cast("long").alias("contrib"))
+            .groupBy("band", "seq")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("contrib").cast("long").alias("fill_tokens"))
+            .withColumn("pad_tokens",
+                        (F.lit(ctx) - F.col("fill_tokens")).cast("long")))
+
+
 def packed_band_stats(packed: DataFrame, ctx: int = SEQ_PACK_CTX
                       ) -> DataFrame:
     """Per band: sequences produced, tokens packed, padding tokens —

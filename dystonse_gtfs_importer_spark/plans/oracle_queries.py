@@ -2900,6 +2900,19 @@ def _shard_manifest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_stats(shard_assignments(spark.table("documents")))
 
 
+def _sequence_fill_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence occupancy of the band-parallel packer: the
+    operator's placements expanded over spanned sequences — checked
+    against the sequential recursive-CTE reference
+    (DC.q_sequence_fill)."""
+    from ..operators.packing import pack_sequences, sequence_fill
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return sequence_fill(pack_sequences(spark.table("documents")))
+
+
 def _sequence_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-parallel NFD packer (operators/packing.pack_sequences):
     tokenize + band JVM-side, one shuffle on band, one bounded Arrow
@@ -3301,6 +3314,13 @@ QUERIES: dict[str, QueryDef] = {
         "re-join survivors in order (targeted-removal sibling of "
         "boilerplate_scrub over an arbitrary pattern set; coverage "
         "anti-join, doc-co-partitioned)"),
+    "sequence_fill": QueryDef(
+        spark=_sequence_fill_spark,
+        oracle=DC.q_sequence_fill(S.DUCKDB),
+        survey_ref="packer occupancy table: per (band, seq) docs / "
+                   "fill / padding (the loader-facing number) - "
+                   "operator placements expanded vs the sequential "
+                   "recursive-CTE reference"),
     "lsh_config_planner": _sql_pair(
         D.q_lsh_config_planner,
         "LSH banding planner: exact per-(rows, bands) candidate probe "
@@ -3328,10 +3348,10 @@ QUERIES: dict[str, QueryDef] = {
 # least one driver-green row; the freshness policy is now a simple
 # ROTATION: each round's window = oldest-witnessed entries first, plus
 # the round's new registrations.  Round 8 re-witnesses the 26 queries
-# last recorded in round 3, adds the 5 round-8 registrations, and
-# fills with 19 of the 25 round-4-witnessed entries — after a green
+# last recorded in round 3, adds the 6 round-8 registrations, and
+# fills with 18 of the 25 round-4-witnessed entries — after a green
 # round 8 no query's latest driver row is older than round 4, and
-# round 9's window should start from the remaining six round-4
+# round 9's window should start from the remaining seven round-4
 # entries plus the round-5 block.
 # Do NOT insert new names anywhere above the "-- window boundary --"
 # marker mid-round; new round-8 queries may be inserted at the END of
@@ -3358,26 +3378,24 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "simhash_near_pairs", "simhash_near_pairs_banded",
     "ngram_jaccard_pairs",
     # -- round-8 additions (never driver-witnessed) --
-    "sequence_pack", "blocklist_filter", "blocklist_scrub",
-    "shard_manifest", "lsh_config_planner",
-    # -- 19 of the 25 round-4-witnessed entries (the 6 left below the
+    "sequence_pack", "sequence_fill", "blocklist_filter",
+    "blocklist_scrub", "shard_manifest", "lsh_config_planner",
+    # -- 18 of the 25 round-4-witnessed entries (the 7 left below the
     #    boundary each have an in-window or fresher family sibling:
     #    the two JVM Column twins of the in-window ECDF queries,
     #    cosine_near_dup / ann_lsh_topk whose production-path siblings
     #    cosine_near_dup_lsh (r7) and ann_ivf_topk are covered,
     #    repetition_signals whose quality-family siblings lang_id /
-    #    quality_score sit in-window, and retention_cohorts whose
-    #    event-funnel siblings sessionization / funnel_steps are
-    #    in-window) --
+    #    quality_score sit in-window, retention_cohorts / funnel_steps
+    #    whose event-funnel sibling sessionization is in-window) --
     "pricing_summary", "ecdf_curve", "ecdf_curve_focused",
     "curve_stack_stats", "hourly_event_stats", "ann_ivf_topk",
     "semdedup_keep", "global_minmax", "distinct_users", "rollup_ladder",
     "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
     "latest_wins", "forward_fill", "median_rank", "sessionization",
-    "funnel_steps",
     # -- window boundary: entries below are outside the driver snapshot --
     # round-4-witnessed entries displaced by sibling coverage (see above)
-    "retention_cohorts", "repetition_signals",
+    "funnel_steps", "retention_cohorts", "repetition_signals",
     "ecdf_curve_jvm", "ecdf_curve_focused_jvm", "cosine_near_dup",
     "ann_lsh_topk",
     # round-5-witnessed entries

@@ -75,6 +75,27 @@ class TestSequencePack:
         for band in {r[1] for r in a}:
             assert min(r[3] for r in a if r[1] == band) == 0
 
+    def test_sequence_fill_occupancy(self, spark):
+        """The loader-facing fill table: every sequence non-empty and
+        within capacity, split chunks land ctx-full, and per-band fill
+        sums conserve the band's tokens."""
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            sequence_fill,
+        )
+
+        ctx = 10
+        docs = _docs(spark, [_word_doc(i, n) for i, n in
+                             enumerate([1, 3, 4, 5, 7, 12])])
+        packed = pack_sequences(docs, ctx=ctx, band_docs=100)
+        fills = {(r["band"], r["seq"]): (r["n_docs"], r["fill_tokens"],
+                                         r["pad_tokens"])
+                 for r in sequence_fill(packed, ctx=ctx).collect()}
+        # layout from test_planted_nfd_walk: seq0 = first 10 of the
+        # 12-tok doc; seq1 = its 2-tok remainder + the 7; seq2 = 5+4;
+        # seq3 = 3+1
+        assert fills == {(0, 0): (1, 10, 0), (0, 1): (2, 9, 1),
+                         (0, 2): (2, 9, 1), (0, 3): (2, 4, 6)}
+
     def test_packed_never_worse_than_planner_baseline(self, spark):
         """The packer must RECOVER padding vs the one-doc-per-sequence
         policy q_packing_efficiency prices: per band, packed sequence
