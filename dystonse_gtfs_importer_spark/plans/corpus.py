@@ -422,19 +422,25 @@ def prepare_shards(docs: DataFrame, out_root: str,
     call committed)."""
     from ..sources.snapshot import SnapshotStore
 
+    # stats and the write both consume the assignment pipeline —
+    # persist so the shuffle + prefix-sum chain runs once, not twice
+    # (deterministic either way, but 2x the work at scale)
     assigned = shard_assignments(docs, shard_tokens=shard_tokens,
                                  seed=seed, id_col=id_col,
-                                 text_col=text_col)
-    stats = sorted(
-        (r["shard_id"], r["n_docs"], r["n_tokens"], r["content_fp"])
-        for r in shard_stats(assigned, id_col, text_col).collect())
-    shard_table = [{"shard_id": s, "n_docs": d, "n_tokens": t,
-                    "content_fp": f} for s, d, t, f in stats]
-    store = SnapshotStore(out_root, ["shard_id"])
-    committed = store.commit(
-        assigned, batch_id=batch_id,
-        extra={"shards": shard_table, "seed": seed,
-               "shard_tokens": shard_tokens})
+                                 text_col=text_col).persist()
+    try:
+        stats = sorted(
+            (r["shard_id"], r["n_docs"], r["n_tokens"], r["content_fp"])
+            for r in shard_stats(assigned, id_col, text_col).collect())
+        shard_table = [{"shard_id": s, "n_docs": d, "n_tokens": t,
+                        "content_fp": f} for s, d, t, f in stats]
+        store = SnapshotStore(out_root, ["shard_id"])
+        committed = store.commit(
+            assigned, batch_id=batch_id,
+            extra={"shards": shard_table, "seed": seed,
+                   "shard_tokens": shard_tokens})
+    finally:
+        assigned.unpersist()
     return {"committed": committed,
             "n_shards": len(shard_table),
             "total_docs": sum(s["n_docs"] for s in shard_table),
