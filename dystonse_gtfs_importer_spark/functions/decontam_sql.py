@@ -345,6 +345,59 @@ def q_sequence_fill(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
     """
 
 
+def q_sequence_emit(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
+                    band_docs: int = SEQ_PACK_BAND) -> str:
+    """Materialized training sequences: per (band, seq) the actual
+    token stream (kept tokens joined with spaces) plus boundary
+    metadata ``doc_id:offset:len`` per chunk — what a training loader
+    reads after the packer decides placement.  Chunk j of a placement
+    covers doc tokens [j*ctx, j*ctx + chunk_len) and sits at in-seq
+    offset start_off for j = 0 (an unsplit doc) or 0 (a split chunk
+    owns its sequence's start).
+
+    The registered Spark side composes the band-parallel operator
+    placements with a JVM-side slice/sort emission
+    (operators/packing.emit_sequences); this recursive-CTE template
+    is the sequential reference.  The slice length is an EXPRESSION
+    (both engines' slice functions accept one; the arr_slice_join
+    dialect helper is rendered with expression strings here)."""
+    div = d.intdiv
+    spanned = f"({div('start_off + n_tokens - 1', str(ctx))} + 1)"
+    chunk_len = (f"CASE WHEN j < {spanned} - 1 THEN {ctx} "
+                 f"WHEN {spanned} = 1 THEN n_tokens "
+                 f"ELSE n_tokens - ({spanned} - 1) * {ctx} END")
+    return f"""
+        WITH RECURSIVE {_sequence_pack_ctes(d, ctx, band_docs)},
+        ta AS (
+            SELECT doc_id, {d.token_array('text')} AS ta FROM documents
+        ),
+        chunks AS (
+            SELECT band, start_seq + j AS seq, doc_id,
+                   CASE WHEN j = 0 THEN start_off ELSE 0 END AS off,
+                   CAST({chunk_len} AS BIGINT) AS chunk_len,
+                   {d.arr_slice_join('ta', f'j * {ctx}', chunk_len)}
+                       AS chunk_text
+            FROM (
+                SELECT p.band, p.start_seq, p.start_off, p.n_tokens,
+                       p.doc_id, t.ta,
+                       {d.explode_range(spanned)} AS j
+                FROM pack p JOIN ta t ON t.doc_id = p.doc_id
+            ) x
+        )
+        SELECT band, CAST(seq AS BIGINT) AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(chunk_len) AS BIGINT) AS fill_tokens,
+               {d.arr_join(d.ordered_list('chunk_text', 'off'))}
+                   AS seq_text,
+               {d.ordered_list_csv(
+                   "CONCAT(CAST(doc_id AS STRING), ':', "
+                   "CAST(off AS STRING), ':', "
+                   "CAST(chunk_len AS STRING))", 'off', ';')} AS spans
+        FROM chunks
+        GROUP BY band, seq
+    """
+
+
 def q_shard_manifest_oracle(d: S.Dialect, shard_tokens: int = 2000,
                             seed: str = "shuf1") -> str:
     """Sequential reference for the ``prepare_shards`` manifest table

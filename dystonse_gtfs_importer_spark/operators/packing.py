@@ -106,6 +106,54 @@ def sequence_fill(packed: DataFrame, ctx: int = SEQ_PACK_CTX
                         (F.lit(ctx) - F.col("fill_tokens")).cast("long")))
 
 
+def emit_sequences(docs: DataFrame, packed: DataFrame,
+                   ctx: int = SEQ_PACK_CTX,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Materialized training sequences from the packer's placements:
+    per (band, seq) the token stream (kept tokens, single-spaced,
+    lowercased — the packer's token identity) and the boundary
+    metadata ``doc_id:offset:len`` per chunk, ';'-joined in offset
+    order.  Everything JVM-side: a doc-keyed join back to the token
+    arrays, a map-only chunk explode with expression-length slices,
+    and one (band, seq) aggregate with an in-memory offset sort —
+    no window, no Python.  Hash-verified against the sequential
+    recursive-CTE reference ``q_sequence_emit``."""
+    ta = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(f"filter(split(lower({text_col}), ' +'), "
+               f"t -> t <> '')").alias("ta"))
+    spanned = "n_seqs_spanned"
+    chunk_len = (f"CASE WHEN j < {spanned} - 1 THEN {ctx} "
+                 f"WHEN {spanned} = 1 THEN n_tokens "
+                 f"ELSE n_tokens - ({spanned} - 1) * {ctx} END")
+    chunks = (packed.join(ta, "doc_id")
+              .select("band", "start_seq", "start_off", "n_tokens",
+                      "doc_id", "ta", spanned,
+                      F.expr(f"explode(sequence(0, {spanned} - 1))")
+                      .alias("j"))
+              .select(
+                  "band",
+                  (F.col("start_seq") + F.col("j")).cast("long")
+                  .alias("seq"),
+                  "doc_id",
+                  F.expr("CASE WHEN j = 0 THEN start_off ELSE 0 END")
+                  .cast("long").alias("off"),
+                  F.expr(chunk_len).cast("long").alias("chunk_len"),
+                  F.expr(f"array_join(slice(ta, j * {ctx} + 1, "
+                         f"{chunk_len}), ' ')").alias("chunk_text")))
+    return (chunks.groupBy("band", "seq").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("chunk_len").cast("long").alias("fill_tokens"),
+        F.expr("array_join(transform(array_sort(collect_list("
+               "struct(off AS o, chunk_text AS v))), x -> x.v), ' ')")
+        .alias("seq_text"),
+        F.expr("array_join(transform(array_sort(collect_list("
+               "struct(off AS o, concat(CAST(doc_id AS STRING), ':', "
+               "CAST(off AS STRING), ':', CAST(chunk_len AS STRING)) "
+               "AS v))), x -> x.v), ';')").alias("spans")))
+
+
 def packed_band_stats(packed: DataFrame, ctx: int = SEQ_PACK_CTX
                       ) -> DataFrame:
     """Per band: sequences produced, tokens packed, padding tokens —

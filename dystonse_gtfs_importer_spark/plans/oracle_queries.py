@@ -2913,6 +2913,19 @@ def _sequence_fill_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_fill(pack_sequences(spark.table("documents")))
 
 
+def _sequence_emit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training sequences from the band-parallel packer
+    (operators/packing.emit_sequences) vs the sequential recursive-CTE
+    reference (DC.q_sequence_emit)."""
+    from ..operators.packing import emit_sequences, pack_sequences
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return emit_sequences(docs, pack_sequences(docs))
+
+
 def _sequence_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-parallel NFD packer (operators/packing.pack_sequences):
     tokenize + band JVM-side, one shuffle on band, one bounded Arrow
@@ -3321,6 +3334,14 @@ QUERIES: dict[str, QueryDef] = {
                    "fill / padding (the loader-facing number) - "
                    "operator placements expanded vs the sequential "
                    "recursive-CTE reference"),
+    "sequence_emit": QueryDef(
+        spark=_sequence_emit_spark,
+        oracle=DC.q_sequence_emit(S.DUCKDB),
+        survey_ref="materialized training sequences: per (band, seq) "
+                   "token stream + doc_id:offset:len boundary spans "
+                   "(what the loader reads) - JVM slice/sort emission "
+                   "over operator placements vs the recursive-CTE "
+                   "reference"),
     "lsh_config_planner": _sql_pair(
         D.q_lsh_config_planner,
         "LSH banding planner: exact per-(rows, bands) candidate probe "
@@ -3348,10 +3369,10 @@ QUERIES: dict[str, QueryDef] = {
 # least one driver-green row; the freshness policy is now a simple
 # ROTATION: each round's window = oldest-witnessed entries first, plus
 # the round's new registrations.  Round 8 re-witnesses the 26 queries
-# last recorded in round 3, adds the 6 round-8 registrations, and
-# fills with 18 of the 25 round-4-witnessed entries — after a green
+# last recorded in round 3, adds the 7 round-8 registrations, and
+# fills with 17 of the 25 round-4-witnessed entries — after a green
 # round 8 no query's latest driver row is older than round 4, and
-# round 9's window should start from the remaining seven round-4
+# round 9's window should start from the remaining eight round-4
 # entries plus the round-5 block.
 # Do NOT insert new names anywhere above the "-- window boundary --"
 # marker mid-round; new round-8 queries may be inserted at the END of
@@ -3378,9 +3399,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "simhash_near_pairs", "simhash_near_pairs_banded",
     "ngram_jaccard_pairs",
     # -- round-8 additions (never driver-witnessed) --
-    "sequence_pack", "sequence_fill", "blocklist_filter",
-    "blocklist_scrub", "shard_manifest", "lsh_config_planner",
-    # -- 18 of the 25 round-4-witnessed entries (the 7 left below the
+    "sequence_pack", "sequence_fill", "sequence_emit",
+    "blocklist_filter", "blocklist_scrub", "shard_manifest",
+    "lsh_config_planner",
+    # -- 17 of the 25 round-4-witnessed entries (the 8 left below the
     #    boundary each have an in-window or fresher family sibling:
     #    the two JVM Column twins of the in-window ECDF queries,
     #    cosine_near_dup / ann_lsh_topk whose production-path siblings
@@ -3392,10 +3414,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "curve_stack_stats", "hourly_event_stats", "ann_ivf_topk",
     "semdedup_keep", "global_minmax", "distinct_users", "rollup_ladder",
     "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
-    "latest_wins", "forward_fill", "median_rank", "sessionization",
+    "latest_wins", "forward_fill", "median_rank",
     # -- window boundary: entries below are outside the driver snapshot --
     # round-4-witnessed entries displaced by sibling coverage (see above)
-    "funnel_steps", "retention_cohorts", "repetition_signals",
+    "sessionization", "funnel_steps", "retention_cohorts",
+    "repetition_signals",
     "ecdf_curve_jvm", "ecdf_curve_focused_jvm", "cosine_near_dup",
     "ann_lsh_topk",
     # round-5-witnessed entries

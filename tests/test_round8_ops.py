@@ -96,6 +96,40 @@ class TestSequencePack:
         assert fills == {(0, 0): (1, 10, 0), (0, 1): (2, 9, 1),
                          (0, 2): (2, 9, 1), (0, 3): (2, 4, 6)}
 
+    def test_emit_reconstructs_every_document(self, spark):
+        """Concatenating a doc's chunks (offset order across its
+        spanned sequences) reproduces its lowercased token stream
+        exactly; per-sequence text length equals the fill."""
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            emit_sequences,
+        )
+
+        ctx = 10
+        docs = _docs(spark, [
+            (0, "Zero one two THREE four five six seven eight nine "
+                "ten eleven", "en", "s", 1),           # 12 tokens: split
+            (1, "alpha beta gamma delta epsilon zeta eta", "en", "s", 1),
+            (2, "x y z", "en", "s", 1),
+        ])
+        packed = pack_sequences(docs, ctx=ctx, band_docs=100)
+        seqs = emit_sequences(docs, packed, ctx=ctx).collect()
+        # fill == token count of the emitted text
+        for r in seqs:
+            assert len(r["seq_text"].split(" ")) == r["fill_tokens"]
+            assert 0 < r["fill_tokens"] <= ctx
+        # reconstruct each doc from its spans in (seq, offset) order
+        rebuilt = {}
+        for r in sorted(seqs, key=lambda r: (r["band"], r["seq"])):
+            toks = r["seq_text"].split(" ")
+            for span in r["spans"].split(";"):
+                did, off, ln = (int(v) for v in span.split(":"))
+                rebuilt.setdefault(did, []).extend(
+                    toks[off:off + ln])
+        originals = {r["doc_id"]:
+                     [t for t in r["text"].lower().split(" ") if t]
+                     for r in docs.collect()}
+        assert rebuilt == originals
+
     def test_packed_never_worse_than_planner_baseline(self, spark):
         """The packer must RECOVER padding vs the one-doc-per-sequence
         policy q_packing_efficiency prices: per band, packed sequence

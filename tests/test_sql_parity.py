@@ -345,8 +345,9 @@ class TestRegistryWindow:
             "minhash_lsh_pairs", "simhash", "simhash_near_pairs",
             "simhash_near_pairs_banded", "ngram_jaccard_pairs",
             # round-8 additions
-            "sequence_pack", "sequence_fill", "blocklist_filter",
-            "blocklist_scrub", "shard_manifest", "lsh_config_planner",
+            "sequence_pack", "sequence_fill", "sequence_emit",
+            "blocklist_filter", "blocklist_scrub", "shard_manifest",
+            "lsh_config_planner",
         }
         assert must_witness <= window
 
