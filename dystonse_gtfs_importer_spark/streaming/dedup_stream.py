@@ -100,11 +100,19 @@ def run_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 10,
+    blocklist: tuple[str, ...] | None = None,
 ):
     """File stream of JSON document batches → deduplicated parquet
     corpus carrying its fingerprint column (the store).  ONE action
-    per micro-batch: store read (column-pruned) + anti join + write.
-    Returns the streaming query (caller awaits/stops)."""
+    per micro-batch: optional blocklist screen (map-only gram join
+    against the broadcast pattern set — ingest-time
+    ``q_blocklist_filter``) + store read (column-pruned) + anti join
+    + write.  Screening runs BEFORE dedup so blocked documents never
+    enter the corpus or its fingerprint store; a later duplicate of a
+    blocked document is screened again by the same patterns, so the
+    published corpus is identical to batch-screening-then-dedup of
+    the full feed.  Returns the streaming query (caller
+    awaits/stops)."""
     docs_path = str(Path(out_dir) / "documents")
 
     schema = "doc_id LONG, text STRING, lang STRING, source STRING"
@@ -116,6 +124,12 @@ def run_dedup_stream(
     def sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if blocklist:
+            from ..functions.blocklist_sql import apply_blocklist
+
+            keep = (apply_blocklist(batch, blocklist)
+                    .where(F.col("keep") == 1).select("doc_id"))
+            batch = batch.join(keep, "doc_id", "left_semi")
         fresh = dedup_batch(batch, read_fingerprint_store(s, out_dir))
         # an empty survivor set writes no files under dynamic
         # overwrite, so no isEmpty probe (that would be a second

@@ -64,6 +64,35 @@ class TestDedupStream:
         assert fps.count() == 3
         assert fps.distinct().count() == 3
 
+    def test_blocklist_screen_on_arrival(self, spark, tmp_path):
+        """Blocked documents never land and never enter the
+        fingerprint store: a later clean duplicate of a blocked doc's
+        text is still publishable only if IT passes the screen."""
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            read_fingerprint_store,
+            run_dedup_stream,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        out = tmp_path / "out"
+        _write_batch(in_dir, "b0.json", [
+            {"doc_id": 1, "text": "totally fine text", "lang": "en",
+             "source": "s"},
+            {"doc_id": 2, "text": "contains bad phrase here",
+             "lang": "en", "source": "s"},   # screened out
+            {"doc_id": 3, "text": "totally fine text", "lang": "en",
+             "source": "s"},                 # dup of 1: deduped
+        ])
+        q = run_dedup_stream(spark, str(in_dir), str(out),
+                             str(tmp_path / "ck"),
+                             blocklist=("bad phrase",))
+        _await(q)
+        docs = spark.read.parquet(str(out / "documents"))
+        assert sorted(r.doc_id for r in docs.collect()) == [1]
+        # the blocked doc's fingerprint is NOT in the store
+        assert read_fingerprint_store(spark, str(out)).count() == 1
+
     def test_batch_function_replay_idempotent(self, spark):
         from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
             dedup_batch, doc_fingerprint,
