@@ -135,7 +135,10 @@ def _parser() -> argparse.ArgumentParser:
                      help="shard store root (default <dir>/shards)")
     cps.add_argument("--shard-tokens", type=int, default=2000)
     cps.add_argument("--seed", default="shuf1")
-    cps.add_argument("--batch-id", type=int, default=1)
+    cps.add_argument("--batch-id", type=int, default=1,
+                     help="manifest replay guard: re-running with the "
+                          "same id is a no-op (committed=false); bump "
+                          "it to republish after the corpus changes")
     return p
 
 
