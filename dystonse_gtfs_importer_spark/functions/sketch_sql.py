@@ -637,3 +637,62 @@ def q_kmv_source_overlap(d: S.Dialect, k: int = KMV_K) -> str:
         JOIN exact x ON x.sa = e.sa AND x.sb = e.sb
         ORDER BY e.sa, e.sb
     """
+
+
+ORDERS_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "num"), ("o_custkey", "num"),
+    ("o_orderstatus", "str"), ("o_totalprice", "num"),
+    ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+)
+
+
+def q_table_profile(d: S.Dialect, table: str = "orders",
+                    cols: tuple[tuple[str, str], ...] =
+                    ORDERS_PROFILE_COLS) -> str:
+    """Column-level table profile — the "profile before you train /
+    join" data-quality staple: per column, row count, nulls, exact
+    distinct count, and integer-quantized min/max (micro-units for
+    numerics, epoch seconds for timestamps; strings skip min/max —
+    cross-engine collation is not part of the parity contract).
+
+    ONE scan: a single aggregate computes every column's statistics,
+    then a literal unpivot emits one row per column (map-only over
+    the 1-row aggregate).  The multi-column COUNT(DISTINCT) plans as
+    one Expand (rows x |cols|) — fine for exact profiling; at lake
+    scale swap exact distincts for ``approx_count_distinct`` / the
+    ``q_hll_distinct`` register sketch (same shape, one pass, no
+    Expand), which is the documented 100 TB rung."""
+    aggs, rows = [], []
+    for i, (c, kind) in enumerate(cols):
+        aggs.append(f"COUNT({c}) AS nn_{i}")
+        aggs.append(f"COUNT(DISTINCT {c}) AS nd_{i}")
+        if kind == "num":
+            aggs.append(f"CAST(ROUND(MIN({c}) * 1e6) AS BIGINT) AS mn_{i}")
+            aggs.append(f"CAST(ROUND(MAX({c}) * 1e6) AS BIGINT) AS mx_{i}")
+        elif kind == "ts":
+            if d.name == "spark":
+                lo, hi = f"unix_timestamp(MIN({c}))", \
+                         f"unix_timestamp(MAX({c}))"
+            else:
+                lo, hi = f"(epoch_us(MIN({c})) // 1000000)", \
+                         f"(epoch_us(MAX({c})) // 1000000)"
+            aggs.append(f"CAST({lo} AS BIGINT) AS mn_{i}")
+            aggs.append(f"CAST({hi} AS BIGINT) AS mx_{i}")
+        else:
+            aggs.append(f"CAST(NULL AS BIGINT) AS mn_{i}")
+            aggs.append(f"CAST(NULL AS BIGINT) AS mx_{i}")
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows, "
+            f"CAST(n_rows - nn_{i} AS BIGINT) AS n_null, "
+            f"CAST(nd_{i} AS BIGINT) AS n_distinct, "
+            f"mn_{i} AS min_e, mx_{i} AS max_e FROM agg")
+    agg_sql = ",\n                   ".join(aggs)
+    union = "\n        UNION ALL ".join(rows)
+    return f"""
+        WITH agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {agg_sql}
+            FROM {table}
+        )
+        {union}
+    """

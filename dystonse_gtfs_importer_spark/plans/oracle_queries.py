@@ -3342,6 +3342,12 @@ QUERIES: dict[str, QueryDef] = {
                    "(what the loader reads) - JVM slice/sort emission "
                    "over operator placements vs the recursive-CTE "
                    "reference"),
+    "table_profile": _sql_pair(
+        SK.q_table_profile,
+        "column-level table profile: nulls / exact distincts / "
+        "quantized min-max per column in ONE scan (single aggregate "
+        "+ literal unpivot); approx_count_distinct or the HLL sketch "
+        "is the documented lake-scale rung"),
     "lsh_config_planner": _sql_pair(
         D.q_lsh_config_planner,
         "LSH banding planner: exact per-(rows, bands) candidate probe "
@@ -3369,10 +3375,10 @@ QUERIES: dict[str, QueryDef] = {
 # least one driver-green row; the freshness policy is now a simple
 # ROTATION: each round's window = oldest-witnessed entries first, plus
 # the round's new registrations.  Round 8 re-witnesses the 26 queries
-# last recorded in round 3, adds the 7 round-8 registrations, and
-# fills with 17 of the 25 round-4-witnessed entries — after a green
+# last recorded in round 3, adds the 8 round-8 registrations, and
+# fills with 16 of the 25 round-4-witnessed entries — after a green
 # round 8 no query's latest driver row is older than round 4, and
-# round 9's window should start from the remaining eight round-4
+# round 9's window should start from the remaining nine round-4
 # entries plus the round-5 block.
 # Do NOT insert new names anywhere above the "-- window boundary --"
 # marker mid-round; new round-8 queries may be inserted at the END of
@@ -3401,8 +3407,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- round-8 additions (never driver-witnessed) --
     "sequence_pack", "sequence_fill", "sequence_emit",
     "blocklist_filter", "blocklist_scrub", "shard_manifest",
-    "lsh_config_planner",
-    # -- 17 of the 25 round-4-witnessed entries (the 8 left below the
+    "lsh_config_planner", "table_profile",
+    # -- 16 of the 25 round-4-witnessed entries (the 9 left below the
     #    boundary each have an in-window or fresher family sibling:
     #    the two JVM Column twins of the in-window ECDF queries,
     #    cosine_near_dup / ann_lsh_topk whose production-path siblings
@@ -3414,10 +3420,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "curve_stack_stats", "hourly_event_stats", "ann_ivf_topk",
     "semdedup_keep", "global_minmax", "distinct_users", "rollup_ladder",
     "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
-    "latest_wins", "forward_fill", "median_rank",
+    "latest_wins", "forward_fill",
     # -- window boundary: entries below are outside the driver snapshot --
     # round-4-witnessed entries displaced by sibling coverage (see above)
-    "sessionization", "funnel_steps", "retention_cohorts",
+    "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     "repetition_signals",
     "ecdf_curve_jvm", "ecdf_curve_focused_jvm", "cosine_near_dup",
     "ann_lsh_topk",

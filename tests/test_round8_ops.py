@@ -349,3 +349,31 @@ class TestPrepareShards:
         assert out["total_docs"] == spark.read.parquet(
             str(lake / "documents.parquet")).count()
         assert (lake / "shards" / "MANIFEST").exists()
+
+
+class TestTableProfile:
+    def test_planted_nulls_distincts_minmax(self, spark):
+        from dystonse_gtfs_importer_spark.functions import (
+            sketch_sql as SK,
+            sql_shared as S,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None, "a", 2.5), (2, 10, "b", None),
+             (3, 10, "a", -1.25), (None, 20, None, 2.5)],
+            "k long, v long, s string, x double")
+        df.createOrReplaceTempView("t_prof")
+        cols = (("k", "num"), ("v", "num"), ("s", "str"), ("x", "num"))
+        got = {r["col_name"]: r for r in spark.sql(
+            SK.q_table_profile(S.SPARK, table="t_prof", cols=cols)
+        ).collect()}
+        assert set(got) == {"k", "v", "s", "x"}
+        for r in got.values():
+            assert r["n_rows"] == 4
+        assert (got["k"]["n_null"], got["k"]["n_distinct"]) == (1, 3)
+        assert (got["v"]["n_null"], got["v"]["n_distinct"]) == (1, 2)
+        assert (got["s"]["n_null"], got["s"]["n_distinct"]) == (1, 2)
+        assert (got["x"]["min_e"], got["x"]["max_e"]) == (-1250000,
+                                                          2500000)
+        # strings skip min/max (collation is out of the parity contract)
+        assert got["s"]["min_e"] is None and got["s"]["max_e"] is None

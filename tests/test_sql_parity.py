@@ -347,7 +347,7 @@ class TestRegistryWindow:
             # round-8 additions
             "sequence_pack", "sequence_fill", "sequence_emit",
             "blocklist_filter", "blocklist_scrub", "shard_manifest",
-            "lsh_config_planner",
+            "lsh_config_planner", "table_profile",
         }
         assert must_witness <= window
 
