@@ -76,3 +76,42 @@ class TestIterativeOracleTwins:
         km = duckdb.sql(_kmeans_clusters_oracle()).fetchall()
         assert len(bpe) > 10 and all(c >= 1 for _, c in bpe)
         assert len(km) >= 1 and all(len(r) == 5 for r in km)
+
+
+class TestGreedyKmeansppTwins:
+    """ADVICE r7: the literal oracle's greedy weighted k-means++ must
+    be an INDEPENDENT derivation. This pins that the two independent
+    implementations agree on randomized weighted candidate sets - a
+    divergence would mean one of them broke, and the driver hash gate
+    would catch it on the fixture; this catches it everywhere else."""
+
+    def test_twins_agree_on_random_candidates(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dystonse_gtfs_importer_spark.operators.clustering import (
+            _greedy_weighted_kmeanspp,
+        )
+        from dystonse_gtfs_importer_spark.plans.ref_single import (
+            _ref_greedy_weighted_kmeanspp,
+        )
+
+        vec = st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False,
+                      allow_infinity=False, width=32),
+            min_size=3, max_size=3)
+
+        @given(st.lists(st.tuples(vec, st.integers(1, 50)),
+                        min_size=1, max_size=20),
+               st.integers(min_value=1, max_value=8))
+        @settings(max_examples=300, deadline=None)
+        def check(cands, k):
+            vecs = [c[0] for c in cands]
+            ws = [c[1] for c in cands]
+            live = _greedy_weighted_kmeanspp(
+                [{"pid": i, "vec": vecs[i], "w": ws[i]}
+                 for i in range(len(cands))], k)
+            ref = _ref_greedy_weighted_kmeanspp(vecs, ws, k)
+            assert live == ref
+
+        check()
