@@ -66,7 +66,10 @@ def _match_ctes(d: S.Dialect, patterns: tuple[str, ...],
     per-length gram join producing one row per (doc_id, pos, pat_id,
     n_toks) match occurrence (overlaps included)."""
     rows = _pattern_rows(patterns)
-    vals = ", ".join("({}, '{}', {})".format(i, p.replace("'", "''"), n)
+    # d.str_lit handles quote doubling AND (Spark-side) backslash
+    # escaping, so caller-supplied patterns render to the same
+    # literal in both engines.
+    vals = ", ".join("({}, {}, {})".format(i, d.str_lit(p), n)
                      for i, p, n in rows)
     by_len: dict[int, list[int]] = defaultdict(list)
     for i, _, n in rows:

@@ -60,13 +60,22 @@ def minhash_signature_cte(d: S.Dialect, k: int = K_MINHASH) -> str:
     """
 
 
+def band_hash_expr(b: int, rows_per_band: int = ROWS_PER_BAND) -> str:
+    """SQL expression for band ``b``'s LSH bucket hash over the
+    ``signatures`` CTE columns — THE band definition, shared by the
+    pair query, the config planner, and the streaming store's band
+    columns so all three agree byte-for-byte."""
+    cols = "||'|'||".join(
+        f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+    return f"MD5({cols})"
+
+
 def minhash_bands_cte(k: int = K_MINHASH, rows_per_band: int = ROWS_PER_BAND) -> str:
     bands = []
     for b in range(k // rows_per_band):
-        cols = "||'|'||".join(
-            f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
         bands.append(
-            f"SELECT doc_id, {b} AS band, MD5({cols}) AS band_hash FROM signatures")
+            f"SELECT doc_id, {b} AS band, "
+            f"{band_hash_expr(b, rows_per_band)} AS band_hash FROM signatures")
     return "bands AS (" + " UNION ALL ".join(bands) + ")"
 
 
@@ -721,11 +730,9 @@ def q_lsh_config_planner(d: S.Dialect, k: int = K_MINHASH) -> str:
     branches = []
     for r, b in configs:
         for band in range(b):
-            cols = "||'|'||".join(
-                f"mh{band * r + j}" for j in range(r))
             branches.append(
                 f"SELECT doc_id, {r} AS rows_per_band, {band} AS band, "
-                f"MD5({cols}) AS bh FROM signatures")
+                f"{band_hash_expr(band, r)} AS bh FROM signatures")
     allbands = "\n            UNION ALL ".join(branches)
     thr = " ".join(
         f"WHEN {r} THEN {round(1e4 * (1.0 / b) ** (1.0 / r))}"

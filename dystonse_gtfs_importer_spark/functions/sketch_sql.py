@@ -667,8 +667,18 @@ def q_table_profile(d: S.Dialect, table: str = "orders",
         aggs.append(f"COUNT({c}) AS nn_{i}")
         aggs.append(f"COUNT(DISTINCT {c}) AS nd_{i}")
         if kind == "num":
-            aggs.append(f"CAST(ROUND(MIN({c}) * 1e6) AS BIGINT) AS mn_{i}")
-            aggs.append(f"CAST(ROUND(MAX({c}) * 1e6) AS BIGINT) AS mx_{i}")
+            # Decimal, not double, arithmetic: ROUND(x * 1e6) in
+            # doubles loses exactness past 2^53 (|x| > ~9.0e9) and
+            # hits Spark-half-up vs DuckDB-half-even ROUND ties.
+            # double -> DECIMAL(25,6) rounds ties up in BOTH engines
+            # (probed), * 1000000 is exact (DECIMAL(36,6), integral),
+            # and the BIGINT cast truncates a zero fraction.  Domain
+            # bound of the parity contract: |x| < ~9.2e12 so the
+            # micro-units fit BIGINT.
+            aggs.append(f"CAST(CAST(MIN({c}) AS DECIMAL(25,6)) * 1000000"
+                        f" AS BIGINT) AS mn_{i}")
+            aggs.append(f"CAST(CAST(MAX({c}) AS DECIMAL(25,6)) * 1000000"
+                        f" AS BIGINT) AS mx_{i}")
         elif kind == "ts":
             if d.name == "spark":
                 lo, hi = f"unix_timestamp(MIN({c}))", \

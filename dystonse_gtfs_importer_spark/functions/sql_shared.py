@@ -146,9 +146,24 @@ class Dialect:
         DuckDB // floors)."""
         raise NotImplementedError
 
+    def str_lit(self, s: str) -> str:
+        """Render a Python string as a SQL single-quoted literal.
+        ANSI/DuckDB only needs quote doubling; Spark additionally
+        parses C-style escapes inside literals (its default
+        ``escapedStringLiterals=false``), so a backslash left bare
+        would silently diverge cross-engine — see the Spark
+        override."""
+        return "'{}'".format(s.replace("'", "''"))
+
 
 class SparkDialect(Dialect):
     name = "spark"
+
+    def str_lit(self, s: str) -> str:
+        # Spark treats backslash as an escape inside string literals;
+        # double it so caller-supplied text (e.g. blocklist patterns)
+        # renders to the SAME literal Spark-side and DuckDB-side.
+        return "'{}'".format(s.replace("\\", "\\\\").replace("'", "''"))
 
     def dow(self, ts: str) -> str:
         # dayofweek: Sun=1..Sat=7

@@ -3390,8 +3390,10 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # Round-8 rotation (VERDICT r7 #1): the window re-witnesses the 26
     # queries whose latest driver row is round 3 (four rounds of HEAD
     # churn ago — all green in the judge's own full run on r7 HEAD,
-    # but the driver's record must not age indefinitely), then the 3
-    # round-8 additions, then 21 of the 25 round-4-witnessed entries.
+    # but the driver's record must not age indefinitely), then the 8
+    # round-8 additions, then 16 of the 25 round-4-witnessed entries
+    # (26 + 8 + 16 = 50; the other 9 round-4 entries sit just below
+    # the boundary).
     # After a green round 8 no query's latest driver row is older
     # than round 4.
     # -- 26 entries last driver-witnessed in round 3 --

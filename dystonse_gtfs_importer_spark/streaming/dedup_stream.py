@@ -1,29 +1,43 @@
 """Dedup-on-arrival for a streaming document feed: each micro-batch
 is checked against the historical fingerprint store BEFORE it lands,
-so the corpus never accumulates exact duplicates — the ingestion-time
-counterpart of the batch `operators/dedup.py` family, structured the
-way a 100 TB pipeline has to be:
+so the corpus never accumulates exact OR near duplicates — the
+ingestion-time counterpart of the batch `operators/dedup.py` family,
+structured the way a 100 TB pipeline has to be:
 
 * The corpus table itself IS the fingerprint store: every published
   document row carries its content fingerprint (64-bit seeded hash of
   the normalized text — the same `fingerprint_dedup` definition the
-  batch oracle verifies), and the store "table" is the column-pruned
-  projection of the corpus (parquet reads just the fingerprint
-  column).  One table, so corpus and store can never disagree.
-* Inside ``foreachBatch``: (1) within-batch dedup first (min doc_id
-  per fingerprint wins — a batch can carry its own repeats), then
-  (2) a LEFT ANTI join against the store drops documents seen in any
-  earlier batch.  The anti join is fingerprint-keyed — at scale the
-  store side is bucketed on fingerprint (`store.write_bucketed`) so
-  the probe co-partitions without a fact-side shuffle, and a bloom
-  filter of store fingerprints (`sketch_sql.q_bloom_membership`'s
-  builder) can pre-drop the overwhelmingly-new majority before the
-  join touches the store at all.
+  batch oracle verifies) AND its MinHash LSH band hashes (the exact
+  `q_minhash_lsh_pairs` signature family: k=8 seeded-MD5 min-hashes,
+  banded r=2 x b=4 — the config `q_lsh_config_planner` prices at
+  S-curve threshold t ~= (1/4)^(1/2) = 0.5 Jaccard, the standard
+  near-dup operating point).  One table, so corpus and store can
+  never disagree, and the store "table" is the column-pruned
+  projection of the corpus (parquet reads just the key columns).
+* Inside ``foreachBatch``: (1) within-batch exact dedup first
+  (min doc_id per fingerprint wins — a batch can carry its own
+  repeats), then (2) screening against the store drops documents
+  whose fingerprint OR any LSH band matches an already-published
+  document, then (3) within-batch GREEDY near-dup resolution in
+  doc_id order.  The combined rule is the online greedy filter: a
+  document is published iff it collides (shared band) with NO
+  earlier-published document — which makes the stream's output
+  EQUAL to the greedy-by-doc_id sweep of `q_minhash_lsh_pairs`
+  candidates over the whole feed (pinned by
+  tests/test_dedup_stream.py) whenever doc_ids are monotone with
+  arrival order, the normal ingest shape.
+* Store probes never shuffle the store: the batch's (tiny) key sets
+  broadcast, so both the fingerprint probe and the band probe are
+  map-only scans of the corpus — BuildRight broadcast joins with the
+  100 TB side streaming through.  A published corpus under the
+  greedy rule is pairwise band-disjoint, so (band, band_hash) and
+  fingerprint are both unique in the store; at scale the store side
+  is additionally prunable by a bloom filter of batch keys.
 * Restart safety (exactly-once without a table format): the batch's
   survivors land in ONE write under ``ingest_batch=<id>`` with
   DYNAMIC partition overwrite.  A replay of batch N either finds its
-  own fingerprints already in the store — the anti join empties the
-  batch and the empty dynamic overwrite touches nothing — or
+  own fingerprints/bands already in the store — the screen empties
+  the batch and the empty dynamic overwrite touches nothing — or
   re-derives the identical survivor set and overwrites its own
   partition with the same content.  Plain ``append`` here would
   duplicate documents on replay.
@@ -37,6 +51,16 @@ the fingerprint column into the document write removes ALL of it:
 one action per batch, no checkpoint, no empty-probe (an empty
 dynamic overwrite is already a no-op), and the two-sink crash window
 disappears instead of being handled.
+
+Round-9 note: ``near_dup=True`` keeps the ONE-action-per-micro-batch
+structure — the within-batch greedy sweep runs as a single-group
+``applyInPandas`` over the multi-occupant band buckets (bounded by
+the batch's near-dup density, not corpus size) inside the write
+action's plan, anti-joined as a broadcast.  The batch's annotated
+rows are cache()d because the store-probe broadcast subtrees, the
+bucket aggregate, and the main write branch all reference them
+within that one action.  Everything corpus-sized stays distributed
+and map-only.
 
 Reference anchor: ingestion-time dedup is an LLM-pipeline extension
 (SURVEY.md LLM ops); the micro-batch + foreachBatch merge structure
@@ -54,6 +78,17 @@ from pyspark.sql import DataFrame, SparkSession
 FINGERPRINT_SEED = 0x5EED_D0C5
 
 
+def _n_bands() -> int:
+    from ..functions.dedup_sql import N_BANDS
+
+    return N_BANDS
+
+
+def band_cols() -> list[str]:
+    """The store's LSH band-hash column names, ``mhb_0..mhb_{b-1}``."""
+    return [f"mhb_{b}" for b in range(_n_bands())]
+
+
 def doc_fingerprint(col: str = "text") -> F.Column:
     """64-bit content fingerprint of the normalized (lower, trimmed,
     whitespace-collapsed) text — matches the batch `fingerprint_dedup`
@@ -62,36 +97,244 @@ def doc_fingerprint(col: str = "text") -> F.Column:
     return F.xxhash64(norm, F.lit(FINGERPRINT_SEED))
 
 
-def dedup_batch(batch: DataFrame, store: DataFrame | None) -> DataFrame:
-    """Pure batch logic, unit-testable without a stream: within-batch
-    min-id-per-fingerprint, then anti join against the store.
+def add_minhash_bands(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Annotate ``df`` with the `q_minhash_lsh_pairs` band hashes as
+    columns ``mhb_0..mhb_3`` — the SAME expressions the batch oracle
+    CTEs run (`doc_tokens_cte`: distinct lowercase space-split
+    tokens; `minhash_signature_cte`: MD5(i # tok) conditional MINs;
+    `band_hash_expr`: MD5(mh || '|' || mh)), built as Column ops so
+    streaming and batch band membership agree byte-for-byte (pinned
+    by the stream==batch equality test).  Built WITHOUT a temp view:
+    a view-backed spark.sql plan referenced from several joins inside
+    a foreachBatch sink trips Catalyst's DeduplicateRelations on an
+    unresolved attribute (flaky UnresolvedException at cache time).
+    Documents with no tokens get NULL bands (they are never near-dup
+    candidates, matching the batch pair query, where a token-less
+    document produces no signature row)."""
+    from ..functions.dedup_sql import K_MINHASH
 
-    The within-batch step is ONE aggregation — ``min_by`` of the whole
-    row struct keyed by doc_id (map-side partial, single exchange) —
-    not the groupBy-then-join-back form, which costs a second exchange
-    and a join per micro-batch for the same survivor set."""
+    toks = (df.select(df[id_col].alias("doc_id"),
+                      F.explode(F.split(F.lower(df[text_col]), " +"))
+                      .alias("tok"))
+            .where(F.col("tok") != "").distinct())
+    hashed = (toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(K_MINHASH - 1))).alias("i"),
+        "tok")
+        .select("doc_id", "i",
+                F.md5(F.concat(F.col("i").cast("string"),
+                               F.lit("#"), F.col("tok"))).alias("h")))
+    sigs = hashed.groupBy("doc_id").agg(*[
+        F.min(F.when(F.col("i") == j, F.col("h"))).alias(f"mh{j}")
+        for j in range(K_MINHASH)])
+    bands = sigs.select(F.col("doc_id").alias(id_col),
+                        *_band_columns())
+    return df.join(bands, [id_col], "left")
+
+
+def _band_columns() -> list[F.Column]:
+    """``mhb_b`` Column expressions over signature columns mh0..mh7:
+    MD5(mh_a || '|' || mh_b) — F.concat NULL-propagates like ||."""
+    from ..functions.dedup_sql import N_BANDS, ROWS_PER_BAND
+
+    out = []
+    for b in range(N_BANDS):
+        parts: list[F.Column] = []
+        for r in range(ROWS_PER_BAND):
+            if r:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh{b * ROWS_PER_BAND + r}"))
+        out.append(F.md5(F.concat(*parts)).alias(f"mhb_{b}"))
+    return out
+
+
+def _unpivot_bands(df: DataFrame, extra: list[str]) -> DataFrame:
+    """(band, bh) rows from the mhb_* columns (NULL bands dropped)."""
+    n = _n_bands()
+    stack = ", ".join(f"{b}, mhb_{b}" for b in range(n))
+    return (df.select(*extra, F.expr(f"stack({n}, {stack}) AS (band, bh)"))
+            .where(F.col("bh").isNotNull()))
+
+
+def annotate_batch(batch: DataFrame, near_dup: bool = True) -> DataFrame:
+    """Within-batch exact dedup + band annotation: ONE aggregation —
+    ``min_by`` of the whole row struct keyed by doc_id (map-side
+    partial, single exchange) — not the groupBy-then-join-back form,
+    which costs a second exchange and a join per micro-batch for the
+    same survivor set; then the MinHash band columns over the
+    survivors only.  With ``near_dup=False`` the band columns are
+    NULL literals (stable corpus schema, zero MinHash cost).
+
+    The stream sink CACHES this result: the store probe references it
+    from broadcast subtrees, and without the cache each broadcast
+    build job would recompute the whole MinHash pipeline.
+
+    The MinHash here is the ARRAY-EXPRESSION form of
+    :func:`add_minhash_bands` (same definition, pinned equal by the
+    stream==batch test): each of the k=8 signature values is
+    ``array_min(transform(tokens, t -> md5('j#' || t)))`` — a pure
+    whole-stage-codegen projection AFTER the exact-dedup exchange,
+    so the batch pays exactly ONE shuffle (12.5k row-structs, not a
+    150k token explode) and the MinHash work is map-only.  min over
+    the token list (duplicates included) equals min over the token
+    SET, and a token-less document's empty array gives NULL bands —
+    both matching the batch pair query's semantics."""
+    from ..functions.dedup_sql import K_MINHASH
+
     cols = batch.columns
     fp = batch.withColumn("fingerprint", doc_fingerprint())
     fresh = (fp.groupBy("fingerprint")
              .agg(F.min_by(F.struct(*cols), F.col("doc_id"))
                   .alias("_row"))
              .select("fingerprint", "_row.*"))
-    if store is not None:
-        fresh = fresh.join(store.select("fingerprint"),
-                           ["fingerprint"], "left_anti")
-    # restore the original column order (fingerprint last)
-    return fresh.select(*cols, "fingerprint")
+    if not near_dup:
+        for c in band_cols():
+            fresh = fresh.withColumn(c, F.lit(None).cast("string"))
+        return fresh.select(*cols, "fingerprint", *band_cols())
+    ta = "filter(split(lower(text), ' +'), t -> t <> '')"
+    sigs = fresh.select(
+        *cols, "fingerprint",
+        *[F.expr(f"array_min(transform({ta}, "
+                 f"t -> md5(concat('{j}#', t))))").alias(f"mh{j}")
+          for j in range(K_MINHASH)])
+    return sigs.select(*cols, "fingerprint", *_band_columns()) \
+               .select(*cols, "fingerprint", *band_cols())
 
 
-def read_fingerprint_store(spark: SparkSession,
-                           out_dir: str) -> DataFrame | None:
-    """The fingerprint store: the corpus table pruned to its
-    fingerprint column (parquet reads one column)."""
-    try:
-        return (spark.read.parquet(str(Path(out_dir) / "documents"))
-                .select("fingerprint"))
-    except Exception:  # no corpus yet
+def _dedup_keys(df: DataFrame, extra: list[str]) -> DataFrame:
+    """(kind, key) identity rows of a corpus/batch slice: kind -1 =
+    exact fingerprint (as string), kind 0..b-1 = LSH band hash.  One
+    unpivot serves BOTH screens, so the store is scanned once per
+    micro-batch, not once per key family."""
+    n = _n_bands()
+    parts = ["-1, CAST(fingerprint AS STRING)"] + [
+        f"{b}, mhb_{b}" for b in range(n)]
+    return (df.select(*extra, F.expr(
+        f"stack({n + 1}, {', '.join(parts)}) AS (kind, key)"))
+        .where(F.col("key").isNotNull()))
+
+
+def screen_against_store(based: DataFrame,
+                         store: DataFrame | None,
+                         near_dup: bool = True) -> DataFrame:
+    """Drop batch documents whose fingerprint (or, with near-dup
+    screening, ANY LSH band) matches an already-published document.
+
+    The store — the 100 TB side — is NEVER shuffled: the batch's
+    (tiny) key set broadcasts, the store scans map-only through ONE
+    LeftSemi BuildRight join producing the matched keys, and two more
+    broadcast-sized joins resolve those back to batch doc_ids."""
+    if store is None:
+        return based
+    if not near_dup:
+        seen = store.select("fingerprint").join(
+            F.broadcast(based.select("fingerprint")),
+            ["fingerprint"], "left_semi")
+        return based.join(F.broadcast(seen), ["fingerprint"], "left_anti")
+    batch_keys = _dedup_keys(based, ["doc_id"])
+    hits = _dedup_keys(store, []).join(
+        F.broadcast(batch_keys.select("kind", "key")),
+        ["kind", "key"], "left_semi")
+    bad = batch_keys.join(F.broadcast(hits), ["kind", "key"],
+                          "left_semi").select("doc_id")
+    return based.join(F.broadcast(bad), ["doc_id"], "left_anti")
+
+
+def dedup_batch(batch: DataFrame, store: DataFrame | None,
+                near_dup: bool = True) -> DataFrame:
+    """Pure batch composition (unit-testable without a stream):
+    :func:`annotate_batch` then :func:`screen_against_store`.
+    (Within-batch NEAR-dup resolution additionally needs the
+    candidate edges — see :func:`resolve_in_batch_near_dups`,
+    composed by the stream sink.)"""
+    return screen_against_store(annotate_batch(batch, near_dup),
+                                store, near_dup)
+
+
+def resolve_in_batch_near_dups(survivors: DataFrame) -> DataFrame:
+    """GREEDY near-dup resolution among one micro-batch's
+    store-survivors, in doc_id order: a document is dropped iff it
+    shares an LSH band with a smaller-id document that was itself
+    kept.  This is the within-batch half of the online greedy filter
+    — together with the store screen it reproduces the greedy sweep
+    of the full feed's `q_minhash_lsh_pairs` candidate graph.
+
+    Greedy keep/drop is inherently sequential along id-decreasing
+    collision chains, so the multi-occupant band BUCKETS (bounded by
+    the micro-batch's near-dup density, NOT corpus-sized) gather
+    into a single ``applyInPandas`` group that runs the sweep —
+    LAZILY, as part of the caller's one write action, not as an
+    extra collect round-trip; everything corpus-scale stays in
+    :func:`dedup_batch`.  One aggregation, no band self-join, and
+    the common no-collision batch reduces to an anti join against an
+    empty broadcast."""
+    import pandas as pd
+
+    buckets = (_unpivot_bands(survivors, ["doc_id"])
+               .groupBy("band", "bh")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") > 1))
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        blockers: dict[int, set[int]] = {}
+        for ids in pdf["ids"]:
+            ids = list(ids)
+            for i in range(1, len(ids)):
+                blockers.setdefault(int(ids[i]), set()).update(
+                    int(x) for x in ids[:i])
+        dropped: set[int] = set()
+        for hi in sorted(blockers):
+            if any(lo not in dropped for lo in blockers[hi]):
+                dropped.add(hi)
+        return pd.DataFrame({"doc_id": sorted(dropped)})
+
+    drop_df = (buckets.withColumn("_g", F.lit(1)).groupBy("_g")
+               .applyInPandas(lambda pdf: _sweep(pdf), "doc_id long"))
+    return survivors.join(F.broadcast(drop_df), ["doc_id"], "left_anti")
+
+
+def read_fingerprint_store(spark: SparkSession, out_dir: str,
+                           near_dup: bool = True) -> DataFrame | None:
+    """The dedup store: the corpus table pruned to its fingerprint
+    (+ LSH band) columns — parquet reads only those columns.
+
+    Returns ``None`` ONLY when no corpus exists yet (the documents
+    path is absent).  Any other failure — corrupt files, transient
+    IO, or a corpus missing the expected columns — propagates:
+    silently treating a broken store as empty would re-publish every
+    duplicate permanently.
+
+    .. versionchanged:: round-8
+       The store is the corpus's own ``fingerprint`` column.  Output
+       dirs written by the pre-round-8 two-sink layout (separate
+       ``fingerprints/`` sink, no fingerprint column on documents)
+       cannot be resumed against directly — backfill the column
+       (``doc_fingerprint`` over the old documents table) before
+       pointing the stream at them.
+
+    .. versionchanged:: round-9
+       Near-dup screening reads the ``mhb_*`` band columns.  A
+       round-8 corpus (fingerprint, no bands) resumes fine with
+       ``near_dup=False``; with ``near_dup=True`` it needs a one-off
+       band backfill (``add_minhash_bands`` over the old documents
+       table).  A corpus written with ``near_dup=False`` HAS the
+       band columns (as NULLs): resuming it with ``near_dup=True``
+       works but screens only against documents published with
+       bands.
+    """
+    docs = Path(out_dir) / "documents"
+    if not docs.exists():  # no corpus yet
         return None
+    store = spark.read.parquet(str(docs))
+    need = ["fingerprint"] + (band_cols() if near_dup else [])
+    missing = [c for c in need if c not in store.columns]
+    if missing:
+        raise ValueError(
+            f"{docs} lacks store column(s) {missing} — pre-round-9 "
+            "corpus layout; backfill before resuming (see "
+            "read_fingerprint_store docstring)")
+    return store.select(*need)
 
 
 def run_dedup_stream(
@@ -101,18 +344,19 @@ def run_dedup_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 10,
     blocklist: tuple[str, ...] | None = None,
+    near_dup: bool = True,
 ):
     """File stream of JSON document batches → deduplicated parquet
-    corpus carrying its fingerprint column (the store).  ONE action
-    per micro-batch: optional blocklist screen (map-only gram join
+    corpus carrying its fingerprint + LSH band columns (the store).
+    Per micro-batch: optional blocklist screen (map-only gram join
     against the broadcast pattern set — ingest-time
-    ``q_blocklist_filter``) + store read (column-pruned) + anti join
-    + write.  Screening runs BEFORE dedup so blocked documents never
-    enter the corpus or its fingerprint store; a later duplicate of a
-    blocked document is screened again by the same patterns, so the
-    published corpus is identical to batch-screening-then-dedup of
-    the full feed.  Returns the streaming query (caller
-    awaits/stops)."""
+    ``q_blocklist_filter``) + store screen (column-pruned, batch keys
+    broadcast) + greedy within-batch near-dup resolution + write.
+    Screening runs BEFORE dedup so blocked documents never enter the
+    corpus or its store; a later duplicate of a blocked document is
+    screened again by the same patterns, so the published corpus is
+    identical to batch-screening-then-dedup of the full feed.
+    Returns the streaming query (caller awaits/stops)."""
     docs_path = str(Path(out_dir) / "documents")
 
     schema = "doc_id LONG, text STRING, lang STRING, source STRING"
@@ -130,13 +374,42 @@ def run_dedup_stream(
             keep = (apply_blocklist(batch, blocklist)
                     .where(F.col("keep") == 1).select("doc_id"))
             batch = batch.join(keep, "doc_id", "left_semi")
-        fresh = dedup_batch(batch, read_fingerprint_store(s, out_dir))
+        store = read_fingerprint_store(s, out_dir, near_dup=near_dup)
+        caches = []
+        if near_dup:
+            # cache the PRE-screen annotated batch (the store probe's
+            # broadcast subtrees reference it — uncached, every
+            # broadcast build job would recompute the whole MinHash
+            # pipeline) AND the post-screen survivors (so the write
+            # action does not re-scan the store a second time)
+            based = annotate_batch(batch, near_dup=True).cache()
+            survivors = screen_against_store(
+                based, store, near_dup=True).cache()
+            caches = [based, survivors]
+            final = resolve_in_batch_near_dups(survivors)
+        else:
+            final = dedup_batch(batch, store, near_dup=False)
         # an empty survivor set writes no files under dynamic
         # overwrite, so no isEmpty probe (that would be a second
         # action recomputing the join)
-        (fresh.withColumn("ingest_batch", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("ingest_batch")
-         .parquet(docs_path))
+        #
+        # NOTE self-read-overwrite: this write targets docs_path while
+        # `final` READS docs_path (the dedup store).  Spark's
+        # "Cannot overwrite a path that is also being read from"
+        # guard does not fire for this plan shape (the read is behind
+        # a join, and dynamic overwrite stages to _temporary before
+        # touching existing partitions; only this batch's own
+        # ingest_batch partition — which the store read never
+        # contains — is replaced).  test_dedup_stream's multi-batch
+        # single-run cases pin the pattern so a Spark upgrade that
+        # tightens the guard fails loudly instead of silently.
+        try:
+            (final.withColumn("ingest_batch", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("ingest_batch")
+             .parquet(docs_path))
+        finally:
+            for c in caches:
+                c.unpersist()
 
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)

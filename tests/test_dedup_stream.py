@@ -10,8 +10,21 @@ from pathlib import Path
 import pyspark.sql.functions as F
 
 
+_MTIME_SEQ = [0]
+
+
 def _write_batch(d: Path, name: str, rows: list[dict]) -> None:
-    (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+    """Write a feed file with a strictly increasing mtime: Spark's
+    file stream orders by modification time, so same-millisecond
+    writes would be consumed in ARBITRARY order — the equality tests
+    need arrival order = write order."""
+    import os
+
+    p = d / name
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    _MTIME_SEQ[0] += 10
+    t = time.time() + _MTIME_SEQ[0]
+    os.utime(p, (t, t))
 
 
 def _await(q, timeout=60):
@@ -95,7 +108,7 @@ class TestDedupStream:
 
     def test_batch_function_replay_idempotent(self, spark):
         from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
-            dedup_batch, doc_fingerprint,
+            band_cols, dedup_batch, doc_fingerprint,
         )
 
         batch = spark.createDataFrame(
@@ -107,8 +120,8 @@ class TestDedupStream:
         assert sorted(r.doc_id for r in first.collect()) == [5, 7]
 
         # replay with the store already containing this batch's
-        # fingerprints: everything drops — nothing double-lands
-        store = first.select("fingerprint")
+        # fingerprints + bands: everything drops — nothing double-lands
+        store = first.select("fingerprint", *band_cols())
         replay = dedup_batch(batch, store)
         assert replay.count() == 0
 
@@ -117,3 +130,160 @@ class TestDedupStream:
         ref = batch.where("doc_id = 5") \
                    .select(doc_fingerprint().alias("f")).first().f
         assert got[5] == ref
+
+
+def _greedy_expected(spark, rows: list[dict]) -> list[int]:
+    """Independent batch reference: the greedy-by-doc_id sweep of the
+    full feed's `q_minhash_lsh_pairs` candidate graph — a document is
+    kept iff it shares no LSH band with a smaller-id KEPT document.
+    This is the published near-dup keeper rule the stream must equal
+    when doc_ids are monotone with arrival order."""
+    from dystonse_gtfs_importer_spark.functions import sql_shared as S
+    from dystonse_gtfs_importer_spark.functions.dedup_sql import (
+        q_minhash_lsh_pairs,
+    )
+
+    feed = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows],
+        "doc_id LONG, text STRING")
+    feed.createOrReplaceTempView("documents")
+    pairs = spark.sql(q_minhash_lsh_pairs(S.SPARK)).collect()
+    spark.catalog.dropTempView("documents")
+    nbrs: dict[int, set[int]] = {}
+    for p in pairs:
+        lo, hi = min(p.doc_a, p.doc_b), max(p.doc_a, p.doc_b)
+        nbrs.setdefault(hi, set()).add(lo)
+    kept: list[int] = []
+    for d in sorted(r["doc_id"] for r in rows):
+        if not any(lo in kept for lo in nbrs.get(d, ())):
+            kept.append(d)
+    return kept
+
+
+class TestNearDupStream:
+    """Near-dup-on-arrival: the stream's published corpus equals the
+    greedy batch dedup of the whole feed's MinHash-LSH candidate
+    graph.  Each case runs MULTIPLE micro-batches through a SINGLE
+    run_dedup_stream query (maxFilesPerTrigger=1), deliberately
+    pinning the self-read-overwrite pattern (the sink reads
+    documents/ as the store while dynamically overwriting it in the
+    same action) so a Spark upgrade that tightens the overwrite
+    guard fails here loudly."""
+
+    # Deterministic MD5 band outcomes, probed once and pinned:
+    # CHAIN_A ~ CHAIN_B (shared band), CHAIN_B ~ CHAIN_C, but
+    # CHAIN_A and CHAIN_C share NO band — the chain case that
+    # separates greedy (C kept: its only blocker B was dropped and
+    # never published) from blocked-by-anyone semantics (C dropped).
+    CHAIN_A = ("quick brown fox jumps over the0 lazy dog near river "
+               "bank bank0")
+    CHAIN_B = ("quick brown wolf0 jumps over the0 lazy cat0 near "
+               "river bank bank0")
+    CHAIN_C = ("slow0 brown wolf0 jumps under0 the0 lazy cat0 near "
+               "river shore0 bank0")
+    ALT = "completely different words about spark catalyst tungsten"
+
+    def _rows(self) -> list[list[dict]]:
+        def d(i, t):
+            return {"doc_id": i, "text": t, "lang": "en", "source": "s"}
+
+        b0 = [
+            d(1, self.CHAIN_A),
+            d(2, self.ALT + " engine shuffle exchange plan"),
+            d(3, self.CHAIN_B),                       # near-dup of 1
+            d(4, self.ALT.upper() +
+              "  ENGINE shuffle   exchange plan"),    # exact dup of 2
+        ]
+        b1 = [
+            d(10, self.CHAIN_C),                      # chain survivor
+            d(11, "unrelated corpus of parquet files and arrow "
+                  "batches streaming through executors tonight"),
+            d(12, self.CHAIN_A),                      # exact dup of 1
+        ]
+        b2 = [
+            d(20, b1[1]["text"].replace("arrow", "thrift")),  # near 11
+            d(21, "final island of text with its own tokens "
+                  "entirely alpha beta gamma delta"),
+            d(22, "final island of text with its own tokens "
+                  "entirely alpha beta gamma EPSILON"),  # near 21
+        ]
+        return [b0, b1, b2]
+
+    def test_stream_equals_batch_greedy(self, spark, tmp_path):
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            run_dedup_stream,
+        )
+
+        batches = self._rows()
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        for i, rows in enumerate(batches):
+            _write_batch(in_dir, f"b{i}.json", rows)
+        out = tmp_path / "out"
+        q = run_dedup_stream(spark, str(in_dir), str(out),
+                             str(tmp_path / "ck"),
+                             max_files_per_trigger=1)
+        _await(q)
+
+        all_rows = [r for b in batches for r in b]
+        expected = _greedy_expected(spark, all_rows)
+        docs = spark.read.parquet(str(out / "documents"))
+        got = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        assert got == expected
+        # the planted semantics actually fired: exact dups dropped,
+        # near dups dropped (in-batch: 3, 22; cross-batch: 20), and
+        # the chain survivor (near-dup of a DROPPED doc, not of any
+        # kept doc) kept
+        assert 4 not in got and 12 not in got        # exact dups
+        assert 3 not in got and 22 not in got and 20 not in got
+        assert 10 in got                             # chain survivor
+
+        # published store is pairwise band-disjoint (greedy invariant)
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            band_cols,
+        )
+
+        bands = []
+        for r in docs.select(*band_cols()).collect():
+            bands.extend((i, v) for i, v in enumerate(r) if v is not None)
+        assert len(bands) == len(set(bands))
+
+    def test_replay_and_late_duplicate(self, spark, tmp_path):
+        """Restarting the stream over new files keeps screening
+        against the store (cross-run near-dup drop), and a replayed
+        batch id re-lands identical content (dynamic overwrite)."""
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            run_dedup_stream,
+        )
+
+        batches = self._rows()
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        for i, rows in enumerate(batches):
+            _write_batch(in_dir, f"b{i}.json", rows)
+        out = tmp_path / "out"
+        q = run_dedup_stream(spark, str(in_dir), str(out),
+                             str(tmp_path / "ck"),
+                             max_files_per_trigger=1)
+        _await(q)
+        before = sorted(
+            r.doc_id for r in
+            spark.read.parquet(str(out / "documents")).collect())
+
+        # second run: one near-dup of a published doc (dropped), one
+        # genuinely new doc (kept)
+        _write_batch(in_dir, "b9.json", [
+            {"doc_id": 30, "text": self.CHAIN_B,     # blocked by 1
+             "lang": "en", "source": "s"},
+            {"doc_id": 31, "text": "nothing like anything published "
+                                   "before in this tiny corpus feed",
+             "lang": "en", "source": "s"},
+        ])
+        q = run_dedup_stream(spark, str(in_dir), str(out),
+                             str(tmp_path / "ck"),
+                             max_files_per_trigger=1)
+        _await(q)
+        after = sorted(
+            r.doc_id for r in
+            spark.read.parquet(str(out / "documents")).collect())
+        assert after == before + [31]

@@ -162,7 +162,8 @@ def main() -> int:
                     }) + "\n")
         t0 = time.time()
         q = run_dedup_stream(spark, str(src), str(tmp / "out"),
-                             str(tmp / "ck"), max_files_per_trigger=1)
+                             str(tmp / "ck"), max_files_per_trigger=1,
+                             near_dup=False)
         q.awaitTermination(570)
         wall = time.time() - t0
         kept = spark.read.parquet(str(tmp / "out" / "documents")).count()
@@ -176,6 +177,67 @@ def main() -> int:
         }
         print(f"# dedup_stream @ {n_docs}: "
               f"{results[f'dedup_stream@{n_docs}']}", file=sys.stderr)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # near-dup-on-arrival leg: MinHash band store columns + banded
+    # candidate screen + greedy within-batch resolution.  Feed plants
+    # ~14% exact repeats and ~17% one-token perturbations (Jaccard
+    # ~11/13 — above the r=2,b=4 S-curve midpoint 0.5, so the screen
+    # catches nearly all of them).  Tokens are md5-derived so
+    # unrelated docs share essentially nothing (an arithmetic token
+    # pattern makes whole delta-classes of docs GENUINE near-dups and
+    # collapses the corpus).  Files get strictly increasing mtimes so
+    # arrival order (and therefore the greedy keeper set) is
+    # reproducible.
+    import hashlib
+    import os
+
+    def _toks(g: int) -> list[str]:
+        h = hashlib.md5(f"doc{g}".encode()).hexdigest()
+        return [h[j:j + 8] + str(j) for j in range(12)]
+
+    for n_rows in rates:
+        n_docs = max(N_FILES, n_rows // 10)
+        tmp = Path(tempfile.mkdtemp(prefix="bench_neardup_"))
+        src = tmp / "src"
+        src.mkdir()
+        per = n_docs // N_FILES
+        for f in range(N_FILES):
+            p = src / f"d_{f:03d}.json"
+            with open(p, "w") as fh:
+                for i in range(per):
+                    g = f * per + i
+                    if g % 7 == 5:
+                        toks = _toks(g - 5)          # exact repeat
+                    elif g % 5 == 3 and g >= 3:
+                        toks = _toks(g - 3)          # near dup:
+                        toks[0] = f"p{g}"            # one token off
+                    else:
+                        toks = _toks(g)
+                    fh.write(json.dumps({
+                        "doc_id": g, "text": " ".join(toks),
+                        "lang": "en", "source": f"s{g % 5}",
+                    }) + "\n")
+            t = time.time() + 10 * f
+            os.utime(p, (t, t))
+        t0 = time.time()
+        q = run_dedup_stream(spark, str(src), str(tmp / "out"),
+                             str(tmp / "ck"), max_files_per_trigger=1,
+                             near_dup=True)
+        q.awaitTermination(570)
+        wall = time.time() - t0
+        kept = spark.read.parquet(str(tmp / "out" / "documents")).count()
+        results[f"dedup_stream_neardup@{n_docs}"] = {
+            "rows": n_docs,
+            "wall_s": round(wall, 2),
+            "events_per_s": round(n_docs / wall),
+            "events_per_s_per_core": round(n_docs / wall / CORES),
+            "micro_batches": N_FILES,
+            "kept_docs": kept,
+        }
+        print(f"# dedup_stream_neardup @ {n_docs}: "
+              f"{results[f'dedup_stream_neardup@{n_docs}']}",
+              file=sys.stderr)
         shutil.rmtree(tmp, ignore_errors=True)
 
     print(json.dumps({"metric": "streaming_throughput",
