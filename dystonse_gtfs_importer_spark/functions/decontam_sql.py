@@ -212,6 +212,7 @@ def q_token_shard_packing_scale(d: S.Dialect,
 
 SEQ_PACK_CTX = 64       # fixed training-sequence length (tokens)
 SEQ_PACK_BAND = 64      # documents per packing band
+SEQ_PACK_SEED = "pack1"  # seed of the banding position hash
 
 
 def q_sequence_pack(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
@@ -260,13 +261,17 @@ def q_sequence_pack(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
     """
 
 
-def _sequence_pack_ctes(d: S.Dialect, ctx: int, band_docs: int) -> str:
-    """Shared recursive CTE chain ``sized`` / ``ranked`` / ``pack``:
-    the sequential NFD reference walk (see :func:`q_sequence_pack`)."""
-    div, mod = d.intdiv, "%"
+def _sized_ranked_ctes(d: S.Dialect, band_docs: int,
+                       seed: str = SEQ_PACK_SEED) -> str:
+    """Shared ``sized`` / ``ranked`` CTEs of the packer references:
+    seeded-position banding + per-band (n_tokens DESC, doc_id) walk
+    rank.  See :func:`_sequence_pack_ctes` for the banding contract."""
+    div = d.intdiv
+    h = f"MD5(CONCAT('{seed}#', CAST(doc_id AS STRING)))"
+    pos = f"(ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1)"
     return f"""sized AS (
             SELECT doc_id,
-                   CAST({div('doc_id', str(band_docs))} AS BIGINT) AS band,
+                   CAST({div(pos, str(band_docs))} AS BIGINT) AS band,
                    CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
                        AS n_tokens
             FROM documents
@@ -276,7 +281,26 @@ def _sequence_pack_ctes(d: S.Dialect, ctx: int, band_docs: int) -> str:
                    ROW_NUMBER() OVER (PARTITION BY band
                                       ORDER BY n_tokens DESC, doc_id) AS r
             FROM sized WHERE n_tokens > 0
-        ),
+        )"""
+
+
+def _sequence_pack_ctes(d: S.Dialect, ctx: int, band_docs: int,
+                        seed: str = SEQ_PACK_SEED) -> str:
+    """Shared recursive CTE chain ``sized`` / ``ranked`` / ``pack``:
+    the sequential NFD reference walk (see :func:`q_sequence_pack`).
+
+    .. versionchanged:: round-9
+       Bands are ``band_docs``-wide slices of the seeded-md5 DENSE
+       position (the `q_seeded_shuffle` key), not raw
+       ``doc_id DIV band_docs``: band population is now EXACTLY
+       ``band_docs`` for any id distribution (sparse, hashed, or
+       hot-clustered ids previously could pile one band arbitrarily
+       high, unbounding the packer's per-band Arrow batch).  The
+       oracle keeps the textbook global ROW_NUMBER; the Spark side
+       derives the same position with the banded two-phase numbering
+       and the driver hash gate proves them identical."""
+    div, mod = d.intdiv, "%"
+    return f"""{_sized_ranked_ctes(d, band_docs, seed)},
         pack AS (
             SELECT band, r, doc_id, n_tokens,
                    CAST(0 AS BIGINT) AS start_seq,
@@ -395,6 +419,105 @@ def q_sequence_emit(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
                    "CAST(chunk_len AS STRING))", 'off', ';')} AS spans
         FROM chunks
         GROUP BY band, seq
+    """
+
+
+FFD_MAX_OPEN = 16   # bounded open-bin list of the FFD packer
+
+
+def q_sequence_pack_ffd(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
+                        band_docs: int = SEQ_PACK_BAND,
+                        max_open: int = FFD_MAX_OPEN,
+                        seed: str = SEQ_PACK_SEED) -> str:
+    """First-fit-decreasing packer with a BOUNDED open-bin list —
+    the padding-recovering sibling of :func:`q_sequence_pack`: NFD
+    keeps exactly one sequence open, so a near-full sequence closes
+    the moment one document misses; FFD keeps up to ``max_open``
+    sequences open and places each document into the LOWEST-numbered
+    open sequence it fits, recovering strictly more padding on real
+    size mixes at identical determinism (same (n_tokens DESC,
+    doc_id) walk, integer-only state, seeded-position bands).
+
+    Bin-list rule: a new sequence opens only when the document fits
+    no open sequence (oversize documents chain ``ceil(n/ctx)``
+    dedicated sequences, the last staying open); when the list would
+    exceed ``max_open``, the FULLEST open sequence closes (first of
+    the fullest on ties — it is the least likely to fit any later,
+    smaller document).  Bounding the list is what keeps the per-band
+    walk O(band_docs x max_open) at 100 TB.
+
+    This template is the sequential REFERENCE derivation: a DuckDB
+    recursive CTE advancing one rank per step, carrying the open-bin
+    state as parallel (seqs, fills) LIST columns — list_position of
+    a fits-flag transform finds the first-fit index, list slicing
+    rewrites the chosen bin.  The registered Spark side is
+    ``operators/packing.pack_sequences_ffd`` (band-parallel Arrow
+    walk); the driver hash gate proves them identical.  The list
+    functions are the DuckDB leg only — Spark never runs this
+    template."""
+    div, mod = d.intdiv, "%"
+    nspans0 = f"CAST({div('n_tokens - 1', str(ctx))} + 1 AS BIGINT)"
+    rem0 = f"CAST(((n_tokens - 1) {mod} {ctx}) + 1 AS BIGINT)"
+    return f"""
+        WITH RECURSIVE {_sized_ranked_ctes(d, band_docs, seed)},
+        packf AS (
+            SELECT band, r, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS start_seq,
+                   CAST(0 AS BIGINT) AS start_off,
+                   {nspans0} AS n_seqs_spanned,
+                   [{nspans0} - 1] AS seqs,
+                   [{rem0}] AS fills,
+                   {nspans0} AS next_seq
+            FROM ranked WHERE r = 1
+            UNION ALL
+            SELECT band, r, doc_id, n_tokens,
+                   CASE WHEN idx > 0 THEN seqs[idx] ELSE next_seq END,
+                   CASE WHEN idx > 0 THEN fills[idx]
+                        ELSE CAST(0 AS BIGINT) END,
+                   CASE WHEN idx > 0 THEN CAST(1 AS BIGINT)
+                        ELSE nspans END,
+                   CASE WHEN idx > 0 THEN seqs
+                        WHEN ci > 0 THEN list_concat(
+                            seqs1[1:ci-1], seqs1[ci+1:])
+                        ELSE seqs1 END,
+                   CASE WHEN idx > 0 THEN list_concat(list_concat(
+                            fills[1:idx-1], [fills[idx] + n_tokens]),
+                            fills[idx+1:])
+                        WHEN ci > 0 THEN list_concat(
+                            fills1[1:ci-1], fills1[ci+1:])
+                        ELSE fills1 END,
+                   CASE WHEN idx > 0 THEN next_seq
+                        ELSE next_seq + nspans END
+            FROM (
+                SELECT s.*,
+                       CASE WHEN s.idx = 0
+                                 AND len(s.fills1) > {max_open}
+                            THEN list_position(s.fills1,
+                                               list_max(s.fills1))
+                            ELSE 0 END AS ci
+                FROM (
+                    SELECT x.band, x.r, x.doc_id, x.n_tokens,
+                           p.seqs, p.fills, p.next_seq,
+                           COALESCE(list_position(list_transform(
+                               p.fills, f -> CASE WHEN f + x.n_tokens
+                                   <= {ctx} THEN 1 ELSE 0 END), 1), 0)
+                               AS idx,
+                           CAST({div('x.n_tokens - 1', str(ctx))} + 1
+                               AS BIGINT) AS nspans,
+                           list_concat(p.seqs, [p.next_seq
+                               + CAST({div('x.n_tokens - 1', str(ctx))}
+                                      AS BIGINT)]) AS seqs1,
+                           list_concat(p.fills,
+                               [CAST(((x.n_tokens - 1) {mod} {ctx}) + 1
+                                     AS BIGINT)]) AS fills1
+                    FROM packf p JOIN ranked x
+                      ON x.band = p.band AND x.r = p.r + 1
+                ) s
+            ) s2
+        )
+        SELECT doc_id, band, n_tokens, start_seq, start_off,
+               n_seqs_spanned
+        FROM packf
     """
 
 

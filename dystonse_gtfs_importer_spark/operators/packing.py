@@ -2,12 +2,15 @@
 token sequences so the padding budget measured by
 ``functions/decontam_sql.q_packing_efficiency`` is actually recovered.
 
-The packer is next-fit-decreasing within bounded doc_id bands:
+The packer is next-fit-decreasing within bounded position bands:
 
-* **band-parallel** — bands are fixed-width doc_id ranges, so at
-  100 TB every band packs independently (one shuffle on ``band``,
-  then one bounded Arrow batch per band; parallelism =
-  |corpus| / band_docs, no cross-band state, no global window);
+* **band-parallel** — bands are ``band_docs``-wide slices of the
+  seeded-md5 dense position (`q_seeded_shuffle`'s banded two-phase
+  numbering), so every band holds EXACTLY ``band_docs`` documents
+  for ANY id distribution and at 100 TB every band packs
+  independently (one md5-bucket shuffle for the position, one band
+  shuffle, then one bounded Arrow batch per band; parallelism =
+  |corpus| / band_docs, no cross-band state, no corpus-wide window);
 * **deterministic** — (n_tokens DESC, doc_id ASC) walk order and
   integer-only state, so the result is a pure function of the corpus
   and is hash-verified cross-engine against the sequential
@@ -31,7 +34,11 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.decontam_sql import SEQ_PACK_BAND, SEQ_PACK_CTX
+from ..functions.decontam_sql import (
+    SEQ_PACK_BAND,
+    SEQ_PACK_CTX,
+    SEQ_PACK_SEED,
+)
 
 _PACK_SCHEMA = ("doc_id bigint, band bigint, n_tokens bigint, "
                 "start_seq bigint, start_off bigint, "
@@ -61,21 +68,110 @@ def _nfd_walk(pdf: pd.DataFrame, ctx: int) -> pd.DataFrame:
                                       "n_seqs_spanned"])
 
 
-def pack_sequences(docs: DataFrame, ctx: int = SEQ_PACK_CTX,
-                   band_docs: int = SEQ_PACK_BAND,
-                   id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
-    """Per document: (doc_id, band, n_tokens, start_seq, start_off,
-    n_seqs_spanned) — see module docstring.  Zero-token documents are
-    excluded (nothing to pack)."""
+def _banded_sizes(docs: DataFrame, band_docs: int, id_col: str,
+                  text_col: str, seed: str) -> DataFrame:
+    """(doc_id, n_tokens, band) for packable (n_tokens > 0)
+    documents: band = seeded-md5 dense position DIV band_docs
+    (`q_seeded_shuffle`'s banded two-phase numbering — one md5-bucket
+    shuffle, no corpus-wide window), so band population is EXACTLY
+    ``band_docs`` for ANY id distribution: one hot id range or
+    hash-sparse ids can no longer pile an unbounded Arrow batch onto
+    a single band walk (the round-9 change away from raw
+    ``doc_id DIV band_docs``)."""
+    import uuid
+
+    from ..functions import sampling_sql as SAMP
+    from ..functions import sql_shared as S
+
+    spark = docs.sparkSession
+    view = f"__pack_docs_{uuid.uuid4().hex[:12]}"
+    docs.select(F.col(id_col).cast("long").alias("doc_id")) \
+        .createOrReplaceTempView(view)
+    pos = spark.sql(SAMP.q_seeded_shuffle(S.SPARK, seed=seed,
+                                          doc_table=view))
+    spark.catalog.dropTempView(view)
     sized = (docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.expr(f"{id_col} DIV {band_docs}").cast("long").alias("band"),
         F.expr(f"size(filter(split(lower({text_col}), ' +'), "
                f"t -> t <> ''))").cast("long").alias("n_tokens"))
         .where(F.col("n_tokens") > 0))
-    return sized.groupBy("band").applyInPandas(
+    return (sized.join(pos, ["doc_id"])
+            .withColumn("band",
+                        F.expr(f"position DIV {band_docs}")
+                        .cast("long"))
+            .drop("position"))
+
+
+def pack_sequences(docs: DataFrame, ctx: int = SEQ_PACK_CTX,
+                   band_docs: int = SEQ_PACK_BAND,
+                   id_col: str = "doc_id",
+                   text_col: str = "text",
+                   seed: str = SEQ_PACK_SEED) -> DataFrame:
+    """Per document: (doc_id, band, n_tokens, start_seq, start_off,
+    n_seqs_spanned) — see module docstring.  Zero-token documents are
+    excluded (nothing to pack).
+
+    .. versionchanged:: round-9
+       Seeded-position banding (see :func:`_banded_sizes`)."""
+    banded = _banded_sizes(docs, band_docs, id_col, text_col, seed)
+    return banded.groupBy("band").applyInPandas(
         lambda pdf: _nfd_walk(pdf, ctx), _PACK_SCHEMA)
+
+
+def _ffd_walk(pdf: pd.DataFrame, ctx: int, max_open: int
+              ) -> pd.DataFrame:
+    """One band's first-fit-decreasing walk with a bounded open-bin
+    list (integer state only — see ``q_sequence_pack_ffd`` for the
+    rule set; this is the band-parallel twin the driver hash gate
+    pins against that sequential reference)."""
+    pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True])
+    out = []
+    bins: list[list[int]] = []   # [seq, fill], open order (seq asc)
+    next_seq = 0
+    for doc_id, band, n in zip(pdf["doc_id"], pdf["band"],
+                               pdf["n_tokens"]):
+        n = int(n)
+        idx = next((i for i, b in enumerate(bins)
+                    if b[1] + n <= ctx), None)
+        if idx is not None:
+            out.append((int(doc_id), int(band), n,
+                        bins[idx][0], bins[idx][1], 1))
+            bins[idx][1] += n
+        else:
+            spans = (n - 1) // ctx + 1
+            out.append((int(doc_id), int(band), n, next_seq, 0, spans))
+            bins.append([next_seq + spans - 1, ((n - 1) % ctx) + 1])
+            next_seq += spans
+            if len(bins) > max_open:
+                mx = max(b[1] for b in bins)
+                ci = next(i for i, b in enumerate(bins) if b[1] == mx)
+                bins.pop(ci)
+    return pd.DataFrame(out, columns=["doc_id", "band", "n_tokens",
+                                      "start_seq", "start_off",
+                                      "n_seqs_spanned"])
+
+
+def pack_sequences_ffd(docs: DataFrame, ctx: int = SEQ_PACK_CTX,
+                       band_docs: int = SEQ_PACK_BAND,
+                       max_open: int | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       seed: str = SEQ_PACK_SEED) -> DataFrame:
+    """First-fit-decreasing packer with a bounded open-bin list
+    (default ``FFD_MAX_OPEN`` = 16): same output schema, banding,
+    and determinism as :func:`pack_sequences`, but each document
+    goes into the LOWEST-numbered open sequence it fits instead of
+    only the newest — recovering strictly more padding on real size
+    mixes (pinned vs NFD in tests; occupancy delta in SCALING.md).
+    Per-band walk is O(band_docs x max_open) integer work."""
+    from ..functions.decontam_sql import FFD_MAX_OPEN
+
+    if max_open is None:
+        max_open = FFD_MAX_OPEN
+    banded = _banded_sizes(docs, band_docs, id_col, text_col, seed)
+    return banded.groupBy("band").applyInPandas(
+        lambda pdf: _ffd_walk(pdf, ctx, max_open), _PACK_SCHEMA)
 
 
 def sequence_fill(packed: DataFrame, ctx: int = SEQ_PACK_CTX

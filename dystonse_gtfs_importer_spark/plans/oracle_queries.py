@@ -2928,15 +2928,29 @@ def _sequence_emit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sequence_pack_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-parallel NFD packer (operators/packing.pack_sequences):
-    tokenize + band JVM-side, one shuffle on band, one bounded Arrow
-    batch per band — hash-checked against the sequential
-    recursive-CTE derivation (q_sequence_pack, DuckDB)."""
+    tokenize + seeded-position band JVM-side, one band shuffle, one
+    bounded Arrow batch per band — hash-checked against the
+    sequential recursive-CTE derivation (q_sequence_pack, DuckDB)."""
     from ..operators.packing import pack_sequences
     from ..session import configure_for_oracle
 
     configure_for_oracle(spark)
     register_views(spark, sf_dir)
     return pack_sequences(spark.table("documents"))
+
+
+def _sequence_pack_ffd_spark(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Band-parallel bounded-open-bin FFD packer
+    (operators/packing.pack_sequences_ffd) — hash-checked against
+    the list-state recursive-CTE reference (q_sequence_pack_ffd,
+    DuckDB)."""
+    from ..operators.packing import pack_sequences_ffd
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return pack_sequences_ffd(spark.table("documents"))
 
 
 QUERIES: dict[str, QueryDef] = {
@@ -3306,6 +3320,16 @@ QUERIES: dict[str, QueryDef] = {
                    "recursive-CTE reference) — recovers the padding "
                    "budget packing_efficiency prices; packed seqs <= "
                    "naive one-doc-per-seq test-pinned"),
+    # ---- round-9 additions ----
+    "sequence_pack_ffd": QueryDef(
+        spark=_sequence_pack_ffd_spark,
+        oracle=DC.q_sequence_pack_ffd(S.DUCKDB),
+        survey_ref="training-sequence FFD packer with bounded "
+                   "open-bin list (16): lowest-numbered open seq "
+                   "that fits, fullest bin closes on overflow - "
+                   "recovers strictly more padding than NFD "
+                   "(test-pinned); band-parallel Arrow walk vs the "
+                   "list-state recursive-CTE reference"),
     "shard_manifest": QueryDef(
         spark=_shard_manifest_spark,
         oracle=DC.q_shard_manifest_oracle(S.DUCKDB),

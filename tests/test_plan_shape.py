@@ -1178,7 +1178,13 @@ class TestRound8PlanShapes:
     corpus-grain unpartitioned window; the blocklist's gram join
     broadcasts the pattern side."""
 
-    def test_sequence_pack_one_band_shuffle(self, spark, sf_smoke):
+    def test_sequence_pack_band_scoped_shape(self, spark, sf_smoke):
+        """Round-9 banding: the packer derives a seeded dense
+        position (q_seeded_shuffle two-phase numbering), so the plan
+        contains windows — but every fact-grain window must
+        partition by bucket, unpartitioned windows may only run over
+        aggregate (bucket-count-sized) subtrees, and no cartesian
+        appears anywhere.  The Arrow stage is still per-band."""
         from dystonse_gtfs_importer_spark.operators.packing import (
             pack_sequences,
         )
@@ -1189,11 +1195,24 @@ class TestRound8PlanShapes:
         df = pack_sequences(load_table(spark, sf_smoke, "documents"))
         plan = plan_of(df)
         assert "FlatMapGroupsInPandas" in plan, plan
-        # exactly one shuffle: the band groupBy; tokenize/band are
-        # map-side and no window exists anywhere
-        assert n_exchanges(df) == 1, plan
-        assert "Window" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+        def nodes(n, out):
+            out.append(n)
+            kids = n.children()
+            for i in range(kids.length()):
+                nodes(kids.apply(i), out)
+            return out
+
+        root = df._jdf.queryExecution().optimizedPlan()
+        wins = [n for n in nodes(root, []) if n.nodeName() == "Window"]
+        assert wins, "expected the two-phase numbering windows"
+        for w in wins:
+            if w.partitionSpec().length() > 0:
+                assert "bucket" in str(w.partitionSpec())
+            else:
+                sub = [n.nodeName() for n in nodes(w, [])]
+                assert "Aggregate" in sub, sub
 
     def test_shard_assignment_windows_are_band_scoped(self, spark,
                                                       sf_smoke):

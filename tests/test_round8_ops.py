@@ -75,6 +75,28 @@ class TestSequencePack:
         for band in {r[1] for r in a}:
             assert min(r[3] for r in a if r[1] == band) == 0
 
+    def test_sparse_hot_ids_band_population_bounded(self, spark):
+        """Round-9 banding contract: band population is EXACTLY
+        band_docs regardless of id distribution.  A corpus whose ids
+        are one dense hot cluster plus far-flung sparse hash-like ids
+        (the case that unbounded the old doc_id DIV banding) must
+        spread across ceil(n/band_docs) bands of band_docs docs each,
+        and stay partition-invariant."""
+        ids = ([10_000_000 + i for i in range(30)] +          # hot
+               [7, 99_123, 2**40 + 13, 2**53 - 5, 123_456_789,
+                987_654_321, 55, 2**31, 2**45 + 1, 31337])    # sparse
+        docs = _docs(spark, [_word_doc(i, 3 + (i % 9)) for i in ids])
+        packed = pack_sequences(docs.repartition(5), ctx=16,
+                                band_docs=8).collect()
+        by_band: dict[int, int] = {}
+        for r in packed:
+            by_band[r["band"]] = by_band.get(r["band"], 0) + 1
+        assert sorted(by_band) == list(range(5))      # 40 docs / 8
+        assert all(c == 8 for c in by_band.values())
+        again = pack_sequences(docs.repartition(1), ctx=16,
+                               band_docs=8).collect()
+        assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
     def test_sequence_fill_occupancy(self, spark):
         """The loader-facing fill table: every sequence non-empty and
         within capacity, split chunks land ctx-full, and per-band fill
