@@ -139,6 +139,14 @@ def _parser() -> argparse.ArgumentParser:
                      help="manifest replay guard: re-running with the "
                           "same id is a no-op (committed=false); bump "
                           "it to republish after the corpus changes")
+    cps.add_argument("--mixture-budget", type=int, default=None,
+                     help="solve + apply a temperature(0.5) token "
+                          "mixture for this budget BEFORE sharding "
+                          "(per-source epochs/rates from the "
+                          "mixture_weights water-filling solver)")
+    cps.add_argument("--mixture-epoch-cap-e6", type=int, default=None,
+                     help="max epochs per source in micro-units "
+                          "(default 1400000 = 1.4 epochs)")
     return p
 
 
@@ -560,9 +568,16 @@ def cmd_corpus(spark, args) -> int:
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")
     docs = spark.read.parquet(docs_path)
+    if args.mixture_budget is not None:
+        from .plans.corpus import apply_mixture
+
+        docs = apply_mixture(docs, budget=args.mixture_budget,
+                             epoch_cap_e6=args.mixture_epoch_cap_e6)
     result = prepare_shards(docs, out_root,
                             shard_tokens=args.shard_tokens,
                             seed=args.seed, batch_id=args.batch_id)
+    if args.mixture_budget is not None:
+        result["mixture_budget"] = args.mixture_budget
     print(json.dumps(result, sort_keys=True))
     return 0
 

@@ -279,6 +279,121 @@ def q_seeded_shuffle_oracle(d: S.Dialect, seed: str = "shuf1") -> str:
     """
 
 
+MIX_BUDGET = 35_500        # token budget of the default mixture solve
+# (at sf0.01: ~27.2k corpus tokens, so the 1.4-epoch cap binds for the
+# smallest sources and the rest split the remainder -- both solver
+# branches are driver-witnessed)
+MIX_EPOCH_CAP_E6 = 1_400_000  # max epochs per source (micro-units)
+
+
+def q_mixture_weights(d: S.Dialect, budget: int = MIX_BUDGET,
+                      epoch_cap_e6: int = MIX_EPOCH_CAP_E6,
+                      doc_table: str = "documents") -> str:
+    """Per-source sampling rates + epoch counts that hit a
+    TEMPERATURE-target token mixture under a budget with an epoch
+    cap — the number every pretraining run computes before
+    ``prepare_shards``: the pipeline could already MEASURE a mixture
+    (source KL, DSIR, temperature sampling); this SOLVES for one.
+
+    Semantics (alpha = 0.5 temperature, the multilingual-mixing
+    standard): target share of source s is sqrt(n_s)/SUM sqrt, i.e.
+    ``budget * w_s / W`` tokens — but no source may repeat beyond
+    ``epoch_cap_e6`` epochs (cap_s = n_s * cap tokens).  That is the
+    classic capped water-filling problem, CLOSED FORM in one pass:
+    sort sources by cap tightness (cap_s / w_s ascending); the capped
+    set is a PREFIX of that order, and source k caps iff
+    ``cap_k * W_(>=k) < (budget - C_(<k)) * w_k`` — evaluated as
+    exact INTEGER cross-multiplications, never a float division, so
+    both engines agree bit-for-bit.  Uncapped sources split the
+    post-cap budget proportionally (floored integer division; the
+    <= |sources| leftover tokens stay unallocated, deterministic).
+
+    Output per source: token count, weight, capped flag, allotted
+    tokens, epochs_e6 (= the sampling RATE in micro-units: 1e6 = one
+    full epoch, 600000 = subsample 60%, 2300000 = 2 epochs + 30%),
+    share_e6 of the budget.
+
+    Exactness domain (documented parity bound): weights are
+    ``FLOOR(SQRT(n) * 1e6)`` — correctly-rounded IEEE SQRT and an
+    exactly-representable 1e6 make the double identical cross-engine
+    and FLOOR is tie-free; the integer cross-products bound the
+    domain to ``budget * max(w_e6) < 2^63`` (~1e9-token sources at a
+    1e12 budget).  Beyond that, re-rung the weight quantization to
+    ``FLOOR(SQRT(n))`` — same plan, coarser ties.
+
+    Scale shape: ONE corpus scan (the per-source token aggregate);
+    everything after operates on the |sources|-row table — the
+    unpartitioned windows run over an aggregate subtree, never over
+    fact rows (the plan contract every sampler here follows)."""
+    div = d.intdiv
+    cap_tok = div(f"CAST({epoch_cap_e6} AS BIGINT) * n_tok", "1000000")
+    # GREATEST guard: when every source caps, w_free = 0 and the
+    # uncapped branch is dead but still EVALUATED (vectorized CASE) —
+    # the LEAST picks cap_tok there, so the guard never changes a
+    # live value
+    uncapped = div(f"({budget} - cap_spent) * w_e6",
+                   "GREATEST(w_free, 1)")
+    alloc = (f"(CASE WHEN capped = 1 THEN cap_tok "
+             f"ELSE LEAST(cap_tok, {uncapped}) END)")
+    return f"""
+        WITH src AS (
+            SELECT source,
+                   CAST(SUM({d.arr_len(d.token_array('text'))})
+                        AS BIGINT) AS n_tok
+            FROM {doc_table} GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_tok,
+                   CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS w_e6,
+                   CAST({cap_tok} AS BIGINT) AS cap_tok
+            FROM src WHERE n_tok > 0
+        ),
+        ord AS (
+            SELECT source, n_tok, w_e6, cap_tok,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {div('cap_tok * 1000000', 'w_e6')},
+                                source) AS k
+            FROM w
+        ),
+        pre AS (
+            SELECT *,
+                   COALESCE(SUM(cap_tok) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cap_before,
+                   SUM(w_e6) OVER (ORDER BY k
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS w_from
+            FROM ord
+        ),
+        flagged AS (
+            SELECT *,
+                   MIN(CASE WHEN cap_tok * w_from <
+                            ({budget} - cap_before) * w_e6
+                            THEN 1 ELSE 0 END)
+                       OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                       AS capped
+            FROM pre
+        ),
+        sized AS (
+            SELECT *,
+                   COALESCE(SUM(CASE WHEN capped = 1 THEN cap_tok END)
+                            OVER (), 0) AS cap_spent,
+                   COALESCE(SUM(CASE WHEN capped = 0 THEN w_e6 END)
+                            OVER (), 0) AS w_free
+            FROM flagged
+        )
+        SELECT source, n_tok, w_e6,
+               CAST(capped AS INT) AS capped,
+               CAST({alloc} AS BIGINT) AS alloc_tok,
+               CAST({div(f"{alloc} * 1000000", "n_tok")} AS BIGINT)
+                   AS epochs_e6,
+               CAST({div(f"{alloc} * 1000000", str(budget))} AS BIGINT)
+                   AS share_e6
+        FROM sized
+    """
+
+
 def q_temperature_sample(d: S.Dialect, n_target: int = TEMP_TARGET,
                          seed: str = "temp1") -> str:
     """Temperature-balanced (α = 0.5) language resampling — the

@@ -446,3 +446,59 @@ def prepare_shards(docs: DataFrame, out_root: str,
             "total_docs": sum(s["n_docs"] for s in shard_table),
             "total_tokens": sum(s["n_tokens"] for s in shard_table),
             "shards": shard_table}
+
+
+def apply_mixture(docs: DataFrame, budget: int,
+                  epoch_cap_e6: int | None = None,
+                  seed: str = "mix1",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  id_stride: int = 10**12) -> DataFrame:
+    """Materialize a `q_mixture_weights` solve: each source repeated
+    ``floor(epochs)`` whole times plus a deterministic hash-Bernoulli
+    document slice for the fractional epoch — the resample step
+    between the mixture solver and :func:`prepare_shards`.
+
+    Fractional epochs select documents whose seeded-md5 32-bit prefix
+    falls below ``frac * 2^32 / 1e6`` (integer threshold, map-only,
+    retry-safe) — token-accurate in expectation at document grain,
+    the standard DSIR/temperature resampling granularity.  Each
+    repeat gets a fresh unique id (``doc_id + epoch * id_stride``,
+    ``id_stride`` above the corpus id range) so the downstream
+    seeded-shuffle machinery keeps distinct positions per copy; the
+    ``epoch`` column preserves lineage.
+
+    Scale shape: ONE corpus scan for the solver's per-source
+    aggregate, then a broadcast join of the |sources|-row rate table
+    and a map-only explode/filter — no corpus shuffle at all."""
+    import uuid
+
+    from ..functions import sampling_sql as SAMP
+
+    if epoch_cap_e6 is None:
+        epoch_cap_e6 = SAMP.MIX_EPOCH_CAP_E6
+    spark = docs.sparkSession
+    view = f"__mix_docs_{uuid.uuid4().hex[:12]}"
+    docs.select(F.col(id_col).alias("doc_id"), F.col("source"),
+                F.col(text_col).alias("text")) \
+        .createOrReplaceTempView(view)
+    mix = spark.sql(SAMP.q_mixture_weights(
+        S.SPARK, budget=budget, epoch_cap_e6=epoch_cap_e6,
+        doc_table=view))
+    spark.catalog.dropTempView(view)
+    rates = mix.select(
+        "source",
+        F.expr("epochs_e6 DIV 1000000").alias("_full"),
+        F.expr("(epochs_e6 % 1000000) * 4294967296 DIV 1000000")
+        .cast("long").alias("_thr"))
+    u32 = (f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}#', "
+           f"CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    return (docs.join(F.broadcast(rates), ["source"])
+            .select(*docs.columns, "_full", "_thr",
+                    F.expr("explode(sequence(0, _full))").alias("epoch"))
+            .where((F.col("epoch") < F.col("_full"))
+                   | (F.expr(u32) < F.col("_thr")))
+            .withColumn(id_col,
+                        (F.col(id_col)
+                         + F.col("epoch") * F.lit(id_stride))
+                        .cast("long"))
+            .drop("_full", "_thr"))

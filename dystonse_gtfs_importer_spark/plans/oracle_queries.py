@@ -3321,6 +3321,14 @@ QUERIES: dict[str, QueryDef] = {
                    "budget packing_efficiency prices; packed seqs <= "
                    "naive one-doc-per-seq test-pinned"),
     # ---- round-9 additions ----
+    "mixture_weights": _sql_pair(
+        SAMP.q_mixture_weights,
+        "mixture-weights solver: per-source sampling rates + epoch "
+        "counts hitting a temperature(0.5) target token mixture "
+        "under a budget with an epoch cap - closed-form capped "
+        "water-filling (tightness-sorted prefix, exact integer "
+        "cross-multiplications, floored proportional split); one "
+        "corpus scan, windows only over the |sources|-row aggregate"),
     "sequence_pack_ffd": QueryDef(
         spark=_sequence_pack_ffd_spark,
         oracle=DC.q_sequence_pack_ffd(S.DUCKDB),
