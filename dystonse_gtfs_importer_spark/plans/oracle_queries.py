@@ -3380,6 +3380,14 @@ QUERIES: dict[str, QueryDef] = {
         "quantized min-max per column in ONE scan (single aggregate "
         "+ literal unpivot); approx_count_distinct or the HLL sketch "
         "is the documented lake-scale rung"),
+    "table_profile_approx": _sql_pair(
+        SK.q_table_profile_approx,
+        "the profile's approx rung, driver-witnessed: exact "
+        "rows/nulls/min-max per column + a Spark-side flag pinning "
+        "approx_count_distinct within 5% of exact (the oracle fixes "
+        "the flag at 1 - the hash goes red if the HLL drifts); the "
+        "pure-approx face has no Expand and is the CLI default above "
+        "its row threshold"),
     "lsh_config_planner": _sql_pair(
         D.q_lsh_config_planner,
         "LSH banding planner: exact per-(rows, bands) candidate probe "

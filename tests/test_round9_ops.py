@@ -263,3 +263,92 @@ class TestApplyMixture:
             capsys.readouterr().out.strip().splitlines()[-1])
         assert out2["committed"] is False
         assert out2["shards"] == out["shards"]
+
+
+class TestManifestScaleGuard:
+    def test_side_table_branch_replay_and_content(self, spark, tmp_path):
+        """Above max_inline_shards the shard table goes to a parquet
+        side-table: manifest carries only its path + totals, content
+        equals the recomputed shard stats, a same-batch replay is a
+        no-op that writes NO new side table, and a fresh store
+        reproduces identical rows from any input partitioning."""
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            prepare_shards,
+            shard_stats,
+            shard_assignments,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        out = tmp_path / "s"
+        res = prepare_shards(docs, str(out), shard_tokens=50,
+                             max_inline_shards=10)
+        assert res["committed"] is True
+        assert "shards" not in res and res["n_shards"] > 10
+        side = out / res["shards_path"]
+        stats = spark.read.parquet(str(side))
+        rows = sorted(map(tuple, stats.collect()))
+        ref = sorted(map(tuple, shard_stats(
+            shard_assignments(docs, shard_tokens=50)).collect()))
+        assert rows == ref
+        assert len(rows) == res["n_shards"]
+        assert res["total_tokens"] == sum(r[2] for r in rows)
+
+        # replay: detected BEFORE any work — no orphan side tables
+        n_side_dirs = len(list((out / "shard_stats").iterdir()))
+        res2 = prepare_shards(docs, str(out), shard_tokens=50,
+                              max_inline_shards=10)
+        assert res2["committed"] is False
+        assert res2["n_shards"] == res["n_shards"]
+        assert res2["shards_path"] == res["shards_path"]
+        assert len(list((out / "shard_stats").iterdir())) == n_side_dirs
+
+        # partition invariance of the side-table CONTENT
+        res3 = prepare_shards(docs.repartition(13), str(tmp_path / "s2"),
+                              shard_tokens=50, max_inline_shards=10)
+        rows3 = sorted(map(tuple, spark.read.parquet(
+            str(tmp_path / "s2" / res3["shards_path"])).collect()))
+        assert rows3 == rows
+
+
+class TestCorpusProfileCLI:
+    def test_profile_exact_below_threshold(self, spark, tmp_path,
+                                           capsys):
+        import json
+        import shutil
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        lake = tmp_path / "lake"
+        lake.mkdir()
+        shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                    lake / "documents.parquet")
+        assert main(["-s", "x", "--dir", str(lake), "corpus",
+                     "profile"], spark=spark) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["distinct_mode"] == "exact"
+        cols = {c["col_name"]: c for c in out["columns"]}
+        assert cols["doc_id"]["n_distinct"] == out["n_rows"]
+        assert cols["doc_id"]["n_null"] == 0
+
+    def test_profile_approx_above_threshold(self, spark, tmp_path,
+                                            capsys):
+        """Forcing the threshold to 0 flips the distinct rung to the
+        approx (no-Expand) form; estimates stay near exact."""
+        import json
+        import shutil
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        lake = tmp_path / "lake"
+        lake.mkdir()
+        shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                    lake / "documents.parquet")
+        assert main(["-s", "x", "--dir", str(lake), "corpus",
+                     "profile", "--approx-threshold", "0"],
+                    spark=spark) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["distinct_mode"] == "approx"
+        cols = {c["col_name"]: c for c in out["columns"]}
+        n = out["n_rows"]
+        assert abs(cols["doc_id"]["n_distinct"] - n) <= 0.05 * n
