@@ -3427,49 +3427,30 @@ QUERIES: dict[str, QueryDef] = {
 # tests/test_sql_parity.py::test_registry_window_frozen pins this.
 # ---------------------------------------------------------------------------
 REGISTRY_ORDER: tuple[str, ...] = (
-    # Round-8 rotation (VERDICT r7 #1): the window re-witnesses the 26
-    # queries whose latest driver row is round 3 (four rounds of HEAD
-    # churn ago — all green in the judge's own full run on r7 HEAD,
-    # but the driver's record must not age indefinitely), then the 8
-    # round-8 additions, then 16 of the 25 round-4-witnessed entries
-    # (26 + 8 + 16 = 50; the other 9 round-4 entries sit just below
-    # the boundary).
-    # After a green round 8 no query's latest driver row is older
-    # than round 4.
-    # -- 26 entries last driver-witnessed in round 3 --
-    "scd2_intervals", "rolling_hour_avg", "non_final_stops",
-    "time_slot_histogram", "route_sections", "delay_rounding",
-    "interval_overlap", "autocomplete", "token_stats", "lang_id",
-    "quality_score", "exact_dedup", "fingerprint_dedup", "source_overlap",
-    "union_service_days", "latest_in_past", "orders_by_size",
-    "trip_resolution", "noon_datetime", "contiguous_trips",
-    "value_percentiles", "minhash_lsh_pairs", "simhash",
-    "simhash_near_pairs", "simhash_near_pairs_banded",
-    "ngram_jaccard_pairs",
-    # -- round-8 additions (never driver-witnessed) --
+    # Round-9 rotation (VERDICT r8 #2): the window re-witnesses, in
+    # priority order, (a) the 3 packer oracles RE-KEYED this round by
+    # the seeded-position banding (their placement hashes changed, so
+    # the old driver rows no longer describe HEAD), (b) the 3 round-9
+    # additions, (c) the 9 round-4-witnessed entries displaced from
+    # the round-8 window, (d) the full 20-entry round-5 cohort,
+    # (e) the 8-entry round-6 cohort, and (f) the 7 oldest round-7
+    # entries (3 + 3 + 9 + 20 + 8 + 7 = 50).  After a green round 9
+    # no query's latest driver row is older than ROUND 7.
+    # Do NOT insert new names anywhere above the "-- window boundary"
+    # marker mid-round; new round-9 queries may be inserted at the END
+    # of the window (displacing entries with fresher records) only
+    # before the round-9 freeze.
+    # tests/test_sql_parity.py::test_registry_window_frozen pins this.
+    # -- (a) round-9 RE-KEYED oracles (banding change) --
     "sequence_pack", "sequence_fill", "sequence_emit",
-    "blocklist_filter", "blocklist_scrub", "shard_manifest",
-    "lsh_config_planner", "table_profile",
-    # -- 16 of the 25 round-4-witnessed entries (the 9 left below the
-    #    boundary each have an in-window or fresher family sibling:
-    #    the two JVM Column twins of the in-window ECDF queries,
-    #    cosine_near_dup / ann_lsh_topk whose production-path siblings
-    #    cosine_near_dup_lsh (r7) and ann_ivf_topk are covered,
-    #    repetition_signals whose quality-family siblings lang_id /
-    #    quality_score sit in-window, retention_cohorts / funnel_steps
-    #    whose event-funnel sibling sessionization is in-window) --
-    "pricing_summary", "ecdf_curve", "ecdf_curve_focused",
-    "curve_stack_stats", "hourly_event_stats", "ann_ivf_topk",
-    "semdedup_keep", "global_minmax", "distinct_users", "rollup_ladder",
-    "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
-    "latest_wins", "forward_fill",
-    # -- window boundary: entries below are outside the driver snapshot --
-    # round-4-witnessed entries displaced by sibling coverage (see above)
+    # -- (b) round-9 additions (never driver-witnessed) --
+    "mixture_weights", "sequence_pack_ffd", "table_profile_approx",
+    # -- (c) round-4-witnessed entries displaced from the r8 window --
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     "repetition_signals",
     "ecdf_curve_jvm", "ecdf_curve_focused_jvm", "cosine_near_dup",
     "ann_lsh_topk",
-    # round-5-witnessed entries
+    # -- (d) the round-5-witnessed cohort --
     "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
     "simhash64_near_pairs", "embedding_quantize_int8",
     "ann_quantized_topk", "random_projection",
@@ -3478,14 +3459,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
     "dsir_weights", "bm25_topk",
     "source_kl_divergence", "zipf_slope", "embedding_norm_outliers",
-    # round-6-witnessed entries
+    # -- (e) the round-6-witnessed cohort --
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
     "countmin_heavy_hitters", "hll_distinct",
-    # round-7-witnessed entries (the freshest record), r7-window order
+    # -- (f) the 7 oldest round-7-witnessed entries --
     "weighted_stratified_sample", "bpe_token_histogram",
     "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
     "exactsubstr_cut_capped", "repeated_spans_scalable",
+    # -- window boundary: entries below are outside the driver snapshot --
+    # remaining round-7-witnessed entries, r7-window order
     "packing_efficiency", "weighted_stratified_sample_scale",
     "ngram_novelty",
     "histogram_quantiles", "posting_lists",
@@ -3505,6 +3488,23 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "curriculum_schedule", "pca_power_iter",
     "containment_pairs", "perplexity_tiers", "decayed_engagement",
     "kmv_source_overlap", "mad_outliers",
+    # round-8-witnessed entries (the freshest records), r8-window order
+    "scd2_intervals", "rolling_hour_avg", "non_final_stops",
+    "time_slot_histogram", "route_sections", "delay_rounding",
+    "interval_overlap", "autocomplete", "token_stats", "lang_id",
+    "quality_score", "exact_dedup", "fingerprint_dedup", "source_overlap",
+    "union_service_days", "latest_in_past", "orders_by_size",
+    "trip_resolution", "noon_datetime", "contiguous_trips",
+    "value_percentiles", "minhash_lsh_pairs", "simhash",
+    "simhash_near_pairs", "simhash_near_pairs_banded",
+    "ngram_jaccard_pairs",
+    "blocklist_filter", "blocklist_scrub", "shard_manifest",
+    "lsh_config_planner", "table_profile",
+    "pricing_summary", "ecdf_curve", "ecdf_curve_focused",
+    "curve_stack_stats", "hourly_event_stats", "ann_ivf_topk",
+    "semdedup_keep", "global_minmax", "distinct_users", "rollup_ladder",
+    "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
+    "latest_wins", "forward_fill",
 )
 
 DRIVER_WINDOW = 50

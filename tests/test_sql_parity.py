@@ -331,23 +331,32 @@ class TestRegistryWindow:
         # append (after the window), never displace the first 50
         assert tuple(names[: len(oq.REGISTRY_ORDER)]) == oq.REGISTRY_ORDER
         window = set(names[: oq.DRIVER_WINDOW])
-        # round-8 rotation: the stalest driver records (the 26 queries
-        # last witnessed in round 3) and the never-witnessed round-8
-        # additions must all sit inside the snapshot window
+        # round-9 rotation: the RE-KEYED packer oracles (seeded-
+        # position banding changed their hashes), the round-9
+        # additions, the 9 round-4 entries displaced from the r8
+        # window, and the full round-5 cohort must all sit inside the
+        # snapshot window
         must_witness = {
-            "scd2_intervals", "rolling_hour_avg", "non_final_stops",
-            "time_slot_histogram", "route_sections", "delay_rounding",
-            "interval_overlap", "autocomplete", "token_stats",
-            "lang_id", "quality_score", "exact_dedup",
-            "fingerprint_dedup", "source_overlap", "union_service_days",
-            "latest_in_past", "orders_by_size", "trip_resolution",
-            "noon_datetime", "contiguous_trips", "value_percentiles",
-            "minhash_lsh_pairs", "simhash", "simhash_near_pairs",
-            "simhash_near_pairs_banded", "ngram_jaccard_pairs",
-            # round-8 additions
+            # re-keyed by the round-9 banding change
             "sequence_pack", "sequence_fill", "sequence_emit",
-            "blocklist_filter", "blocklist_scrub", "shard_manifest",
-            "lsh_config_planner", "table_profile",
+            # round-9 additions
+            "mixture_weights", "sequence_pack_ffd",
+            "table_profile_approx",
+            # round-4 entries displaced from the round-8 window
+            "median_rank", "sessionization", "funnel_steps",
+            "retention_cohorts", "repetition_signals",
+            "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
+            "cosine_near_dup", "ann_lsh_topk",
+            # the round-5 cohort
+            "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
+            "simhash64_near_pairs", "embedding_quantize_int8",
+            "ann_quantized_topk", "random_projection",
+            "span_dedup", "quality_gate",
+            "asof_join_tolerance", "doc_chunking", "pmi_pairs",
+            "sparse_cosine_pairs", "equidepth_histogram",
+            "pagerank_iter2", "dsir_weights", "bm25_topk",
+            "source_kl_divergence", "zipf_slope",
+            "embedding_norm_outliers",
         }
         assert must_witness <= window
 
