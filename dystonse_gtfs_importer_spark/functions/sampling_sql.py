@@ -325,8 +325,41 @@ def q_mixture_weights(d: S.Dialect, budget: int = MIX_BUDGET,
     everything after operates on the |sources|-row table — the
     unpartitioned windows run over an aggregate subtree, never over
     fact rows (the plan contract every sampler here follows)."""
+    w_expr = "CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT)"
+    return f"""
+        WITH {_mixture_src_cte(d, doc_table)},
+        w AS (
+            SELECT source, n_tok,
+                   {w_expr} AS w_e6,
+                   CAST({_mixture_cap_expr(d, epoch_cap_e6)} AS BIGINT)
+                       AS cap_tok
+            FROM src WHERE n_tok > 0
+        ),
+        {_waterfill_tail(d, budget)}
+    """
+
+
+def _mixture_src_cte(d: S.Dialect, doc_table: str) -> str:
+    return f"""src AS (
+            SELECT source,
+                   CAST(SUM({d.arr_len(d.token_array('text'))})
+                        AS BIGINT) AS n_tok
+            FROM {doc_table} GROUP BY source
+        )"""
+
+
+def _mixture_cap_expr(d: S.Dialect, epoch_cap_e6: int) -> str:
+    return d.intdiv(f"CAST({epoch_cap_e6} AS BIGINT) * n_tok",
+                    "1000000")
+
+
+def _waterfill_tail(d: S.Dialect, budget: int) -> str:
+    """The weight-agnostic closed-form water-fill over a ``w`` CTE of
+    (source, n_tok, w_e6, cap_tok) rows — shared by the temperature
+    and explicit-target mixture solvers (see
+    :func:`q_mixture_weights` for the derivation and the exactness
+    domain)."""
     div = d.intdiv
-    cap_tok = div(f"CAST({epoch_cap_e6} AS BIGINT) * n_tok", "1000000")
     # GREATEST guard: when every source caps, w_free = 0 and the
     # uncapped branch is dead but still EVALUATED (vectorized CASE) —
     # the LEAST picks cap_tok there, so the guard never changes a
@@ -335,24 +368,11 @@ def q_mixture_weights(d: S.Dialect, budget: int = MIX_BUDGET,
                    "GREATEST(w_free, 1)")
     alloc = (f"(CASE WHEN capped = 1 THEN cap_tok "
              f"ELSE LEAST(cap_tok, {uncapped}) END)")
-    return f"""
-        WITH src AS (
-            SELECT source,
-                   CAST(SUM({d.arr_len(d.token_array('text'))})
-                        AS BIGINT) AS n_tok
-            FROM {doc_table} GROUP BY source
-        ),
-        w AS (
-            SELECT source, n_tok,
-                   CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE)) * 1e6)
-                        AS BIGINT) AS w_e6,
-                   CAST({cap_tok} AS BIGINT) AS cap_tok
-            FROM src WHERE n_tok > 0
-        ),
-        ord AS (
+    return f"""ord AS (
             SELECT source, n_tok, w_e6, cap_tok,
                    ROW_NUMBER() OVER (
-                       ORDER BY {div('cap_tok * 1000000', 'w_e6')},
+                       ORDER BY {div('cap_tok * 1000000',
+                                     'GREATEST(w_e6, 1)')},
                                 source) AS k
             FROM w
         ),
@@ -391,6 +411,54 @@ def q_mixture_weights(d: S.Dialect, budget: int = MIX_BUDGET,
                CAST({div(f"{alloc} * 1000000", str(budget))} AS BIGINT)
                    AS share_e6
         FROM sized
+    """
+
+
+MIX_TARGETS: tuple[tuple[str, int], ...] = tuple(
+    (f"src{i}", (i % 5 + 1) * 100_000) for i in range(20))
+
+
+def q_mixture_weights_target(d: S.Dialect,
+                             targets: tuple[tuple[str, int], ...] =
+                             MIX_TARGETS,
+                             budget: int = MIX_BUDGET,
+                             epoch_cap_e6: int = MIX_EPOCH_CAP_E6,
+                             doc_table: str = "documents") -> str:
+    """EXPLICIT-target sibling of :func:`q_mixture_weights`: the
+    caller hands the desired per-source mixture (relative weights,
+    e.g. the shares a data-ablation study prescribes) instead of
+    deriving it from a temperature rule; the same closed-form capped
+    water-filling then computes what is actually ACHIEVABLE under
+    the epoch cap and how the shortfall redistributes.
+
+    ``targets`` are (source, relative-weight) pairs — any positive
+    integer scale (they normalize in the proportional split).
+    Sources present in the corpus but absent from the target table
+    get weight 0 rows (alloc 0 — explicitly priced out rather than
+    silently dropped); targeted sources missing from the corpus
+    contribute nothing (no tokens to sample).  The default fixture
+    targets are deliberately uneven (weights 1x-5x cycling over the
+    20 sources) so small sources with big targets cap and the
+    remainder redistributes — both branches driver-witnessed.
+
+    Same exactness domain and scale shape as the temperature form
+    (one corpus scan; |sources|-row windows)."""
+    vals = ", ".join(f"({d.str_lit(src)}, {int(w)})"
+                     for src, w in targets)
+    return f"""
+        WITH {_mixture_src_cte(d, doc_table)},
+        tgt AS (
+            SELECT * FROM (VALUES {vals}) AS t(source, tw)
+        ),
+        w AS (
+            SELECT s.source, s.n_tok,
+                   CAST(COALESCE(t.tw, 0) AS BIGINT) AS w_e6,
+                   CAST({_mixture_cap_expr(d, epoch_cap_e6)} AS BIGINT)
+                       AS cap_tok
+            FROM src s LEFT JOIN tgt t ON t.source = s.source
+            WHERE s.n_tok > 0
+        ),
+        {_waterfill_tail(d, budget)}
     """
 
 

@@ -3329,6 +3329,13 @@ QUERIES: dict[str, QueryDef] = {
         "water-filling (tightness-sorted prefix, exact integer "
         "cross-multiplications, floored proportional split); one "
         "corpus scan, windows only over the |sources|-row aggregate"),
+    "mixture_weights_target": _sql_pair(
+        SAMP.q_mixture_weights_target,
+        "explicit-target mixture solver: caller-prescribed per-source "
+        "weights through the same closed-form capped water-filling - "
+        "what is ACHIEVABLE under the epoch cap and where the "
+        "shortfall redistributes; untargeted sources priced out at "
+        "weight 0, uneven fixture targets witness both branches"),
     "sequence_pack_ffd": QueryDef(
         spark=_sequence_pack_ffd_spark,
         oracle=DC.q_sequence_pack_ffd(S.DUCKDB),
@@ -3433,8 +3440,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # the old driver rows no longer describe HEAD), (b) the 3 round-9
     # additions, (c) the 9 round-4-witnessed entries displaced from
     # the round-8 window, (d) the full 20-entry round-5 cohort,
-    # (e) the 8-entry round-6 cohort, and (f) the 7 oldest round-7
-    # entries (3 + 3 + 9 + 20 + 8 + 7 = 50).  After a green round 9
+    # (e) the 8-entry round-6 cohort, and (f) the 6 oldest round-7
+    # entries (3 + 4 + 9 + 20 + 8 + 6 = 50).  After a green round 9
     # no query's latest driver row is older than ROUND 7.
     # Do NOT insert new names anywhere above the "-- window boundary"
     # marker mid-round; new round-9 queries may be inserted at the END
@@ -3444,7 +3451,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- (a) round-9 RE-KEYED oracles (banding change) --
     "sequence_pack", "sequence_fill", "sequence_emit",
     # -- (b) round-9 additions (never driver-witnessed) --
-    "mixture_weights", "sequence_pack_ffd", "table_profile_approx",
+    "mixture_weights", "mixture_weights_target", "sequence_pack_ffd",
+    "table_profile_approx",
     # -- (c) round-4-witnessed entries displaced from the r8 window --
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     "repetition_signals",
@@ -3463,12 +3471,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
     "countmin_heavy_hitters", "hll_distinct",
-    # -- (f) the 7 oldest round-7-witnessed entries --
+    # -- (f) the 6 oldest round-7-witnessed entries --
     "weighted_stratified_sample", "bpe_token_histogram",
     "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
-    "exactsubstr_cut_capped", "repeated_spans_scalable",
+    "exactsubstr_cut_capped",
     # -- window boundary: entries below are outside the driver snapshot --
     # remaining round-7-witnessed entries, r7-window order
+    "repeated_spans_scalable",
     "packing_efficiency", "weighted_stratified_sample_scale",
     "ngram_novelty",
     "histogram_quantiles", "posting_lists",

@@ -340,8 +340,8 @@ class TestRegistryWindow:
             # re-keyed by the round-9 banding change
             "sequence_pack", "sequence_fill", "sequence_emit",
             # round-9 additions
-            "mixture_weights", "sequence_pack_ffd",
-            "table_profile_approx",
+            "mixture_weights", "mixture_weights_target",
+            "sequence_pack_ffd", "table_profile_approx",
             # round-4 entries displaced from the round-8 window
             "median_rank", "sessionization", "funnel_steps",
             "retention_cohorts", "repetition_signals",
