@@ -462,6 +462,61 @@ def q_mixture_weights_target(d: S.Dialect,
     """
 
 
+MIX_DRIFT_TOL_E6 = 20_000   # flag sources >2pp off their target share
+
+
+def q_mixture_drift(d: S.Dialect,
+                    targets: tuple[tuple[str, int], ...] = MIX_TARGETS,
+                    tol_e6: int = MIX_DRIFT_TOL_E6,
+                    doc_table: str = "documents") -> str:
+    """Mixture AUDIT: per source, the achieved token share of the
+    corpus vs a prescribed target mixture, with an exact-integer
+    drift and an out-of-tolerance flag — the check a pipeline runs
+    AFTER ``apply_mixture``/``prepare_shards`` (and continuously on a
+    live corpus) to confirm the mixture actually landed.
+
+    Shares and targets are e6 micro-units via floored integer
+    division (target weights normalize against their own sum, so any
+    positive scale works); drift = share - target.  FULL OUTER join:
+    a targeted source missing from the corpus shows share 0 (pure
+    shortfall), an untargeted source present in the corpus shows
+    target 0 (pure excess) — both flag when past ``tol_e6``.
+
+    Scale shape: one corpus scan (the per-source token aggregate),
+    then |sources|-row arithmetic; the only windows are full-frame
+    sums over that aggregate."""
+    div = d.intdiv
+    vals = ", ".join(f"({d.str_lit(src)}, {int(w)})"
+                     for src, w in targets)
+    share = div("COALESCE(n_tok, 0) * 1000000", "GREATEST(tot, 1)")
+    tgt = div("COALESCE(tw, 0) * 1000000", "GREATEST(tw_tot, 1)")
+    return f"""
+        WITH {_mixture_src_cte(d, doc_table)},
+        tgt AS (
+            SELECT * FROM (VALUES {vals}) AS t(source, tw)
+        ),
+        joined AS (
+            SELECT COALESCE(s.source, t.source) AS source,
+                   s.n_tok, CAST(t.tw AS BIGINT) AS tw
+            FROM src s FULL OUTER JOIN tgt t ON t.source = s.source
+        ),
+        summed AS (
+            SELECT *,
+                   SUM(COALESCE(n_tok, 0)) OVER () AS tot,
+                   SUM(COALESCE(tw, 0)) OVER () AS tw_tot
+            FROM joined
+        )
+        SELECT source,
+               CAST(COALESCE(n_tok, 0) AS BIGINT) AS n_tok,
+               CAST({share} AS BIGINT) AS share_e6,
+               CAST({tgt} AS BIGINT) AS target_e6,
+               CAST({share} - ({tgt}) AS BIGINT) AS drift_e6,
+               CAST(CASE WHEN ABS({share} - ({tgt})) > {tol_e6}
+                    THEN 1 ELSE 0 END AS INT) AS out_of_tol
+        FROM summed
+    """
+
+
 def q_temperature_sample(d: S.Dialect, n_target: int = TEMP_TARGET,
                          seed: str = "temp1") -> str:
     """Temperature-balanced (α = 0.5) language resampling — the

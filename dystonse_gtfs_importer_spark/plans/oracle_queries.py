@@ -2086,6 +2086,75 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def _dedup_keep_best_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper: near-dup clusters (LSH candidate
+    edges -> connected components) keep their HIGHEST-QUALITY member
+    (min doc_id on ties) instead of the min-id convention — what
+    production dedup actually ships, since the first-crawled copy is
+    often the worst one.  Window is per-cluster (dup-density-sized,
+    never corpus-wide)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import connected_components
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    pairs = (spark.sql(D.q_minhash_lsh_pairs(S.SPARK))
+             .where(F.col("est_jaccard") >= _CLUSTER_EDGE_THRESHOLD))
+    docs = spark.table("documents")
+    cc = connected_components(pairs, "doc_a", "doc_b",
+                              nodes=docs.select("doc_id"))
+    q = docs.selectExpr(
+        "doc_id", f"{S.quality_score('text', S.SPARK)} AS quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (cc.select(F.col("node").alias("doc_id"),
+                      F.col("component").alias("cluster_id"))
+            .join(q, ["doc_id"])
+            .withColumn("is_keeper",
+                        F.when(F.row_number().over(w) == 1, 1)
+                        .otherwise(0).cast("int")))
+
+
+def _dedup_keep_best_oracle() -> str:
+    pairs = D.q_minhash_lsh_pairs(S.DUCKDB)
+    q = S.quality_score("text", S.DUCKDB)
+    return f"""
+        WITH RECURSIVE
+        pairs AS (
+            SELECT doc_a, doc_b FROM ({pairs}) p
+            WHERE est_jaccard >= {_CLUSTER_EDGE_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+        ),
+        comp AS (
+            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        labeled AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id)
+                       AS cluster_id,
+                   {q} AS quality
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        )
+        SELECT doc_id, cluster_id, quality,
+               CAST(CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY cluster_id
+                        ORDER BY quality DESC, doc_id) = 1
+                    THEN 1 ELSE 0 END AS INT) AS is_keeper
+        FROM labeled
+    """
+
+
 def q_json_props_stats(d: S.Dialect) -> str:
     """Semi-structured extraction over the events ``props`` JSON
     column — the trip-descriptor-parsing analog (C3) for JSON
@@ -3329,6 +3398,20 @@ QUERIES: dict[str, QueryDef] = {
         "water-filling (tightness-sorted prefix, exact integer "
         "cross-multiplications, floored proportional split); one "
         "corpus scan, windows only over the |sources|-row aggregate"),
+    "mixture_drift": _sql_pair(
+        SAMP.q_mixture_drift,
+        "mixture audit: per-source achieved token share vs prescribed "
+        "target (e6 integer shares, FULL OUTER so shortfall and "
+        "excess sources both surface), drift + out-of-tolerance flag "
+        "- the post-resample / live-corpus check; one scan, "
+        "|sources|-row windows"),
+    "dedup_keep_best": QueryDef(
+        spark=_dedup_keep_best_spark,
+        oracle=_dedup_keep_best_oracle(),
+        survey_ref="quality-aware dedup keeper: LSH near-dup clusters "
+                   "keep their highest-quality member (min id ties) "
+                   "instead of min-id - iterative CC operator vs the "
+                   "recursive-CTE + per-cluster rank oracle"),
     "mixture_weights_target": _sql_pair(
         SAMP.q_mixture_weights_target,
         "explicit-target mixture solver: caller-prescribed per-source "
@@ -3440,8 +3523,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # the old driver rows no longer describe HEAD), (b) the 3 round-9
     # additions, (c) the 9 round-4-witnessed entries displaced from
     # the round-8 window, (d) the full 20-entry round-5 cohort,
-    # (e) the 8-entry round-6 cohort, and (f) the 6 oldest round-7
-    # entries (3 + 4 + 9 + 20 + 8 + 6 = 50).  After a green round 9
+    # (e) the 8-entry round-6 cohort, and (f) the 4 oldest round-7
+    # entries (3 + 6 + 9 + 20 + 8 + 4 = 50).  After a green round 9
     # no query's latest driver row is older than ROUND 7.
     # Do NOT insert new names anywhere above the "-- window boundary"
     # marker mid-round; new round-9 queries may be inserted at the END
@@ -3451,8 +3534,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- (a) round-9 RE-KEYED oracles (banding change) --
     "sequence_pack", "sequence_fill", "sequence_emit",
     # -- (b) round-9 additions (never driver-witnessed) --
-    "mixture_weights", "mixture_weights_target", "sequence_pack_ffd",
-    "table_profile_approx",
+    "mixture_weights", "mixture_weights_target", "mixture_drift",
+    "dedup_keep_best", "sequence_pack_ffd", "table_profile_approx",
     # -- (c) round-4-witnessed entries displaced from the r8 window --
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     "repetition_signals",
@@ -3471,12 +3554,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
     "countmin_heavy_hitters", "hll_distinct",
-    # -- (f) the 6 oldest round-7-witnessed entries --
+    # -- (f) the 4 oldest round-7-witnessed entries --
     "weighted_stratified_sample", "bpe_token_histogram",
-    "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
-    "exactsubstr_cut_capped",
+    "kmeans_clusters", "kmv_overlap_estimate",
     # -- window boundary: entries below are outside the driver snapshot --
     # remaining round-7-witnessed entries, r7-window order
+    "exactsubstr_cut", "exactsubstr_cut_capped",
     "repeated_spans_scalable",
     "packing_efficiency", "weighted_stratified_sample_scale",
     "ngram_novelty",

@@ -352,3 +352,115 @@ class TestCorpusProfileCLI:
         cols = {c["col_name"]: c for c in out["columns"]}
         n = out["n_rows"]
         assert abs(cols["doc_id"]["n_distinct"] - n) <= 0.05 * n
+
+
+class TestMixtureDrift:
+    def test_planted_shares_and_flags(self, spark):
+        """Exact integer shares: 300-token 'a' + 100-token 'b' with
+        targets 1:1 -> shares 750000/250000, drift ±250000, both
+        flagged; an untargeted source and a missing targeted source
+        surface as pure excess / shortfall."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [(1, "a", " ".join(["w"] * 300)),
+                (2, "b", " ".join(["w"] * 100)),
+                (3, "c", " ".join(["w"] * 0))]   # zero tokens: drops
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string") \
+            .createOrReplaceTempView("documents")
+        got = {r["source"]: r for r in spark.sql(SAMP.q_mixture_drift(
+            S.SPARK, targets=(("a", 5), ("b", 5), ("ghost", 10)),
+            tol_e6=100_000)).collect()}
+        assert got["a"]["share_e6"] == 750_000
+        assert got["a"]["target_e6"] == 250_000
+        assert got["a"]["drift_e6"] == 500_000
+        assert got["a"]["out_of_tol"] == 1
+        assert got["b"]["share_e6"] == 250_000
+        assert got["b"]["drift_e6"] == 0
+        assert got["b"]["out_of_tol"] == 0
+        # targeted but absent from the corpus: pure shortfall
+        assert got["ghost"]["n_tok"] == 0
+        assert got["ghost"]["drift_e6"] == -500_000
+        assert got["ghost"]["out_of_tol"] == 1
+        # a present-but-token-less source audits at zero everything
+        assert (got["c"]["n_tok"], got["c"]["share_e6"],
+                got["c"]["target_e6"], got["c"]["out_of_tol"]) \
+            == (0, 0, 0, 0)
+
+
+class TestDedupKeepBest:
+    """A near-dup cluster keeps its highest-quality member even at a
+    HIGHER doc_id: doc 2 repeats doc 1's token stream twice
+    (identical token SET -> identical MinHash signature, a certain
+    LSH pair) and scores better on the length signal.  Both
+    derivations — the Spark operator composition (CC + per-cluster
+    rank) and the recursive-CTE oracle — must produce that keeper
+    (their row-for-row equality at sf0.01 is the driver gate)."""
+
+    BASE = ("the quick brown fox jumps over lazy dog and runs "
+            "far away tonight")
+    ROWS = [(1, BASE, "en", "s", 1),
+            (2, BASE + " " + BASE, "en", "s", 1),   # better length
+            (3, "completely unrelated island of words here",
+             "en", "s", 1)]
+    SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    def _check(self, ref: dict) -> None:
+        assert ref[1][1] == ref[2][1]              # same cluster
+        assert ref[2][3] == 1 and ref[1][3] == 0   # doc 2 keeps
+        assert ref[3][3] == 1                      # singleton keeps
+
+    def test_oracle_semantics_planted(self, spark):
+        import duckdb
+
+        from dystonse_gtfs_importer_spark.plans import (
+            oracle_queries as oq,
+        )
+
+        con = duckdb.connect()
+        con.register("documents", spark.createDataFrame(
+            self.ROWS, self.SCHEMA).toPandas())
+        ref = {r[0]: r for r in con.execute(
+            oq._dedup_keep_best_oracle()).fetchall()}
+        self._check(ref)
+
+    def test_operator_semantics_planted(self, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        from dystonse_gtfs_importer_spark.functions import (
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.functions import (
+            dedup_sql as D,
+        )
+        from dystonse_gtfs_importer_spark.operators.graph import (
+            connected_components,
+        )
+
+        docs = spark.createDataFrame(self.ROWS, self.SCHEMA)
+        docs.createOrReplaceTempView("documents")
+        pairs = (spark.sql(D.q_minhash_lsh_pairs(S.SPARK))
+                 .where(F.col("est_jaccard") >= 0.9))
+        cc = connected_components(pairs, "doc_a", "doc_b",
+                                  nodes=docs.select("doc_id"))
+        q = docs.selectExpr(
+            "doc_id",
+            f"{S.quality_score('text', S.SPARK)} AS quality")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality").desc(), F.col("doc_id"))
+        got = {r["doc_id"]: (r["doc_id"], r["cluster_id"],
+                             r["quality"], r["is_keeper"])
+               for r in (cc.select(F.col("node").alias("doc_id"),
+                                   F.col("component")
+                                   .alias("cluster_id"))
+                         .join(q, ["doc_id"])
+                         .withColumn(
+                             "is_keeper",
+                             F.when(F.row_number().over(w) == 1, 1)
+                             .otherwise(0))).collect()}
+        self._check(got)
