@@ -251,3 +251,68 @@ def decayed_counter_batch(events: DataFrame,
                .withColumn("_k", F.col(key_col))
                .select("_k", "_epoch", F.col(value_col)))
     return prepped.groupBy("_k").applyInPandas(fold_group, _DECAY_OUT)
+
+
+def windowed_mixture_drift(docs: DataFrame,
+                           targets: tuple[tuple[str, int], ...],
+                           tol_e6: int = 20_000,
+                           ts_col: str = "ts",
+                           source_col: str = "source",
+                           text_col: str = "text",
+                           window: str = "1 hour",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Streaming mixture-drift monitor: per (event-time window,
+    source), the achieved token share vs the prescribed target
+    mixture with an out-of-tolerance flag — the live-feed twin of
+    the batch ``q_mixture_drift`` audit, so a corpus ingest raises
+    drift alarms per window instead of discovering a skewed mixture
+    at training time.
+
+    Same exact-integer semantics as the batch audit (e6 shares via
+    floored division, targets normalized against their own sum);
+    per-window totals come from a second grouped aggregation over
+    the (window, source) partials — both state-store aggregations
+    are (windows x sources)-sized, independent of event volume, and
+    token counting is a map-only projection before the shuffle.
+    Sources absent from the target table flag as pure excess; a
+    targeted source missing from a window simply has no row there
+    (a stream cannot emit rows for data that never arrived — run
+    the batch audit over the landed corpus for shortfall checks).
+
+    Works on both streaming and batch frames (batch ignores the
+    watermark), so the stream==batch equality test runs one plan."""
+    tw_tot = sum(w for _, w in targets) or 1
+    tgt = F.create_map(*[x for s, w in targets
+                         for x in (F.lit(s), F.lit(int(w)))])
+    df = docs
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    sized = df.select(
+        F.window(F.col(ts_col), window).alias("w"),
+        F.col(source_col).alias("source"),
+        F.expr(f"size(filter(split(lower({text_col}), ' +'), "
+               f"t -> t <> ''))").cast("long").alias("n_tok"))
+    per = (sized.groupBy("w", "source")
+           .agg(F.sum("n_tok").alias("n_tok")))
+    # second (windows x sources)-sized aggregation for window totals;
+    # streaming-legal because it re-keys the SAME event-time window
+    # column (no new shuffle key crosses the watermark)
+    tot = per.groupBy("w").agg(F.sum("n_tok").alias("tot"))
+    out = (per.join(tot, ["w"])
+           .withColumn("_tw", F.coalesce(tgt[F.col("source")],
+                                         F.lit(0)).cast("long"))
+           .select(
+               F.unix_timestamp("w.start").alias("window_start_s"),
+               "source",
+               F.col("n_tok").cast("long").alias("n_tok"),
+               F.expr("n_tok * 1000000 DIV GREATEST(tot, 1)")
+               .cast("long").alias("share_e6"),
+               F.expr(f"_tw * 1000000 DIV {tw_tot}")
+               .cast("long").alias("target_e6"))
+           .withColumn("drift_e6",
+                       (F.col("share_e6") - F.col("target_e6"))
+                       .cast("long"))
+           .withColumn("out_of_tol",
+                       (F.abs(F.col("drift_e6")) > F.lit(tol_e6))
+                       .cast("int")))
+    return out

@@ -464,3 +464,75 @@ class TestDedupKeepBest:
                              F.when(F.row_number().over(w) == 1, 1)
                              .otherwise(0))).collect()}
         self._check(got)
+
+
+class TestWindowedMixtureDrift:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """Live mixture monitoring: per (event-time window, source)
+        achieved share vs target with drift flags — the streaming
+        plan (two chained window-keyed stateful aggregations + a
+        window-equality join, legal in Spark 4's multi-stateful
+        support) must equal the same plan run in batch, and the
+        planted windows must flag exactly the skewed source."""
+        import json
+
+        import pyspark.sql.functions as F
+
+        from dystonse_gtfs_importer_spark.streaming.windows import (
+            windowed_mixture_drift,
+        )
+
+        src = tmp_path / "docs"
+        src.mkdir()
+        base = 1704096000  # 2024-01-01T08:00Z
+        rows = []
+        # window 1: balanced 50/50 between a and b (10 tokens each)
+        for i in range(4):
+            rows.append({"doc_id": i, "source": ["a", "b"][i % 2],
+                         "ts": (base + i * 60) * 1000000,
+                         "text": "tok " * 9 + "tok"})
+        # window 2 (2h later): a floods to 3/4 of tokens
+        for i in range(4):
+            rows.append({"doc_id": 10 + i,
+                         "source": "a" if i < 3 else "b",
+                         "ts": (base + 7200 + i * 60) * 1000000,
+                         "text": "tok " * 9 + "tok"})
+        # tail far ahead so the watermark closes both windows
+        rows.append({"doc_id": 99, "source": "a",
+                     "ts": (base + 8 * 3600) * 1000000, "text": "t"})
+        (src / "a.json").write_text(
+            "\n".join(json.dumps(r) for r in rows))
+
+        schema = "doc_id long, source string, ts long, text string"
+        to_ts = lambda df: df.withColumn(
+            "ts", F.timestamp_micros(F.col("ts")))
+        targets = (("a", 1), ("b", 1))
+
+        batch = windowed_mixture_drift(
+            to_ts(spark.read.schema(schema).json(str(src))),
+            targets, tol_e6=100_000)
+        stream = windowed_mixture_drift(
+            to_ts(spark.readStream.schema(schema).json(str(src))),
+            targets, tol_e6=100_000)
+        assert stream.isStreaming
+        q = (stream.writeStream.format("memory").queryName("mixdrift")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r.window_start_s, r.source):
+               (r.n_tok, r.share_e6, r.target_e6, r.drift_e6,
+                r.out_of_tol)
+               for r in spark.sql("SELECT * FROM mixdrift").collect()}
+        want = {(r.window_start_s, r.source):
+                (r.n_tok, r.share_e6, r.target_e6, r.drift_e6,
+                 r.out_of_tol)
+                for r in batch.collect()
+                if r.window_start_s in {k[0] for k in got}}
+        assert got == want and got, (got, want)
+        # planted semantics: balanced window in-tol, flooded window
+        # flags BOTH sources (a +25pp, b -25pp)
+        w1, w2 = sorted({k[0] for k in got})[:2]
+        assert got[(w1, "a")] == (20, 500_000, 500_000, 0, 0)
+        assert got[(w2, "a")] == (30, 750_000, 500_000, 250_000, 1)
+        assert got[(w2, "b")][4] == 1
