@@ -3398,6 +3398,12 @@ QUERIES: dict[str, QueryDef] = {
         "water-filling (tightness-sorted prefix, exact integer "
         "cross-multiplications, floored proportional split); one "
         "corpus scan, windows only over the |sources|-row aggregate"),
+    "ann_recall": _sql_pair(
+        ANN.q_ann_recall,
+        "IVF recall audit: per sampled query, hits of the exact "
+        "brute-force cosine top-k inside the registered IVF path's "
+        "result (recall_e4 floored integer) - measure-don't-guess "
+        "for the approximate index, exact leg sampled by design"),
     "mixture_drift": _sql_pair(
         SAMP.q_mixture_drift,
         "mixture audit: per-source achieved token share vs prescribed "
@@ -3523,8 +3529,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # the old driver rows no longer describe HEAD), (b) the 3 round-9
     # additions, (c) the 9 round-4-witnessed entries displaced from
     # the round-8 window, (d) the full 20-entry round-5 cohort,
-    # (e) the 8-entry round-6 cohort, and (f) the 4 oldest round-7
-    # entries (3 + 6 + 9 + 20 + 8 + 4 = 50).  After a green round 9
+    # (e) the 8-entry round-6 cohort, and (f) the 3 oldest round-7
+    # entries (3 + 7 + 9 + 20 + 8 + 3 = 50).  After a green round 9
     # no query's latest driver row is older than ROUND 7.
     # Do NOT insert new names anywhere above the "-- window boundary"
     # marker mid-round; new round-9 queries may be inserted at the END
@@ -3535,7 +3541,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sequence_pack", "sequence_fill", "sequence_emit",
     # -- (b) round-9 additions (never driver-witnessed) --
     "mixture_weights", "mixture_weights_target", "mixture_drift",
-    "dedup_keep_best", "sequence_pack_ffd", "table_profile_approx",
+    "dedup_keep_best", "ann_recall", "sequence_pack_ffd",
+    "table_profile_approx",
     # -- (c) round-4-witnessed entries displaced from the r8 window --
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     "repetition_signals",
@@ -3554,11 +3561,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
     "countmin_heavy_hitters", "hll_distinct",
-    # -- (f) the 4 oldest round-7-witnessed entries --
+    # -- (f) the 3 oldest round-7-witnessed entries --
     "weighted_stratified_sample", "bpe_token_histogram",
-    "kmeans_clusters", "kmv_overlap_estimate",
+    "kmeans_clusters",
     # -- window boundary: entries below are outside the driver snapshot --
     # remaining round-7-witnessed entries, r7-window order
+    "kmv_overlap_estimate",
     "exactsubstr_cut", "exactsubstr_cut_capped",
     "repeated_spans_scalable",
     "packing_efficiency", "weighted_stratified_sample_scale",

@@ -1265,3 +1265,133 @@ class TestRound8PlanShapes:
         # the scan reads only what the query needs
         assert "ReadSchema" in plan
         assert "n_chars" not in plan.split("ReadSchema")[1][:400], plan
+
+
+class TestRound9PlanShapes:
+    """100 TB shapes of the round-9 operators: the mixture solver's
+    windows only ever run over the |sources|-row aggregate, the
+    resample step never shuffles the corpus, the FFD packer has the
+    same band-scoped shape as NFD, and the dedup stream's store
+    probe broadcasts the batch side."""
+
+    def _window_nodes(self, df):
+        def nodes(n, out):
+            out.append(n)
+            kids = n.children()
+            for i in range(kids.length()):
+                nodes(kids.apply(i), out)
+            return out
+
+        root = df._jdf.queryExecution().optimizedPlan()
+        return root, [n for n in nodes(root, [])
+                      if n.nodeName() == "Window"]
+
+    def test_mixture_solver_windows_over_aggregate_only(
+            self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        for sql in (SAMP.q_mixture_weights(S.SPARK),
+                    SAMP.q_mixture_weights_target(S.SPARK),
+                    SAMP.q_mixture_drift(S.SPARK)):
+            df = spark.sql(sql)
+            root, wins = self._window_nodes(df)
+
+            def nodes(n, out):
+                out.append(n)
+                kids = n.children()
+                for i in range(kids.length()):
+                    nodes(kids.apply(i), out)
+                return out
+
+            for w in wins:
+                sub = [n.nodeName() for n in nodes(w, [])]
+                assert "Aggregate" in sub, sub
+            assert "CartesianProduct" not in str(root)
+
+    def test_apply_mixture_no_corpus_shuffle(self, spark, sf_smoke):
+        """The resample step is a broadcast of the |sources|-row rate
+        table + a map-only explode/filter: the corpus side of the
+        final join must NOT hash-exchange (only the solver's tiny
+        aggregate shuffles)."""
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            apply_mixture,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            load_table,
+        )
+
+        df = apply_mixture(load_table(spark, sf_smoke, "documents"),
+                           budget=4000)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # exchanges belong to the solver's source aggregate + its
+        # |sources|-row windows, never to the corpus-side join input:
+        # the broadcast join's streamed child must be scan->project
+        assert "CartesianProduct" not in plan
+
+    def test_ffd_packer_band_scoped(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            pack_sequences_ffd,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            load_table,
+        )
+
+        df = pack_sequences_ffd(load_table(spark, sf_smoke,
+                                           "documents"))
+        plan = plan_of(df)
+        assert "FlatMapGroupsInPandas" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        root, wins = self._window_nodes(df)
+        assert wins
+
+        def nodes(n, out):
+            out.append(n)
+            kids = n.children()
+            for i in range(kids.length()):
+                nodes(kids.apply(i), out)
+            return out
+
+        for w in wins:
+            if w.partitionSpec().length() > 0:
+                assert "bucket" in str(w.partitionSpec())
+            else:
+                sub = [n.nodeName() for n in nodes(w, [])]
+                assert "Aggregate" in sub, sub
+
+    def test_dedup_stream_store_probe_broadcasts_batch_side(
+            self, spark):
+        """The corpus-sized store side of the near-dup screen must
+        stream map-only through BuildRight broadcast joins of the
+        batch's key set — no store-side hash exchange."""
+        import pyspark.sql.functions as F2
+
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            annotate_batch,
+            band_cols,
+            screen_against_store,
+        )
+
+        batch = spark.createDataFrame(
+            [(i, f"doc body {i} alpha beta", "en", "s")
+             for i in range(50)],
+            "doc_id LONG, text STRING, lang STRING, source STRING")
+        store = annotate_batch(spark.createDataFrame(
+            [(1000 + i, f"other text {i} gamma delta", "en", "s")
+             for i in range(200)],
+            "doc_id LONG, text STRING, lang STRING, source STRING"),
+            near_dup=True).select("fingerprint", *band_cols())
+        out = screen_against_store(annotate_batch(batch, True),
+                                   store, True)
+        plan = plan_of(out)
+        assert plan.count("BroadcastHashJoin") >= 3, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

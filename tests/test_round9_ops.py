@@ -536,3 +536,31 @@ class TestWindowedMixtureDrift:
         assert got[(w1, "a")] == (20, 500_000, 500_000, 0, 0)
         assert got[(w2, "a")] == (30, 750_000, 500_000, 250_000, 1)
         assert got[(w2, "b")][4] == 1
+
+
+class TestAnnRecallAudit:
+    def test_full_probe_anchor_and_monotone_curve(self, spark,
+                                                  sf_correct):
+        """The recall-vs-nprobe curve: probing every cell equals the
+        brute-force candidate set, so the nprobe=8 leg must land at
+        recall_e4 = 10000 for EVERY query (the audit's built-in
+        sanity anchor), and mean recall must be non-decreasing in
+        nprobe."""
+        from dystonse_gtfs_importer_spark.functions import (
+            ann_sql as ANN,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_correct)
+        rows = spark.sql(ANN.q_ann_recall(S.SPARK)).collect()
+        by: dict[int, list[int]] = {}
+        for r in rows:
+            by.setdefault(r["nprobe"], []).append(r["recall_e4"])
+        assert set(by) == {1, 2, 4, 8}
+        assert all(v == 10000 for v in by[8])
+        means = [sum(by[n]) / len(by[n]) for n in (1, 2, 4, 8)]
+        assert means == sorted(means)
+        assert means[-1] == 10000

@@ -341,7 +341,7 @@ class TestRegistryWindow:
             "sequence_pack", "sequence_fill", "sequence_emit",
             # round-9 additions
             "mixture_weights", "mixture_weights_target",
-            "mixture_drift", "dedup_keep_best",
+            "mixture_drift", "dedup_keep_best", "ann_recall",
             "sequence_pack_ffd", "table_profile_approx",
             # round-4 entries displaced from the round-8 window
             "median_rank", "sessionization", "funnel_steps",
