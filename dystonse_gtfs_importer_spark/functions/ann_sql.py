@@ -873,3 +873,94 @@ def q_ann_recall(d: S.Dialect, k: int = K,
         WITH ex AS ({exact})
         {union}
     """
+
+
+RRF_C = 60          # the standard reciprocal-rank-fusion constant
+RRF_LEG_K = 10      # per-leg candidate depth feeding the fusion
+RRF_TOPK = 5
+
+
+def q_hybrid_rrf_topk(d: S.Dialect, k: int = RRF_TOPK,
+                      leg_k: int = RRF_LEG_K, c: int = RRF_C) -> str:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): for each sampled query document, fuse an EMBEDDING leg
+    (cosine top-``leg_k`` over the embeddings table) with a LEXICAL
+    leg (token-set Jaccard top-``leg_k`` over the documents table)
+    by ``score = sum_legs 1/(c + rank)`` — the standard two-tower +
+    BM25-family hybrid every retrieval pipeline ships, rank-only so
+    the two legs' incomparable score scales never need calibration.
+
+    Exact integers: each leg contributes ``1e6 DIV (c + rank)``
+    (floored), summed; candidates missing from a leg contribute 0
+    (fusion runs over the UNION of the legs' top-k sets).  Ties on
+    the fused score break by (cand_id) for a stable cross-engine
+    order.
+
+    Scale shape: the embedding leg is the sampled-query brute-force
+    scorer (or the IVF path in production — rank lists are
+    interchangeable by construction); the lexical leg explodes ONLY
+    the query documents' tokens (|queries| x doc-length rows) into
+    an inverted-index join against the corpus token table, so
+    corpus-side work is one token aggregate; the fusion itself is a
+    FULL OUTER join of two (queries x leg_k)-sized lists."""
+    from .dedup_sql import q_cosine_topk
+
+    cos = q_cosine_topk(d, k=leg_k, query_stride=QUERY_STRIDE)
+    return f"""
+        WITH cos AS ({cos}),
+        dtoks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, {d.explode_tokens('text')} AS tok
+                FROM documents
+            ) t WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        dsz AS (
+            SELECT doc_id, COUNT(*) AS n FROM dtoks GROUP BY doc_id
+        ),
+        qtoks AS (
+            SELECT doc_id AS query_id, tok FROM dtoks
+            WHERE doc_id % {QUERY_STRIDE} = 0
+        ),
+        inter AS (
+            SELECT q.query_id, t.doc_id AS cand_id,
+                   COUNT(*) AS n_inter
+            FROM qtoks q JOIN dtoks t ON t.tok = q.tok
+                                     AND t.doc_id <> q.query_id
+            GROUP BY q.query_id, t.doc_id
+        ),
+        lexr AS (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(CAST(n_inter AS DOUBLE)
+                           / (qs.n + cs.n - n_inter), 6) DESC,
+                           cand_id) AS rk
+            FROM inter i
+            JOIN dsz qs ON qs.doc_id = i.query_id
+            JOIN dsz cs ON cs.doc_id = i.cand_id
+        ),
+        lex AS (SELECT * FROM lexr WHERE rk <= {leg_k}),
+        fused AS (
+            SELECT COALESCE(c.query_id, l.query_id) AS query_id,
+                   COALESCE(c.cand_id, l.cand_id) AS cand_id,
+                   CAST(COALESCE({d.intdiv('1000000',
+                                           f'({c} + c.rk)')}, 0)
+                        + COALESCE({d.intdiv('1000000',
+                                             f'({c} + l.rk)')}, 0)
+                        AS BIGINT) AS rrf_e6,
+                   c.rk AS cos_rank, l.rk AS lex_rank
+            FROM cos c
+            FULL OUTER JOIN lex l ON l.query_id = c.query_id
+                                 AND l.cand_id = c.cand_id
+        ),
+        final AS (
+            SELECT query_id, cand_id, rrf_e6,
+                   CAST(COALESCE(cos_rank, 0) AS BIGINT) AS cos_rank,
+                   CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rrf_e6 DESC, cand_id) AS rk
+            FROM fused
+        )
+        SELECT query_id, cand_id, rrf_e6, cos_rank, lex_rank,
+               CAST(rk AS BIGINT) AS rk
+        FROM final WHERE rk <= {k}
+    """

@@ -766,3 +766,53 @@ def q_table_profile_approx(d: S.Dialect, table: str = "orders",
         )
         {union}
     """
+
+
+def q_corpus_diff(d: S.Dialect) -> str:
+    """Corpus snapshot diff, summarized per (source, status): how
+    many documents (and tokens) were added / removed / changed /
+    unchanged between two corpus versions — the audit a pipeline
+    runs before republishing shards or invalidating caches after a
+    recrawl or cleaning pass.
+
+    The oracle fixture simulates v2 INSIDE the query (drop every
+    13th doc, edit every 17th, add synthetic docs under a new
+    source), so all four statuses are driver-witnessed; the
+    DataFrame operator (`plans/corpus.corpus_diff`) runs the same
+    FULL OUTER id join + text comparison over two REAL tables.
+
+    Scale shape: one FULL OUTER equi-join on doc_id (co-partitioned,
+    the only corpus shuffle) with direct text inequality — no
+    hashing round-trip — then a (sources x 4)-row aggregate.  Token
+    counting reads the NEW side (old side for removals)."""
+    tok = d.arr_len(d.token_array("txt"))
+    return f"""
+        WITH v1 AS (
+            SELECT doc_id, source, text FROM documents
+        ),
+        v2 AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 17 = 3
+                        THEN CONCAT(text, ' edited marker')
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 13 <> 5
+            UNION ALL
+            SELECT doc_id + 1000000, 'src_new',
+                   CONCAT('synthetic new doc ',
+                          CAST(doc_id AS STRING))
+            FROM documents WHERE doc_id % 29 = 1
+        ),
+        diff AS (
+            SELECT COALESCE(b.source, a.source) AS source,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.text <> b.text THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   COALESCE(b.text, a.text) AS txt
+            FROM v1 a FULL OUTER JOIN v2 b ON b.doc_id = a.doc_id
+        )
+        SELECT source, status,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({tok}) AS BIGINT) AS n_tokens
+        FROM diff GROUP BY source, status
+    """

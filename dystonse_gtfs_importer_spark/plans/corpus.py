@@ -544,3 +544,36 @@ def apply_mixture(docs: DataFrame, budget: int,
                          + F.col("epoch") * F.lit(id_stride))
                         .cast("long"))
             .drop("_full", "_thr"))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                source_col: str = "source") -> DataFrame:
+    """Snapshot diff of two corpus tables, summarized per (source,
+    status in added/removed/changed/unchanged) with doc and token
+    counts — the DataFrame twin of the `q_corpus_diff` oracle
+    fixture (same join + comparison semantics; the oracle simulates
+    its v2 in-query so the driver witnesses all four statuses).
+
+    One FULL OUTER equi-join on the id (co-partitioned corpus
+    shuffle), direct text inequality, then a (sources x 4)-row
+    aggregate."""
+    a = old.select(F.col(id_col).alias("doc_id"),
+                   F.col(source_col).alias("src_a"),
+                   F.col(text_col).alias("text_a"))
+    b = new.select(F.col(id_col).alias("doc_id"),
+                   F.col(source_col).alias("src_b"),
+                   F.col(text_col).alias("text_b"))
+    diff = (a.join(b, ["doc_id"], "full_outer")
+            .select(
+                F.coalesce("src_b", "src_a").alias("source"),
+                F.when(F.col("text_a").isNull(), "added")
+                .when(F.col("text_b").isNull(), "removed")
+                .when(F.col("text_a") != F.col("text_b"), "changed")
+                .otherwise("unchanged").alias("status"),
+                F.coalesce("text_b", "text_a").alias("txt")))
+    return (diff.groupBy("source", "status")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.expr("sum(size(filter(split(lower(txt), ' +'), "
+                        "t -> t <> '')))").cast("long")
+                 .alias("n_tokens")))

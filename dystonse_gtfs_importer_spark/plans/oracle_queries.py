@@ -3398,6 +3398,20 @@ QUERIES: dict[str, QueryDef] = {
         "water-filling (tightness-sorted prefix, exact integer "
         "cross-multiplications, floored proportional split); one "
         "corpus scan, windows only over the |sources|-row aggregate"),
+    "corpus_diff": _sql_pair(
+        SK.q_corpus_diff,
+        "corpus snapshot diff per (source, status): docs/tokens "
+        "added / removed / changed / unchanged between two versions "
+        "(oracle simulates v2 in-query so all four statuses are "
+        "witnessed; DataFrame twin plans/corpus.corpus_diff runs the "
+        "same FULL OUTER id join over two real tables)"),
+    "hybrid_rrf_topk": _sql_pair(
+        ANN.q_hybrid_rrf_topk,
+        "hybrid retrieval, reciprocal-rank fusion: embedding-cosine "
+        "and token-Jaccard legs fused by 1e6 DIV (60+rank) over the "
+        "union of the per-leg top-k lists (rank-only, no score "
+        "calibration); lexical leg is a query-tokens inverted-index "
+        "join, fusion is (queries x k)-sized"),
     "ann_recall": _sql_pair(
         ANN.q_ann_recall,
         "IVF recall audit: per sampled query, hits of the exact "
@@ -3529,8 +3543,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # the old driver rows no longer describe HEAD), (b) the 3 round-9
     # additions, (c) the 9 round-4-witnessed entries displaced from
     # the round-8 window, (d) the full 20-entry round-5 cohort,
-    # (e) the 8-entry round-6 cohort, and (f) the 3 oldest round-7
-    # entries (3 + 7 + 9 + 20 + 8 + 3 = 50).  After a green round 9
+    # (e) the 8-entry round-6 cohort, and (f) the oldest round-7
+    # entry (3 + 9 + 9 + 20 + 8 + 1 = 50).  After a green round 9
     # no query's latest driver row is older than ROUND 7.
     # Do NOT insert new names anywhere above the "-- window boundary"
     # marker mid-round; new round-9 queries may be inserted at the END
@@ -3541,8 +3555,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sequence_pack", "sequence_fill", "sequence_emit",
     # -- (b) round-9 additions (never driver-witnessed) --
     "mixture_weights", "mixture_weights_target", "mixture_drift",
-    "dedup_keep_best", "ann_recall", "sequence_pack_ffd",
-    "table_profile_approx",
+    "dedup_keep_best", "ann_recall", "hybrid_rrf_topk", "corpus_diff",
+    "sequence_pack_ffd", "table_profile_approx",
     # -- (c) round-4-witnessed entries displaced from the r8 window --
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     "repetition_signals",
@@ -3561,12 +3575,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
     "countmin_heavy_hitters", "hll_distinct",
-    # -- (f) the 3 oldest round-7-witnessed entries --
-    "weighted_stratified_sample", "bpe_token_histogram",
-    "kmeans_clusters",
+    # -- (f) the oldest round-7-witnessed entry --
+    "weighted_stratified_sample",
     # -- window boundary: entries below are outside the driver snapshot --
     # remaining round-7-witnessed entries, r7-window order
-    "kmv_overlap_estimate",
+    "bpe_token_histogram",
+    "kmeans_clusters", "kmv_overlap_estimate",
     "exactsubstr_cut", "exactsubstr_cut_capped",
     "repeated_spans_scalable",
     "packing_efficiency", "weighted_stratified_sample_scale",

@@ -564,3 +564,32 @@ class TestAnnRecallAudit:
         means = [sum(by[n]) / len(by[n]) for n in (1, 2, 4, 8)]
         assert means == sorted(means)
         assert means[-1] == 10000
+
+
+class TestCorpusDiff:
+    def test_operator_planted_statuses(self, spark):
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            corpus_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "s1", "alpha beta"), (2, "s1", "gamma delta"),
+             (3, "s2", "kept as is")],
+            "doc_id long, source string, text string")
+        new = spark.createDataFrame(
+            [(1, "s1", "alpha beta"),               # unchanged
+             (2, "s1", "gamma delta EDITED"),       # changed
+             (3, "s2", "kept as is"),               # unchanged
+             (9, "s3", "brand new doc body here")],  # added
+            "doc_id long, source string, text string")
+        # plus a removal: old doc 4 absent from new
+        old = old.union(spark.createDataFrame(
+            [(4, "s2", "goes away soon")],
+            "doc_id long, source string, text string"))
+        got = {(r["source"], r["status"]): (r["n_docs"], r["n_tokens"])
+               for r in corpus_diff(old, new).collect()}
+        assert got == {("s1", "unchanged"): (1, 2),
+                       ("s1", "changed"): (1, 3),
+                       ("s2", "unchanged"): (1, 3),
+                       ("s2", "removed"): (1, 3),
+                       ("s3", "added"): (1, 5)}

@@ -342,6 +342,7 @@ class TestRegistryWindow:
             # round-9 additions
             "mixture_weights", "mixture_weights_target",
             "mixture_drift", "dedup_keep_best", "ann_recall",
+            "hybrid_rrf_topk", "corpus_diff",
             "sequence_pack_ffd", "table_profile_approx",
             # round-4 entries displaced from the round-8 window
             "median_rank", "sessionization", "funnel_steps",
