@@ -161,6 +161,19 @@ def _parser() -> argparse.ArgumentParser:
                           "exact COUNT(DISTINCT)")
     cpr.add_argument("--exact", action="store_true",
                      help="force exact distincts regardless of size")
+    cmx = csub.add_parser(
+        "mixture",
+        help="solve per-source sampling rates + epoch counts for a "
+             "token budget (temperature 0.5, capped water-filling); "
+             "prints the table prepare-shards --mixture-budget applies")
+    cmx.add_argument("--docs", default=None,
+                     help="documents parquet path "
+                          "(default <dir>/documents.parquet)")
+    cmx.add_argument("--budget", type=int, required=True,
+                     help="total token budget")
+    cmx.add_argument("--epoch-cap-e6", type=int, default=None,
+                     help="max epochs per source in micro-units "
+                          "(default 1400000 = 1.4 epochs)")
     return p
 
 
@@ -613,6 +626,33 @@ def _cmd_corpus_profile(spark, args) -> int:
     return 0
 
 
+def _cmd_corpus_mixture(spark, args) -> int:
+    """`corpus mixture`: solve and print the per-source mixture table
+    (alloc tokens, epochs_e6 = sampling rate, capped flag) for a
+    token budget — the read-only face of the water-filling solver;
+    `corpus prepare-shards --mixture-budget` applies the same solve."""
+    import json
+    import uuid
+
+    from .functions import sampling_sql as SAMP
+    from .functions import sql_shared as S
+
+    path = args.docs or str(Path(args.dir) / "documents.parquet")
+    docs = spark.read.parquet(path)
+    cap = args.epoch_cap_e6 or SAMP.MIX_EPOCH_CAP_E6
+    view = f"__mix_cli_{uuid.uuid4().hex[:12]}"
+    docs.createOrReplaceTempView(view)
+    rows = [r.asDict() for r in spark.sql(SAMP.q_mixture_weights(
+        S.SPARK, budget=args.budget, epoch_cap_e6=cap,
+        doc_table=view)).collect()]
+    spark.catalog.dropTempView(view)
+    rows.sort(key=lambda r: r["source"])
+    print(json.dumps({"budget": args.budget, "epoch_cap_e6": cap,
+                      "total_alloc": sum(r["alloc_tok"] for r in rows),
+                      "sources": rows}, sort_keys=True))
+    return 0
+
+
 def cmd_corpus(spark, args) -> int:
     """Training-corpus preparation commands (`corpus prepare-shards`,
     `corpus profile`): the CLI face of plans/corpus.prepare_shards
@@ -623,6 +663,8 @@ def cmd_corpus(spark, args) -> int:
 
     if args.cmode == "profile":
         return _cmd_corpus_profile(spark, args)
+    if args.cmode == "mixture":
+        return _cmd_corpus_mixture(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")
     docs = spark.read.parquet(docs_path)

@@ -593,3 +593,24 @@ class TestCorpusDiff:
                        ("s2", "unchanged"): (1, 3),
                        ("s2", "removed"): (1, 3),
                        ("s3", "added"): (1, 5)}
+
+
+class TestCorpusMixtureCLI:
+    def test_mixture_table_printed(self, spark, tmp_path, capsys):
+        import json
+        import shutil
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        lake = tmp_path / "lake"
+        lake.mkdir()
+        shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                    lake / "documents.parquet")
+        assert main(["-s", "x", "--dir", str(lake), "corpus",
+                     "mixture", "--budget", "4000"], spark=spark) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["budget"] == 4000
+        assert out["total_alloc"] <= 4000
+        assert out["sources"] and all(
+            r["epochs_e6"] <= out["epoch_cap_e6"]
+            for r in out["sources"])
