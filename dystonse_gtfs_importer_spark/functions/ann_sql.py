@@ -213,6 +213,97 @@ def q_knn_label_agreement(d: S.Dialect) -> str:
     """
 
 
+def q_retrieval_eval(d: S.Dialect) -> str:
+    """Ranking-quality metrics of the LSH top-{K} retrieval against
+    label relevance: per label, MRR (reciprocal rank of the first
+    same-label neighbor) and binary-relevance nDCG@{K} — the two
+    numbers a retrieval index is accepted or rejected on, computed
+    on the same deterministic candidate set the driver already
+    hash-verifies (q_ann_lsh_topk / q_knn_label_agreement family).
+
+    nDCG uses the standard corpus-ideal normalizer: IDCG@k over
+    ``min(k, |same-label corpus| - 1)`` ideal positions, derived
+    from a {K}-row series joined to the per-label size table (no
+    hard-coded log constants).  All log arithmetic is double-typed
+    (CASTs keep Spark's DECIMAL literal typing out), and the
+    per-label AVGs are ROUNDed to 4 — same drift guard as
+    knn_label_agreement.  Scale shape: adds only a label-size
+    aggregate (tiny) and a {K}-row series join on top of the
+    candidate machinery; everything heavy is shared with the
+    retrieval itself."""
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM cv"
+        for t in range(LSH_TABLES))
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM qv"
+        for t in range(LSH_TABLES))
+    log_gain = "LN(CAST(2 AS DOUBLE)) / LN(CAST(1 + rk AS DOUBLE))"
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, label, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        {_norm_cte(d)},
+        cb AS ({cb}),
+        qb AS ({qb}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+            FROM qb q
+            JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                     AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.cand_id,
+                   ROUND({d.arr_dot('q.emb', 'c.emb')}
+                         / (q.nrm * c.nrm), 6) AS cosine
+            FROM cand
+            JOIN cvn q ON q.vec_id = cand.query_id
+            JOIN cvn c ON c.vec_id = cand.cand_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id) AS rk
+            FROM scored
+        ),
+        topk AS (
+            SELECT query_id, cand_id, rk FROM ranked WHERE rk <= {K}
+        ),
+        rel AS (
+            SELECT r.query_id, qq.label, r.rk,
+                   CASE WHEN cc.label = qq.label THEN 1 ELSE 0 END AS rel
+            FROM topk r
+            JOIN cv qq ON qq.vec_id = r.query_id
+            JOIN cv cc ON cc.vec_id = r.cand_id
+        ),
+        per_query AS (
+            SELECT query_id, label,
+                   SUM(CAST(rel AS DOUBLE) * {log_gain}) AS dcg,
+                   MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel
+            FROM rel GROUP BY query_id, label
+        ),
+        label_sizes AS (
+            SELECT label, COUNT(*) AS n FROM cv GROUP BY label
+        ),
+        idcg AS (
+            SELECT ls.label, SUM({log_gain}) AS idcg
+            FROM label_sizes ls
+            JOIN (SELECT i + 1 AS rk FROM {d.series(K)} AS s) pos
+              ON pos.rk <= LEAST({K}, ls.n - 1)
+            GROUP BY ls.label
+        )
+        SELECT p.label,
+               COUNT(*) AS n_queries,
+               ROUND(AVG(COALESCE(CAST(1 AS DOUBLE) / p.first_rel,
+                                  CAST(0 AS DOUBLE))), 4) AS mrr,
+               ROUND(AVG(p.dcg / i.idcg), 4) AS ndcg
+        FROM per_query p
+        JOIN idcg i ON i.label = p.label
+        GROUP BY p.label
+    """
+
+
 def q_cosine_near_dup_pairs(d: S.Dialect, threshold: float = 0.35) -> str:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     ROUND(cosine, 6) >= threshold.  This exact form is the oracle

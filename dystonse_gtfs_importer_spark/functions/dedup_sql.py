@@ -253,6 +253,95 @@ def q_simhash_near_pairs_banded(d: S.Dialect) -> str:
     """
 
 
+EDIT_SIM_E3 = 600   # keep pairs with edit similarity >= 0.600
+
+
+def _edit_verify_select(d: S.Dialect) -> str:
+    """Shared verification tail: per-pair edit distance, max length,
+    and integer-exact similarity ``sim_e6 = trunc((max_len - dist) *
+    1e6 / max_len)``.  The threshold compare is pure integer
+    arithmetic (``dist * 1000 <= (1000 - t) * max_len``) so both
+    engines agree bit-for-bit; sim_e6 uses trunc-toward-zero float
+    division (numerator <= ~5.5e8 — exact in a double)."""
+    sim_e6 = d.trunc_num(
+        "(GREATEST(la, lb) - dist) * 1000000.0 / GREATEST(la, lb)")
+    return f"""
+        SELECT doc_a, doc_b, hamming,
+               CAST(dist AS BIGINT) AS edit_dist,
+               CAST(GREATEST(la, lb) AS BIGINT) AS max_len,
+               CAST({sim_e6} AS BIGINT) AS sim_e6
+        FROM pairs
+        WHERE dist >= 0
+          AND dist * 1000 <= {1000 - EDIT_SIM_E3} * GREATEST(la, lb)
+    """
+
+
+def q_edit_distance_near_pairs(d: S.Dialect) -> str:
+    """Quadratic REFERENCE form of sketch-then-verify near-dup
+    detection: candidates are all simhash64 pairs at hamming <= 3,
+    each verified by full (uncapped) Levenshtein distance; a pair
+    survives iff its character-level edit similarity
+    ``1 - dist / max(len_a, len_b)`` is >= 0.600.  The token-level
+    sketch recalls permutation-heavy look-alikes that character
+    edits reject — the verify stage is what separates true
+    near-duplicates from coincidental token-mix matches (at sf0.01,
+    2 932 candidates -> 6 verified pairs).  Oracle twin of
+    q_edit_distance_near_pairs_capped."""
+    return f"""
+        WITH cand AS ({q_simhash64_near_pairs(d)}),
+        pairs AS (
+            SELECT c.doc_a, c.doc_b, c.hamming,
+                   LENGTH(a.text) AS la, LENGTH(b.text) AS lb,
+                   levenshtein(a.text, b.text) AS dist
+            FROM cand c
+            JOIN documents a ON a.doc_id = c.doc_a
+            JOIN documents b ON b.doc_id = c.doc_b
+        )
+        {_edit_verify_select(d)}
+    """
+
+
+def q_edit_distance_near_pairs_capped(d: S.Dialect) -> str:
+    """Scale path (Spark): banded simhash64 candidates (pigeonhole —
+    lossless for hamming <= 3), a length prefilter
+    (``lev(a, b) >= |len_a - len_b|``, so pairs whose length gap
+    alone exceeds the allowed distance never run the DP), and
+    Spark's three-argument ``levenshtein(a, b, cap)`` whose banded
+    DP is O(cap * min_len) instead of O(len_a * len_b) and returns
+    -1 above the cap.  The cap is the pair's own allowed distance
+    ``floor((1000 - t) * max_len / 1000)``, so the verify cost per
+    candidate is bounded by the similarity threshold — at corpus
+    scale the verify stage is linear in candidate count, not
+    quadratic in document length.  Output is identical to
+    q_edit_distance_near_pairs (the driver hash-match proves both
+    the banding and the cap are lossless)."""
+    max_d = d.trunc_num(
+        f"{1000 - EDIT_SIM_E3} * GREATEST(la, lb) / 1000.0")
+    return f"""
+        WITH cand AS ({q_simhash64_near_pairs_banded(d)}),
+        sized AS (
+            SELECT c.doc_a, c.doc_b, c.hamming,
+                   a.text AS ta, b.text AS tb,
+                   LENGTH(a.text) AS la, LENGTH(b.text) AS lb
+            FROM cand c
+            JOIN documents a ON a.doc_id = c.doc_a
+            JOIN documents b ON b.doc_id = c.doc_b
+        ),
+        capped AS (
+            SELECT doc_a, doc_b, hamming, ta, tb, la, lb,
+                   CAST({max_d} AS INT) AS cap
+            FROM sized
+            WHERE ABS(la - lb) * 1000 <= {1000 - EDIT_SIM_E3} * GREATEST(la, lb)
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b, hamming, la, lb,
+                   levenshtein(ta, tb, cap) AS dist
+            FROM capped
+        )
+        {_edit_verify_select(d)}
+    """
+
+
 WINNOW_K = 5      # k-gram length (characters)
 WINNOW_W = 4      # winnowing window (consecutive k-gram hashes)
 

@@ -177,6 +177,58 @@ def q_vocab_topk_take(d: S.Dialect, k: int = 100) -> str:
     """
 
 
+OOV_VOCAB_N = 16
+
+
+def q_oov_rate(d: S.Dialect, n: int = OOV_VOCAB_N) -> str:
+    """Per-source out-of-vocabulary profile against a top-``n``
+    global frequency vocabulary (tf-ranked, token tie-break): token
+    and type counts, OOV counts, and the OOV token share in exact
+    micro-units — the coverage number a tokenizer/vocab decision is
+    made on (a source whose OOV share spikes is mis-tokenized or
+    off-distribution).
+
+    Scale shape: one tokenize pass feeds BOTH the vocab derivation
+    and the per-source rollup; the vocab is a global ORDER BY +
+    LIMIT (Spark: TakeOrderedAndProject — per-partition heaps, an
+    ``n``-row driver merge, no full-vocab window) and the membership
+    probe is a LEFT JOIN against those ``n`` rows, which AQE plans
+    broadcast — so the only fact-grain shuffles are the tok tf
+    aggregation and the final source rollup.  The rate is
+    trunc-toward-zero integer micro-units; SUMs are cast to BIGINT
+    (DuckDB SUM(int) is HUGEINT, which the driver hash treats as a
+    different type)."""
+    rate = d.trunc_num("SUM(oov) * 1000000.0 / COUNT(*)")
+    return f"""
+        WITH toks AS (
+            SELECT source, tok FROM (
+                SELECT source, {d.explode_tokens('text')} AS tok
+                FROM documents
+            ) t WHERE tok <> ''
+        ),
+        stats AS (
+            SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+        ),
+        vocab AS (
+            SELECT tok FROM stats ORDER BY tf DESC, tok LIMIT {n}
+        ),
+        flagged AS (
+            SELECT t.source, t.tok,
+                   CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+            FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        )
+        SELECT source,
+               COUNT(*) AS n_tok,
+               CAST(SUM(oov) AS BIGINT) AS n_oov_tok,
+               COUNT(DISTINCT tok) AS n_types,
+               COUNT(DISTINCT CASE WHEN oov = 1 THEN tok END)
+                   AS n_oov_types,
+               CAST({rate} AS BIGINT) AS oov_rate_e6
+        FROM flagged
+        GROUP BY source
+    """
+
+
 def q_tfidf_topk(d: S.Dialect, per_doc: int = 3) -> str:
     """Per-document top TF-IDF terms — the classic relevance score a
     training-data pipeline uses for keyword extraction and topic

@@ -3091,6 +3091,14 @@ QUERIES: dict[str, QueryDef] = {
     "simhash64_near_pairs": _sql_cross_pair(
         D.q_simhash64_near_pairs_banded, D.q_simhash64_near_pairs,
         "dedup-simhash 60-bit corpus-scale width"),
+    "edit_distance_near_pairs": _sql_cross_pair(
+        D.q_edit_distance_near_pairs_capped, D.q_edit_distance_near_pairs,
+        "dedup-edit-verify (sketch recall stage + capped Levenshtein "
+        "verify stage)"),
+    "oov_rate": _sql_pair(SAMP.q_oov_rate,
+                          "text-analysis vocab coverage"),
+    "retrieval_eval": _sql_pair(ANN.q_retrieval_eval,
+                                "similarity-eval MRR + nDCG"),
     "ngram_jaccard_pairs": _sql_cross_pair(
         D.q_ngram_jaccard_prefix, D.q_ngram_jaccard_pairs,
         "dedup-jaccard prefix-filter scale"),
@@ -3540,12 +3548,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # Round-9 rotation (VERDICT r8 #2): the window re-witnesses, in
     # priority order, (a) the 3 packer oracles RE-KEYED this round by
     # the seeded-position banding (their placement hashes changed, so
-    # the old driver rows no longer describe HEAD), (b) the 3 round-9
-    # additions, (c) the 9 round-4-witnessed entries displaced from
-    # the round-8 window, (d) the full 20-entry round-5 cohort,
-    # (e) the 8-entry round-6 cohort, and (f) the oldest round-7
-    # entry (3 + 9 + 9 + 20 + 8 + 1 = 50).  After a green round 9
-    # no query's latest driver row is older than ROUND 7.
+    # the old driver rows no longer describe HEAD), (b) the 12
+    # round-9 additions, (c) the 9 round-4-witnessed entries displaced
+    # from the round-8 window, (d) the full 20-entry round-5 cohort,
+    # and (e) 6 of the 8-entry round-6 cohort
+    # (3 + 12 + 9 + 20 + 6 = 50).  After a green round 9 no query's
+    # latest driver row is older than ROUND 6 (two r6 entries and the
+    # oldest r7 entry sit first below the boundary for round 10).
     # Do NOT insert new names anywhere above the "-- window boundary"
     # marker mid-round; new round-9 queries may be inserted at the END
     # of the window (displacing entries with fresher records) only
@@ -3557,6 +3566,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "mixture_weights", "mixture_weights_target", "mixture_drift",
     "dedup_keep_best", "ann_recall", "hybrid_rrf_topk", "corpus_diff",
     "sequence_pack_ffd", "table_profile_approx",
+    "edit_distance_near_pairs", "oov_rate", "retrieval_eval",
     # -- (c) round-4-witnessed entries displaced from the r8 window --
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     "repetition_signals",
@@ -3571,14 +3581,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
     "dsir_weights", "bm25_topk",
     "source_kl_divergence", "zipf_slope", "embedding_norm_outliers",
-    # -- (e) the round-6-witnessed cohort --
+    # -- (e) 6 of the round-6-witnessed cohort --
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
-    "countmin_heavy_hitters", "hll_distinct",
-    # -- (f) the oldest round-7-witnessed entry --
-    "weighted_stratified_sample",
     # -- window boundary: entries below are outside the driver snapshot --
-    # remaining round-7-witnessed entries, r7-window order
+    # the two round-6 entries and the round-7 entry displaced by the
+    # late-round-9 additions (oldest records below the boundary, so
+    # they lead round 10's window), then the remaining
+    # round-7-witnessed entries in r7-window order
+    "countmin_heavy_hitters", "hll_distinct", "weighted_stratified_sample",
     "bpe_token_histogram",
     "kmeans_clusters", "kmv_overlap_estimate",
     "exactsubstr_cut", "exactsubstr_cut_capped",

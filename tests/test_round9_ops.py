@@ -614,3 +614,95 @@ class TestCorpusMixtureCLI:
         assert out["sources"] and all(
             r["epochs_e6"] <= out["epoch_cap_e6"]
             for r in out["sources"])
+
+
+class TestEditDistanceNearPairs:
+    """Planted two-stage pipeline semantics: the token-level sketch
+    recalls candidates (including permutations the verify stage must
+    reject), the capped Levenshtein verify keeps only true
+    character-level near-duplicates, and the capped scale form equals
+    the uncapped quadratic reference."""
+
+    TOKENS = ["aaaa", "bbbb", "cccc", "dddd", "eeee",
+              "ffff", "gggg", "hhhh", "iiii", "jjjj"]
+
+    def _corpus(self, spark):
+        fwd = " ".join(self.TOKENS)
+        rev = " ".join(reversed(self.TOKENS))
+        other = " ".join(["zzzz", "yyyy", "xxxx", "wwww", "vvvv",
+                          "uuuu", "tttt", "ssss", "rrrr", "qqqq"])
+        rows = [(0, fwd, "en", "s", len(fwd)),
+                (1, fwd, "en", "s", len(fwd)),        # exact duplicate
+                (2, rev, "en", "s", len(rev)),        # permutation
+                (3, other, "en", "s", len(other))]    # unrelated
+        _docs(spark, rows).createOrReplaceTempView("documents")
+
+    def test_verify_stage_keeps_dups_rejects_permutations(self, spark):
+        from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        self._corpus(spark)
+        capped = spark.sql(
+            D.q_edit_distance_near_pairs_capped(S.SPARK)).collect()
+        # sketch stage: identical token multisets -> hamming 0 for
+        # (0,1), (0,2), (1,2); verify keeps only the exact pair
+        assert {(r.doc_a, r.doc_b) for r in capped} == {(0, 1)}
+        (pair,) = capped
+        assert (pair.hamming, pair.edit_dist, pair.sim_e6) == (0, 0, 1000000)
+        # the permutation WAS a candidate (same fingerprint) but its
+        # character edit distance exceeds the 0.6-similarity budget
+        cands = spark.sql(
+            D.q_simhash64_near_pairs(S.SPARK)).collect()
+        assert {(r.doc_a, r.doc_b) for r in cands} == {(0, 1), (0, 2), (1, 2)}
+
+    def test_capped_equals_reference(self, spark):
+        from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        self._corpus(spark)
+        ref = {tuple(r) for r in
+               spark.sql(D.q_edit_distance_near_pairs(S.SPARK)).collect()}
+        got = {tuple(r) for r in spark.sql(
+            D.q_edit_distance_near_pairs_capped(S.SPARK)).collect()}
+        assert got == ref and len(ref) == 1
+
+
+class TestOovRate:
+    def test_planted_rates_exact(self, spark):
+        from dystonse_gtfs_importer_spark.functions import sampling_sql as SAMP
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        rows = [
+            # srcA: 6 tokens, vocab(top-2 global = "a", "b") covers 4
+            (0, "a a b b c d", "en", "srcA", 11),
+            # srcB: 4 tokens, vocab covers 1
+            (1, "a c c e", "en", "srcB", 7),
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        # global tf: a=3, b=2, c=3, d=1, e=1 -> top-2 by (tf DESC, tok)
+        # = {a, c}; srcA oov = {b, b, d} = 3/6; srcB oov = {e} = 1/4
+        got = {r.source: r for r in
+               spark.sql(SAMP.q_oov_rate(S.SPARK, n=2)).collect()}
+        a, b = got["srcA"], got["srcB"]
+        assert (a.n_tok, a.n_oov_tok, a.n_types, a.n_oov_types,
+                a.oov_rate_e6) == (6, 3, 4, 2, 500000)
+        assert (b.n_tok, b.n_oov_tok, b.n_types, b.n_oov_types,
+                b.oov_rate_e6) == (4, 1, 3, 1, 250000)
+
+
+class TestRetrievalEval:
+    def test_perfect_retrieval_scores_one(self, spark):
+        """A query whose colliding neighbors are all same-label and
+        rank at the top must score mrr = ndcg = 1.0 exactly."""
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        base = [float((i * 37) % 19) - 9.0 for i in range(64)]
+        rows = [(0, base, 1), (1, base, 1), (2, base, 1)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+        out = spark.sql(ANN.q_retrieval_eval(S.SPARK)).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert (r.label, r.n_queries, r.mrr, r.ndcg) == (1, 1, 1.0, 1.0)

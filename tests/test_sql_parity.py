@@ -344,6 +344,7 @@ class TestRegistryWindow:
             "mixture_drift", "dedup_keep_best", "ann_recall",
             "hybrid_rrf_topk", "corpus_diff",
             "sequence_pack_ffd", "table_profile_approx",
+            "edit_distance_near_pairs", "oov_rate", "retrieval_eval",
             # round-4 entries displaced from the round-8 window
             "median_rank", "sessionization", "funnel_steps",
             "retention_cohorts", "repetition_signals",
