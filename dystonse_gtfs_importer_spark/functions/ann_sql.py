@@ -1055,3 +1055,123 @@ def q_hybrid_rrf_topk(d: S.Dialect, k: int = RRF_TOPK,
                CAST(rk AS BIGINT) AS rk
         FROM final WHERE rk <= {k}
     """
+
+
+def q_hard_negative_topk(d: S.Dialect, k: int = K) -> str:
+    """Hard-negative mining for contrastive / embedding training: per
+    query vector, the top-{k} most-cosine-similar candidates whose
+    label DIFFERS from the query's — the "close but wrong" examples a
+    contrastive loss learns the most from (InfoNCE / DPR-style
+    in-batch negatives are random; hard negatives come from exactly
+    this mined set).
+
+    Candidate generation is the SAME deterministic LSH machinery the
+    driver already hash-verifies (q_ann_lsh_topk / q_retrieval_eval):
+    per-table sign-sketch buckets, bucket-equijoin, distinct pairs.
+    The label filter lands BEFORE scoring, so the per-query score set
+    is the negatives-only set and ranks are dense within it.
+
+    Scale shape: identical to the retrieval path — sketches are
+    map-only, the bucket join is an equi-join on (table, bucket),
+    scoring joins the norm-carrying corpus twice by vec_id, and the
+    window partitions by query_id (never corpus-wide).  At 100 TB the
+    only new cost over lsh_topk is the label columns riding along.
+    Reference anchor: LLM-pipeline extension (SURVEY.md LLM ops)."""
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM cv"
+        for t in range(LSH_TABLES))
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sketch(d, 'emb', t)} AS bucket FROM qv"
+        for t in range(LSH_TABLES))
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, label, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        {_norm_cte(d)},
+        cb AS ({cb}),
+        qb AS ({qb}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+            FROM qb q
+            JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                     AND q.vec_id <> c.vec_id
+        ),
+        neg AS (
+            SELECT cand.query_id, cand.cand_id,
+                   qq.label AS query_label, cc.label AS neg_label
+            FROM cand
+            JOIN cv qq ON qq.vec_id = cand.query_id
+            JOIN cv cc ON cc.vec_id = cand.cand_id
+            WHERE cc.label <> qq.label
+        ),
+        scored AS (
+            SELECT n.query_id, n.cand_id, n.query_label, n.neg_label,
+                   ROUND({d.arr_dot('q.emb', 'c.emb')}
+                         / (q.nrm * c.nrm), 6) AS cosine
+            FROM neg n
+            JOIN cvn q ON q.vec_id = n.query_id
+            JOIN cvn c ON c.vec_id = n.cand_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, query_label, cand_id, neg_label, cosine,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
+def q_centroid_similarity_matrix(d: S.Dialect) -> str:
+    """Label-confusability matrix: pairwise cosine between per-label
+    embedding centroids (a < b), plus each label's member count — the
+    one-screen summary that tells you which classes an embedding
+    space cannot separate (high centroid cosine = labels a retrieval
+    or dedup pass will conflate).
+
+    Determinism: centroid components are QUANTIZED at the aggregate
+    boundary — ROUND(AVG(x), 6) — so both engines feed bit-identical
+    doubles into the pairwise cosine, and the final ROUND(…, 6) can
+    never flip on summation-order drift (stricter than the
+    label_centroid_stats ROUND-at-the-end guard, since values here
+    feed a cross-label comparison surface).
+
+    Scale shape: the centroid table is ONE explode-by-dimension
+    aggregate — (label, dim) cells, |labels|·dim rows regardless of
+    corpus size — and the pairwise join is |labels|² rows over a
+    table that fits in a broadcast many times over.  Reference
+    anchor: LLM-pipeline extension (SURVEY.md LLM ops)."""
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, label,
+                   {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT label, i.i AS dim,
+                   ROUND(AVG({d.arr_get('emb', 'i.i')}), 6) AS c,
+                   COUNT(*) AS n
+            FROM cv CROSS JOIN {d.series(DIM)} i
+            GROUP BY label, i.i
+        ),
+        centroids AS (
+            SELECT label, {d.ordered_list('c', 'dim')} AS cemb,
+                   MAX(n) AS n
+            FROM cells GROUP BY label
+        ),
+        norms AS (
+            SELECT label, cemb, n,
+                   SQRT({d.arr_dot('cemb', 'cemb')}) AS nrm
+            FROM centroids
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               ROUND({d.arr_dot('a.cemb', 'b.cemb')}
+                     / (a.nrm * b.nrm), 6) AS centroid_cosine
+        FROM norms a
+        JOIN norms b ON a.label < b.label
+    """

@@ -911,3 +911,87 @@ def q_ngram_novelty(d: S.Dialect, n: int = NOVELTY_NGRAM) -> str:
         GROUP BY s.doc_id
         ORDER BY s.doc_id
     """
+
+
+def q_normalized_dedup(d: S.Dialect) -> str:
+    """Canonicalized exact dedup: documents are normalized (lowercase,
+    punctuation stripped to spaces, whitespace collapsed, trimmed)
+    BEFORE hashing, so casing/punctuation/spacing perturbations of the
+    same text — which sail straight past ``q_exact_dedup``'s raw
+    MD5(text) — land in one cluster.  This is the first rung of the
+    near-dup ladder (cheaper than MinHash, catches the most common
+    mechanical perturbations); clusters it can't see (word-level
+    edits) fall through to the LSH family.
+
+    Emits one row per normalized cluster — the canonical keeper (min
+    doc_id), member count, and the ordered member list — plus the
+    cluster's normalized hash so a downstream excision can join back
+    (singleton clusters ride along, mirroring q_exact_dedup, so the
+    keep-list is total; the >1 rows are the perturbed duplicates).
+    Scale shape: map-only normalization +
+    ONE groupBy on the 128-bit hash (same shape as exact_dedup; the
+    normalization adds two regex passes inside the scan stage, no new
+    shuffle).  Reference anchor: LLM-pipeline extension (SURVEY.md
+    LLM ops)."""
+    # lower → strip non-alphanumerics to spaces → collapse runs → trim.
+    # Character classes only: identical semantics in Java regex / RE2.
+    norm = d.regexp_replace_all(
+        d.regexp_replace_all("LOWER(text)", "[^a-z0-9 ]", " "),
+        "  *", " ")
+    return f"""
+        WITH n AS (
+            SELECT doc_id, MD5(TRIM({norm})) AS norm_hash
+            FROM documents
+        )
+        SELECT norm_hash,
+               MIN(doc_id) AS canonical_doc,
+               COUNT(*) AS n_members,
+               {d.ordered_list_csv('doc_id', 'doc_id')} AS member_ids
+        FROM n
+        GROUP BY norm_hash
+    """
+
+
+def q_dedup_impact(d: S.Dialect) -> str:
+    """Per-source dedup impact report: what an exact-dedup pass would
+    REMOVE from each source — non-canonical copies (keeper = global
+    min doc_id per content hash, the q_exact_dedup rule) counted in
+    documents and characters, plus each source's share of its own
+    volume lost.  This is the governance face of the dedup family:
+    mixture planning (q_mixture_weights) needs post-dedup token
+    counts per source, and this query is exactly that delta.
+
+    Determinism: integer counts and sums only; the two shares are
+    single divisions of exact integers, ROUNDed to 4.  Scale shape:
+    one groupBy(content_hash) carrying (hash → min doc_id) — the same
+    single shuffle exact_dedup pays — joined back doc-keyed
+    (hash-partitioned equi-join), then ONE partial-aggregatable
+    groupBy(source).  No window, no pair materialization."""
+    return """
+        WITH h AS (
+            SELECT doc_id, source, n_chars, MD5(text) AS content_hash
+            FROM documents
+        ),
+        keepers AS (
+            SELECT content_hash, MIN(doc_id) AS canonical_doc
+            FROM h GROUP BY content_hash
+        ),
+        marked AS (
+            SELECT h.source, h.n_chars,
+                   CASE WHEN h.doc_id = k.canonical_doc
+                        THEN 0 ELSE 1 END AS is_removed
+            FROM h JOIN keepers k ON k.content_hash = h.content_hash
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(is_removed) AS BIGINT) AS n_docs_removed,
+               ROUND(CAST(SUM(is_removed) AS DOUBLE) / COUNT(*), 4)
+                   AS doc_removal_share,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(is_removed * n_chars) AS BIGINT)
+                   AS n_chars_removed,
+               ROUND(CAST(SUM(is_removed * n_chars) AS DOUBLE)
+                     / SUM(n_chars), 4) AS char_removal_share
+        FROM marked
+        GROUP BY source
+    """

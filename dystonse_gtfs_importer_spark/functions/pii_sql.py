@@ -128,3 +128,56 @@ def q_repetition_signals(d: S.Dialect) -> str:
         LEFT JOIN tok_agg t ON a.doc_id = t.doc_id
         LEFT JOIN bg_agg b ON a.doc_id = b.doc_id
     """
+
+
+def q_pii_source_report(d: S.Dialect) -> str:
+    """Per-source PII governance report: document counts, clean-doc
+    share, per-category match totals, and PII density per 10k chars —
+    the numbers a data-governance review reads before a source is
+    admitted to a training mix (the per-doc q_pii_scan rows are the
+    evidence; this is the decision surface).
+
+    Counts reuse the exact q_pii_scan sequential-redaction semantics
+    (URL swallows its embedded email, etc.), so the report totals are
+    consistent with the per-doc scan by construction.
+
+    Determinism: every aggregate is an integer SUM/COUNT; the two
+    ratios are a SINGLE division of exact integers each, ROUNDed to 4
+    — no float summation order anywhere.  Scale shape: map-only scan
+    (the same one q_pii_scan runs) plus ONE partial-aggregatable
+    groupBy(source) — |sources| rows out of the shuffle."""
+    stages = []
+    prev = "text"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        cur = f"t{i}"
+        stages.append(
+            f"{d.regexp_count(prev, pat)} AS n_{name}, "
+            f"{d.regexp_replace_all(prev, pat, repl)} AS {cur}")
+        prev = cur
+    s0, s1, s2, s3 = stages
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+        WITH u AS (SELECT doc_id, source, n_chars, {s0} FROM documents),
+        e AS (SELECT doc_id, source, n_chars, n_url, {s1} FROM u),
+        i AS (SELECT doc_id, source, n_chars, n_url, n_email, {s2} FROM e),
+        p AS (SELECT doc_id, source, n_chars, n_url, n_email, n_ip, {s3}
+              FROM i),
+        q AS (SELECT doc_id, source, n_chars, n_url, n_email, n_ip,
+                     n_phone, ({total}) AS n_pii
+              FROM p)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_pii = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clean_docs,
+               ROUND(CAST(SUM(CASE WHEN n_pii = 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 4) AS clean_share,
+               CAST(SUM(n_url) AS BIGINT) AS n_url,
+               CAST(SUM(n_email) AS BIGINT) AS n_email,
+               CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+               CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+               CAST(SUM(n_pii) AS BIGINT) AS n_pii,
+               ROUND(CAST(SUM(n_pii) * 10000 AS DOUBLE)
+                     / SUM(n_chars), 4) AS pii_per_10k_chars
+        FROM q
+        GROUP BY source
+    """

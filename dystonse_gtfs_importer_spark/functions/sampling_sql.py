@@ -1383,3 +1383,70 @@ def q_weighted_stratified_sample_scale(d: S.Dialect,
                CAST(off + r AS BIGINT) AS draw_rank
         FROM ranked WHERE off + r <= {per_stratum}
     """
+
+
+def q_readability_scores(d: S.Dialect) -> str:
+    """Per-source readability profile — a Flesch-style reading-ease
+    proxy computed from exact integer counts: words (whitespace
+    tokens), sentences (terminal-punctuation runs, floored at 1 so
+    fragments count as one sentence), and syllables (vowel-group runs
+    per word, floored at 1 per word so consonant-only tokens still
+    cost a syllable).  Readability gates are a standard quality rung
+    in training-data pipelines (too-low = boilerplate/gibberish,
+    too-high = tables/code masquerading as prose).
+
+    Flesch reading ease = 206.835 − 1.015·(words/sentence)
+    − 84.6·(syllables/word), computed per SOURCE from summed integer
+    counts, so the two divisions are each a single exact-int/exact-int
+    divide and the score expression is a fixed-order three-term
+    affine — bit-identical cross-engine, ROUND(…, 4) as the usual
+    formatting guard.  Per-doc scores feed an ease-tier CASE (the
+    gate a filter would apply); tier counts are exact integers.
+
+    Scale shape: map-only per-doc scalar counts (regexp_count +
+    token_array inside the scan — no explode, no per-token shuffle)
+    then ONE partial-aggregatable groupBy(source).  Reference anchor:
+    LLM-pipeline extension (SURVEY.md LLM ops)."""
+    words = d.arr_len(d.token_array("text"))
+    sentences = f"GREATEST({d.regexp_count('text', '[.!?]+')}, 1)"
+    # vowel-group runs across the whole text, floored at one per word:
+    # syllables = max(vowel_runs, words) is the word-level floor folded
+    # into one scalar (every word contributes >= 1).
+    vowel_runs = d.regexp_count("LOWER(text)", "[aeiouy]+")
+    return f"""
+        WITH counts AS (
+            SELECT doc_id, source,
+                   CAST({words} AS BIGINT) AS n_words,
+                   CAST({sentences} AS BIGINT) AS n_sentences,
+                   CAST(GREATEST({vowel_runs}, {words}) AS BIGINT)
+                       AS n_syllables
+            FROM documents
+        ),
+        scored AS (
+            SELECT *,
+                   206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE)
+                             / GREATEST(n_words, 1)) AS ease
+            FROM counts
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
+               CAST(SUM(n_syllables) AS BIGINT) AS n_syllables,
+               ROUND(206.835
+                     - 1.015 * (CAST(SUM(n_words) AS DOUBLE)
+                                / SUM(n_sentences))
+                     - 84.6 * (CAST(SUM(n_syllables) AS DOUBLE)
+                               / GREATEST(SUM(n_words), 1)), 4)
+                   AS flesch_ease,
+               CAST(SUM(CASE WHEN ease < 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hard,
+               CAST(SUM(CASE WHEN ease >= 30 AND ease < 70 THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_medium,
+               CAST(SUM(CASE WHEN ease >= 70 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_easy
+        FROM scored
+        GROUP BY source
+    """

@@ -3099,6 +3099,20 @@ QUERIES: dict[str, QueryDef] = {
                           "text-analysis vocab coverage"),
     "retrieval_eval": _sql_pair(ANN.q_retrieval_eval,
                                 "similarity-eval MRR + nDCG"),
+    "hard_negative_topk": _sql_pair(ANN.q_hard_negative_topk,
+                                    "similarity-mining contrastive "
+                                    "hard negatives"),
+    "centroid_similarity_matrix": _sql_pair(
+        ANN.q_centroid_similarity_matrix,
+        "similarity-eval label confusability"),
+    "pii_source_report": _sql_pair(PII.q_pii_source_report,
+                                   "text-pii governance rollup"),
+    "normalized_dedup": _sql_pair(D.q_normalized_dedup,
+                                  "dedup-canonicalized exact"),
+    "dedup_impact": _sql_pair(D.q_dedup_impact,
+                              "dedup-governance per-source impact"),
+    "readability_scores": _sql_pair(SAMP.q_readability_scores,
+                                    "text-quality readability gate"),
     "ngram_jaccard_pairs": _sql_cross_pair(
         D.q_ngram_jaccard_prefix, D.q_ngram_jaccard_pairs,
         "dedup-jaccard prefix-filter scale"),
@@ -3548,13 +3562,12 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # Round-9 rotation (VERDICT r8 #2): the window re-witnesses, in
     # priority order, (a) the 3 packer oracles RE-KEYED this round by
     # the seeded-position banding (their placement hashes changed, so
-    # the old driver rows no longer describe HEAD), (b) the 12
+    # the old driver rows no longer describe HEAD), (b) the 18
     # round-9 additions, (c) the 9 round-4-witnessed entries displaced
-    # from the round-8 window, (d) the full 20-entry round-5 cohort,
-    # and (e) 6 of the 8-entry round-6 cohort
-    # (3 + 12 + 9 + 20 + 6 = 50).  After a green round 9 no query's
-    # latest driver row is older than ROUND 6 (two r6 entries and the
-    # oldest r7 entry sit first below the boundary for round 10).
+    # from the round-8 window, and (d) the full 20-entry round-5
+    # cohort (3 + 18 + 9 + 20 = 50).  After a green round 9 no
+    # query's latest driver row is older than ROUND 6 (the displaced
+    # round-6 cohort sits first below the boundary for round 10).
     # Do NOT insert new names anywhere above the "-- window boundary"
     # marker mid-round; new round-9 queries may be inserted at the END
     # of the window (displacing entries with fresher records) only
@@ -3567,6 +3580,9 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dedup_keep_best", "ann_recall", "hybrid_rrf_topk", "corpus_diff",
     "sequence_pack_ffd", "table_profile_approx",
     "edit_distance_near_pairs", "oov_rate", "retrieval_eval",
+    "hard_negative_topk", "centroid_similarity_matrix",
+    "pii_source_report", "normalized_dedup", "dedup_impact",
+    "readability_scores",
     # -- (c) round-4-witnessed entries displaced from the r8 window --
     "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
     "repetition_signals",
@@ -3581,14 +3597,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
     "dsir_weights", "bm25_topk",
     "source_kl_divergence", "zipf_slope", "embedding_norm_outliers",
-    # -- (e) 6 of the round-6-witnessed cohort --
+    # -- window boundary: entries below are outside the driver snapshot --
+    # the round-6-witnessed cohort displaced by the late-round-9
+    # additions (oldest records below the boundary, so they lead
+    # round 10's window), then the remaining round-7-witnessed
+    # entries in r7-window order
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
-    # -- window boundary: entries below are outside the driver snapshot --
-    # the two round-6 entries and the round-7 entry displaced by the
-    # late-round-9 additions (oldest records below the boundary, so
-    # they lead round 10's window), then the remaining
-    # round-7-witnessed entries in r7-window order
     "countmin_heavy_hitters", "hll_distinct", "weighted_stratified_sample",
     "bpe_token_histogram",
     "kmeans_clusters", "kmv_overlap_estimate",

@@ -706,3 +706,155 @@ class TestRetrievalEval:
         assert len(out) == 1
         (r,) = out
         assert (r.label, r.n_queries, r.mrr, r.ndcg) == (1, 1, 1.0, 1.0)
+
+
+class TestHardNegativeTopk:
+    def test_same_label_excluded_negatives_ranked(self, spark):
+        """Identical vectors collide in every LSH table; the same-label
+        copy must be filtered out and the different-label copy mined
+        as the rank-1 hard negative with cosine exactly 1."""
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        base = [float((i * 37) % 19) - 9.0 for i in range(64)]
+        rows = [(0, base, 1),   # query (vec_id % QUERY_STRIDE == 0)
+                (1, base, 1),   # same-label twin: NOT a negative
+                (2, base, 2)]   # different-label twin: hard negative
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+        out = spark.sql(ANN.q_hard_negative_topk(S.SPARK)).collect()
+        assert [(r.query_id, r.query_label, r.cand_id, r.neg_label,
+                 r.cosine, r.rk) for r in out] == [(0, 1, 2, 2, 1.0, 1)]
+
+
+class TestCentroidSimilarityMatrix:
+    def test_orthogonal_and_identical_centroids(self, spark):
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        def axis(dim, scale):
+            v = [0.0] * 64
+            v[dim] = scale
+            return v
+
+        rows = [
+            (0, axis(0, 2.0), 1), (1, axis(0, 4.0), 1),  # centroid +e0
+            (2, axis(1, 3.0), 2),                        # centroid +e1
+            (3, axis(0, 5.0), 3),                        # centroid +e0
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+        got = {(r.label_a, r.label_b):
+               (r.n_a, r.n_b, r.centroid_cosine)
+               for r in spark.sql(
+                   ANN.q_centroid_similarity_matrix(S.SPARK)).collect()}
+        assert got == {(1, 2): (2, 1, 0.0),
+                       (1, 3): (2, 1, 1.0),
+                       (2, 3): (1, 1, 0.0)}
+
+
+class TestPiiSourceReport:
+    def test_planted_counts_and_density(self, spark):
+        from dystonse_gtfs_importer_spark.functions import pii_sql as PII
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        rows = [
+            # 1 URL + 1 email; n_chars planted to 100 for easy density
+            (0, "see https://ex.com and mail bob@ex.com please",
+             "en", "srcA", 100),
+            # clean
+            (1, "nothing sensitive here", "en", "srcA", 100),
+            # 1 IP + 1 phone
+            (2, "host 10.0.0.1 call +49 30 123456 now", "en", "srcB", 50),
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.source: r for r in spark.sql(
+            PII.q_pii_source_report(S.SPARK)).collect()}
+        a, b = got["srcA"], got["srcB"]
+        assert (a.n_docs, a.n_clean_docs, a.clean_share) == (2, 1, 0.5)
+        assert (a.n_url, a.n_email, a.n_ip, a.n_phone, a.n_pii) == \
+            (1, 1, 0, 0, 2)
+        # 2 matches over 200 chars -> 100 per 10k
+        assert a.pii_per_10k_chars == 100.0
+        assert (b.n_docs, b.n_clean_docs, b.clean_share) == (1, 0, 0.0)
+        assert (b.n_url, b.n_email, b.n_ip, b.n_phone, b.n_pii) == \
+            (0, 0, 1, 1, 2)
+        assert b.pii_per_10k_chars == 400.0
+
+
+class TestNormalizedDedup:
+    def test_casing_punct_whitespace_collapse(self, spark):
+        from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        rows = [
+            (0, "Hello, World!", "en", "s", 13),
+            (1, "hello world", "en", "s", 11),
+            (2, "  HELLO   world  ", "en", "s", 17),
+            (3, "something else", "en", "s", 14),
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        out = spark.sql(D.q_normalized_dedup(S.SPARK)).collect()
+        by_size = sorted(out, key=lambda r: -r.n_members)
+        assert [(r.canonical_doc, r.n_members, r.member_ids)
+                for r in by_size] == [(0, 3, "0,1,2"), (3, 1, "3")]
+        # raw exact dedup sees NO duplicates on the same corpus
+        exact = spark.sql(
+            "SELECT COUNT(*) c FROM (SELECT MD5(text) h FROM documents "
+            "GROUP BY 1 HAVING COUNT(*) > 1)").collect()
+        assert exact[0].c == 0
+
+
+class TestDedupImpact:
+    def test_cross_source_removal_attribution(self, spark):
+        from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        dup = "same text"
+        rows = [
+            (0, dup, "en", "srcA", 40),           # keeper (min doc_id)
+            (1, dup, "en", "srcB", 40),           # removed
+            (2, dup, "en", "srcB", 40),           # removed
+            (3, "unique one", "en", "srcB", 20),  # kept
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.source: r for r in spark.sql(
+            D.q_dedup_impact(S.SPARK)).collect()}
+        a, b = got["srcA"], got["srcB"]
+        assert (a.n_docs, a.n_docs_removed, a.doc_removal_share) == (1, 0, 0.0)
+        assert (a.n_chars, a.n_chars_removed, a.char_removal_share) == \
+            (40, 0, 0.0)
+        assert (b.n_docs, b.n_docs_removed, b.doc_removal_share) == \
+            (3, 2, 0.6667)
+        assert (b.n_chars, b.n_chars_removed, b.char_removal_share) == \
+            (100, 80, 0.8)
+
+
+class TestReadabilityScores:
+    def test_planted_integer_counts_and_score(self, spark):
+        from dystonse_gtfs_importer_spark.functions import sampling_sql as SAMP
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        # "a b c. d e!": 5 words, 2 sentence terminators, vowel runs
+        # {a, e} = 2 -> syllable floor lifts to 5 (one per word)
+        rows = [(0, "a b c. d e!", "en", "srcA", 11)]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        (r,) = spark.sql(SAMP.q_readability_scores(S.SPARK)).collect()
+        assert (r.source, r.n_docs, r.n_words, r.n_sentences,
+                r.n_syllables) == ("srcA", 1, 5, 2, 5)
+        # 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975 -> easy tier
+        assert r.flesch_ease == 119.6975
+        assert (r.n_hard, r.n_medium, r.n_easy) == (0, 0, 1)
+
+    def test_syllable_heavy_prose_scores_lower(self, spark):
+        from dystonse_gtfs_importer_spark.functions import sampling_sql as SAMP
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        rows = [(0, "aia aia aia.", "en", "hard", 12),   # 2 runs/word
+                (1, "go on. be ok.", "en", "easy", 13)]  # 1 run/word
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.source: r.flesch_ease for r in spark.sql(
+            SAMP.q_readability_scores(S.SPARK)).collect()}
+        assert got["hard"] < got["easy"]

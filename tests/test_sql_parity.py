@@ -345,6 +345,9 @@ class TestRegistryWindow:
             "hybrid_rrf_topk", "corpus_diff",
             "sequence_pack_ffd", "table_profile_approx",
             "edit_distance_near_pairs", "oov_rate", "retrieval_eval",
+            "hard_negative_topk", "centroid_similarity_matrix",
+            "pii_source_report", "normalized_dedup", "dedup_impact",
+            "readability_scores",
             # round-4 entries displaced from the round-8 window
             "median_rank", "sessionization", "funnel_steps",
             "retention_cohorts", "repetition_signals",
