@@ -1175,3 +1175,153 @@ def q_centroid_similarity_matrix(d: S.Dialect) -> str:
         FROM norms a
         JOIN norms b ON a.label < b.label
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 9): the compression rung between int8
+# scalar quantization and IVF — subspace codebooks + asymmetric
+# distance computation (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                  # subspaces
+PQ_SUBDIM = DIM // PQ_M   # dims per subspace
+PQ_K = 4                  # centroids per subspace codebook
+
+
+def _l2sq(d: S.Dialect, a: str, b: str) -> str:
+    """Squared L2 via the dot identity — no per-pair zip/fold."""
+    return (f"({d.arr_dot(a, a)} + {d.arr_dot(b, b)}"
+            f" - 2 * {d.arr_dot(a, b)})")
+
+
+def _pq_ctes(d: S.Dialect) -> str:
+    """Shared CTE chain ``cv → subv → … → pcodes``: per-subspace
+    codebooks derived fully in-SQL (seeds = the {PQ_K} lowest-id
+    subvectors per subspace, ONE Lloyd mean pass quantized at the
+    aggregate boundary — the q_ann_ivf_topk recipe applied per
+    subspace), then every vector's nearest-centroid code per
+    subspace.
+
+    Determinism: every ordering key is ROUND(…, 6) with a
+    cell/seed tie-break; centroid components are ROUND(AVG(…), 6) so
+    both engines feed identical doubles downstream.  Scale shape:
+    ``subv`` is a map-only explode into {PQ_M} subvector rows; the
+    codebook CTEs aggregate to {PQ_M}·{PQ_K}·{PQ_SUBDIM} cells (tiny,
+    broadcast); assignment is vectors × {PQ_K} codebook rows per
+    subspace — linear in the corpus with a constant fan-out."""
+    subdim = PQ_SUBDIM
+    sl = d.arr_slice("emb", f"s.i * {subdim}", str(subdim))
+    l2_vs = f"ROUND({_l2sq(d, 'v.semb', 's.semb')}, 6)"
+    l2_vc = f"ROUND({_l2sq(d, 'v.semb', 'c.cemb')}, 6)"
+    return f"""
+        cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        subv AS (
+            SELECT vec_id, s.i AS sub, {sl} AS semb
+            FROM cv CROSS JOIN {d.series(PQ_M)} s
+        ),
+        sseeds AS (
+            SELECT sub, semb, rn FROM (
+                SELECT sub, semb,
+                       ROW_NUMBER() OVER (PARTITION BY sub
+                                          ORDER BY vec_id) AS rn
+                FROM subv
+            ) s0 WHERE rn <= {PQ_K}
+        ),
+        passign0 AS (
+            SELECT v.vec_id, v.sub, v.semb, s.rn - 1 AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+                       ORDER BY {l2_vs} ASC, s.rn) AS pick
+            FROM subv v JOIN sseeds s ON s.sub = v.sub
+        ),
+        pa0 AS (
+            SELECT vec_id, sub, semb, cell FROM passign0 WHERE pick = 1
+        ),
+        pdims AS (
+            SELECT sub, cell, j.i AS j,
+                   ROUND(AVG({d.arr_get('semb', 'j.i')}), 6) AS mv
+            FROM pa0 CROSS JOIN {d.series(PQ_SUBDIM, 'i')} j
+            GROUP BY sub, cell, j.i
+        ),
+        pcents AS (
+            SELECT sub, cell, {d.ordered_list('mv', 'j')} AS cemb
+            FROM pdims GROUP BY sub, cell
+        ),
+        pq_assign AS (
+            SELECT v.vec_id, v.sub, v.semb, c.cell,
+                   ROUND({_l2sq(d, 'v.semb', 'c.cemb')}, 6) AS err,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+                       ORDER BY {l2_vc} ASC, c.cell) AS pick
+            FROM subv v JOIN pcents c ON c.sub = v.sub
+        ),
+        pcodes AS (
+            SELECT vec_id, sub, cell AS code, err
+            FROM pq_assign WHERE pick = 1
+        )"""
+
+
+def q_pq_codes(d: S.Dialect) -> str:
+    """Product-quantization codes: each vector compressed to {PQ_M}
+    codebook indices (2 bits each at the verification scale; 8 bits =
+    the classic PQ byte per subspace in production) plus the
+    subspace reconstruction error.  At 100 TB of embeddings PQ is the
+    storage tier that makes exhaustive re-ranking affordable:
+    {PQ_M} small ints per vector instead of {PQ_SUBDIM}·{PQ_M}
+    doubles, with q_ann_pq_topk showing the ADC ranking those codes
+    support.  Reference anchor: LLM-pipeline extension (SURVEY.md
+    LLM ops); algorithm: Jégou et al. TPAMI 2011."""
+    return f"""
+        WITH {_pq_ctes(d)}
+        SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+               CAST(code AS BIGINT) AS code,
+               err AS recon_err
+        FROM pcodes
+    """
+
+
+def q_ann_pq_topk(d: S.Dialect, k: int = K) -> str:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    {PQ_M}×{PQ_K} lookup table of exact query-subvector → centroid
+    squared distances in integer micro-units, then every candidate
+    scored by ONE table lookup per subspace and an exact integer sum
+    — the cheap exhaustive scan PQ exists for (IVF composes in front
+    of it as the candidate pruner at cluster scale; the verified form
+    keeps the scan flat so the oracle covers every pair).
+
+    Determinism: LUT entries are micro-unit BIGINTs (ROUND at the
+    1e-6 boundary), so the per-candidate sum is exact integer
+    arithmetic — no float summation order anywhere past the LUT.
+    Scale shape: LUT is queries × {PQ_M}·{PQ_K} rows (broadcast);
+    scoring joins the code table on (sub, code) and aggregates
+    (query, cand) partial-sums map-side; the only corpus-sized
+    shuffle is the final per-query top-k."""
+    lut_dist = f"CAST(ROUND({_l2sq(d, 'q.semb', 'c.cemb')} * 1e6) AS BIGINT)"
+    return f"""
+        WITH {_pq_ctes(d)},
+        qsub AS (
+            SELECT vec_id AS query_id, sub, semb FROM subv
+            WHERE vec_id % {QUERY_STRIDE} = 0
+        ),
+        lut AS (
+            SELECT q.query_id, c.sub, c.cell, {lut_dist} AS pdist_e6
+            FROM qsub q JOIN pcents c ON c.sub = q.sub
+        ),
+        scored AS (
+            SELECT l.query_id, p.vec_id AS cand_id,
+                   CAST(SUM(l.pdist_e6) AS BIGINT) AS adist_e6
+            FROM pcodes p
+            JOIN lut l ON l.sub = p.sub AND l.cell = p.code
+                      AND l.query_id <> p.vec_id
+            GROUP BY l.query_id, p.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist_e6 ASC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {k}
+    """

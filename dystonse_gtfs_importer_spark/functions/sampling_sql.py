@@ -1450,3 +1450,112 @@ def q_readability_scores(d: S.Dialect) -> str:
         FROM scored
         GROUP BY source
     """
+
+
+def q_tokenizer_fertility(d: S.Dialect) -> str:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word and characters per subword token — the two
+    numbers a tokenizer/vocab choice is evaluated on per language
+    (fertility ≫ 1 for a language means its text costs dispropor-
+    tionately many tokens, skewing any token-budgeted mixture; see
+    the multilingual-tokenizer literature, e.g. Rust et al. 2021).
+
+    Exact integer micro-units end to end: counts are the shared
+    token_count / bpe_token_count scalar expressions (identical SQL
+    in both engines), sums are BIGINT-cast, and each rate is a single
+    trunc-toward-zero division — no float path at all.  Scale shape:
+    map-only scalar counts inside the scan, ONE partial-aggregatable
+    groupBy(lang)."""
+    tc = S.token_count("text", d)
+    bpe = S.bpe_token_count("text", d)
+    fert = d.trunc_num("SUM(n_bpe) * 1000000.0 / SUM(n_words)")
+    cpt = d.trunc_num("SUM(n_c) * 1000000.0 / SUM(n_bpe)")
+    return f"""
+        WITH counts AS (
+            SELECT lang,
+                   CAST({tc} AS BIGINT) AS n_words,
+                   CAST({bpe} AS BIGINT) AS n_bpe,
+                   CAST(LENGTH(text) AS BIGINT) AS n_c
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(n_c) AS BIGINT) AS n_chars,
+               CAST({fert} AS BIGINT) AS fertility_e6,
+               CAST({cpt} AS BIGINT) AS chars_per_token_e6
+        FROM counts
+        GROUP BY lang
+    """
+
+
+def q_quality_calibration(d: S.Dialect) -> str:
+    """Per-source quality-score calibration: p10/p50/p90 cutpoints of
+    the (verified) heuristic quality score WITHIN each source, the
+    global median alongside, and the share of each source's documents
+    passing its own median vs the global one.  This is the decision
+    table behind per-source thresholds (the FineWeb-style practice:
+    a fixed global quality bar over-filters clean-but-plain sources
+    and under-filters noisy ones; calibrated per-source percentiles
+    equalize the cut).
+
+    Percentile definition: smallest score s with cum_count(≤ s) ≥
+    ⌈q·n⌉ — all-integer comparisons over e4-quantized scores (the
+    score is ROUND(…, 4) by construction, so ×1e4 is exact).
+
+    Scale shape: docs aggregate FIRST to (source, score) cells —
+    bounded by 10⁴ distinct scores per source regardless of corpus
+    size — and every window (cumulative count, total) rides on that
+    aggregate, never on raw documents; the cutpoint table joins back
+    broadcast for the pass-share pass.  No corpus-wide or whole-
+    source row window anywhere."""
+    q = S.quality_score("text", d)
+    return f"""
+        WITH sig AS (
+            SELECT doc_id, source,
+                   CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4
+            FROM documents
+        ),
+        cells AS (
+            SELECT source, q_e4, COUNT(*) AS c
+            FROM sig GROUP BY source, q_e4
+        ),
+        cum AS (
+            SELECT source, q_e4,
+                   SUM(c) OVER (PARTITION BY source ORDER BY q_e4) AS cc,
+                   SUM(c) OVER (PARTITION BY source) AS n
+            FROM cells
+        ),
+        cuts AS (
+            SELECT source,
+                   CAST(MAX(n) AS BIGINT) AS n_docs,
+                   MIN(CASE WHEN cc * 10 >= n THEN q_e4 END) AS p10_e4,
+                   MIN(CASE WHEN cc * 2 >= n THEN q_e4 END) AS p50_e4,
+                   MIN(CASE WHEN cc * 10 >= n * 9 THEN q_e4 END) AS p90_e4
+            FROM cum GROUP BY source
+        ),
+        gcum AS (
+            SELECT q_e4,
+                   SUM(SUM(c)) OVER (ORDER BY q_e4) AS cc,
+                   SUM(SUM(c)) OVER () AS n
+            FROM cells GROUP BY q_e4
+        ),
+        gcut AS (
+            SELECT MIN(CASE WHEN cc * 2 >= n THEN q_e4 END) AS gp50_e4
+            FROM gcum
+        )
+        SELECT c.source, c.n_docs, c.p10_e4, c.p50_e4, c.p90_e4,
+               g.gp50_e4 AS global_p50_e4,
+               ROUND(CAST(SUM(CASE WHEN s.q_e4 >= c.p50_e4
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / c.n_docs, 4) AS pass_local_share,
+               ROUND(CAST(SUM(CASE WHEN s.q_e4 >= g.gp50_e4
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / c.n_docs, 4) AS pass_global_share
+        FROM sig s
+        JOIN cuts c ON c.source = s.source
+        CROSS JOIN gcut g
+        GROUP BY c.source, c.n_docs, c.p10_e4, c.p50_e4, c.p90_e4,
+                 g.gp50_e4
+    """

@@ -118,6 +118,12 @@ class Dialect:
         joined with ``sep`` — the word-n-gram constructor."""
         raise NotImplementedError
 
+    def arr_slice(self, arr: str, idx0: str, n: str) -> str:
+        """``n`` elements of ``arr`` starting at 0-based ``idx0``, as
+        an array — the subvector extractor (``idx0``/``n`` may be
+        column expressions)."""
+        raise NotImplementedError
+
     def arr_join(self, arr: str, sep: str = " ") -> str:
         """All elements of ``arr`` joined with ``sep`` ('' if empty)."""
         raise NotImplementedError
@@ -245,6 +251,9 @@ class SparkDialect(Dialect):
         # slice() takes a 1-based start index
         return f"array_join(slice({arr}, ({idx0}) + 1, {n}), '{sep}')"
 
+    def arr_slice(self, arr: str, idx0: str, n: str) -> str:
+        return f"slice({arr}, ({idx0}) + 1, ({n}))"
+
     def arr_join(self, arr: str, sep: str = " ") -> str:
         return f"array_join({arr}, '{sep}')"
 
@@ -345,6 +354,10 @@ class DuckDBDialect(Dialect):
         # array_join yields '' — pin the '' semantics
         return (f"COALESCE(array_to_string(list_slice({arr}, ({idx0}) + 1, "
                 f"({idx0}) + {n}), '{sep}'), '')")
+
+    def arr_slice(self, arr: str, idx0: str, n: str) -> str:
+        # list_slice is 1-based with an INCLUSIVE end index
+        return f"list_slice({arr}, ({idx0}) + 1, ({idx0}) + ({n}))"
 
     def arr_join(self, arr: str, sep: str = " ") -> str:
         # DuckDB's array_to_string is NULL on an empty list; Spark's

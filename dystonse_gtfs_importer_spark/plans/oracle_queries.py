@@ -3113,6 +3113,17 @@ QUERIES: dict[str, QueryDef] = {
                               "dedup-governance per-source impact"),
     "readability_scores": _sql_pair(SAMP.q_readability_scores,
                                     "text-quality readability gate"),
+    "pq_codes": _sql_pair(ANN.q_pq_codes,
+                          "similarity-compression product "
+                          "quantization"),
+    "ann_pq_topk": _sql_pair(ANN.q_ann_pq_topk,
+                             "similarity-ann PQ asymmetric distance"),
+    "tokenizer_fertility": _sql_pair(SAMP.q_tokenizer_fertility,
+                                     "text-analysis tokenizer "
+                                     "fertility per lang"),
+    "quality_calibration": _sql_pair(SAMP.q_quality_calibration,
+                                     "text-quality per-source "
+                                     "percentile calibration"),
     "ngram_jaccard_pairs": _sql_cross_pair(
         D.q_ngram_jaccard_prefix, D.q_ngram_jaccard_pairs,
         "dedup-jaccard prefix-filter scale"),
@@ -3598,9 +3609,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dsir_weights", "bm25_topk",
     "source_kl_divergence", "zipf_slope", "embedding_norm_outliers",
     # -- window boundary: entries below are outside the driver snapshot --
+    # round-9 late registrations that did NOT displace the round-5
+    # re-witnessing cohort (never driver-witnessed, judge-witnessed
+    # only this round): they lead round 10's window, ahead of the
+    # displaced round-6 cohort
+    "pq_codes", "ann_pq_topk", "tokenizer_fertility",
+    "quality_calibration",
     # the round-6-witnessed cohort displaced by the late-round-9
-    # additions (oldest records below the boundary, so they lead
-    # round 10's window), then the remaining round-7-witnessed
+    # additions (oldest records below the boundary, so they follow
+    # in round 10's window), then the remaining round-7-witnessed
     # entries in r7-window order
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",

@@ -1395,3 +1395,78 @@ class TestRound9PlanShapes:
         assert plan.count("BroadcastHashJoin") >= 3, plan
         assert "SortMergeJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestLateRound9PlanShapes:
+    """100 TB shapes of the late-round-9 operators: PQ's only cross
+    joins are constant series generators (never two data-sized
+    sides), hard-negative mining is pure equi-join like the retrieval
+    path it shares machinery with, and the calibration windows ride
+    on the (source, score) aggregate, never on raw documents."""
+
+    def _nodes(self, n, out=None):
+        out = [] if out is None else out
+        out.append(n)
+        kids = n.children()
+        for i in range(kids.length()):
+            self._nodes(kids.apply(i), out)
+        return out
+
+    def test_hard_negative_topk_no_cross_join(self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.functions import (
+            ann_sql as ANN,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        df = spark.sql(ANN.q_hard_negative_topk(S.SPARK))
+        plan = str(df._jdf.queryExecution().optimizedPlan())
+        assert "Join Cross" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_pq_cross_joins_are_constant_series_only(
+            self, spark, sf_smoke):
+        """Every cross join in the PQ plans must have a constant
+        series generator (OneRowRelation subtree) on one side — the
+        subspace/dimension explode — never two corpus-sized sides."""
+        from dystonse_gtfs_importer_spark.functions import (
+            ann_sql as ANN,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        for sql in (ANN.q_pq_codes(S.SPARK), ANN.q_ann_pq_topk(S.SPARK)):
+            root = spark.sql(sql)._jdf.queryExecution().optimizedPlan()
+            crosses = [n for n in self._nodes(root)
+                       if n.nodeName() == "Join"
+                       and "Cross" in str(n.joinType())]
+            assert crosses, "series explode expected in the PQ plan"
+            for j in crosses:
+                kids = j.children()
+                sides = [str(kids.apply(i)) for i in range(kids.length())]
+                assert any("OneRowRelation" in s for s in sides), sides
+
+    def test_quality_calibration_windows_over_aggregate(
+            self, spark, sf_smoke):
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        root = spark.sql(SAMP.q_quality_calibration(S.SPARK)) \
+            ._jdf.queryExecution().optimizedPlan()
+        wins = [n for n in self._nodes(root) if n.nodeName() == "Window"]
+        assert wins
+        for w in wins:
+            sub = [n.nodeName() for n in self._nodes(w)]
+            assert "Aggregate" in sub, sub

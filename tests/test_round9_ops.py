@@ -858,3 +858,93 @@ class TestReadabilityScores:
         got = {r.source: r.flesch_ease for r in spark.sql(
             SAMP.q_readability_scores(S.SPARK)).collect()}
         assert got["hard"] < got["easy"]
+
+
+class TestProductQuantization:
+    """Planted PQ semantics: duplicate vectors of the 4 seed patterns
+    must share the seed's code in every subspace with zero
+    reconstruction error, and ADC must rank a query's exact twin
+    first at integer distance 0."""
+
+    def _corpus(self, spark):
+        rows = [(i, [float(i % 4 + 1)] * 64, 0) for i in range(8)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+
+    def test_codes_and_recon_error(self, spark):
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        self._corpus(spark)
+        out = spark.sql(ANN.q_pq_codes(S.SPARK)).collect()
+        assert len(out) == 8 * ANN.PQ_M
+        for r in out:
+            # vec i and i+4 share pattern i -> code i, exact centroid
+            assert r.code == r.vec_id % 4
+            assert r.recon_err == 0.0
+
+    def test_adc_ranks_exact_twin_first(self, spark):
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        self._corpus(spark)
+        out = spark.sql(ANN.q_ann_pq_topk(S.SPARK)).collect()
+        by_rank = {r.rk: r for r in out if r.query_id == 0}
+        assert by_rank[1].cand_id == 4 and by_rank[1].adist_e6 == 0
+        assert all(r.adist_e6 > 0 for rk, r in by_rank.items() if rk > 1)
+
+
+class TestTokenizerFertility:
+    def test_planted_micro_unit_rates(self, spark):
+        from dystonse_gtfs_importer_spark.functions import sampling_sql as SAMP
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        rows = [
+            # "ab12cd." -> BPE pre-tokens [ab][12][cd][.] = 4, 1 word
+            (0, "ab12cd.", "xx", "s", 7),
+            # plain prose: 2 words = 2 pre-tokens
+            (1, "hello world", "en", "s", 11),
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.lang: r for r in spark.sql(
+            SAMP.q_tokenizer_fertility(S.SPARK)).collect()}
+        xx, en = got["xx"], got["en"]
+        assert (xx.n_words, xx.n_bpe_tokens, xx.n_chars) == (1, 4, 7)
+        assert xx.fertility_e6 == 4_000_000
+        assert xx.chars_per_token_e6 == 1_750_000
+        assert (en.n_words, en.n_bpe_tokens) == (2, 2)
+        assert en.fertility_e6 == 1_000_000
+
+
+class TestQualityCalibration:
+    def test_planted_percentiles_and_shares(self, spark):
+        from dystonse_gtfs_importer_spark.functions import sampling_sql as SAMP
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        # alpha ratio and stopword signal constant; only the length
+        # signal varies -> scores strictly ordered by text length
+        rows = [
+            (0, "aa", "en", "srcA", 2),
+            (1, "aaaa", "en", "srcA", 4),
+            (2, "aaaaaa", "en", "srcA", 6),
+            (3, "a" * 20, "en", "srcB", 20),  # highest score of all
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        scores = {r.doc_id: int(round(r.quality * 10000))
+                  for r in spark.sql(
+                      "SELECT doc_id, "
+                      + S.quality_score("text", S.SPARK)
+                      + " AS quality FROM documents").collect()}
+        assert scores[0] < scores[1] < scores[2] < scores[3]
+        got = {r.source: r for r in spark.sql(
+            SAMP.q_quality_calibration(S.SPARK)).collect()}
+        a, b = got["srcA"], got["srcB"]
+        assert (a.n_docs, a.p10_e4, a.p50_e4, a.p90_e4) == \
+            (3, scores[0], scores[1], scores[2])
+        # global median over 4 docs = 2nd smallest score
+        assert a.global_p50_e4 == scores[1]
+        assert (a.pass_local_share, a.pass_global_share) == (0.6667, 0.6667)
+        assert (b.n_docs, b.p10_e4, b.p50_e4, b.p90_e4) == \
+            (1, scores[3], scores[3], scores[3])
+        assert (b.pass_local_share, b.pass_global_share) == (1.0, 1.0)
