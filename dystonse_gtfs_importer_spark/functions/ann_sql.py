@@ -1184,9 +1184,12 @@ def q_centroid_similarity_matrix(d: S.Dialect) -> str:
 # Nearest Neighbor Search", TPAMI 2011).
 # ---------------------------------------------------------------------------
 
-PQ_M = 4                  # subspaces
+PQ_M = 8                  # subspaces (the classic PQ shape: DIM/8 dims each)
 PQ_SUBDIM = DIM // PQ_M   # dims per subspace
-PQ_K = 4                  # centroids per subspace codebook
+PQ_K = 32                 # centroids per subspace codebook (256 = the
+                          # classic 1-byte code in production; 32 keeps
+                          # the verification-scale codebook meaningful
+                          # against 500 fixture vectors)
 
 
 def _l2sq(d: S.Dialect, a: str, b: str) -> str:
@@ -1265,7 +1268,7 @@ def _pq_ctes(d: S.Dialect) -> str:
 
 def q_pq_codes(d: S.Dialect) -> str:
     """Product-quantization codes: each vector compressed to {PQ_M}
-    codebook indices (2 bits each at the verification scale; 8 bits =
+    codebook indices (5 bits each at the verification scale; 8 bits =
     the classic PQ byte per subspace in production) plus the
     subspace reconstruction error.  At 100 TB of embeddings PQ is the
     storage tier that makes exhaustive re-ranking affordable:
@@ -1324,4 +1327,150 @@ def q_ann_pq_topk(d: S.Dialect, k: int = K) -> str:
         )
         SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= {k}
+    """
+
+
+def q_ann_ivfpq_topk(d: S.Dialect, nprobe: int = IVF_NPROBE,
+                     k: int = K) -> str:
+    """IVF-PQ: the production FAISS composition — the IVF coarse
+    quantizer (identical recipe to q_ann_ivf_topk: lowest-id seeds,
+    one quantized Lloyd pass, dot-product cell assignment) prunes the
+    candidate set to ``nprobe`` cells, then PQ ADC (integer
+    micro-unit LUT, q_ann_pq_topk's scorer) ranks only the survivors.
+
+    At 100 TB this is THE ANN shape: the coarse index bounds the scan
+    to nprobe/cells of the corpus and PQ makes each survivor cost one
+    {PQ_M}-lookup integer sum instead of a {DIM}-dim float dot.
+    Scale shape: both codebooks are tiny broadcast tables; the only
+    corpus-sized operations are the two map-only assignments and the
+    per-query top-k.  Algorithm: Jégou et al. TPAMI 2011 §IV."""
+    dot_vs = f"ROUND({d.arr_dot('v.emb', 's.emb')}, 6)"
+    dot_vc = f"ROUND({d.arr_dot('v.emb', 'c.cemb')}, 6)"
+    dot_qc = f"ROUND({d.arr_dot('q.emb', 'c.cemb')}, 6)"
+    lut_dist = f"CAST(ROUND({_l2sq(d, 'q.semb', 'c.cemb')} * 1e6) AS BIGINT)"
+    return f"""
+        WITH {_pq_ctes(d)},
+        qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        cseeds AS (
+            SELECT emb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM (SELECT * FROM cv ORDER BY vec_id LIMIT {IVF_CELLS}) s0
+        ),
+        cassign0 AS (
+            SELECT v.vec_id, v.emb, s.rn - 1 AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {dot_vs} DESC, s.rn) AS pick
+            FROM cv v CROSS JOIN cseeds s
+        ),
+        ca0 AS (SELECT vec_id, emb, cell FROM cassign0 WHERE pick = 1),
+        cdims AS (
+            SELECT cell, i, ROUND(AVG({d.arr_get('emb', 'i')}), 6) AS mv
+            FROM ca0 CROSS JOIN {d.series(DIM)}
+            GROUP BY cell, i
+        ),
+        ccents AS (
+            SELECT cell, {d.ordered_list('mv', 'i')} AS cemb
+            FROM cdims GROUP BY cell
+        ),
+        cassign1 AS (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {dot_vc} DESC, c.cell) AS pick
+            FROM cv v CROSS JOIN ccents c
+        ),
+        ca1 AS (SELECT vec_id, cell FROM cassign1 WHERE pick = 1),
+        cprobes AS (
+            SELECT q.vec_id AS query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {dot_qc} DESC, c.cell) AS pr
+            FROM qv q CROSS JOIN ccents c
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS cand_id
+            FROM (SELECT query_id, cell FROM cprobes
+                  WHERE pr <= {nprobe}) p
+            JOIN ca1 a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ),
+        qsub AS (
+            SELECT vec_id AS query_id, sub, semb FROM subv
+            WHERE vec_id % {QUERY_STRIDE} = 0
+        ),
+        lut AS (
+            SELECT q.query_id, c.sub, c.cell, {lut_dist} AS pdist_e6
+            FROM qsub q JOIN pcents c ON c.sub = q.sub
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.cand_id,
+                   CAST(SUM(l.pdist_e6) AS BIGINT) AS adist_e6
+            FROM cand
+            JOIN pcodes p ON p.vec_id = cand.cand_id
+            JOIN lut l ON l.query_id = cand.query_id
+                      AND l.sub = p.sub AND l.cell = p.code
+            GROUP BY cand.query_id, cand.cand_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist_e6 ASC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
+def q_pq_recall(d: S.Dialect, k: int = K) -> str:
+    """PQ recall AUDIT against the exact squared-L2 top-k (the metric
+    PQ quantizes, so the number isolates QUANTIZATION loss rather
+    than an L2-vs-cosine metric mismatch): per query, hits and
+    floored recall_e4 for the flat ADC scan (`pq_flat`) and the
+    IVF-pruned composition (`ivfpq`).  Both legs are the registry's
+    own derivations verbatim — the audit measures exactly what the
+    registered operators ship (the q_ann_recall doctrine).  Note the
+    ivfpq leg's per-query recall is NOT bounded by the flat leg's:
+    coarse pruning shrinks the CANDIDATE set, which can evict false
+    positives that out-ranked a true hit in the flat ADC scan and so
+    let the hit into the pruned top-k (observed on the fixture).
+    The planted exact-codebook case, where both legs must read
+    10000, is test-pinned.  At scale the exact leg runs on the sampled query
+    stride only — the audit is a quality probe, not a production
+    path."""
+    l2 = f"ROUND({_l2sq(d, 'q.emb', 'c.emb')}, 6)"
+    exact = f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        qv AS (SELECT * FROM cv WHERE vec_id % {QUERY_STRIDE} = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   {l2} AS dist
+            FROM qv q JOIN cv c ON c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dist ASC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id FROM ranked WHERE rk <= {k}
+    """
+    legs = []
+    for label, leg_sql in (("pq_flat", q_ann_pq_topk(d, k)),
+                           ("ivfpq", q_ann_ivfpq_topk(d, k=k))):
+        legs.append(f"""
+        SELECT {d.str_lit(label)} AS variant, e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS k_eval,
+               CAST(SUM(CASE WHEN i.cand_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST({d.intdiv(
+                   "SUM(CASE WHEN i.cand_id IS NOT NULL "
+                   "THEN 1 ELSE 0 END) * 10000", "COUNT(*)")}
+                   AS BIGINT) AS recall_e4
+        FROM ex e
+        LEFT JOIN ({leg_sql}) i
+               ON i.query_id = e.query_id
+              AND i.cand_id = e.cand_id
+        GROUP BY e.query_id""")
+    union = "\n        UNION ALL".join(legs)
+    return f"""
+        WITH ex AS ({exact})
+        {union}
     """

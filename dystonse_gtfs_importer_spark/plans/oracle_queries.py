@@ -3124,6 +3124,11 @@ QUERIES: dict[str, QueryDef] = {
     "quality_calibration": _sql_pair(SAMP.q_quality_calibration,
                                      "text-quality per-source "
                                      "percentile calibration"),
+    "ann_ivfpq_topk": _sql_pair(ANN.q_ann_ivfpq_topk,
+                                "similarity-ann IVF-PQ composition"),
+    "pq_recall": _sql_pair(ANN.q_pq_recall,
+                           "similarity-eval PQ quantization-loss "
+                           "audit"),
     "ngram_jaccard_pairs": _sql_cross_pair(
         D.q_ngram_jaccard_prefix, D.q_ngram_jaccard_pairs,
         "dedup-jaccard prefix-filter scale"),
@@ -3613,8 +3618,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # re-witnessing cohort (never driver-witnessed, judge-witnessed
     # only this round): they lead round 10's window, ahead of the
     # displaced round-6 cohort
-    "pq_codes", "ann_pq_topk", "tokenizer_fertility",
-    "quality_calibration",
+    "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
+    "tokenizer_fertility", "quality_calibration",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -948,3 +948,59 @@ class TestQualityCalibration:
         assert (b.n_docs, b.p10_e4, b.p50_e4, b.p90_e4) == \
             (1, scores[3], scores[3], scores[3])
         assert (b.pass_local_share, b.pass_global_share) == (1.0, 1.0)
+
+
+class TestIvfPqAndRecall:
+    """Planted IVF-PQ semantics: on the duplicate-pattern corpus the
+    codebooks reconstruct exactly, so ADC ordering equals exact L2
+    ordering and BOTH recall legs must read 10000 — and the IVF
+    pruning loses nothing because every vector lands in one coarse
+    cell."""
+
+    def _corpus(self, spark):
+        rows = [(i, [float(i % 4 + 1)] * 64, 0) for i in range(8)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+
+    def test_ivfpq_exact_twin_first(self, spark):
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        self._corpus(spark)
+        out = spark.sql(ANN.q_ann_ivfpq_topk(S.SPARK)).collect()
+        by_rank = {r.rk: r for r in out if r.query_id == 0}
+        assert by_rank[1].cand_id == 4 and by_rank[1].adist_e6 == 0
+
+    def test_recall_perfect_on_exact_codebooks(self, spark):
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        self._corpus(spark)
+        out = spark.sql(ANN.q_pq_recall(S.SPARK)).collect()
+        assert {r.variant for r in out} == {"pq_flat", "ivfpq"}
+        for r in out:
+            assert (r.n_hit, r.recall_e4) == (r.k_eval, 10000), r
+
+    def test_fixture_recall_rows_well_formed(self, spark, sf_smoke):
+        """On real (random) fixture embeddings: both legs cover the
+        same query set with full k evaluated and hits within range.
+        (Per-query recall(ivfpq) <= recall(pq_flat) is NOT an
+        invariant — pruning can evict false positives that out-ranked
+        a true hit — so only structure is pinned here; the exact-
+        codebook equality case above pins the semantics.)"""
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        rows = spark.sql(ANN.q_pq_recall(S.SPARK)).collect()
+        flat = {r.query_id: r for r in rows if r.variant == "pq_flat"}
+        ivf = {r.query_id: r for r in rows if r.variant == "ivfpq"}
+        assert set(flat) == set(ivf) and flat
+        for r in rows:
+            assert r.k_eval == ANN.K
+            assert 0 <= r.n_hit <= r.k_eval
+            assert r.recall_e4 == r.n_hit * 10000 // r.k_eval
