@@ -174,6 +174,20 @@ def _parser() -> argparse.ArgumentParser:
     cmx.add_argument("--epoch-cap-e6", type=int, default=None,
                      help="max epochs per source in micro-units "
                           "(default 1400000 = 1.4 epochs)")
+    for name, hlp in (
+            ("calibrate", "per-source quality-score percentile "
+                          "calibration (p10/p50/p90 cutpoints, "
+                          "local-vs-global median pass shares)"),
+            ("fertility", "tokenizer fertility per language "
+                          "(BPE-ish tokens per word, chars per "
+                          "token, exact micro-units)"),
+            ("pii-report", "per-source PII governance rollup "
+                           "(category totals, clean share, density "
+                           "per 10k chars)")):
+        cq = csub.add_parser(name, help=hlp)
+        cq.add_argument("--docs", default=None,
+                        help="documents parquet path "
+                             "(default <dir>/documents.parquet)")
     return p
 
 
@@ -653,6 +667,36 @@ def _cmd_corpus_mixture(spark, args) -> int:
     return 0
 
 
+def _cmd_corpus_report(spark, args) -> int:
+    """`corpus calibrate` / `corpus fertility` / `corpus pii-report`:
+    read-only governance faces of the registered (driver-verified)
+    quality_calibration / tokenizer_fertility / pii_source_report
+    queries — one JSON line each, rows sorted by their group key."""
+    import json
+    import uuid
+
+    from .functions import pii_sql as PII
+    from .functions import sampling_sql as SAMP
+    from .functions import sql_shared as S
+
+    templates = {
+        "calibrate": (SAMP.q_quality_calibration, "source"),
+        "fertility": (SAMP.q_tokenizer_fertility, "lang"),
+        "pii-report": (PII.q_pii_source_report, "source"),
+    }
+    template, key = templates[args.cmode]
+    path = args.docs or str(Path(args.dir) / "documents.parquet")
+    view = f"__rep_cli_{uuid.uuid4().hex[:12]}"
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    rows = [r.asDict() for r in
+            spark.sql(template(S.SPARK, doc_table=view)).collect()]
+    spark.catalog.dropTempView(view)
+    rows.sort(key=lambda r: r[key])
+    print(json.dumps({"table": path, "report": args.cmode,
+                      "rows": rows}, sort_keys=True))
+    return 0
+
+
 def cmd_corpus(spark, args) -> int:
     """Training-corpus preparation commands (`corpus prepare-shards`,
     `corpus profile`): the CLI face of plans/corpus.prepare_shards
@@ -665,6 +709,8 @@ def cmd_corpus(spark, args) -> int:
         return _cmd_corpus_profile(spark, args)
     if args.cmode == "mixture":
         return _cmd_corpus_mixture(spark, args)
+    if args.cmode in ("calibrate", "fertility", "pii-report"):
+        return _cmd_corpus_report(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")
     docs = spark.read.parquet(docs_path)

@@ -130,7 +130,8 @@ def q_repetition_signals(d: S.Dialect) -> str:
     """
 
 
-def q_pii_source_report(d: S.Dialect) -> str:
+def q_pii_source_report(d: S.Dialect,
+                        doc_table: str = "documents") -> str:
     """Per-source PII governance report: document counts, clean-doc
     share, per-category match totals, and PII density per 10k chars —
     the numbers a data-governance review reads before a source is
@@ -157,7 +158,7 @@ def q_pii_source_report(d: S.Dialect) -> str:
     s0, s1, s2, s3 = stages
     total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
     return f"""
-        WITH u AS (SELECT doc_id, source, n_chars, {s0} FROM documents),
+        WITH u AS (SELECT doc_id, source, n_chars, {s0} FROM {doc_table}),
         e AS (SELECT doc_id, source, n_chars, n_url, {s1} FROM u),
         i AS (SELECT doc_id, source, n_chars, n_url, n_email, {s2} FROM e),
         p AS (SELECT doc_id, source, n_chars, n_url, n_email, n_ip, {s3}

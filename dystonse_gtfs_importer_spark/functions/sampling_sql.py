@@ -1452,7 +1452,8 @@ def q_readability_scores(d: S.Dialect) -> str:
     """
 
 
-def q_tokenizer_fertility(d: S.Dialect) -> str:
+def q_tokenizer_fertility(d: S.Dialect,
+                          doc_table: str = "documents") -> str:
     """Tokenizer fertility per language: BPE-ish subword tokens per
     whitespace word and characters per subword token — the two
     numbers a tokenizer/vocab choice is evaluated on per language
@@ -1476,7 +1477,7 @@ def q_tokenizer_fertility(d: S.Dialect) -> str:
                    CAST({tc} AS BIGINT) AS n_words,
                    CAST({bpe} AS BIGINT) AS n_bpe,
                    CAST(LENGTH(text) AS BIGINT) AS n_c
-            FROM documents
+            FROM {doc_table}
         )
         SELECT lang,
                COUNT(*) AS n_docs,
@@ -1490,7 +1491,8 @@ def q_tokenizer_fertility(d: S.Dialect) -> str:
     """
 
 
-def q_quality_calibration(d: S.Dialect) -> str:
+def q_quality_calibration(d: S.Dialect,
+                          doc_table: str = "documents") -> str:
     """Per-source quality-score calibration: p10/p50/p90 cutpoints of
     the (verified) heuristic quality score WITHIN each source, the
     global median alongside, and the share of each source's documents
@@ -1515,7 +1517,7 @@ def q_quality_calibration(d: S.Dialect) -> str:
         WITH sig AS (
             SELECT doc_id, source,
                    CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4
-            FROM documents
+            FROM {doc_table}
         ),
         cells AS (
             SELECT source, q_e4, COUNT(*) AS c

@@ -1004,3 +1004,35 @@ class TestIvfPqAndRecall:
             assert r.k_eval == ANN.K
             assert 0 <= r.n_hit <= r.k_eval
             assert r.recall_e4 == r.n_hit * 10000 // r.k_eval
+
+
+class TestCorpusReportCLIs:
+    def test_calibrate_fertility_pii_json(self, spark, tmp_path, capsys):
+        import json
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        rows = [
+            (0, "see https://ex.com now", "en", "srcA", 100),
+            (1, "plain prose here. ok!", "en", "srcA", 100),
+            (2, "ab12cd.", "xx", "srcB", 7),
+        ]
+        docs = _docs(spark, rows)
+        path = str(tmp_path / "docs.parquet")
+        docs.write.parquet(path)
+        for mode, key, n_expected in (("calibrate", "source", 2),
+                                      ("fertility", "lang", 2),
+                                      ("pii-report", "source", 2)):
+            assert main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                         mode, "--docs", path], spark=spark) == 0
+            out = json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1])
+            assert out["report"] == mode
+            assert len(out["rows"]) == n_expected
+        # spot-check one semantic per face
+        assert main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                     "pii-report", "--docs", path], spark=spark) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        by_src = {r["source"]: r for r in out["rows"]}
+        assert by_src["srcA"]["n_url"] == 1
+        assert by_src["srcB"]["n_pii"] == 0
