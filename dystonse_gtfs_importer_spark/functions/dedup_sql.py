@@ -995,3 +995,91 @@ def q_dedup_impact(d: S.Dialect) -> str:
         FROM marked
         GROUP BY source
     """
+
+
+def q_dedup_threshold_sweep(d: S.Dialect,
+                            t_min_e4: int = 7000,
+                            step_e4: int = 500,
+                            n_steps: int = 5) -> str:
+    """Dedup threshold planner: what an n-gram-Jaccard near-dup pass
+    would remove at EACH candidate threshold — pairs, affected docs,
+    removed docs (keeper = min doc_id: a doc is removed at t iff it
+    has a more-similar-than-t partner with a smaller id), and the
+    character mass removed.  This is the knob-sweep a pipeline runs
+    BEFORE committing to a threshold (the Jaccard analog of the LSH
+    banding planner): one similarity pass, a count-only sweep, no
+    per-threshold recomputation.
+
+    The pair set is computed ONCE with the lossless prefix filter at
+    the grid floor (every pair relevant to any grid threshold has
+    J >= t_min, so the sweep loses nothing); thresholds compare in
+    exact e4 integer units against the ROUND(…, 4)-quantized Jaccard
+    the pair queries already emit.  Scale shape: the sweep adds one
+    tiny threshold-series join and two count aggregates on top of the
+    candidate machinery — the similarity pass dominates, exactly
+    once.  The default grid covers 0.70–0.90 (the range production
+    near-dup thresholds actually live in); lowering the floor costs
+    pair volume quadratically on uniform-vocabulary corpora like the
+    driver fixture (see the q_ngram_jaccard_prefix caveat)."""
+    t_min = t_min_e4 / 10000.0
+    pairs = q_ngram_jaccard_prefix(d, threshold=t_min)
+    return f"""
+        WITH grid AS (
+            SELECT {t_min_e4} + i * {step_e4} AS t_e4
+            FROM {d.series(n_steps)} s
+        ),
+        pj AS (
+            SELECT doc_a, doc_b,
+                   CAST(ROUND(jaccard * 10000) AS BIGINT) AS j_e4
+            FROM ({pairs}) p
+        ),
+        hits AS (
+            SELECT g.t_e4, p.doc_a, p.doc_b
+            FROM pj p JOIN grid g ON p.j_e4 >= g.t_e4
+        ),
+        removed AS (
+            SELECT t_e4, doc_b AS doc_id
+            FROM hits GROUP BY t_e4, doc_b
+        ),
+        affected AS (
+            SELECT t_e4, doc_id FROM (
+                SELECT t_e4, doc_a AS doc_id FROM hits
+                UNION
+                SELECT t_e4, doc_b AS doc_id FROM hits
+            ) u
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+            FROM documents
+        ),
+        pair_counts AS (
+            SELECT t_e4, COUNT(*) AS n_pairs FROM hits GROUP BY t_e4
+        ),
+        removed_stats AS (
+            SELECT r.t_e4, COUNT(*) AS n_removed,
+                   SUM(dd.n_chars) AS chars_removed
+            FROM removed r JOIN documents dd ON dd.doc_id = r.doc_id
+            GROUP BY r.t_e4
+        ),
+        affected_counts AS (
+            SELECT t_e4, COUNT(*) AS n_affected
+            FROM affected GROUP BY t_e4
+        )
+        SELECT g.t_e4,
+               CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(ac.n_affected, 0) AS BIGINT)
+                   AS n_docs_affected,
+               CAST(COALESCE(rs.n_removed, 0) AS BIGINT)
+                   AS n_docs_removed,
+               CAST(COALESCE(rs.chars_removed, 0) AS BIGINT)
+                   AS n_chars_removed,
+               ROUND(CAST(COALESCE(rs.n_removed, 0) AS DOUBLE)
+                     / c.n_docs, 4) AS doc_removal_share,
+               ROUND(CAST(COALESCE(rs.chars_removed, 0) AS DOUBLE)
+                     / c.n_chars, 4) AS char_removal_share
+        FROM grid g
+        CROSS JOIN corpus c
+        LEFT JOIN pair_counts pc ON pc.t_e4 = g.t_e4
+        LEFT JOIN removed_stats rs ON rs.t_e4 = g.t_e4
+        LEFT JOIN affected_counts ac ON ac.t_e4 = g.t_e4
+    """

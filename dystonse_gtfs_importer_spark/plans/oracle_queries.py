@@ -3126,6 +3126,9 @@ QUERIES: dict[str, QueryDef] = {
                                      "percentile calibration"),
     "ann_ivfpq_topk": _sql_pair(ANN.q_ann_ivfpq_topk,
                                 "similarity-ann IVF-PQ composition"),
+    "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
+                                       "dedup-planner Jaccard "
+                                       "threshold sweep"),
     "pq_recall": _sql_pair(ANN.q_pq_recall,
                            "similarity-eval PQ quantization-loss "
                            "audit"),
@@ -3620,6 +3623,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # displaced round-6 cohort
     "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
     "tokenizer_fertility", "quality_calibration",
+    "dedup_threshold_sweep",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -1036,3 +1036,45 @@ class TestCorpusReportCLIs:
         by_src = {r["source"]: r for r in out["rows"]}
         assert by_src["srcA"]["n_url"] == 1
         assert by_src["srcB"]["n_pii"] == 0
+
+
+class TestDedupThresholdSweep:
+    def test_planted_grid_accounting(self, spark):
+        from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        rows = [
+            (0, "a b c d", "en", "s", 7),    # pair with 1 at J = 1.0
+            (1, "a b c d", "en", "s", 7),
+            (2, "a b c x", "en", "s", 7),    # J(0,2) = 3/5 = 0.6 < 0.7
+            (3, "z y w v", "en", "s", 7),    # unrelated
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        out = {r.t_e4: r for r in spark.sql(
+            D.q_dedup_threshold_sweep(S.SPARK)).collect()}
+        assert sorted(out) == [7000, 7500, 8000, 8500, 9000]
+        for t, r in out.items():
+            # only the exact pair (0,1) clears every grid threshold
+            assert (r.n_pairs, r.n_docs_affected, r.n_docs_removed) == \
+                (1, 2, 1), (t, r)
+            assert r.n_chars_removed == 7
+            assert (r.doc_removal_share, r.char_removal_share) == \
+                (0.25, 0.25)
+
+    def test_lower_floor_catches_the_060_pair(self, spark):
+        from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        rows = [
+            (0, "a b c d", "en", "s", 7),
+            (1, "a b c d", "en", "s", 7),
+            (2, "a b c x", "en", "s", 7),
+            (3, "z y w v", "en", "s", 7),
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        out = {r.t_e4: r for r in spark.sql(D.q_dedup_threshold_sweep(
+            S.SPARK, t_min_e4=6000, step_e4=2000, n_steps=2)).collect()}
+        # at 0.6: pairs (0,1) J=1.0, (0,2) and (1,2) J=0.6 -> docs 1,2
+        # removed (each has a smaller-id partner); at 0.8 only (0,1)
+        assert (out[6000].n_pairs, out[6000].n_docs_removed) == (3, 2)
+        assert (out[8000].n_pairs, out[8000].n_docs_removed) == (1, 1)
