@@ -615,3 +615,66 @@ def q_packing_efficiency(d: S.Dialect,
         GROUP BY ctx, source
         ORDER BY ctx, source
     """
+
+
+BATCH_MAX_TOKENS = 256   # padded-token budget per batch (count * max_len)
+BATCH_MAX_SEQS = 8       # row cap per batch
+
+
+def q_batch_schedule(d: S.Dialect,
+                     max_tokens: int = BATCH_MAX_TOKENS,
+                     max_seqs: int = BATCH_MAX_SEQS,
+                     band_docs: int = SEQ_PACK_BAND) -> str:
+    """Dynamic batching (batch-by-size): assign documents to training
+    batches so each batch's PADDED cost — rows × batch-max length,
+    what the accelerator actually computes after padding every row to
+    the batch max — stays within ``max_tokens``, with a ``max_seqs``
+    row cap.  This is the loader-side alternative to sequence packing
+    for losses that need document boundaries intact (seq2seq / SFT):
+    packing concatenates, batching pads — the fairseq
+    ``batch_by_size`` rule, made deterministic.
+
+    Algorithm (deterministic, hence cross-engine hashable): within a
+    band, walk documents in (n_tokens DESC, doc_id ASC) order carrying
+    (batch, count, max_len).  Because the walk descends, the open
+    batch's max length is its FIRST document's length, so the padded
+    cost of adding a document is ``(count + 1) · max_len`` — one
+    integer compare.  A document that doesn't fit (or would exceed
+    ``max_seqs``) opens the next batch; an oversize document
+    (n_tokens > max_tokens) therefore sits alone in its own batch —
+    flagged by the cost rather than split (splitting is the packer's
+    job, not the batcher's).
+
+    Per document: band, token count, band-local batch index, and the
+    document's slot within the batch.  This template is the
+    sequential recursive-CTE REFERENCE; the registered Spark side is
+    ``operators/packing.schedule_batches`` — the same walk run
+    band-parallel over the seeded-position bands (one band shuffle,
+    one bounded Arrow batch per band), which the driver hash gate
+    proves identical.  Scale shape: identical to ``q_sequence_pack``
+    — parallelism |corpus| / band_docs, no cross-band state."""
+    fits = (f"(p.cnt + 1) * p.mx <= {max_tokens} "
+            f"AND p.cnt + 1 <= {max_seqs}")
+    return f"""
+        WITH RECURSIVE {_sized_ranked_ctes(d, band_docs)},
+        sched AS (
+            SELECT band, r, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS batch,
+                   CAST(0 AS BIGINT) AS pos,
+                   CAST(1 AS BIGINT) AS cnt,
+                   n_tokens AS mx
+            FROM ranked WHERE r = 1
+            UNION ALL
+            SELECT x.band, x.r, x.doc_id, x.n_tokens,
+                   CASE WHEN {fits} THEN p.batch
+                        ELSE p.batch + 1 END,
+                   CASE WHEN {fits} THEN p.cnt
+                        ELSE CAST(0 AS BIGINT) END,
+                   CASE WHEN {fits} THEN p.cnt + 1
+                        ELSE CAST(1 AS BIGINT) END,
+                   CASE WHEN {fits} THEN p.mx ELSE x.n_tokens END
+            FROM sched p JOIN ranked x
+              ON x.band = p.band AND x.r = p.r + 1
+        )
+        SELECT doc_id, band, n_tokens, batch, pos FROM sched
+    """

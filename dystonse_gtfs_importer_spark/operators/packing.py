@@ -262,3 +262,75 @@ def packed_band_stats(packed: DataFrame, ctx: int = SEQ_PACK_CTX
         .alias("n_seqs"))
         .withColumn("padding_tokens",
                     F.col("n_seqs") * ctx - F.col("total_tokens")))
+
+
+_BATCH_SCHEMA = ("doc_id bigint, band bigint, n_tokens bigint, "
+                 "batch bigint, pos bigint")
+
+
+def _batch_walk(pdf: pd.DataFrame, max_tokens: int, max_seqs: int
+                ) -> pd.DataFrame:
+    """One band's dynamic-batching walk (integer state only — see
+    ``functions/decontam_sql.q_batch_schedule`` for the rule set;
+    this is the band-parallel twin the driver hash gate pins against
+    that sequential reference)."""
+    pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True])
+    out = []
+    batch, cnt, mx = -1, 0, 0
+    for doc_id, band, n in zip(pdf["doc_id"], pdf["band"],
+                               pdf["n_tokens"]):
+        n = int(n)
+        if batch >= 0 and (cnt + 1) * mx <= max_tokens \
+                and cnt + 1 <= max_seqs:
+            out.append((int(doc_id), int(band), n, batch, cnt))
+            cnt += 1
+        else:
+            batch += 1
+            out.append((int(doc_id), int(band), n, batch, 0))
+            cnt, mx = 1, n
+    return pd.DataFrame(out, columns=["doc_id", "band", "n_tokens",
+                                      "batch", "pos"])
+
+
+def schedule_batches(docs: DataFrame, max_tokens: int | None = None,
+                     max_seqs: int | None = None,
+                     band_docs: int = SEQ_PACK_BAND,
+                     id_col: str = "doc_id",
+                     text_col: str = "text",
+                     seed: str = SEQ_PACK_SEED) -> DataFrame:
+    """Dynamic batching (batch-by-size): per document (doc_id, band,
+    n_tokens, batch, pos) under a padded-cost budget — the loader-
+    side alternative to the packer for boundary-preserving losses;
+    see ``q_batch_schedule`` for the deterministic rule set.  Same
+    seeded-position banding, walk order, and scale shape as
+    :func:`pack_sequences`."""
+    from ..functions.decontam_sql import (
+        BATCH_MAX_SEQS,
+        BATCH_MAX_TOKENS,
+    )
+
+    if max_tokens is None:
+        max_tokens = BATCH_MAX_TOKENS
+    if max_seqs is None:
+        max_seqs = BATCH_MAX_SEQS
+    banded = _banded_sizes(docs, band_docs, id_col, text_col, seed)
+    return banded.groupBy("band").applyInPandas(
+        lambda pdf: _batch_walk(pdf, max_tokens, max_seqs),
+        _BATCH_SCHEMA)
+
+
+def batch_stats(scheduled: DataFrame) -> DataFrame:
+    """Per (band, batch): rows, batch max length, real tokens, padded
+    cost (rows × max length — what the accelerator computes), and
+    padding waste.  One (band, batch) aggregate over the scheduler's
+    output."""
+    return (scheduled.groupBy("band", "batch").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max("n_tokens").cast("long").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"))
+        .withColumn("padded_cost",
+                    (F.col("n_rows") * F.col("max_len")).cast("long"))
+        .withColumn("pad_tokens",
+                    (F.col("padded_cost") - F.col("real_tokens"))
+                    .cast("long")))

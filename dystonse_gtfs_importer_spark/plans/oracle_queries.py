@@ -3022,6 +3022,20 @@ def _sequence_pack_ffd_spark(spark: SparkSession, sf_dir: str
     return pack_sequences_ffd(spark.table("documents"))
 
 
+def _batch_schedule_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-parallel dynamic batcher (operators/packing.
+    schedule_batches): tokenize + seeded-position band JVM-side, one
+    band shuffle, one bounded Arrow batch per band — hash-checked
+    against the sequential recursive-CTE derivation
+    (q_batch_schedule, DuckDB)."""
+    from ..operators.packing import schedule_batches
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    return schedule_batches(spark.table("documents"))
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
@@ -3129,6 +3143,10 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "batch_schedule": QueryDef(spark=_batch_schedule_spark,
+                               oracle=DC.q_batch_schedule(S.DUCKDB),
+                               survey_ref="loader dynamic batching "
+                                          "(batch-by-size)"),
     "pq_recall": _sql_pair(ANN.q_pq_recall,
                            "similarity-eval PQ quantization-loss "
                            "audit"),
@@ -3623,7 +3641,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # displaced round-6 cohort
     "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
     "tokenizer_fertility", "quality_calibration",
-    "dedup_threshold_sweep",
+    "dedup_threshold_sweep", "batch_schedule",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

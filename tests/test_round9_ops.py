@@ -1078,3 +1078,75 @@ class TestDedupThresholdSweep:
         # removed (each has a smaller-id partner); at 0.8 only (0,1)
         assert (out[6000].n_pairs, out[6000].n_docs_removed) == (3, 2)
         assert (out[8000].n_pairs, out[8000].n_docs_removed) == (1, 1)
+
+
+class TestBatchSchedule:
+    def test_planted_walk_and_caps(self, spark):
+        """max_tokens=20, max_seqs=3: padded cost (count x batch max)
+        gates membership, the row cap forces a final singleton."""
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            batch_stats,
+            schedule_batches,
+        )
+
+        docs = _docs(spark, [_word_doc(i, n) for i, n in
+                             enumerate([9, 8, 5, 5, 2, 1])])
+        got = {r["doc_id"]: (r["batch"], r["pos"])
+               for r in schedule_batches(
+                   docs, max_tokens=20, max_seqs=3,
+                   band_docs=100).collect()}
+        # walk 9,8 | 5,5,2 | 1:  3*9=27 > 20 closes batch 0;
+        # 4 rows > max_seqs closes batch 1
+        assert got == {0: (0, 0), 1: (0, 1), 2: (1, 0),
+                       3: (1, 1), 4: (1, 2), 5: (2, 0)}
+        stats = {r["batch"]: r for r in batch_stats(schedule_batches(
+            docs, max_tokens=20, max_seqs=3, band_docs=100)).collect()}
+        b1 = stats[1]
+        assert (b1["n_rows"], b1["max_len"], b1["real_tokens"],
+                b1["padded_cost"], b1["pad_tokens"]) == (3, 5, 12, 15, 3)
+
+    def test_oversize_doc_sits_alone(self, spark):
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            schedule_batches,
+        )
+
+        docs = _docs(spark, [_word_doc(0, 25), _word_doc(1, 3)])
+        got = {r["doc_id"]: (r["batch"], r["pos"])
+               for r in schedule_batches(
+                   docs, max_tokens=10, max_seqs=4,
+                   band_docs=100).collect()}
+        assert got == {0: (0, 0), 1: (1, 0)}
+
+    def test_cost_cap_invariant_on_fixture(self, spark):
+        """Every multi-row batch respects the padded-cost and row
+        caps; singletons may exceed only via a single oversize doc."""
+        from dystonse_gtfs_importer_spark.functions.decontam_sql import (
+            BATCH_MAX_SEQS,
+            BATCH_MAX_TOKENS,
+        )
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            batch_stats,
+            schedule_batches,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        rows = batch_stats(schedule_batches(docs)).collect()
+        assert rows
+        for r in rows:
+            assert r["n_rows"] <= BATCH_MAX_SEQS
+            if r["n_rows"] > 1:
+                assert r["padded_cost"] <= BATCH_MAX_TOKENS
+
+    def test_partition_invariance(self, spark):
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            schedule_batches,
+        )
+
+        docs = _docs(spark, [_word_doc(i, 1 + (i * 13) % 29)
+                             for i in range(60)])
+        a = sorted(map(tuple, schedule_batches(
+            docs.repartition(7), band_docs=8).collect()))
+        b = sorted(map(tuple, schedule_batches(
+            docs.repartition(1), band_docs=8).collect()))
+        assert a == b
