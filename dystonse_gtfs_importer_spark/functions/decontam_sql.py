@@ -678,3 +678,49 @@ def q_batch_schedule(d: S.Dialect,
         )
         SELECT doc_id, band, n_tokens, batch, pos FROM sched
     """
+
+
+def q_sequence_loss_mask(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
+                         band_docs: int = SEQ_PACK_BAND) -> str:
+    """Loss-mask propagation through the NFD packer: per (band, seq),
+    fill tokens split into masked (below-source-median quality docs —
+    the q_below_median_quality_flags rule) and kept.  Packing keeps
+    low-quality docs in the stream for context; the loss is zeroed on
+    their tokens — this table is what the loader reads to do it.
+
+    Sequential recursive-CTE REFERENCE; the registered Spark side is
+    ``operators/packing.sequence_loss_mask`` over the band-parallel
+    packer + the same flag rule.  Scale shape: q_sequence_fill's
+    explode + one broadcast flag join."""
+    from .sampling_sql import q_below_median_quality_flags
+
+    div = d.intdiv
+    spanned = f"({div('start_off + n_tokens - 1', str(ctx))} + 1)"
+    spanned_x = f"({div('x.start_off + x.n_tokens - 1', str(ctx))} + 1)"
+    return f"""
+        WITH RECURSIVE {_sequence_pack_ctes(d, ctx, band_docs)},
+        flags AS ({q_below_median_quality_flags(d)}),
+        expanded AS (
+            SELECT x.band, x.start_seq + x.j AS seq, f.masked,
+                   CASE WHEN x.j < {spanned_x} - 1 THEN {ctx}
+                        WHEN {spanned_x} = 1 THEN x.n_tokens
+                        ELSE x.n_tokens
+                             - ({spanned_x} - 1) * {ctx}
+                        END AS contrib
+            FROM (
+                SELECT band, doc_id, start_seq, start_off, n_tokens,
+                       {d.explode_range(spanned)} AS j
+                FROM pack
+            ) x
+            JOIN flags f ON f.doc_id = x.doc_id
+        )
+        SELECT band, CAST(seq AS BIGINT) AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(masked) AS BIGINT) AS n_masked_docs,
+               CAST(SUM(contrib) AS BIGINT) AS fill_tokens,
+               CAST(SUM(masked * contrib) AS BIGINT) AS masked_tokens,
+               CAST(SUM(contrib) - SUM(masked * contrib) AS BIGINT)
+                   AS kept_tokens
+        FROM expanded
+        GROUP BY band, seq
+    """

@@ -1561,3 +1561,41 @@ def q_quality_calibration(d: S.Dialect,
         GROUP BY c.source, c.n_docs, c.p10_e4, c.p50_e4, c.p90_e4,
                  g.gp50_e4
     """
+
+
+def q_below_median_quality_flags(d: S.Dialect,
+                                 doc_table: str = "documents") -> str:
+    """Per document: masked = 1 iff its quality score sits BELOW its
+    source's median (the q_quality_calibration p50 cutpoint — same
+    integer percentile definition, so exactly the complement of that
+    query's pass_local set).  This is the doc-grain mask feeding
+    ``sequence_loss_mask``: train on the good half of every source,
+    keep the rest as packed context.  Scale shape: the calibration
+    aggregate plus one broadcast join back to documents — no raw-doc
+    window."""
+    q = S.quality_score("text", d)
+    return f"""
+        SELECT s.doc_id,
+               CASE WHEN s.q_e4 < c.p50_e4 THEN 1 ELSE 0 END AS masked
+        FROM (
+            SELECT doc_id, source,
+                   CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4
+            FROM {doc_table}
+        ) s
+        JOIN (
+            SELECT source,
+                   MIN(CASE WHEN cc * 2 >= n THEN q_e4 END) AS p50_e4
+            FROM (
+                SELECT source, q_e4,
+                       SUM(c) OVER (PARTITION BY source
+                                    ORDER BY q_e4) AS cc,
+                       SUM(c) OVER (PARTITION BY source) AS n
+                FROM (
+                    SELECT source,
+                           CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4,
+                           COUNT(*) AS c
+                    FROM {doc_table} GROUP BY 1, 2
+                ) cells
+            ) cum GROUP BY source
+        ) c ON c.source = s.source
+    """

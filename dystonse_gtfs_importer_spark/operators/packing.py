@@ -334,3 +334,46 @@ def batch_stats(scheduled: DataFrame) -> DataFrame:
         .withColumn("pad_tokens",
                     (F.col("padded_cost") - F.col("real_tokens"))
                     .cast("long")))
+
+
+def sequence_loss_mask(packed: DataFrame, flags: DataFrame,
+                       ctx: int = SEQ_PACK_CTX) -> DataFrame:
+    """Loss-mask propagation through the packer: per (band, seq), how
+    many of its fill tokens belong to MASKED documents (flags:
+    ``(doc_id, masked)``) — the table a training loader reads to zero
+    the loss on packed-for-context tokens while attending over them.
+    Masking documents AFTER packing (rather than dropping them
+    before) preserves sequence layout and context windows; the cost
+    is exactly the ``masked_tokens`` column.
+
+    Scale shape: the same map-only chunk explode as
+    :func:`sequence_fill` plus ONE doc-keyed broadcast-able join of
+    the flag table and one (band, seq) aggregate — no window, no
+    Python.  Hash-verified against the sequential recursive-CTE
+    reference (``q_sequence_loss_mask``)."""
+    spanned = "n_seqs_spanned"
+    contrib = (f"CASE WHEN j < {spanned} - 1 THEN {ctx} "
+               f"WHEN {spanned} = 1 THEN n_tokens "
+               f"ELSE n_tokens - ({spanned} - 1) * {ctx} END")
+    return (packed
+            .join(flags.select(F.col("doc_id").cast("long")
+                               .alias("doc_id"),
+                               F.col("masked").cast("long")
+                               .alias("masked")), "doc_id")
+            .select("band", "start_seq", "n_tokens", spanned, "masked",
+                    F.expr(f"explode(sequence(0, {spanned} - 1))")
+                    .alias("j"))
+            .select("band",
+                    (F.col("start_seq") + F.col("j")).cast("long")
+                    .alias("seq"),
+                    "masked",
+                    F.expr(contrib).cast("long").alias("contrib"))
+            .groupBy("band", "seq")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("masked").cast("long").alias("n_masked_docs"),
+                 F.sum("contrib").cast("long").alias("fill_tokens"),
+                 F.sum(F.col("masked") * F.col("contrib")).cast("long")
+                 .alias("masked_tokens"))
+            .withColumn("kept_tokens",
+                        (F.col("fill_tokens") - F.col("masked_tokens"))
+                        .cast("long")))

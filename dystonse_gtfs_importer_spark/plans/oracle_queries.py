@@ -3036,6 +3036,22 @@ def _batch_schedule_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schedule_batches(spark.table("documents"))
 
 
+def _sequence_loss_mask_spark(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Band-parallel packer + below-source-median quality flags +
+    map-only mask propagation (operators/packing.sequence_loss_mask)
+    — hash-checked against the sequential recursive-CTE derivation
+    (q_sequence_loss_mask, DuckDB)."""
+    from ..operators.packing import pack_sequences, sequence_loss_mask
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    flags = spark.sql(SAMP.q_below_median_quality_flags(S.SPARK))
+    return sequence_loss_mask(pack_sequences(docs), flags)
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
@@ -3147,6 +3163,10 @@ QUERIES: dict[str, QueryDef] = {
                                oracle=DC.q_batch_schedule(S.DUCKDB),
                                survey_ref="loader dynamic batching "
                                           "(batch-by-size)"),
+    "sequence_loss_mask": QueryDef(
+        spark=_sequence_loss_mask_spark,
+        oracle=DC.q_sequence_loss_mask(S.DUCKDB),
+        survey_ref="loader loss-mask propagation through packing"),
     "pq_recall": _sql_pair(ANN.q_pq_recall,
                            "similarity-eval PQ quantization-loss "
                            "audit"),
@@ -3641,7 +3661,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # displaced round-6 cohort
     "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
     "tokenizer_fertility", "quality_calibration",
-    "dedup_threshold_sweep", "batch_schedule",
+    "dedup_threshold_sweep", "batch_schedule", "sequence_loss_mask",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -1150,3 +1150,70 @@ class TestBatchSchedule:
         b = sorted(map(tuple, schedule_batches(
             docs.repartition(1), band_docs=8).collect()))
         assert a == b
+
+
+class TestSequenceLossMask:
+    def test_planted_mask_propagation(self, spark):
+        """ctx=10, one band, lengths 9,8,7,3 -> NFD layout 9|8|7+3;
+        masking docs 0 and 3 must mask exactly seq 0 fully and 3 of
+        seq 2's 10 fill tokens."""
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            pack_sequences,
+            sequence_loss_mask,
+        )
+
+        docs = _docs(spark, [_word_doc(i, n) for i, n in
+                             enumerate([9, 8, 7, 3])])
+        flags = spark.createDataFrame(
+            [(0, 1), (1, 0), (2, 0), (3, 1)], "doc_id long, masked int")
+        packed = pack_sequences(docs, ctx=10, band_docs=100)
+        out = {r["seq"]: r for r in
+               sequence_loss_mask(packed, flags, ctx=10).collect()}
+        assert (out[0]["fill_tokens"], out[0]["masked_tokens"],
+                out[0]["kept_tokens"]) == (9, 9, 0)
+        assert (out[1]["fill_tokens"], out[1]["masked_tokens"]) == (8, 0)
+        assert (out[2]["n_docs"], out[2]["n_masked_docs"],
+                out[2]["fill_tokens"], out[2]["masked_tokens"],
+                out[2]["kept_tokens"]) == (2, 1, 10, 3, 7)
+
+    def test_split_doc_chunks_all_masked(self, spark):
+        """A masked oversize doc masks ctx tokens in every spanned
+        sequence and the remainder in the last."""
+        from dystonse_gtfs_importer_spark.operators.packing import (
+            pack_sequences,
+            sequence_loss_mask,
+        )
+
+        docs = _docs(spark, [_word_doc(0, 23)])
+        flags = spark.createDataFrame([(0, 1)], "doc_id long, masked int")
+        packed = pack_sequences(docs, ctx=10, band_docs=100)
+        out = {r["seq"]: (r["fill_tokens"], r["masked_tokens"])
+               for r in sequence_loss_mask(packed, flags,
+                                           ctx=10).collect()}
+        assert out == {0: (10, 10), 1: (10, 10), 2: (3, 3)}
+
+    def test_flag_rule_complements_calibration(self, spark, sf_smoke):
+        """The registered flag rule is exactly the complement of
+        quality_calibration's pass_local set: per source, masked
+        share == 1 - pass_local_share."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        flags = spark.sql(SAMP.q_below_median_quality_flags(S.SPARK))
+        docs = spark.table("documents").select("doc_id", "source")
+        masked_share = {
+            r["source"]: r["ms"] for r in
+            flags.join(docs, "doc_id").groupBy("source")
+            .agg(F.expr("ROUND(AVG(CAST(masked AS DOUBLE)), 4)")
+                 .alias("ms")).collect()}
+        cal = {r.source: r.pass_local_share for r in spark.sql(
+            SAMP.q_quality_calibration(S.SPARK)).collect()}
+        assert set(masked_share) == set(cal)
+        for src in cal:
+            assert abs(masked_share[src] - round(1 - cal[src], 4)) < 1e-9
