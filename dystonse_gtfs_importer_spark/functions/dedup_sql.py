@@ -1083,3 +1083,82 @@ def q_dedup_threshold_sweep(d: S.Dialect,
         LEFT JOIN removed_stats rs ON rs.t_e4 = g.t_e4
         LEFT JOIN affected_counts ac ON ac.t_e4 = g.t_e4
     """
+
+
+def q_dedup_threshold_sweep_lsh(d: S.Dialect,
+                                t_min_e4: int = 5000,
+                                step_e4: int = 1250,
+                                n_steps: int = 4) -> str:
+    """The threshold sweep's LAKE-SCALE rung: identical grid join and
+    accounting columns to :func:`q_dedup_threshold_sweep`, but the
+    pair set is the banded MinHash candidates with the signature-
+    agreement ESTIMATE of Jaccard (q_minhash_lsh_pairs) instead of
+    the exact PPJoin pass.  On a uniform-vocabulary corpus (like the
+    driver fixture) the exact sweep's true pair set itself grows n²
+    and no candidate scheme can prune below the output size — the
+    banded estimate keeps pair volume at the LSH collision mass and
+    the sweep stays linear-ish, at estimate precision 1/K_MINHASH
+    ({K_MINHASH} hash functions → the default grid steps by exactly
+    1/{K_MINHASH} = 1250 e4-units, the estimate's quantum; finer
+    steps are indistinguishable).  Planner doctrine: sweep here first, commit a
+    threshold, then pay the exact pass once at that threshold."""
+    return f"""
+        WITH grid AS (
+            SELECT {t_min_e4} + i * {step_e4} AS t_e4
+            FROM {d.series(n_steps)} s
+        ),
+        pj AS (
+            SELECT doc_a, doc_b,
+                   CAST(ROUND(est_jaccard * 10000) AS BIGINT) AS j_e4
+            FROM ({q_minhash_lsh_pairs(d)}) p
+        ),
+        hits AS (
+            SELECT g.t_e4, p.doc_a, p.doc_b
+            FROM pj p JOIN grid g ON p.j_e4 >= g.t_e4
+        ),
+        removed AS (
+            SELECT t_e4, doc_b AS doc_id
+            FROM hits GROUP BY t_e4, doc_b
+        ),
+        affected AS (
+            SELECT t_e4, doc_id FROM (
+                SELECT t_e4, doc_a AS doc_id FROM hits
+                UNION
+                SELECT t_e4, doc_b AS doc_id FROM hits
+            ) u
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+            FROM documents
+        ),
+        pair_counts AS (
+            SELECT t_e4, COUNT(*) AS n_pairs FROM hits GROUP BY t_e4
+        ),
+        removed_stats AS (
+            SELECT r.t_e4, COUNT(*) AS n_removed,
+                   SUM(dd.n_chars) AS chars_removed
+            FROM removed r JOIN documents dd ON dd.doc_id = r.doc_id
+            GROUP BY r.t_e4
+        ),
+        affected_counts AS (
+            SELECT t_e4, COUNT(*) AS n_affected
+            FROM affected GROUP BY t_e4
+        )
+        SELECT g.t_e4,
+               CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(ac.n_affected, 0) AS BIGINT)
+                   AS n_docs_affected,
+               CAST(COALESCE(rs.n_removed, 0) AS BIGINT)
+                   AS n_docs_removed,
+               CAST(COALESCE(rs.chars_removed, 0) AS BIGINT)
+                   AS n_chars_removed,
+               ROUND(CAST(COALESCE(rs.n_removed, 0) AS DOUBLE)
+                     / c.n_docs, 4) AS doc_removal_share,
+               ROUND(CAST(COALESCE(rs.chars_removed, 0) AS DOUBLE)
+                     / c.n_chars, 4) AS char_removal_share
+        FROM grid g
+        CROSS JOIN corpus c
+        LEFT JOIN pair_counts pc ON pc.t_e4 = g.t_e4
+        LEFT JOIN removed_stats rs ON rs.t_e4 = g.t_e4
+        LEFT JOIN affected_counts ac ON ac.t_e4 = g.t_e4
+    """

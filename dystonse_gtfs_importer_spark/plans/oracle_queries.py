@@ -3159,6 +3159,9 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "dedup_threshold_sweep_lsh": _sql_pair(
+        D.q_dedup_threshold_sweep_lsh,
+        "dedup-planner threshold sweep, banded-estimate rung"),
     "batch_schedule": QueryDef(spark=_batch_schedule_spark,
                                oracle=DC.q_batch_schedule(S.DUCKDB),
                                survey_ref="loader dynamic batching "
@@ -3661,7 +3664,8 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # displaced round-6 cohort
     "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
     "tokenizer_fertility", "quality_calibration",
-    "dedup_threshold_sweep", "batch_schedule", "sequence_loss_mask",
+    "dedup_threshold_sweep", "dedup_threshold_sweep_lsh",
+    "batch_schedule", "sequence_loss_mask",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed
