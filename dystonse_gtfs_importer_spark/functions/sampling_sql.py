@@ -1599,3 +1599,98 @@ def q_below_median_quality_flags(d: S.Dialect,
             ) cum GROUP BY source
         ) c ON c.source = s.source
     """
+
+
+def q_logreg_quality_iter2(d: S.Dialect,
+                           doc_table: str = "documents") -> str:
+    """A LEARNED quality filter trained fully in-SQL: two batch
+    gradient-descent iterations of logistic regression predicting the
+    English label from the verified quality-signal features (bias,
+    length signal, alphabetic ratio, stopword signal) — the scaled-
+    down form of the fastText/classifier quality rung modern
+    pipelines train (GPT-3's WebText classifier, FineWeb-Edu), and
+    the third member of the in-SQL iterative family
+    (pagerank_iter2, kmeans_lloyd2).
+
+    Cross-engine determinism is by CONSTRUCTION rather than by
+    tolerance:
+
+    * the sigmoid is the RATIONAL fast form 0.5 + z / (2·(1 + |z|))
+      — multiply/divide/abs only, so both engines compute bit-equal
+      IEEE doubles (libm EXP is only ~1-ulp-correct and NOT
+      bit-portable, which would compound across iterations);
+    * every aggregate boundary quantizes with trunc-toward-zero into
+      e6 integers (trunc of the same double is identical under both
+      engines' rules, unlike ROUND's half-up vs half-even split) and
+      sums exactly in BIGINT;
+    * weight updates divide by n once and FLOOR (again rule-free).
+
+    Output: one row per feature with the weight after each iteration
+    (e6 units) and the training accuracy of the final weights — the
+    numbers a filter review reads (which signals the classifier
+    leans on, and whether it beats the base rate).  lr = 1 on [0,1]
+    features.  Scale shape: per iteration ONE full-scan aggregate
+    producing a 4-number gradient (classic batch GD on Spark: map-
+    side partial sums, 4-value reduce, broadcast the weight row
+    back); iterations are a fixed-depth CTE chain, no driver loop."""
+    tr = d.trunc_num
+    n = "LENGTH(text)"
+    alpha = f"LENGTH({d.regexp_replace_all('text', '[^a-zA-Z ]', '')})"
+    stop = S.stopword_count("text")
+    feats = [("bias", "1.0"),
+             ("len_signal", f"LEAST(1.0, {n} / 500.0)"),
+             ("alpha_ratio",
+              f"(CASE WHEN {n} = 0 THEN 0.0 "
+              f"ELSE CAST({alpha} AS DOUBLE) / {n} END)"),
+             ("stop_signal", f"LEAST(1.0, {stop} / 10.0)")]
+    fcols = ", ".join(f"{expr} AS f{j}" for j, (_, expr) in
+                      enumerate(feats))
+
+    def grad(src: str, s_expr: str) -> str:
+        terms = ", ".join(
+            f"CAST(SUM({tr(f'(y - {s_expr}) * f{j} * 1000000.0')}) "
+            f"AS BIGINT) AS g{j}" for j in range(len(feats)))
+        return f"SELECT {terms} FROM {src}"
+
+    zdot = " + ".join(f"w.w{j} * f.f{j}" for j in range(len(feats)))
+    sig = "0.5 + z / (2.0 * (1.0 + ABS(z)))"
+    out_rows = "\n        UNION ALL ".join(
+        f"SELECT {d.str_lit(name)} AS feature, w1.w{j} AS w_iter1_e6, "
+        f"wf.w{j} AS w_iter2_e6, a.acc_e4 "
+        f"FROM w1 CROSS JOIN wf CROSS JOIN acc a"
+        for j, (name, _) in enumerate(feats))
+    w1cols = ", ".join(
+        f"CAST(FLOOR(1.0 * g.g{j} / n.c) AS BIGINT) AS w{j}"
+        for j in range(len(feats)))
+    w2cols = ", ".join(
+        f"CAST(w.w{j} + FLOOR(1.0 * g.g{j} / n.c) AS BIGINT) AS w{j}"
+        for j in range(len(feats)))
+    return f"""
+        WITH feats AS (
+            SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   {fcols}
+            FROM {doc_table}
+        ),
+        n AS (SELECT COUNT(*) AS c FROM feats),
+        g1 AS ({grad('feats', '0.5')}),
+        w1 AS (SELECT {w1cols} FROM g1 g CROSS JOIN n),
+        p1 AS (
+            SELECT f.*, ({zdot}) / 1000000.0 AS z
+            FROM feats f CROSS JOIN w1 w
+        ),
+        p1s AS (SELECT *, {sig} AS s FROM p1),
+        g2 AS ({grad('p1s', 's')}),
+        wf AS (SELECT {w2cols}
+               FROM g2 g CROSS JOIN w1 w CROSS JOIN n),
+        z2 AS (
+            SELECT f.y, ({zdot}) / 1000000.0 AS z
+            FROM feats f CROSS JOIN wf w
+        ),
+        acc AS (
+            SELECT CAST({tr('10000.0 * SUM(CASE WHEN (z > 0) = '
+                            '(y > 0.5) THEN 1 ELSE 0 END) / COUNT(*)')}
+                   AS BIGINT) AS acc_e4
+            FROM z2
+        )
+        {out_rows}
+    """

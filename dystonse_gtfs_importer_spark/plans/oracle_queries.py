@@ -3159,6 +3159,10 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "logreg_quality_iter2": _sql_pair(
+        SAMP.q_logreg_quality_iter2,
+        "text-quality learned filter (in-SQL batch GD, iterative "
+        "family with pagerank_iter2 / kmeans_lloyd2)"),
     "dedup_threshold_sweep_lsh": _sql_pair(
         D.q_dedup_threshold_sweep_lsh,
         "dedup-planner threshold sweep, banded-estimate rung"),
@@ -3665,7 +3669,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
     "tokenizer_fertility", "quality_calibration",
     "dedup_threshold_sweep", "dedup_threshold_sweep_lsh",
-    "batch_schedule", "sequence_loss_mask",
+    "batch_schedule", "sequence_loss_mask", "logreg_quality_iter2",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -1217,3 +1217,51 @@ class TestSequenceLossMask:
         assert set(masked_share) == set(cal)
         for src in cal:
             assert abs(masked_share[src] - round(1 - cal[src], 4)) < 1e-9
+
+
+class TestLogregQualityIter2:
+    def test_separable_planted_data_learns_perfectly(self, spark):
+        """Balanced classes, identical length/alpha features, label
+        carried entirely by the stopword signal: two GD steps must
+        put positive weight on stop_signal, negative on bias, and
+        classify the training set perfectly."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = []
+        for i in range(5):
+            rows.append((i, "the the the", "en", "s", 11))
+            rows.append((5 + i, "zzz zzz zzz", "xx", "s", 11))
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.feature: r for r in spark.sql(
+            SAMP.q_logreg_quality_iter2(S.SPARK)).collect()}
+        assert set(got) == {"bias", "len_signal", "alpha_ratio",
+                            "stop_signal"}
+        assert got["stop_signal"].w_iter2_e6 > 0
+        assert got["bias"].w_iter2_e6 < 0
+        accs = {r.acc_e4 for r in got.values()}
+        assert accs == {10000}
+
+    def test_fixture_degenerates_to_base_rate(self, spark, sf_smoke):
+        """On the near-inseparable fixture features, two GD steps from
+        zero land on the majority predictor — accuracy equals the
+        all-negative base rate exactly (an honest learned-filter
+        review outcome: don't ship this classifier)."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        base = spark.sql(
+            "SELECT CAST(10000 * SUM(CASE WHEN lang = 'en' THEN 0 "
+            "ELSE 1 END) / COUNT(*) AS INT) AS b FROM documents"
+        ).collect()[0].b
+        accs = {r.acc_e4 for r in spark.sql(
+            SAMP.q_logreg_quality_iter2(S.SPARK)).collect()}
+        assert accs == {base}
