@@ -183,7 +183,10 @@ def _parser() -> argparse.ArgumentParser:
                           "token, exact micro-units)"),
             ("pii-report", "per-source PII governance rollup "
                            "(category totals, clean share, density "
-                           "per 10k chars)")):
+                           "per 10k chars)"),
+            ("plan-dedup", "near-dup threshold sweep on the banded "
+                           "MinHash estimate (pairs / affected / "
+                           "removed docs+chars per grid threshold)")):
         cq = csub.add_parser(name, help=hlp)
         cq.add_argument("--docs", default=None,
                         help="documents parquet path "
@@ -679,18 +682,29 @@ def _cmd_corpus_report(spark, args) -> int:
     from .functions import sampling_sql as SAMP
     from .functions import sql_shared as S
 
+    from .functions import dedup_sql as DSQ
+
     templates = {
         "calibrate": (SAMP.q_quality_calibration, "source"),
         "fertility": (SAMP.q_tokenizer_fertility, "lang"),
         "pii-report": (PII.q_pii_source_report, "source"),
+        "plan-dedup": (None, "t_e4"),
     }
     template, key = templates[args.cmode]
     path = args.docs or str(Path(args.dir) / "documents.parquet")
-    view = f"__rep_cli_{uuid.uuid4().hex[:12]}"
-    spark.read.parquet(path).createOrReplaceTempView(view)
-    rows = [r.asDict() for r in
-            spark.sql(template(S.SPARK, doc_table=view)).collect()]
-    spark.catalog.dropTempView(view)
+    if args.cmode == "plan-dedup":
+        # the sweep templates read the `documents` view by name (the
+        # q_ngram/minhash CTE chains); register under that exact name
+        spark.read.parquet(path).createOrReplaceTempView("documents")
+        rows = [r.asDict() for r in spark.sql(
+            DSQ.q_dedup_threshold_sweep_lsh(S.SPARK)).collect()]
+        spark.catalog.dropTempView("documents")
+    else:
+        view = f"__rep_cli_{uuid.uuid4().hex[:12]}"
+        spark.read.parquet(path).createOrReplaceTempView(view)
+        rows = [r.asDict() for r in
+                spark.sql(template(S.SPARK, doc_table=view)).collect()]
+        spark.catalog.dropTempView(view)
     rows.sort(key=lambda r: r[key])
     print(json.dumps({"table": path, "report": args.cmode,
                       "rows": rows}, sort_keys=True))
@@ -709,7 +723,8 @@ def cmd_corpus(spark, args) -> int:
         return _cmd_corpus_profile(spark, args)
     if args.cmode == "mixture":
         return _cmd_corpus_mixture(spark, args)
-    if args.cmode in ("calibrate", "fertility", "pii-report"):
+    if args.cmode in ("calibrate", "fertility", "pii-report",
+                      "plan-dedup"):
         return _cmd_corpus_report(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")

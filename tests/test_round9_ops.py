@@ -1265,3 +1265,24 @@ class TestLogregQualityIter2:
         accs = {r.acc_e4 for r in spark.sql(
             SAMP.q_logreg_quality_iter2(S.SPARK)).collect()}
         assert accs == {base}
+
+
+class TestPlanDedupCLI:
+    def test_sweep_json(self, spark, tmp_path, capsys):
+        import json
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        rows = [(i, "a b c d e f", "en", "s", 11) for i in range(4)]
+        docs = _docs(spark, rows)
+        path = str(tmp_path / "docs.parquet")
+        docs.write.parquet(path)
+        assert main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                     "plan-dedup", "--docs", path], spark=spark) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["report"] == "plan-dedup"
+        grid = {r["t_e4"]: r for r in out["rows"]}
+        assert sorted(grid) == [5000, 6250, 7500, 8750]
+        # 4 identical docs: all 6 pairs at estimate 1.0, 3 removed
+        for r in grid.values():
+            assert (r["n_pairs"], r["n_docs_removed"]) == (6, 3)
