@@ -924,10 +924,14 @@ def q_normalized_dedup(d: S.Dialect) -> str:
     edits) fall through to the LSH family.
 
     Emits one row per normalized cluster — the canonical keeper (min
-    doc_id), member count, and the ordered member list — plus the
+    doc_id), member count, and the id-range fingerprint — plus the
     cluster's normalized hash so a downstream excision can join back
     (singleton clusters ride along, mirroring q_exact_dedup, so the
     keep-list is total; the >1 rows are the perturbed duplicates).
+    Deliberately NO member-id list column: a degenerate cluster (all
+    punctuation-only docs normalize to the empty string) would
+    otherwise collect unboundedly many ids into one cell at corpus
+    scale; members are recoverable by joining the hash back.
     Scale shape: map-only normalization +
     ONE groupBy on the 128-bit hash (same shape as exact_dedup; the
     normalization adds two regex passes inside the scan stage, no new
@@ -946,7 +950,7 @@ def q_normalized_dedup(d: S.Dialect) -> str:
         SELECT norm_hash,
                MIN(doc_id) AS canonical_doc,
                COUNT(*) AS n_members,
-               {d.ordered_list_csv('doc_id', 'doc_id')} AS member_ids
+               MAX(doc_id) AS max_member
         FROM n
         GROUP BY norm_hash
     """

@@ -798,8 +798,8 @@ class TestNormalizedDedup:
         _docs(spark, rows).createOrReplaceTempView("documents")
         out = spark.sql(D.q_normalized_dedup(S.SPARK)).collect()
         by_size = sorted(out, key=lambda r: -r.n_members)
-        assert [(r.canonical_doc, r.n_members, r.member_ids)
-                for r in by_size] == [(0, 3, "0,1,2"), (3, 1, "3")]
+        assert [(r.canonical_doc, r.n_members, r.max_member)
+                for r in by_size] == [(0, 3, 2), (3, 1, 3)]
         # raw exact dedup sees NO duplicates on the same corpus
         exact = spark.sql(
             "SELECT COUNT(*) c FROM (SELECT MD5(text) h FROM documents "
