@@ -1694,3 +1694,62 @@ def q_logreg_quality_iter2(d: S.Dialect,
         )
         {out_rows}
     """
+
+
+def q_shuffle_run_audit(d: S.Dialect, seed: str = "shuf1") -> str:
+    """Shuffle-quality audit of the seeded training order: per
+    source, how many maximal same-source RUNS the q_seeded_shuffle
+    order contains vs the expectation under a uniform random
+    permutation — the check a training run does before trusting a
+    shuffle (source clumping in the order correlates gradient noise;
+    a buggy or insufficiently-mixed shuffle shows actual_runs well
+    below expected).
+
+    runs(s) = n_s − (# adjacent position pairs both from s), and
+    E[runs(s)] = n_s · (N − n_s + 1) / N exactly (each of the n_s
+    docs starts a run unless preceded by an s-doc: the preceding-
+    position doc is from s with probability (n_s − 1)/(N − 1),
+    summed over arrangements gives the closed form).  ratio ≈ 1 for
+    a healthy shuffle, < 1 when clumped, with integer counts and a
+    single exact division per source.
+
+    Scale shape: adjacency is a POSITION EQUI-JOIN (b.position =
+    a.position + 1 — hash-partitioned, no corpus-wide window or LAG
+    anywhere), and the audit aggregates to |sources| rows.  The
+    position itself comes from the banded two-phase numbering the
+    shuffle already pays for (Spark side); the oracle rides the
+    textbook global ROW_NUMBER derivation, so the hash match
+    re-proves the two-phase numbering through one more consumer."""
+    shuffle = (q_seeded_shuffle(d, seed=seed) if d.name == "spark"
+               else q_seeded_shuffle_oracle(d, seed=seed))
+    return f"""
+        WITH ordered AS (
+            SELECT p.doc_id, p.position, dd.source
+            FROM ({shuffle}) p
+            JOIN documents dd ON dd.doc_id = p.doc_id
+        ),
+        adj AS (
+            SELECT a.source, COUNT(*) AS same_adj
+            FROM ordered a
+            JOIN ordered b ON b.position = a.position + 1
+                          AND b.source = a.source
+            GROUP BY a.source
+        ),
+        totals AS (
+            SELECT source, COUNT(*) AS n_docs FROM ordered
+            GROUP BY source
+        ),
+        corpus AS (SELECT COUNT(*) AS n FROM ordered)
+        SELECT t.source,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               CAST(t.n_docs - COALESCE(a.same_adj, 0) AS BIGINT)
+                   AS n_runs,
+               ROUND(CAST(t.n_docs AS DOUBLE) * (c.n - t.n_docs + 1)
+                     / c.n, 4) AS expected_runs,
+               ROUND(CAST(t.n_docs - COALESCE(a.same_adj, 0) AS DOUBLE)
+                     / (CAST(t.n_docs AS DOUBLE) * (c.n - t.n_docs + 1)
+                        / c.n), 4) AS run_ratio
+        FROM totals t
+        LEFT JOIN adj a ON a.source = t.source
+        CROSS JOIN corpus c
+    """

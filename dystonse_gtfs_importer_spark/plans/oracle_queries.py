@@ -3159,6 +3159,10 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "shuffle_run_audit": _sql_pair(
+        SAMP.q_shuffle_run_audit,
+        "corpus-shuffle quality audit (source run-lengths vs random "
+        "expectation; position equi-join, no corpus window)"),
     "logreg_quality_iter2": _sql_pair(
         SAMP.q_logreg_quality_iter2,
         "text-quality learned filter (in-SQL batch GD, iterative "
@@ -3670,6 +3674,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "tokenizer_fertility", "quality_calibration",
     "dedup_threshold_sweep", "dedup_threshold_sweep_lsh",
     "batch_schedule", "sequence_loss_mask", "logreg_quality_iter2",
+    "shuffle_run_audit",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -1286,3 +1286,52 @@ class TestPlanDedupCLI:
         # 4 identical docs: all 6 pairs at estimate 1.0, 3 removed
         for r in grid.values():
             assert (r["n_pairs"], r["n_docs_removed"]) == (6, 3)
+
+
+class TestShuffleRunAudit:
+    def test_planted_runs_exact(self, spark):
+        """Verify run counting against a hand-walked order: compute
+        the seeded order, count the runs by eye (in code), and the
+        audit must agree; expected_runs uses the closed form."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [(i, f"doc {i}", "en", "A" if i < 4 else "B", 5)
+                for i in range(8)]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        order = [(r.position, r.doc_id) for r in spark.sql(
+            SAMP.q_seeded_shuffle(S.SPARK)).collect()]
+        src = {i: ("A" if i < 4 else "B") for i in range(8)}
+        seq = [src[doc] for _, doc in sorted(order)]
+        runs = {"A": 0, "B": 0}
+        for i, s_ in enumerate(seq):
+            if i == 0 or seq[i - 1] != s_:
+                runs[s_] += 1
+        got = {r.source: r for r in spark.sql(
+            SAMP.q_shuffle_run_audit(S.SPARK)).collect()}
+        for s_ in ("A", "B"):
+            assert got[s_].n_docs == 4
+            assert got[s_].n_runs == runs[s_]
+            # E[runs] = n_s * (N - n_s + 1) / N = 4 * 5 / 8 = 2.5
+            assert got[s_].expected_runs == 2.5
+
+    def test_fully_clumped_order_flags_low_ratio(self, spark):
+        """A corpus where one source's docs hash adjacently must show
+        run_ratio < 1 for it; sanity: a single-doc source always has
+        exactly one run and ratio 1/expected."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [(0, "only", "en", "solo", 4)] + \
+               [(i, f"x {i}", "en", "big", 4) for i in range(1, 9)]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.source: r for r in spark.sql(
+            SAMP.q_shuffle_run_audit(S.SPARK)).collect()}
+        solo = got["solo"]
+        assert (solo.n_docs, solo.n_runs) == (1, 1)
+        # E[runs] for n_s=1: (N - 1 + 1)/N = 1 exactly
+        assert solo.expected_runs == 1.0 and solo.run_ratio == 1.0
