@@ -191,6 +191,27 @@ def _parser() -> argparse.ArgumentParser:
         cq.add_argument("--docs", default=None,
                         help="documents parquet path "
                              "(default <dir>/documents.parquet)")
+    cpk = csub.add_parser(
+        "pack",
+        help="pack documents into fixed-context training sequences "
+             "(NFD, or bounded-open-bin FFD with --ffd); writes the "
+             "placement table and, with --emit, the materialized "
+             "sequences; prints occupancy accounting")
+    cpk.add_argument("--docs", default=None,
+                     help="documents parquet path "
+                          "(default <dir>/documents.parquet)")
+    cpk.add_argument("--out", default=None,
+                     help="output root (default <dir>/packed)")
+    cpk.add_argument("--ctx", type=int, default=None,
+                     help="sequence length in tokens (default 64)")
+    cpk.add_argument("--ffd", action="store_true",
+                     help="first-fit-decreasing with a bounded "
+                          "open-bin list instead of next-fit")
+    cpk.add_argument("--max-open", type=int, default=None,
+                     help="open-bin cap for --ffd (default 16)")
+    cpk.add_argument("--emit", action="store_true",
+                     help="also materialize the token streams with "
+                          "doc boundary spans")
     return p
 
 
@@ -711,6 +732,57 @@ def _cmd_corpus_report(spark, args) -> int:
     return 0
 
 
+def _cmd_corpus_pack(spark, args) -> int:
+    """`corpus pack`: the packer family end to end — placements (and
+    with --emit the materialized sequences) written as parquet, one
+    JSON line of occupancy accounting (what a training run pays)."""
+    import json
+
+    from .functions.decontam_sql import SEQ_PACK_CTX
+    from .operators.packing import (
+        emit_sequences,
+        pack_sequences,
+        pack_sequences_ffd,
+        packed_band_stats,
+    )
+
+    ctx = args.ctx or SEQ_PACK_CTX
+    docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
+    out_root = Path(args.out or (Path(args.dir) / "packed"))
+    docs = spark.read.parquet(docs_path)
+    if args.ffd:
+        packed = pack_sequences_ffd(docs, ctx=ctx,
+                                    max_open=args.max_open)
+    else:
+        packed = pack_sequences(docs, ctx=ctx)
+    placements_path = str(out_root / "placements")
+    packed.write.mode("overwrite").parquet(placements_path)
+    packed = spark.read.parquet(placements_path)  # reuse, don't rewalk
+    stats = packed_band_stats(packed, ctx=ctx).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_seqs").alias("n_seqs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("padding_tokens").alias("padding_tokens")).collect()[0]
+    result = {
+        "algo": "ffd" if args.ffd else "nfd",
+        "ctx": ctx,
+        "n_docs": stats["n_docs"],
+        "n_seqs": stats["n_seqs"],
+        "total_tokens": stats["total_tokens"],
+        "padding_tokens": stats["padding_tokens"],
+        "fill_share": round(
+            stats["total_tokens"]
+            / (ctx * stats["n_seqs"]), 4) if stats["n_seqs"] else 0.0,
+        "placements": placements_path,
+    }
+    if args.emit:
+        seq_path = str(out_root / "sequences")
+        emit_sequences(docs, packed, ctx=ctx)             .write.mode("overwrite").parquet(seq_path)
+        result["sequences"] = seq_path
+    print(json.dumps(result, sort_keys=True))
+    return 0
+
+
 def cmd_corpus(spark, args) -> int:
     """Training-corpus preparation commands (`corpus prepare-shards`,
     `corpus profile`): the CLI face of plans/corpus.prepare_shards
@@ -723,6 +795,8 @@ def cmd_corpus(spark, args) -> int:
         return _cmd_corpus_profile(spark, args)
     if args.cmode == "mixture":
         return _cmd_corpus_mixture(spark, args)
+    if args.cmode == "pack":
+        return _cmd_corpus_pack(spark, args)
     if args.cmode in ("calibrate", "fertility", "pii-report",
                       "plan-dedup"):
         return _cmd_corpus_report(spark, args)

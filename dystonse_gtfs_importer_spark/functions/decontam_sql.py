@@ -724,3 +724,33 @@ def q_sequence_loss_mask(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
         FROM expanded
         GROUP BY band, seq
     """
+
+
+def q_decontamination_report(d: S.Dialect, n: int = NGRAM_N,
+                             stride: int = EVAL_STRIDE,
+                             min_hits: int = MIN_HITS) -> str:
+    """Per-source rollup of :func:`q_decontaminate`: training docs,
+    contaminated docs and share, total shared n-grams, and the
+    character mass a contamination excision would remove — the
+    release-review table behind "is source X safe to train on given
+    eval set Y".  Same n-gram machinery, ONE extra
+    partial-aggregatable groupBy(source); shares are single exact-int
+    divisions ROUNDed to 4."""
+    base = q_decontaminate(d, n=n, stride=stride, min_hits=min_hits)
+    return f"""
+        WITH flagged AS ({base})
+        SELECT doc.source,
+               COUNT(*) AS n_train_docs,
+               CAST(SUM(f.contaminated) AS BIGINT) AS n_contaminated,
+               ROUND(CAST(SUM(f.contaminated) AS DOUBLE) / COUNT(*), 4)
+                   AS contaminated_share,
+               CAST(SUM(f.n_shared_ngrams) AS BIGINT)
+                   AS n_shared_ngrams,
+               CAST(SUM(f.contaminated * doc.n_chars) AS BIGINT)
+                   AS n_chars_flagged,
+               ROUND(CAST(SUM(f.contaminated * doc.n_chars) AS DOUBLE)
+                     / SUM(doc.n_chars), 4) AS char_flag_share
+        FROM flagged f
+        JOIN documents doc ON doc.doc_id = f.doc_id
+        GROUP BY doc.source
+    """

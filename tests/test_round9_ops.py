@@ -1335,3 +1335,78 @@ class TestShuffleRunAudit:
         assert (solo.n_docs, solo.n_runs) == (1, 1)
         # E[runs] for n_s=1: (N - 1 + 1)/N = 1 exactly
         assert solo.expected_runs == 1.0 and solo.run_ratio == 1.0
+
+
+class TestDecontaminationReport:
+    def test_planted_contamination_rollup(self, spark):
+        """doc_id % EVAL_STRIDE == 0 is the eval set.  A training doc
+        copying an eval doc's text must be flagged; clean sources
+        report zero."""
+        from dystonse_gtfs_importer_spark.functions import (
+            decontam_sql as DC,
+            sql_shared as S,
+        )
+
+        eval_text = " ".join(f"w{i}" for i in range(12))
+        rows = [
+            (0, eval_text, "en", "evalset", 50),         # eval doc
+            (1, eval_text, "en", "dirty", 50),           # verbatim copy
+            (2, "totally different words here now ok yes maybe so",
+             "en", "clean", 48),
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.source: r for r in spark.sql(
+            DC.q_decontamination_report(S.SPARK)).collect()}
+        assert "evalset" not in got  # eval rows are not training rows
+        dirty, clean = got["dirty"], got["clean"]
+        assert (dirty.n_train_docs, dirty.n_contaminated,
+                dirty.contaminated_share) == (1, 1, 1.0)
+        assert dirty.n_shared_ngrams > 0
+        assert (dirty.n_chars_flagged, dirty.char_flag_share) == (50, 1.0)
+        assert (clean.n_contaminated, clean.n_shared_ngrams,
+                clean.char_flag_share) == (0, 0, 0.0)
+
+
+class TestCorpusPackCLI:
+    def test_pack_emit_roundtrip(self, spark, tmp_path, capsys):
+        import json
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        docs = _docs(spark, [_word_doc(i, n) for i, n in
+                             enumerate([9, 8, 7, 3, 2, 1])])
+        path = str(tmp_path / "docs.parquet")
+        docs.write.parquet(path)
+        assert main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                     "pack", "--docs", path, "--ctx", "10", "--ffd",
+                     "--emit"], spark=spark) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # FFD on 9,8,7,3,2,1 at ctx=10 packs perfectly: 3 sequences
+        assert (out["algo"], out["ctx"], out["n_docs"],
+                out["n_seqs"]) == ("ffd", 10, 6, 3)
+        assert (out["total_tokens"], out["padding_tokens"],
+                out["fill_share"]) == (30, 0, 1.0)
+        placements = spark.read.parquet(out["placements"])
+        assert placements.count() == 6
+        seqs = spark.read.parquet(out["sequences"]).collect()
+        # token conservation through the emitted streams
+        assert sum(r["fill_tokens"] for r in seqs) == 30
+        assert all(len(r["seq_text"].split(" ")) == r["fill_tokens"]
+                   for r in seqs)
+
+    def test_pack_nfd_default(self, spark, tmp_path, capsys):
+        import json
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        docs = _docs(spark, [_word_doc(i, n) for i, n in
+                             enumerate([9, 8, 7, 3, 2, 1])])
+        path = str(tmp_path / "docs.parquet")
+        docs.write.parquet(path)
+        assert main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                     "pack", "--docs", path, "--ctx", "10"],
+                    spark=spark) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # NFD wastes: 9 | 8 | 7+3 | 2+1 -> 4 sequences
+        assert (out["algo"], out["n_seqs"], out["padding_tokens"]) == \
+            ("nfd", 4, 10)
