@@ -359,7 +359,9 @@ def sequence_loss_mask(packed: DataFrame, flags: DataFrame,
             .join(flags.select(F.col("doc_id").cast("long")
                                .alias("doc_id"),
                                F.col("masked").cast("long")
-                               .alias("masked")), "doc_id")
+                               .alias("masked")), "doc_id", "left")
+            .withColumn("masked", F.coalesce(F.col("masked"),
+                                             F.lit(0).cast("long")))
             .select("band", "start_seq", "n_tokens", spanned, "masked",
                     F.expr(f"explode(sequence(0, {spanned} - 1))")
                     .alias("j"))
