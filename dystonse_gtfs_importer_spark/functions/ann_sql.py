@@ -1474,3 +1474,32 @@ def q_pq_recall(d: S.Dialect, k: int = K) -> str:
         WITH ex AS ({exact})
         {union}
     """
+
+
+def q_embedding_exact_dedup(d: S.Dialect) -> str:
+    """Exact-duplicate VECTOR dedup: embeddings hashed on their
+    e6-quantized component string (trunc-toward-zero per component,
+    so the key is rule-free cross-engine and robust to float
+    formatting) — the embedding-table twin of q_exact_dedup, run
+    before any ANN structure is built (duplicate vectors waste index
+    space and bias k-NN votes).  One map-only projection + one
+    groupBy on the 128-bit hash; same scale shape as exact dedup."""
+    comp = d.trunc_num(f"{d.arr_get('emb', 'i.i')} * 1000000.0")
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        keyed AS (
+            SELECT vec_id,
+                   MD5({d.ordered_list_csv(comp, 'i.i')}) AS vec_hash
+            FROM cv CROSS JOIN {d.series(DIM)} i
+            GROUP BY vec_id
+        )
+        SELECT vec_hash,
+               MIN(vec_id) AS canonical_vec,
+               COUNT(*) AS n_copies,
+               MAX(vec_id) AS max_member
+        FROM keyed
+        GROUP BY vec_hash
+    """

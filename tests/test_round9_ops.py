@@ -1410,3 +1410,20 @@ class TestCorpusPackCLI:
         # NFD wastes: 9 | 8 | 7+3 | 2+1 -> 4 sequences
         assert (out["algo"], out["n_seqs"], out["padding_tokens"]) == \
             ("nfd", 4, 10)
+
+
+class TestEmbeddingExactDedup:
+    def test_duplicate_vectors_cluster(self, spark):
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        v1 = [float(i) / 7.0 for i in range(64)]
+        v2 = [float(i) / 7.0 + 1e-3 for i in range(64)]  # distinct
+        rows = [(0, v1, 0), (1, v1, 0), (2, v2, 0)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+        out = sorted(spark.sql(ANN.q_embedding_exact_dedup(
+            S.SPARK)).collect(), key=lambda r: -r.n_copies)
+        assert [(r.canonical_vec, r.n_copies, r.max_member)
+                for r in out] == [(0, 2, 1), (2, 1, 2)]
