@@ -26,7 +26,7 @@ SRC = "/root/testdata/sf0.1"
 FACTS = {
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["doc_id"],
+    "embeddings": ["vec_id"],
     "orders": ["o_orderkey", "o_custkey"],
     # FK columns must shift with their dimension's PK (same replica
     # offset), or replicated part/supplier rows dangle and join fan-in
