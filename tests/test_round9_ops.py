@@ -1427,3 +1427,46 @@ class TestEmbeddingExactDedup:
             S.SPARK)).collect(), key=lambda r: -r.n_copies)
         assert [(r.canonical_vec, r.n_copies, r.max_member)
                 for r in out] == [(0, 2, 1), (2, 1, 2)]
+
+
+class TestCorpusPipelineE2E:
+    def test_mixture_shards_pack_chain(self, spark, tmp_path, capsys):
+        """The full corpus-prep flow through the CLI faces: solve +
+        apply a mixture budget into shards, then pack the same corpus
+        and cross-check the accounting between independent stages."""
+        import json
+        import shutil
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        lake = tmp_path / "lake"
+        lake.mkdir()
+        shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                    lake / "documents.parquet")
+
+        assert main(["-s", "x", "--dir", str(lake), "corpus",
+                     "prepare-shards", "--mixture-budget", "9000",
+                     "--shard-tokens", "1500"], spark=spark) == 0
+        shards = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert shards["committed"] is True
+        assert shards["mixture_budget"] == 9000
+        assert 0 < shards["total_tokens"] <= 9000
+
+        assert main(["-s", "x", "--dir", str(lake), "corpus",
+                     "pack", "--ffd", "--emit"], spark=spark) == 0
+        pack = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # pack runs on the RAW corpus: its token total must equal the
+        # corpus token count the profile sees, independent of mixture
+        n_tok = spark.sql(
+            "SELECT SUM(size(filter(split(lower(text), ' +'), "
+            "t -> t <> ''))) AS n FROM parquet.`{}`".format(
+                lake / "documents.parquet")).collect()[0].n
+        assert pack["total_tokens"] == n_tok
+        assert pack["fill_share"] > 0.5
+        seqs = spark.read.parquet(pack["sequences"])
+        assert seqs.count() == sum(
+            r.n for r in spark.read.parquet(pack["placements"])
+            .groupBy("band")
+            .agg((F.max(F.col("start_seq") + F.col("n_seqs_spanned")))
+                 .alias("n")).collect())
