@@ -212,6 +212,19 @@ def _parser() -> argparse.ArgumentParser:
     cpk.add_argument("--emit", action="store_true",
                      help="also materialize the token streams with "
                           "doc boundary spans")
+    cpb = csub.add_parser(
+        "plan-batches",
+        help="dynamic-batching (batch-by-size) accounting under a "
+             "padded-cost budget: batches, padded vs real tokens, "
+             "waste share")
+    cpb.add_argument("--docs", default=None,
+                     help="documents parquet path "
+                          "(default <dir>/documents.parquet)")
+    cpb.add_argument("--max-tokens", type=int, default=None,
+                     help="padded-token budget per batch "
+                          "(rows x batch max length; default 256)")
+    cpb.add_argument("--max-seqs", type=int, default=None,
+                     help="row cap per batch (default 8)")
     return p
 
 
@@ -783,6 +796,35 @@ def _cmd_corpus_pack(spark, args) -> int:
     return 0
 
 
+def _cmd_corpus_plan_batches(spark, args) -> int:
+    """`corpus plan-batches`: run the dynamic batcher and print the
+    loader-facing accounting — what the accelerator would compute
+    (padded cost) vs the real token mass, per the caps."""
+    import json
+
+    from .operators.packing import batch_stats, schedule_batches
+
+    docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
+    docs = spark.read.parquet(docs_path)
+    stats = batch_stats(schedule_batches(
+        docs, max_tokens=args.max_tokens, max_seqs=args.max_seqs))
+    agg = stats.agg(
+        F.count("*").alias("n_batches"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("real_tokens").alias("real_tokens"),
+        F.sum("padded_cost").alias("padded_cost"),
+        F.max("max_len").alias("longest_row")).collect()[0]
+    print(json.dumps({
+        "n_batches": agg["n_batches"], "n_rows": agg["n_rows"],
+        "real_tokens": agg["real_tokens"],
+        "padded_cost": agg["padded_cost"],
+        "longest_row": agg["longest_row"],
+        "waste_share": round(
+            1 - agg["real_tokens"] / agg["padded_cost"], 4)
+        if agg["padded_cost"] else 0.0}, sort_keys=True))
+    return 0
+
+
 def cmd_corpus(spark, args) -> int:
     """Training-corpus preparation commands (`corpus prepare-shards`,
     `corpus profile`): the CLI face of plans/corpus.prepare_shards
@@ -797,6 +839,8 @@ def cmd_corpus(spark, args) -> int:
         return _cmd_corpus_mixture(spark, args)
     if args.cmode == "pack":
         return _cmd_corpus_pack(spark, args)
+    if args.cmode == "plan-batches":
+        return _cmd_corpus_plan_batches(spark, args)
     if args.cmode in ("calibrate", "fertility", "pii-report",
                       "plan-dedup"):
         return _cmd_corpus_report(spark, args)

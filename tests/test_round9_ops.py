@@ -1470,3 +1470,25 @@ class TestCorpusPipelineE2E:
             .groupBy("band")
             .agg((F.max(F.col("start_seq") + F.col("n_seqs_spanned")))
                  .alias("n")).collect())
+
+
+class TestPlanBatchesCLI:
+    def test_accounting_json(self, spark, tmp_path, capsys):
+        import json
+
+        from dystonse_gtfs_importer_spark.cli import main
+
+        docs = _docs(spark, [_word_doc(i, n) for i, n in
+                             enumerate([9, 8, 5, 5, 2, 1])])
+        path = str(tmp_path / "docs.parquet")
+        docs.write.parquet(path)
+        assert main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                     "plan-batches", "--docs", path,
+                     "--max-tokens", "20", "--max-seqs", "3"],
+                    spark=spark) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # planted walk: 9,8 | 5,5,2 | 1 -> padded 18+15+1 = 34
+        assert (out["n_batches"], out["n_rows"], out["real_tokens"],
+                out["padded_cost"], out["longest_row"]) == \
+            (3, 6, 30, 34, 9)
+        assert out["waste_share"] == round(1 - 30 / 34, 4)
