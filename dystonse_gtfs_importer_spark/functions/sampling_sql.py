@@ -1389,9 +1389,10 @@ def q_readability_scores(d: S.Dialect) -> str:
     """Per-source readability profile — a Flesch-style reading-ease
     proxy computed from exact integer counts: words (whitespace
     tokens), sentences (terminal-punctuation runs, floored at 1 so
-    fragments count as one sentence), and syllables (vowel-group runs
-    per word, floored at 1 per word so consonant-only tokens still
-    cost a syllable).  Readability gates are a standard quality rung
+    fragments count as one sentence), and syllables (text-wide
+    vowel-group runs floored at the word count — an AGGREGATE floor:
+    consonant-only tokens still cost a syllable in total, though not
+    per-word as a per-token walk would).  Readability gates are a standard quality rung
     in training-data pipelines (too-low = boilerplate/gibberish,
     too-high = tables/code masquerading as prose).
 
@@ -1409,9 +1410,9 @@ def q_readability_scores(d: S.Dialect) -> str:
     LLM-pipeline extension (SURVEY.md LLM ops)."""
     words = d.arr_len(d.token_array("text"))
     sentences = f"GREATEST({d.regexp_count('text', '[.!?]+')}, 1)"
-    # vowel-group runs across the whole text, floored at one per word:
-    # syllables = max(vowel_runs, words) is the word-level floor folded
-    # into one scalar (every word contributes >= 1).
+    # vowel-group runs across the whole text, floored at the word
+    # count: a deterministic scalar proxy (the floor acts in
+    # aggregate — a doc can't have fewer syllables than words).
     vowel_runs = d.regexp_count("LOWER(text)", "[aeiouy]+")
     return f"""
         WITH counts AS (
