@@ -1754,3 +1754,37 @@ def q_shuffle_run_audit(d: S.Dialect, seed: str = "shuf1") -> str:
         LEFT JOIN adj a ON a.source = t.source
         CROSS JOIN corpus c
     """
+
+
+def q_lang_id_confusion(d: S.Dialect,
+                        doc_table: str = "documents") -> str:
+    """Confusion matrix of the heuristic language identifier against
+    the corpus's ground-truth ``lang`` labels: per (actual,
+    predicted) cell counts plus per-actual-language recall — the
+    evaluation face of ``q_lang_id`` (a filter as load-bearing as
+    lang-ID ships with its measured error profile, not a vibe).
+    Scale shape: the lang_id scalar rides the scan; ONE
+    partial-aggregatable groupBy on the (actual, predicted) pair —
+    |langs|² rows out of the shuffle."""
+    pred = S.lang_id("text")
+    return f"""
+        WITH scored AS (
+            SELECT lang AS actual, {pred} AS predicted
+            FROM {doc_table}
+        ),
+        cells AS (
+            SELECT actual, predicted, COUNT(*) AS n
+            FROM scored GROUP BY actual, predicted
+        ),
+        totals AS (
+            SELECT actual, SUM(n) AS n_actual FROM cells
+            GROUP BY actual
+        )
+        SELECT c.actual, c.predicted,
+               CAST(c.n AS BIGINT) AS n,
+               CAST(t.n_actual AS BIGINT) AS n_actual,
+               ROUND(CAST(c.n AS DOUBLE) / t.n_actual, 4) AS cell_share,
+               CAST(CASE WHEN c.actual = c.predicted THEN 1 ELSE 0 END
+                    AS INT) AS is_correct
+        FROM cells c JOIN totals t ON t.actual = c.actual
+    """

@@ -3159,6 +3159,9 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "lang_id_confusion": _sql_pair(
+        SAMP.q_lang_id_confusion,
+        "text-analysis lang-ID error profile (confusion matrix)"),
     "embedding_exact_dedup": _sql_pair(
         ANN.q_embedding_exact_dedup,
         "dedup-embedding exact (quantized-component hash)"),
@@ -3681,7 +3684,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dedup_threshold_sweep", "dedup_threshold_sweep_lsh",
     "batch_schedule", "sequence_loss_mask", "logreg_quality_iter2",
     "shuffle_run_audit", "decontamination_report",
-    "embedding_exact_dedup",
+    "embedding_exact_dedup", "lang_id_confusion",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -1492,3 +1492,50 @@ class TestPlanBatchesCLI:
                 out["padded_cost"], out["longest_row"]) == \
             (3, 6, 30, 34, 9)
         assert out["waste_share"] == round(1 - 30 / 34, 4)
+
+
+class TestLangIdConfusion:
+    def test_planted_diagonal_and_miss(self, spark):
+        """Stopword-bearing German/English text lands on the
+        diagonal; a stopword-free doc labeled 'de' is an off-diagonal
+        miss with its share accounted."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [
+            (0, "der hund und die katze ist nicht hier", "de", "s", 38),
+            (1, "the cat and the dog is not here", "en", "s", 31),
+            (2, "zzz yyy xxx www", "de", "s", 15),  # no signal
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {(r.actual, r.predicted): r for r in spark.sql(
+            SAMP.q_lang_id_confusion(S.SPARK)).collect()}
+        de_de = got[("de", "de")]
+        assert (de_de.n, de_de.n_actual, de_de.cell_share,
+                de_de.is_correct) == (1, 2, 0.5, 1)
+        assert got[("en", "en")].is_correct == 1
+        # the signal-free doc misses the diagonal
+        (miss,) = [k for k in got if k[0] == "de" and k[1] != "de"]
+        assert got[miss].cell_share == 0.5
+
+    def test_fixture_profile_is_honest(self, spark, sf_smoke):
+        """On the synthetic fixture the non-English text is random
+        words, so the heuristic collapses to 'en' — the matrix must
+        say so rather than flatter the filter."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+        from dystonse_gtfs_importer_spark.sources.testdata import (
+            register_views,
+        )
+
+        register_views(spark, sf_smoke)
+        rows = spark.sql(SAMP.q_lang_id_confusion(S.SPARK)).collect()
+        correct = sum(r.n for r in rows if r.is_correct)
+        total = sum(r.n for r in rows)
+        en_total = sum(r.n for r in rows if r.actual == "en")
+        assert correct == en_total  # only 'en' rows can be right here
+        assert correct < total
