@@ -727,12 +727,12 @@ def _cmd_corpus_report(spark, args) -> int:
     template, key = templates[args.cmode]
     path = args.docs or str(Path(args.dir) / "documents.parquet")
     if args.cmode == "plan-dedup":
-        # the sweep templates read the `documents` view by name (the
-        # q_ngram/minhash CTE chains); register under that exact name
-        spark.read.parquet(path).createOrReplaceTempView("documents")
+        view = f"__rep_cli_{uuid.uuid4().hex[:12]}"
+        spark.read.parquet(path).createOrReplaceTempView(view)
         rows = [r.asDict() for r in spark.sql(
-            DSQ.q_dedup_threshold_sweep_lsh(S.SPARK)).collect()]
-        spark.catalog.dropTempView("documents")
+            DSQ.q_dedup_threshold_sweep_lsh(
+                S.SPARK, doc_table=view)).collect()]
+        spark.catalog.dropTempView(view)
     else:
         view = f"__rep_cli_{uuid.uuid4().hex[:12]}"
         spark.read.parquet(path).createOrReplaceTempView(view)

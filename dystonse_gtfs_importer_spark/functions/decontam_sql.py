@@ -690,7 +690,10 @@ def q_sequence_loss_mask(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
 
     Sequential recursive-CTE REFERENCE; the registered Spark side is
     ``operators/packing.sequence_loss_mask`` over the band-parallel
-    packer + the same flag rule.  Scale shape: q_sequence_fill's
+    packer + the same flag rule.  Docs absent from the flag table
+    (e.g. a NULL source falls out of the per-source median join)
+    default to UNMASKED — matching the operator's left-join rule,
+    so a partial flag table can't silently drop token accounting.  Scale shape: q_sequence_fill's
     explode + one broadcast flag join."""
     from .sampling_sql import q_below_median_quality_flags
 
@@ -701,7 +704,8 @@ def q_sequence_loss_mask(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
         WITH RECURSIVE {_sequence_pack_ctes(d, ctx, band_docs)},
         flags AS ({q_below_median_quality_flags(d)}),
         expanded AS (
-            SELECT x.band, x.start_seq + x.j AS seq, f.masked,
+            SELECT x.band, x.start_seq + x.j AS seq,
+                   COALESCE(f.masked, 0) AS masked,
                    CASE WHEN x.j < {spanned_x} - 1 THEN {ctx}
                         WHEN {spanned_x} = 1 THEN x.n_tokens
                         ELSE x.n_tokens
@@ -712,7 +716,7 @@ def q_sequence_loss_mask(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
                        {d.explode_range(spanned)} AS j
                 FROM pack
             ) x
-            JOIN flags f ON f.doc_id = x.doc_id
+            LEFT JOIN flags f ON f.doc_id = x.doc_id
         )
         SELECT band, CAST(seq AS BIGINT) AS seq,
                CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -79,13 +79,14 @@ def minhash_bands_cte(k: int = K_MINHASH, rows_per_band: int = ROWS_PER_BAND) ->
     return "bands AS (" + " UNION ALL ".join(bands) + ")"
 
 
-def q_minhash_lsh_pairs(d: S.Dialect) -> str:
+def q_minhash_lsh_pairs(d: S.Dialect,
+                        doc_table: str = "documents") -> str:
     """LSH candidate pairs + exact signature-agreement estimate."""
     sig_eq = " + ".join(
         f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
         for j in range(K_MINHASH))
     return f"""
-        WITH {doc_tokens_cte(d)},
+        WITH {doc_tokens_cte(d, table=doc_table)},
         {minhash_signature_cte(d)},
         {minhash_bands_cte()},
         cand AS (
@@ -1001,6 +1002,77 @@ def q_dedup_impact(d: S.Dialect) -> str:
     """
 
 
+def _sweep_accounting(d: S.Dialect, pairs_sql: str, score_col: str,
+                      t_min_e4: int, step_e4: int, n_steps: int,
+                      doc_table: str = "documents") -> str:
+    """Shared count-only sweep over a (doc_a, doc_b, score) pair
+    source: the grid join, min-id-keeper removal rule, affected/
+    removed/character accounting, and share columns — ONE definition
+    so the exact (PPJoin) and estimate (banded MinHash) sweeps cannot
+    drift apart on the rules they report."""
+    return f"""
+        WITH grid AS (
+            SELECT {t_min_e4} + i * {step_e4} AS t_e4
+            FROM {d.series(n_steps)} s
+        ),
+        pj AS (
+            SELECT doc_a, doc_b,
+                   CAST(ROUND({score_col} * 10000) AS BIGINT) AS j_e4
+            FROM ({pairs_sql}) p
+        ),
+        hits AS (
+            SELECT g.t_e4, p.doc_a, p.doc_b
+            FROM pj p JOIN grid g ON p.j_e4 >= g.t_e4
+        ),
+        removed AS (
+            SELECT t_e4, doc_b AS doc_id
+            FROM hits GROUP BY t_e4, doc_b
+        ),
+        affected AS (
+            SELECT t_e4, doc_id FROM (
+                SELECT t_e4, doc_a AS doc_id FROM hits
+                UNION
+                SELECT t_e4, doc_b AS doc_id FROM hits
+            ) u
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+            FROM {doc_table}
+        ),
+        pair_counts AS (
+            SELECT t_e4, COUNT(*) AS n_pairs FROM hits GROUP BY t_e4
+        ),
+        removed_stats AS (
+            SELECT r.t_e4, COUNT(*) AS n_removed,
+                   SUM(dd.n_chars) AS chars_removed
+            FROM removed r JOIN {doc_table} dd ON dd.doc_id = r.doc_id
+            GROUP BY r.t_e4
+        ),
+        affected_counts AS (
+            SELECT t_e4, COUNT(*) AS n_affected
+            FROM affected GROUP BY t_e4
+        )
+        SELECT g.t_e4,
+               CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(ac.n_affected, 0) AS BIGINT)
+                   AS n_docs_affected,
+               CAST(COALESCE(rs.n_removed, 0) AS BIGINT)
+                   AS n_docs_removed,
+               CAST(COALESCE(rs.chars_removed, 0) AS BIGINT)
+                   AS n_chars_removed,
+               ROUND(CAST(COALESCE(rs.n_removed, 0) AS DOUBLE)
+                     / c.n_docs, 4) AS doc_removal_share,
+               ROUND(CAST(COALESCE(rs.chars_removed, 0) AS DOUBLE)
+                     / c.n_chars, 4) AS char_removal_share
+        FROM grid g
+        CROSS JOIN corpus c
+        LEFT JOIN pair_counts pc ON pc.t_e4 = g.t_e4
+        LEFT JOIN removed_stats rs ON rs.t_e4 = g.t_e4
+        LEFT JOIN affected_counts ac ON ac.t_e4 = g.t_e4
+    """
+
+
+
 def q_dedup_threshold_sweep(d: S.Dialect,
                             t_min_e4: int = 7000,
                             step_e4: int = 500,
@@ -1027,72 +1099,15 @@ def q_dedup_threshold_sweep(d: S.Dialect,
     driver fixture (see the q_ngram_jaccard_prefix caveat)."""
     t_min = t_min_e4 / 10000.0
     pairs = q_ngram_jaccard_prefix(d, threshold=t_min)
-    return f"""
-        WITH grid AS (
-            SELECT {t_min_e4} + i * {step_e4} AS t_e4
-            FROM {d.series(n_steps)} s
-        ),
-        pj AS (
-            SELECT doc_a, doc_b,
-                   CAST(ROUND(jaccard * 10000) AS BIGINT) AS j_e4
-            FROM ({pairs}) p
-        ),
-        hits AS (
-            SELECT g.t_e4, p.doc_a, p.doc_b
-            FROM pj p JOIN grid g ON p.j_e4 >= g.t_e4
-        ),
-        removed AS (
-            SELECT t_e4, doc_b AS doc_id
-            FROM hits GROUP BY t_e4, doc_b
-        ),
-        affected AS (
-            SELECT t_e4, doc_id FROM (
-                SELECT t_e4, doc_a AS doc_id FROM hits
-                UNION
-                SELECT t_e4, doc_b AS doc_id FROM hits
-            ) u
-        ),
-        corpus AS (
-            SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
-            FROM documents
-        ),
-        pair_counts AS (
-            SELECT t_e4, COUNT(*) AS n_pairs FROM hits GROUP BY t_e4
-        ),
-        removed_stats AS (
-            SELECT r.t_e4, COUNT(*) AS n_removed,
-                   SUM(dd.n_chars) AS chars_removed
-            FROM removed r JOIN documents dd ON dd.doc_id = r.doc_id
-            GROUP BY r.t_e4
-        ),
-        affected_counts AS (
-            SELECT t_e4, COUNT(*) AS n_affected
-            FROM affected GROUP BY t_e4
-        )
-        SELECT g.t_e4,
-               CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
-               CAST(COALESCE(ac.n_affected, 0) AS BIGINT)
-                   AS n_docs_affected,
-               CAST(COALESCE(rs.n_removed, 0) AS BIGINT)
-                   AS n_docs_removed,
-               CAST(COALESCE(rs.chars_removed, 0) AS BIGINT)
-                   AS n_chars_removed,
-               ROUND(CAST(COALESCE(rs.n_removed, 0) AS DOUBLE)
-                     / c.n_docs, 4) AS doc_removal_share,
-               ROUND(CAST(COALESCE(rs.chars_removed, 0) AS DOUBLE)
-                     / c.n_chars, 4) AS char_removal_share
-        FROM grid g
-        CROSS JOIN corpus c
-        LEFT JOIN pair_counts pc ON pc.t_e4 = g.t_e4
-        LEFT JOIN removed_stats rs ON rs.t_e4 = g.t_e4
-        LEFT JOIN affected_counts ac ON ac.t_e4 = g.t_e4
-    """
+    return _sweep_accounting(d, pairs, "jaccard",
+                             t_min_e4, step_e4, n_steps)
 
 
 def q_dedup_threshold_sweep_lsh(d: S.Dialect,
                                 t_min_e4: int = 5000,
                                 step_e4: int = 1250,
-                                n_steps: int = 4) -> str:
+                                n_steps: int = 4,
+                                doc_table: str = "documents") -> str:
     """The threshold sweep's LAKE-SCALE rung: identical grid join and
     accounting columns to :func:`q_dedup_threshold_sweep`, but the
     pair set is the banded MinHash candidates with the signature-
@@ -1106,63 +1121,6 @@ def q_dedup_threshold_sweep_lsh(d: S.Dialect,
     1/{K_MINHASH} = 1250 e4-units, the estimate's quantum; finer
     steps are indistinguishable).  Planner doctrine: sweep here first, commit a
     threshold, then pay the exact pass once at that threshold."""
-    return f"""
-        WITH grid AS (
-            SELECT {t_min_e4} + i * {step_e4} AS t_e4
-            FROM {d.series(n_steps)} s
-        ),
-        pj AS (
-            SELECT doc_a, doc_b,
-                   CAST(ROUND(est_jaccard * 10000) AS BIGINT) AS j_e4
-            FROM ({q_minhash_lsh_pairs(d)}) p
-        ),
-        hits AS (
-            SELECT g.t_e4, p.doc_a, p.doc_b
-            FROM pj p JOIN grid g ON p.j_e4 >= g.t_e4
-        ),
-        removed AS (
-            SELECT t_e4, doc_b AS doc_id
-            FROM hits GROUP BY t_e4, doc_b
-        ),
-        affected AS (
-            SELECT t_e4, doc_id FROM (
-                SELECT t_e4, doc_a AS doc_id FROM hits
-                UNION
-                SELECT t_e4, doc_b AS doc_id FROM hits
-            ) u
-        ),
-        corpus AS (
-            SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
-            FROM documents
-        ),
-        pair_counts AS (
-            SELECT t_e4, COUNT(*) AS n_pairs FROM hits GROUP BY t_e4
-        ),
-        removed_stats AS (
-            SELECT r.t_e4, COUNT(*) AS n_removed,
-                   SUM(dd.n_chars) AS chars_removed
-            FROM removed r JOIN documents dd ON dd.doc_id = r.doc_id
-            GROUP BY r.t_e4
-        ),
-        affected_counts AS (
-            SELECT t_e4, COUNT(*) AS n_affected
-            FROM affected GROUP BY t_e4
-        )
-        SELECT g.t_e4,
-               CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
-               CAST(COALESCE(ac.n_affected, 0) AS BIGINT)
-                   AS n_docs_affected,
-               CAST(COALESCE(rs.n_removed, 0) AS BIGINT)
-                   AS n_docs_removed,
-               CAST(COALESCE(rs.chars_removed, 0) AS BIGINT)
-                   AS n_chars_removed,
-               ROUND(CAST(COALESCE(rs.n_removed, 0) AS DOUBLE)
-                     / c.n_docs, 4) AS doc_removal_share,
-               ROUND(CAST(COALESCE(rs.chars_removed, 0) AS DOUBLE)
-                     / c.n_chars, 4) AS char_removal_share
-        FROM grid g
-        CROSS JOIN corpus c
-        LEFT JOIN pair_counts pc ON pc.t_e4 = g.t_e4
-        LEFT JOIN removed_stats rs ON rs.t_e4 = g.t_e4
-        LEFT JOIN affected_counts ac ON ac.t_e4 = g.t_e4
-    """
+    return _sweep_accounting(
+        d, q_minhash_lsh_pairs(d, doc_table), "est_jaccard",
+        t_min_e4, step_e4, n_steps, doc_table=doc_table)

@@ -1462,16 +1462,21 @@ def q_tokenizer_fertility(d: S.Dialect,
     tionately many tokens, skewing any token-budgeted mixture; see
     the multilingual-tokenizer literature, e.g. Rust et al. 2021).
 
-    Exact integer micro-units end to end: counts are the shared
-    token_count / bpe_token_count scalar expressions (identical SQL
-    in both engines), sums are BIGINT-cast, and each rate is a single
-    trunc-toward-zero division — no float path at all.  Scale shape:
+    Counts are the shared token_count / bpe_token_count scalar
+    expressions (identical SQL in both engines) summed exactly in
+    BIGINT; each rate is ONE float multiply+divide FLOORed into
+    BIGINT micro-units (FLOOR of the same IEEE double is rule-free
+    cross-engine, and BIGINT holds any realistic ratio — a 32-bit
+    cast would overflow past ~2147 chars/token).  Exactness caveat:
+    the product SUM·1e6 is a double, so rates drift past 2^53 total
+    tokens — micro-unit truncation absorbs it long before then for
+    any per-lang ratio.  Scale shape:
     map-only scalar counts inside the scan, ONE partial-aggregatable
     groupBy(lang)."""
     tc = S.token_count("text", d)
     bpe = S.bpe_token_count("text", d)
-    fert = d.trunc_num("SUM(n_bpe) * 1000000.0 / SUM(n_words)")
-    cpt = d.trunc_num("SUM(n_c) * 1000000.0 / SUM(n_bpe)")
+    fert = "FLOOR(SUM(n_bpe) * 1000000.0 / SUM(n_words))"
+    cpt = "FLOOR(SUM(n_c) * 1000000.0 / SUM(n_bpe))"
     return f"""
         WITH counts AS (
             SELECT lang,
@@ -1490,6 +1495,33 @@ def q_tokenizer_fertility(d: S.Dialect,
         FROM counts
         GROUP BY lang
     """
+
+
+def _quality_cells_cum(d: S.Dialect,
+                       doc_table: str = "documents") -> str:
+    """Shared CTE chain ``sig → cells → cum`` behind the per-source
+    quality percentiles: e4-quantized scores, (source, score) cell
+    counts, and the per-source cumulative/total counts every
+    percentile cutpoint reads.  ONE definition so the calibration
+    table (q_quality_calibration) and the loss-mask flag rule
+    (q_below_median_quality_flags) cannot drift apart on the
+    percentile they both claim to share."""
+    q = S.quality_score("text", d)
+    return f"""sig AS (
+            SELECT doc_id, source,
+                   CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4
+            FROM {doc_table}
+        ),
+        cells AS (
+            SELECT source, q_e4, COUNT(*) AS c
+            FROM sig GROUP BY source, q_e4
+        ),
+        cum AS (
+            SELECT source, q_e4,
+                   SUM(c) OVER (PARTITION BY source ORDER BY q_e4) AS cc,
+                   SUM(c) OVER (PARTITION BY source) AS n
+            FROM cells
+        )"""
 
 
 def q_quality_calibration(d: S.Dialect,
@@ -1513,23 +1545,8 @@ def q_quality_calibration(d: S.Dialect,
     aggregate, never on raw documents; the cutpoint table joins back
     broadcast for the pass-share pass.  No corpus-wide or whole-
     source row window anywhere."""
-    q = S.quality_score("text", d)
     return f"""
-        WITH sig AS (
-            SELECT doc_id, source,
-                   CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4
-            FROM {doc_table}
-        ),
-        cells AS (
-            SELECT source, q_e4, COUNT(*) AS c
-            FROM sig GROUP BY source, q_e4
-        ),
-        cum AS (
-            SELECT source, q_e4,
-                   SUM(c) OVER (PARTITION BY source ORDER BY q_e4) AS cc,
-                   SUM(c) OVER (PARTITION BY source) AS n
-            FROM cells
-        ),
+        WITH {_quality_cells_cum(d, doc_table)},
         cuts AS (
             SELECT source,
                    CAST(MAX(n) AS BIGINT) AS n_docs,
@@ -1574,31 +1591,17 @@ def q_below_median_quality_flags(d: S.Dialect,
     keep the rest as packed context.  Scale shape: the calibration
     aggregate plus one broadcast join back to documents — no raw-doc
     window."""
-    q = S.quality_score("text", d)
     return f"""
-        SELECT s.doc_id,
-               CASE WHEN s.q_e4 < c.p50_e4 THEN 1 ELSE 0 END AS masked
-        FROM (
-            SELECT doc_id, source,
-                   CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4
-            FROM {doc_table}
-        ) s
-        JOIN (
+        WITH {_quality_cells_cum(d, doc_table)},
+        cuts AS (
             SELECT source,
                    MIN(CASE WHEN cc * 2 >= n THEN q_e4 END) AS p50_e4
-            FROM (
-                SELECT source, q_e4,
-                       SUM(c) OVER (PARTITION BY source
-                                    ORDER BY q_e4) AS cc,
-                       SUM(c) OVER (PARTITION BY source) AS n
-                FROM (
-                    SELECT source,
-                           CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4,
-                           COUNT(*) AS c
-                    FROM {doc_table} GROUP BY 1, 2
-                ) cells
-            ) cum GROUP BY source
-        ) c ON c.source = s.source
+            FROM cum GROUP BY source
+        )
+        SELECT s.doc_id,
+               CASE WHEN s.q_e4 < c.p50_e4 THEN 1 ELSE 0 END AS masked
+        FROM sig s
+        JOIN cuts c ON c.source = s.source
     """
 
 

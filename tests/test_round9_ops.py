@@ -1539,3 +1539,20 @@ class TestLangIdConfusion:
         en_total = sum(r.n for r in rows if r.actual == "en")
         assert correct == en_total  # only 'en' rows can be right here
         assert correct < total
+
+
+class TestTokenizerFertilityOverflow:
+    def test_extreme_ratio_stays_bigint(self, spark):
+        """A single 3000-char one-token doc produces a chars/token
+        ratio past 2^31 micro-units: the rate must come back as a
+        BIGINT, not overflow or error."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [(0, "x" * 3000, "xx", "s", 3000)]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        (r,) = spark.sql(SAMP.q_tokenizer_fertility(S.SPARK)).collect()
+        assert r.chars_per_token_e6 == 3_000_000_000
+        assert r.fertility_e6 == 1_000_000
