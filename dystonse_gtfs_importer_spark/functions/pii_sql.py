@@ -182,3 +182,53 @@ def q_pii_source_report(d: S.Dialect,
         FROM q
         GROUP BY source
     """
+
+
+def q_html_extract(d: S.Dialect,
+                   doc_table: str = "documents") -> str:
+    """HTML → text extraction, the stage every web corpus passes
+    before any text analysis (the trafilatura/jusText step, scaled
+    down to deterministic SQL): drop script/style blocks wholesale,
+    strip remaining tags to spaces, decode the six common entities,
+    collapse whitespace.  Per document: an is-htmlish flag, link
+    count, raw/extracted lengths with the text-to-markup ratio (the
+    classic boilerplate signal), and the MD5 of the extracted text so
+    the driver verifies extracted CONTENT cross-engine without
+    hauling it through the comparator (the pii_scan pattern).
+
+    Regex portability: inline (?i)/(?is) flags, non-greedy
+    repetition, and character classes only — identical semantics
+    under Java regex (Spark) and RE2 (DuckDB); no backrefs, no
+    lookaround, no escape sequences.  Entity decode order is fixed
+    (&amp; LAST, so double-encoded text decodes one level per pass —
+    the documented convention).  Plain text passes through unchanged
+    (tagless input has nothing to strip).  Scale shape: MAP-ONLY —
+    every column is a scalar over one row, a pure scan stage."""
+    no_blocks = d.regexp_replace_all(
+        "text", "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    no_tags = d.regexp_replace_all("t0", "<[^>]*>", " ")
+    ent = "t1"
+    for src, dst in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&")):
+        ent = f"REPLACE({ent}, '{src}', '{dst}')"
+    collapsed = d.regexp_replace_all(ent, "  *", " ")
+    return f"""
+        WITH s0 AS (
+            SELECT doc_id, text, {no_blocks} AS t0 FROM {doc_table}
+        ),
+        s1 AS (SELECT doc_id, text, {no_tags} AS t1 FROM s0),
+        s2 AS (SELECT doc_id, text, TRIM({collapsed}) AS extracted
+               FROM s1)
+        SELECT doc_id,
+               CAST({d.regexp_count('text',
+                                    '<[a-zA-Z][^>]*>')} > 0 AS INT)
+                   AS is_htmlish,
+               CAST({d.regexp_count('text', '(?i)<a[^>]*href')}
+                    AS BIGINT) AS n_links,
+               CAST(LENGTH(text) AS BIGINT) AS raw_len,
+               CAST(LENGTH(extracted) AS BIGINT) AS text_len,
+               ROUND(CAST(LENGTH(extracted) AS DOUBLE)
+                     / GREATEST(LENGTH(text), 1), 4) AS text_ratio,
+               MD5(extracted) AS extracted_hash
+        FROM s2
+    """

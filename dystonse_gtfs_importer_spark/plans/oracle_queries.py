@@ -3159,6 +3159,9 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "html_extract": _sql_pair(
+        PII.q_html_extract,
+        "text-extraction HTML to text (map-only scan stage)"),
     "lang_id_confusion": _sql_pair(
         SAMP.q_lang_id_confusion,
         "text-analysis lang-ID error profile (confusion matrix)"),
@@ -3684,7 +3687,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "dedup_threshold_sweep", "dedup_threshold_sweep_lsh",
     "batch_schedule", "sequence_loss_mask", "logreg_quality_iter2",
     "shuffle_run_audit", "decontamination_report",
-    "embedding_exact_dedup", "lang_id_confusion",
+    "embedding_exact_dedup", "lang_id_confusion", "html_extract",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -1556,3 +1556,32 @@ class TestTokenizerFertilityOverflow:
         (r,) = spark.sql(SAMP.q_tokenizer_fertility(S.SPARK)).collect()
         assert r.chars_per_token_e6 == 3_000_000_000
         assert r.fertility_e6 == 1_000_000
+
+
+class TestHtmlExtract:
+    def test_planted_html_document(self, spark):
+        from dystonse_gtfs_importer_spark.functions import pii_sql as PII
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        html = ('<html><HEAD><script src="x">var a = 1 < 2;</script>'
+                '<style>.x{}</style></HEAD><body><h1>Title</h1>'
+                '<p>Hello &amp; welcome to <a href="http://x">our '
+                'site</a>.</p><P>Second &lt;para&gt;.</P></body></html>')
+        rows = [(0, html, "en", "web", len(html)),
+                (1, "plain text, no markup at all", "en", "txt", 28)]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.doc_id: r for r in spark.sql(
+            PII.q_html_extract(S.SPARK)).collect()}
+        web, txt = got[0], got[1]
+        assert (web.is_htmlish, web.n_links) == (1, 1)
+        assert web.text_len < web.raw_len and web.text_ratio < 0.5
+        # the extracted content itself, via the hash
+        expected = ("Title Hello & welcome to our site . "
+                    "Second <para>.")
+        import hashlib
+        assert web.extracted_hash == hashlib.md5(
+            expected.encode()).hexdigest()
+        # plain text passes through unchanged
+        assert (txt.is_htmlish, txt.n_links, txt.text_ratio) == (0, 0, 1.0)
+        assert txt.extracted_hash == hashlib.md5(
+            b"plain text, no markup at all").hexdigest()
