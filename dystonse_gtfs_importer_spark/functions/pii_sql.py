@@ -232,3 +232,52 @@ def q_html_extract(d: S.Dialect,
                MD5(extracted) AS extracted_hash
         FROM s2
     """
+
+
+def q_link_domain_histogram(d: S.Dialect,
+                            doc_table: str = "documents") -> str:
+    """Outlink-domain histogram: every href URL in the corpus rolled
+    up by domain — total links, documents linking, and the corpus
+    link share per domain.  This is the table domain blocklists and
+    per-domain caps (the RefinedWeb practice) are decided from, and
+    the graph-adjacent counterpart of q_html_extract's per-doc link
+    count.
+
+    ``regexp_extract_all(s, p, group)`` has identical name/signature
+    semantics in Spark and DuckDB, so the extraction renders as ONE
+    shared expression; the domain is the authority between '//' and
+    the next '/', ports kept, lowercased.  Scale shape: map-only
+    extraction + explode, then ONE partial-aggregatable
+    groupBy(domain); per-domain doc counts partial-aggregate as
+    (domain, doc) DISTINCT first — no corpus-wide window."""
+    href_pat = d.str_lit('(?i)href="(http[^"]*)"')
+    dom_pat = d.str_lit("//([^/]*)")
+    urls = f"regexp_extract_all(text, {href_pat}, 1)"
+    dom = f"LOWER(regexp_extract(url, {dom_pat}, 1))"
+    return f"""
+        WITH links AS (
+            SELECT doc_id, {d.explode_arr(urls)} AS url
+            FROM {doc_table}
+        ),
+        dl AS (
+            SELECT doc_id, {dom} AS domain FROM links
+        ),
+        per_domain AS (
+            SELECT domain, COUNT(*) AS n_links
+            FROM dl GROUP BY domain
+        ),
+        per_doc AS (
+            SELECT domain, COUNT(*) AS n_docs FROM (
+                SELECT DISTINCT domain, doc_id FROM dl
+            ) x GROUP BY domain
+        ),
+        total AS (SELECT COUNT(*) AS n FROM dl)
+        SELECT p.domain,
+               CAST(p.n_links AS BIGINT) AS n_links,
+               CAST(pd.n_docs AS BIGINT) AS n_docs,
+               ROUND(CAST(p.n_links AS DOUBLE) / t.n, 4)
+                   AS link_share
+        FROM per_domain p
+        JOIN per_doc pd ON pd.domain = p.domain
+        CROSS JOIN total t
+    """

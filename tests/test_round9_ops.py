@@ -1585,3 +1585,25 @@ class TestHtmlExtract:
         assert (txt.is_htmlish, txt.n_links, txt.text_ratio) == (0, 0, 1.0)
         assert txt.extracted_hash == hashlib.md5(
             b"plain text, no markup at all").hexdigest()
+
+
+class TestLinkDomainHistogram:
+    def test_planted_domains(self, spark):
+        from dystonse_gtfs_importer_spark.functions import pii_sql as PII
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        rows = [
+            (0, '<a href="http://a.com/x">x</a> '
+                '<a HREF="https://b.org/y">y</a> '
+                '<a href="http://A.com/z">z</a>', "en", "s", 90),
+            (1, '<a href="http://a.com/other">w</a>', "en", "s", 34),
+            (2, "no links here", "en", "s", 13),
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.domain: r for r in spark.sql(
+            PII.q_link_domain_histogram(S.SPARK)).collect()}
+        assert set(got) == {"a.com", "b.org"}
+        a, b = got["a.com"], got["b.org"]
+        # case-insensitive href, lowercased domain, per-doc distinct
+        assert (a.n_links, a.n_docs, a.link_share) == (3, 2, 0.75)
+        assert (b.n_links, b.n_docs, b.link_share) == (1, 1, 0.25)
