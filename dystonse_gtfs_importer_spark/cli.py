@@ -722,22 +722,16 @@ def _cmd_corpus_report(spark, args) -> int:
         "calibrate": (SAMP.q_quality_calibration, "source"),
         "fertility": (SAMP.q_tokenizer_fertility, "lang"),
         "pii-report": (PII.q_pii_source_report, "source"),
-        "plan-dedup": (None, "t_e4"),
+        "plan-dedup": (DSQ.q_dedup_threshold_sweep_lsh, "t_e4"),
     }
     template, key = templates[args.cmode]
     path = args.docs or str(Path(args.dir) / "documents.parquet")
-    if args.cmode == "plan-dedup":
-        view = f"__rep_cli_{uuid.uuid4().hex[:12]}"
-        spark.read.parquet(path).createOrReplaceTempView(view)
-        rows = [r.asDict() for r in spark.sql(
-            DSQ.q_dedup_threshold_sweep_lsh(
-                S.SPARK, doc_table=view)).collect()]
-        spark.catalog.dropTempView(view)
-    else:
-        view = f"__rep_cli_{uuid.uuid4().hex[:12]}"
-        spark.read.parquet(path).createOrReplaceTempView(view)
+    view = f"__rep_cli_{uuid.uuid4().hex[:12]}"
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    try:
         rows = [r.asDict() for r in
                 spark.sql(template(S.SPARK, doc_table=view)).collect()]
+    finally:
         spark.catalog.dropTempView(view)
     rows.sort(key=lambda r: r[key])
     print(json.dumps({"table": path, "report": args.cmode,

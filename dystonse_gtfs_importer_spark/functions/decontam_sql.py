@@ -328,6 +328,23 @@ def _sequence_pack_ctes(d: S.Dialect, ctx: int, band_docs: int,
         )"""
 
 
+def _chunk_contrib(ctx: int, spanned: str,
+                   n_tokens: str = "n_tokens",
+                   start_off: str = "start_off",
+                   j: str = "j") -> str:
+    """Tokens a placement contributes to spanned sequence ``j``: ctx
+    for every spanned sequence except the last (remainder), the whole
+    length for unsplit docs.  ONE definition shared by the fill and
+    loss-mask references so the accounting cannot drift (the
+    ``- start_off`` term is live only for unsplit docs, where it is
+    offset by the spanned = 1 branch; the walks pin start_off = 0
+    for any multi-span placement)."""
+    return (f"CASE WHEN {j} < {spanned} - 1 THEN {ctx} "
+            f"WHEN {spanned} = 1 THEN {n_tokens} "
+            f"ELSE {n_tokens} - ({spanned} - 1) * {ctx} "
+            f"- {start_off} END")
+
+
 def q_sequence_fill(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
                     band_docs: int = SEQ_PACK_BAND) -> str:
     """Per (band, sequence): documents touching it, fill tokens, and
@@ -350,10 +367,7 @@ def q_sequence_fill(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
         WITH RECURSIVE {_sequence_pack_ctes(d, ctx, band_docs)},
         expanded AS (
             SELECT band, start_seq + j AS seq,
-                   CASE WHEN j < {spanned} - 1 THEN {ctx}
-                        WHEN {spanned} = 1 THEN n_tokens
-                        ELSE n_tokens - ({spanned} - 1) * {ctx}
-                        - start_off END AS contrib
+                   {_chunk_contrib(ctx, spanned)} AS contrib
             FROM (
                 SELECT band, start_seq, start_off, n_tokens,
                        {d.explode_range(spanned)} AS j
@@ -706,11 +720,10 @@ def q_sequence_loss_mask(d: S.Dialect, ctx: int = SEQ_PACK_CTX,
         expanded AS (
             SELECT x.band, x.start_seq + x.j AS seq,
                    COALESCE(f.masked, 0) AS masked,
-                   CASE WHEN x.j < {spanned_x} - 1 THEN {ctx}
-                        WHEN {spanned_x} = 1 THEN x.n_tokens
-                        ELSE x.n_tokens
-                             - ({spanned_x} - 1) * {ctx}
-                        END AS contrib
+                   {_chunk_contrib(ctx, spanned_x,
+                                   n_tokens='x.n_tokens',
+                                   start_off='x.start_off',
+                                   j='x.j')} AS contrib
             FROM (
                 SELECT band, doc_id, start_seq, start_off, n_tokens,
                        {d.explode_range(spanned)} AS j

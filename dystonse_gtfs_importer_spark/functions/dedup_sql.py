@@ -1116,10 +1116,10 @@ def q_dedup_threshold_sweep_lsh(d: S.Dialect,
     driver fixture) the exact sweep's true pair set itself grows n²
     and no candidate scheme can prune below the output size — the
     banded estimate keeps pair volume at the LSH collision mass and
-    the sweep stays linear-ish, at estimate precision 1/K_MINHASH
-    ({K_MINHASH} hash functions → the default grid steps by exactly
-    1/{K_MINHASH} = 1250 e4-units, the estimate's quantum; finer
-    steps are indistinguishable).  Planner doctrine: sweep here first, commit a
+    the sweep stays linear-ish, at estimate precision 1/8 (eight
+    hash functions → the default grid steps by exactly 1250
+    e4-units, the estimate's quantum; finer steps are
+    indistinguishable).  Planner doctrine: sweep here first, commit a
     threshold, then pay the exact pass once at that threshold."""
     return _sweep_accounting(
         d, q_minhash_lsh_pairs(d, doc_table), "est_jaccard",

@@ -174,6 +174,18 @@ def pack_sequences_ffd(docs: DataFrame, ctx: int = SEQ_PACK_CTX,
         lambda pdf: _ffd_walk(pdf, ctx, max_open), _PACK_SCHEMA)
 
 
+def _chunk_contrib_expr(ctx: int) -> str:
+    """SQL CASE for the tokens a placement contributes to spanned
+    sequence ``j`` — ONE definition for fill, emit, and loss-mask so
+    the accounting cannot drift.  Relies on the walk invariant
+    start_off == 0 for any multi-span placement (property-tested in
+    tests/test_late_round9_properties.py)."""
+    spanned = "n_seqs_spanned"
+    return (f"CASE WHEN j < {spanned} - 1 THEN {ctx} "
+            f"WHEN {spanned} = 1 THEN n_tokens "
+            f"ELSE n_tokens - ({spanned} - 1) * {ctx} END")
+
+
 def sequence_fill(packed: DataFrame, ctx: int = SEQ_PACK_CTX
                   ) -> DataFrame:
     """Per (band, seq): documents touching it, fill tokens, padding —
@@ -184,9 +196,7 @@ def sequence_fill(packed: DataFrame, ctx: int = SEQ_PACK_CTX
     aggregate; hash-verified against the recursive-CTE reference
     (``q_sequence_fill``)."""
     spanned = "n_seqs_spanned"
-    contrib = (f"CASE WHEN j < {spanned} - 1 THEN {ctx} "
-               f"WHEN {spanned} = 1 THEN n_tokens "
-               f"ELSE n_tokens - ({spanned} - 1) * {ctx} END")
+    contrib = _chunk_contrib_expr(ctx)
     return (packed
             .select("band", "start_seq", "n_tokens", spanned,
                     F.expr(f"explode(sequence(0, {spanned} - 1))")
@@ -220,9 +230,7 @@ def emit_sequences(docs: DataFrame, packed: DataFrame,
         F.expr(f"filter(split(lower({text_col}), ' +'), "
                f"t -> t <> '')").alias("ta"))
     spanned = "n_seqs_spanned"
-    chunk_len = (f"CASE WHEN j < {spanned} - 1 THEN {ctx} "
-                 f"WHEN {spanned} = 1 THEN n_tokens "
-                 f"ELSE n_tokens - ({spanned} - 1) * {ctx} END")
+    chunk_len = _chunk_contrib_expr(ctx)
     chunks = (packed.join(ta, "doc_id")
               .select("band", "start_seq", "start_off", "n_tokens",
                       "doc_id", "ta", spanned,
@@ -352,9 +360,7 @@ def sequence_loss_mask(packed: DataFrame, flags: DataFrame,
     Python.  Hash-verified against the sequential recursive-CTE
     reference (``q_sequence_loss_mask``)."""
     spanned = "n_seqs_spanned"
-    contrib = (f"CASE WHEN j < {spanned} - 1 THEN {ctx} "
-               f"WHEN {spanned} = 1 THEN n_tokens "
-               f"ELSE n_tokens - ({spanned} - 1) * {ctx} END")
+    contrib = _chunk_contrib_expr(ctx)
     return (packed
             .join(flags.select(F.col("doc_id").cast("long")
                                .alias("doc_id"),
