@@ -1791,3 +1791,55 @@ def q_lang_id_confusion(d: S.Dialect,
                     AS INT) AS is_correct
         FROM cells c JOIN totals t ON t.actual = c.actual
     """
+
+
+def q_charclass_profile(d: S.Dialect,
+                        doc_table: str = "documents") -> str:
+    """Per-source character-class profile: shares of ASCII letters,
+    digits, whitespace, other printable ASCII (punctuation), and
+    non-ASCII bytes-as-chars — the cheap garbage detector that
+    catches mojibake, binary spills, and wrong-script content before
+    any tokenizer sees them (a spike in non_ascii_share or
+    punct_share is the classic symptom).  Complements quality_score's
+    single alpha ratio with the full decomposition.
+
+    Parity: classes are literal ASCII ranges only ([a-zA-Z], [0-9],
+    the printable range ' '..'~' and its complement) — identical
+    under Java regex and RE2; counts are LENGTH deltas after class
+    removal (exact integers), shares are single divisions ROUNDed
+    to 4.  Scale shape: map-only scalars + ONE groupBy(source)."""
+    def n_removed(cls: str) -> str:
+        return (f"(LENGTH(text) - LENGTH("
+                f"{d.regexp_replace_all('text', cls, '')}))")
+
+    alpha = n_removed("[a-zA-Z]")
+    digit = n_removed("[0-9]")
+    space = n_removed("[ ]")
+    non_ascii = n_removed("[^ -~]")
+    return f"""
+        WITH counts AS (
+            SELECT source,
+                   CAST(LENGTH(text) AS BIGINT) AS n_c,
+                   CAST({alpha} AS BIGINT) AS n_alpha,
+                   CAST({digit} AS BIGINT) AS n_digit,
+                   CAST({space} AS BIGINT) AS n_space,
+                   CAST({non_ascii} AS BIGINT) AS n_non_ascii
+            FROM {doc_table}
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_c) AS BIGINT) AS n_chars,
+               ROUND(CAST(SUM(n_alpha) AS DOUBLE)
+                     / GREATEST(SUM(n_c), 1), 4) AS alpha_share,
+               ROUND(CAST(SUM(n_digit) AS DOUBLE)
+                     / GREATEST(SUM(n_c), 1), 4) AS digit_share,
+               ROUND(CAST(SUM(n_space) AS DOUBLE)
+                     / GREATEST(SUM(n_c), 1), 4) AS space_share,
+               ROUND(CAST(SUM(n_c - n_alpha - n_digit - n_space
+                              - n_non_ascii) AS DOUBLE)
+                     / GREATEST(SUM(n_c), 1), 4) AS punct_share,
+               ROUND(CAST(SUM(n_non_ascii) AS DOUBLE)
+                     / GREATEST(SUM(n_c), 1), 4) AS non_ascii_share
+        FROM counts
+        GROUP BY source
+    """

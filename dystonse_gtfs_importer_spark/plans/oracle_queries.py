@@ -3159,6 +3159,10 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "charclass_profile": _sql_pair(
+        SAMP.q_charclass_profile,
+        "text-quality character-class decomposition (mojibake / "
+        "garbage detector)"),
     "link_domain_histogram": _sql_pair(
         PII.q_link_domain_histogram,
         "corpus-governance outlink domain histogram"),
@@ -3691,7 +3695,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "batch_schedule", "sequence_loss_mask", "logreg_quality_iter2",
     "shuffle_run_audit", "decontamination_report",
     "embedding_exact_dedup", "lang_id_confusion", "html_extract",
-    "link_domain_histogram",
+    "link_domain_histogram", "charclass_profile",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -1607,3 +1607,28 @@ class TestLinkDomainHistogram:
         # case-insensitive href, lowercased domain, per-doc distinct
         assert (a.n_links, a.n_docs, a.link_share) == (3, 2, 0.75)
         assert (b.n_links, b.n_docs, b.link_share) == (1, 1, 0.25)
+
+
+class TestCharclassProfile:
+    def test_planted_decomposition_sums_to_one(self, spark):
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [(0, "café 42! ok", "fr", "s", 11),
+                (1, "üüü", "de", "t", 3)]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.source: r for r in spark.sql(
+            SAMP.q_charclass_profile(S.SPARK)).collect()}
+        s_ = got["s"]
+        assert (s_.n_chars, s_.alpha_share, s_.digit_share,
+                s_.space_share, s_.punct_share,
+                s_.non_ascii_share) == (11, 0.4545, 0.1818, 0.1818,
+                                        0.0909, 0.0909)
+        t = got["t"]
+        assert (t.non_ascii_share, t.alpha_share) == (1.0, 0.0)
+        for r in got.values():
+            total = (r.alpha_share + r.digit_share + r.space_share
+                     + r.punct_share + r.non_ascii_share)
+            assert abs(total - 1.0) < 0.001
