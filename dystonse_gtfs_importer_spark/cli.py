@@ -186,7 +186,10 @@ def _parser() -> argparse.ArgumentParser:
                            "per 10k chars)"),
             ("plan-dedup", "near-dup threshold sweep on the banded "
                            "MinHash estimate (pairs / affected / "
-                           "removed docs+chars per grid threshold)")):
+                           "removed docs+chars per grid threshold)"),
+            ("charclass", "per-source character-class decomposition "
+                          "(alpha/digit/space/punct/non-ASCII "
+                          "shares — the mojibake detector)")):
         cq = csub.add_parser(name, help=hlp)
         cq.add_argument("--docs", default=None,
                         help="documents parquet path "
@@ -723,6 +726,7 @@ def _cmd_corpus_report(spark, args) -> int:
         "fertility": (SAMP.q_tokenizer_fertility, "lang"),
         "pii-report": (PII.q_pii_source_report, "source"),
         "plan-dedup": (DSQ.q_dedup_threshold_sweep_lsh, "t_e4"),
+        "charclass": (SAMP.q_charclass_profile, "source"),
     }
     template, key = templates[args.cmode]
     path = args.docs or str(Path(args.dir) / "documents.parquet")
@@ -836,7 +840,7 @@ def cmd_corpus(spark, args) -> int:
     if args.cmode == "plan-batches":
         return _cmd_corpus_plan_batches(spark, args)
     if args.cmode in ("calibrate", "fertility", "pii-report",
-                      "plan-dedup"):
+                      "plan-dedup", "charclass"):
         return _cmd_corpus_report(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")

@@ -1022,7 +1022,8 @@ class TestCorpusReportCLIs:
         docs.write.parquet(path)
         for mode, key, n_expected in (("calibrate", "source", 2),
                                       ("fertility", "lang", 2),
-                                      ("pii-report", "source", 2)):
+                                      ("pii-report", "source", 2),
+                                      ("charclass", "source", 2)):
             assert main(["-s", "x", "--dir", str(tmp_path), "corpus",
                          mode, "--docs", path], spark=spark) == 0
             out = json.loads(
