@@ -3052,6 +3052,65 @@ def _sequence_loss_mask_spark(spark: SparkSession, sf_dir: str
     return sequence_loss_mask(pack_sequences(docs), flags)
 
 
+def q_source_release_gate(d: S.Dialect) -> str:
+    """Per-source RELEASE decision: the capstone of the governance
+    family — every source passes or fails on the composed, already-
+    verified rollups (PII clean share, eval-set contamination share,
+    exact-dedup removal share, non-ASCII share), with a reason
+    bitmask (1=pii, 2=contaminated, 4=duplicated, 8=charset) so a
+    drop is auditable per cause — the source-grain twin of the
+    doc-grain q_quality_gate.
+
+    Thresholds are release-review conventions (≥99 % PII-clean docs,
+    ≤5 % contaminated docs, ≤50 % exact-dup removal, ≤30 % non-ASCII
+    mass), not fixture-tuned — the driver fixture passes all four
+    everywhere; the planted tests exercise every reason bit.
+
+    Scale shape: each component is a one-scan partial-aggregatable
+    rollup (their own registry entries document the shapes); the gate
+    joins four |sources|-row tables.  At 100 TB a production run
+    materializes the component tables once and the gate reads them —
+    the inline composition here is the verification form."""
+    from ..functions import decontam_sql as _DC
+    from ..functions import dedup_sql as _D
+    from ..functions import pii_sql as _PII
+    from ..functions import sampling_sql as _SAMP
+
+    return f"""
+        WITH pii AS ({_PII.q_pii_source_report(d)}),
+        contam AS ({_DC.q_decontamination_report(d)}),
+        dups AS ({_D.q_dedup_impact(d)}),
+        chars AS ({_SAMP.q_charclass_profile(d)}),
+        gated AS (
+            SELECT p.source,
+                   p.n_docs,
+                   CASE WHEN p.clean_share < 0.99 THEN 1 ELSE 0 END
+                       AS fail_pii,
+                   CASE WHEN COALESCE(c.contaminated_share, 0) > 0.05
+                        THEN 1 ELSE 0 END AS fail_contam,
+                   CASE WHEN dd.doc_removal_share > 0.5
+                        THEN 1 ELSE 0 END AS fail_dedup,
+                   CASE WHEN ch.non_ascii_share > 0.3
+                        THEN 1 ELSE 0 END AS fail_charset
+            FROM pii p
+            LEFT JOIN contam c ON c.source = p.source
+            JOIN dups dd ON dd.source = p.source
+            JOIN chars ch ON ch.source = p.source
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(fail_pii AS INT) AS fail_pii,
+               CAST(fail_contam AS INT) AS fail_contam,
+               CAST(fail_dedup AS INT) AS fail_dedup,
+               CAST(fail_charset AS INT) AS fail_charset,
+               CAST(fail_pii + 2 * fail_contam + 4 * fail_dedup
+                    + 8 * fail_charset AS INT) AS reason_mask,
+               CAST(CASE WHEN fail_pii + fail_contam + fail_dedup
+                              + fail_charset = 0
+                    THEN 1 ELSE 0 END AS INT) AS released
+        FROM gated
+    """
+
+
 QUERIES: dict[str, QueryDef] = {
     "ecdf_curve": QueryDef(spark=_ecdf_spark, oracle=_ECDF_ORACLE,
                            survey_ref="A3 C6 O4"),
@@ -3159,6 +3218,10 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "source_release_gate": _sql_pair(
+        q_source_release_gate,
+        "corpus-governance per-source release decision (capstone "
+        "composition of the verified rollups)"),
     "charclass_profile": _sql_pair(
         SAMP.q_charclass_profile,
         "text-quality character-class decomposition (mojibake / "
@@ -3696,6 +3759,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "shuffle_run_audit", "decontamination_report",
     "embedding_exact_dedup", "lang_id_confusion", "html_extract",
     "link_domain_histogram", "charclass_profile",
+    "source_release_gate",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

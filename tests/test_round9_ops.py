@@ -1633,3 +1633,49 @@ class TestCharclassProfile:
             total = (r.alpha_share + r.digit_share + r.space_share
                      + r.punct_share + r.non_ascii_share)
             assert abs(total - 1.0) < 0.001
+
+
+class TestSourceReleaseGate:
+    def test_every_reason_bit_fires(self, spark):
+        """Four planted bad sources each trip exactly one gate; a
+        clean source releases.  eval docs (doc_id % stride == 0) seed
+        the contamination check."""
+        from dystonse_gtfs_importer_spark.functions.decontam_sql import (
+            EVAL_STRIDE,
+        )
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            q_source_release_gate,
+        )
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        eval_text = " ".join(f"w{i}" for i in range(12))
+        base = EVAL_STRIDE  # training ids start past the eval stride
+        rows = [
+            (0, eval_text, "en", "evalset", 50),
+            # pii: the only doc has an email -> clean_share 0
+            (base + 1, "mail bob@ex.com now", "en", "srcPii", 19),
+            # contamination: shares the eval doc's leading 5-grams
+            # but is NOT an exact copy (so only the contam bit fires)
+            (base + 2, eval_text + " plus a distinct tail", "en",
+             "srcContam", 71),
+            # dedup: two of three docs are copies of a smaller-id text
+            (base + 3, "dup text body", "en", "srcDup", 13),
+            (base + 4, "dup text body", "en", "srcDup", 13),
+            (base + 5, "dup text body", "en", "srcDup", 13),
+            # charset: overwhelmingly non-ascii
+            (base + 6, "ü" * 40, "de", "srcChars", 40),
+            # clean
+            (base + 7, "perfectly ordinary text here", "en",
+             "srcGood", 28),
+        ]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.source: r for r in spark.sql(
+            q_source_release_gate(S.SPARK)).collect()}
+        assert got["srcPii"].reason_mask == 1
+        assert got["srcContam"].reason_mask == 2
+        assert got["srcDup"].reason_mask == 4
+        assert got["srcChars"].reason_mask == 8
+        assert (got["srcGood"].reason_mask, got["srcGood"].released) \
+            == (0, 1)
+        assert all(r.released == 0 for k, r in got.items()
+                   if k not in ("srcGood", "evalset"))
