@@ -1503,3 +1503,54 @@ def q_embedding_exact_dedup(d: S.Dialect) -> str:
         FROM keyed
         GROUP BY vec_hash
     """
+
+
+def q_nn_similarity_histogram(d: S.Dialect,
+                              query_stride: int = 50) -> str:
+    """Embedding-space diversity profile: the distribution of each
+    sampled query's TOP-1 neighbor cosine, bucketed at 0.1 — the
+    curve the SemDeDup analysis plots to pick its dedup threshold
+    (mass near 1.0 = embedding-level duplicate density; mass near 0 =
+    a diverse corpus).  Reuses the exact brute-force machinery of
+    q_cosine_topk on the same stride-sampled queries, so the audit
+    measures the corpus the registered operators see.
+
+    Determinism: cosines ROUND(…, 6) as everywhere; the bucket is a
+    FLOOR of the rounded value (rule-free), top-1 ties break by
+    cand_id.  Scale shape: the exact leg runs on the sampled query
+    stride only (the q_ann_recall doctrine — an audit probe, not a
+    production path; the LSH/IVF candidates serve the scaled form)."""
+    return f"""
+        WITH qv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings WHERE vec_id % {query_stride} = 0
+        ),
+        cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        {_norm_cte(d)},
+        qvn AS (
+            SELECT vec_id, emb, SQRT({d.arr_dot('emb', 'emb')}) AS nrm
+            FROM qv
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROUND({d.arr_dot('q.emb', 'c.emb')}
+                         / (q.nrm * c.nrm), 6) AS cosine
+            FROM qvn q JOIN cvn c ON c.vec_id <> q.vec_id
+        ),
+        top1 AS (
+            SELECT query_id, cosine FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, cand_id) AS rk
+                FROM scored
+            ) r WHERE rk = 1
+        )
+        SELECT CAST(FLOOR(cosine * 10) AS BIGINT) AS bucket_d1,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(MIN(cosine), 6) AS min_cos,
+               ROUND(MAX(cosine), 6) AS max_cos
+        FROM top1
+        GROUP BY 1
+    """

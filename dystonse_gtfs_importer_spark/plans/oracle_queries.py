@@ -3218,6 +3218,10 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "nn_similarity_histogram": _sql_pair(
+        ANN.q_nn_similarity_histogram,
+        "similarity-eval embedding diversity profile (SemDeDup "
+        "threshold curve)"),
     "source_release_gate": _sql_pair(
         q_source_release_gate,
         "corpus-governance per-source release decision (capstone "
@@ -3759,7 +3763,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "shuffle_run_audit", "decontamination_report",
     "embedding_exact_dedup", "lang_id_confusion", "html_extract",
     "link_domain_histogram", "charclass_profile",
-    "source_release_gate",
+    "source_release_gate", "nn_similarity_histogram",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

@@ -1679,3 +1679,25 @@ class TestSourceReleaseGate:
             == (0, 1)
         assert all(r.released == 0 for k, r in got.items()
                    if k not in ("srcGood", "evalset"))
+
+
+class TestNnSimilarityHistogram:
+    def test_planted_duplicate_mass_lands_at_one(self, spark):
+        from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+        from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+        base = [float((i * 37) % 19) - 9.0 for i in range(64)]
+        ortho = [0.0] * 64
+        ortho[0] = 1.0
+        # query 0 has an exact twin (top-1 cosine 1.0); query 50's
+        # nearest is whatever the corpus offers below 1.0
+        rows = [(0, base, 0), (1, base, 0), (50, ortho, 0),
+                (2, [v + 5.0 for v in base], 0)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+        got = {r.bucket_d1: r for r in spark.sql(
+            ANN.q_nn_similarity_histogram(S.SPARK)).collect()}
+        # the exact-twin query contributes the bucket at 1.0
+        assert 10 in got and got[10].min_cos == 1.0
+        assert sum(r.n_queries for r in got.values()) == 2
