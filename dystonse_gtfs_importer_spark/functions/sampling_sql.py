@@ -1843,3 +1843,40 @@ def q_charclass_profile(d: S.Dialect,
         FROM counts
         GROUP BY source
     """
+
+
+def q_length_calibration(d: S.Dialect,
+                         doc_table: str = "documents") -> str:
+    """Per-source document-LENGTH calibration: p10/p50/p90 character
+    counts per source — the decision table behind per-source length
+    filters (a fixed global minimum over-filters naturally-short
+    sources; the FineWeb-style practice calibrates the cut per
+    source, exactly as q_quality_calibration does for quality).
+
+    Same integer percentile definition as the quality twin (smallest
+    value with cum ≥ ⌈q·n⌉); lengths are already exact integers so
+    no quantization step.  Scale shape: docs aggregate FIRST to
+    (source, n_chars) cells — bounded by the corpus's length domain,
+    not its row count — and the windows ride that aggregate."""
+    return f"""
+        WITH cells AS (
+            SELECT source, n_chars, COUNT(*) AS c
+            FROM {doc_table} GROUP BY source, n_chars
+        ),
+        cum AS (
+            SELECT source, n_chars,
+                   SUM(c) OVER (PARTITION BY source
+                                ORDER BY n_chars) AS cc,
+                   SUM(c) OVER (PARTITION BY source) AS n
+            FROM cells
+        )
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MIN(CASE WHEN cc * 10 >= n THEN n_chars END)
+                    AS BIGINT) AS p10_chars,
+               CAST(MIN(CASE WHEN cc * 2 >= n THEN n_chars END)
+                    AS BIGINT) AS p50_chars,
+               CAST(MIN(CASE WHEN cc * 10 >= n * 9 THEN n_chars END)
+                    AS BIGINT) AS p90_chars
+        FROM cum GROUP BY source
+    """

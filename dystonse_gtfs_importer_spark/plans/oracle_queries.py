@@ -3218,6 +3218,9 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_threshold_sweep": _sql_pair(D.q_dedup_threshold_sweep,
                                        "dedup-planner Jaccard "
                                        "threshold sweep"),
+    "length_calibration": _sql_pair(
+        SAMP.q_length_calibration,
+        "text-quality per-source length-filter calibration"),
     "nn_similarity_histogram": _sql_pair(
         ANN.q_nn_similarity_histogram,
         "similarity-eval embedding diversity profile (SemDeDup "
@@ -3764,6 +3767,7 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "embedding_exact_dedup", "lang_id_confusion", "html_extract",
     "link_domain_histogram", "charclass_profile",
     "source_release_gate", "nn_similarity_histogram",
+    "length_calibration",
     # the round-6-witnessed cohort displaced by the late-round-9
     # additions (oldest records below the boundary, so they follow
     # in round 10's window), then the remaining round-7-witnessed

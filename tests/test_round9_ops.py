@@ -1701,3 +1701,23 @@ class TestNnSimilarityHistogram:
         # the exact-twin query contributes the bucket at 1.0
         assert 10 in got and got[10].min_cos == 1.0
         assert sum(r.n_queries for r in got.values()) == 2
+
+
+class TestLengthCalibration:
+    def test_planted_percentiles(self, spark):
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [(i, "x", "en", "srcA", n)
+                for i, n in enumerate([10, 20, 30])] + \
+               [(9, "y", "en", "srcB", 7)]
+        _docs(spark, rows).createOrReplaceTempView("documents")
+        got = {r.source: r for r in spark.sql(
+            SAMP.q_length_calibration(S.SPARK)).collect()}
+        a, b = got["srcA"], got["srcB"]
+        assert (a.n_docs, a.p10_chars, a.p50_chars, a.p90_chars) == \
+            (3, 10, 20, 30)
+        assert (b.n_docs, b.p10_chars, b.p50_chars, b.p90_chars) == \
+            (1, 7, 7, 7)
