@@ -189,7 +189,10 @@ def _parser() -> argparse.ArgumentParser:
                            "removed docs+chars per grid threshold)"),
             ("charclass", "per-source character-class decomposition "
                           "(alpha/digit/space/punct/non-ASCII "
-                          "shares — the mojibake detector)")):
+                          "shares — the mojibake detector)"),
+            ("lengths", "per-source document-length calibration "
+                        "(p10/p50/p90 chars — the length-filter "
+                        "decision table)")):
         cq = csub.add_parser(name, help=hlp)
         cq.add_argument("--docs", default=None,
                         help="documents parquet path "
@@ -727,6 +730,7 @@ def _cmd_corpus_report(spark, args) -> int:
         "pii-report": (PII.q_pii_source_report, "source"),
         "plan-dedup": (DSQ.q_dedup_threshold_sweep_lsh, "t_e4"),
         "charclass": (SAMP.q_charclass_profile, "source"),
+        "lengths": (SAMP.q_length_calibration, "source"),
     }
     template, key = templates[args.cmode]
     path = args.docs or str(Path(args.dir) / "documents.parquet")
@@ -840,7 +844,7 @@ def cmd_corpus(spark, args) -> int:
     if args.cmode == "plan-batches":
         return _cmd_corpus_plan_batches(spark, args)
     if args.cmode in ("calibrate", "fertility", "pii-report",
-                      "plan-dedup", "charclass"):
+                      "plan-dedup", "charclass", "lengths"):
         return _cmd_corpus_report(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")

@@ -1023,7 +1023,8 @@ class TestCorpusReportCLIs:
         for mode, key, n_expected in (("calibrate", "source", 2),
                                       ("fertility", "lang", 2),
                                       ("pii-report", "source", 2),
-                                      ("charclass", "source", 2)):
+                                      ("charclass", "source", 2),
+                                      ("lengths", "source", 2)):
             assert main(["-s", "x", "--dir", str(tmp_path), "corpus",
                          mode, "--docs", path], spark=spark) == 0
             out = json.loads(
