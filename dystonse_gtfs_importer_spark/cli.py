@@ -741,7 +741,8 @@ def _cmd_corpus_report(spark, args) -> int:
                 spark.sql(template(S.SPARK, doc_table=view)).collect()]
     finally:
         spark.catalog.dropTempView(view)
-    rows.sort(key=lambda r: r[key])
+    # NULL group keys (e.g. a NULL-source row) sort first, not raise
+    rows.sort(key=lambda r: (r[key] is None, r[key]))
     print(json.dumps({"table": path, "report": args.cmode,
                       "rows": rows}, sort_keys=True))
     return 0

@@ -211,7 +211,9 @@ def q_html_extract(d: S.Dialect,
     for src, dst in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                      ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&")):
         ent = f"REPLACE({ent}, '{src}', '{dst}')"
-    collapsed = d.regexp_replace_all(ent, "  *", " ")
+    # [ \t\r\n]+ (not just spaces): tabs/newlines in the source must
+    # collapse too, or newline-heavy HTML inflates text_len/text_ratio
+    collapsed = d.regexp_replace_all(ent, "[ \\t\\r\\n][ \\t\\r\\n]*", " ")
     return f"""
         WITH s0 AS (
             SELECT doc_id, text, {no_blocks} AS t0 FROM {doc_table}

@@ -1475,8 +1475,11 @@ def q_tokenizer_fertility(d: S.Dialect,
     groupBy(lang)."""
     tc = S.token_count("text", d)
     bpe = S.bpe_token_count("text", d)
-    fert = "FLOOR(SUM(n_bpe) * 1000000.0 / SUM(n_words))"
-    cpt = "FLOOR(SUM(n_c) * 1000000.0 / SUM(n_bpe))"
+    # GREATEST(.., 1) guards: a language whose docs are all empty /
+    # whitespace has SUM(n_words)=0 (and SUM(n_bpe)=0) — rates read 0,
+    # not NULL, matching q_readability_scores' divisor contract
+    fert = "FLOOR(SUM(n_bpe) * 1000000.0 / GREATEST(SUM(n_words), 1))"
+    cpt = "FLOOR(SUM(n_c) * 1000000.0 / GREATEST(SUM(n_bpe), 1))"
     return f"""
         WITH counts AS (
             SELECT lang,

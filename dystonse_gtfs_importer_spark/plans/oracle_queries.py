@@ -3082,7 +3082,7 @@ def q_source_release_gate(d: S.Dialect) -> str:
         dups AS ({_D.q_dedup_impact(d)}),
         chars AS ({_SAMP.q_charclass_profile(d)}),
         gated AS (
-            SELECT p.source,
+            SELECT COALESCE(p.source, '(null)') AS source,
                    p.n_docs,
                    CASE WHEN p.clean_share < 0.99 THEN 1 ELSE 0 END
                        AS fail_pii,
@@ -3092,10 +3092,19 @@ def q_source_release_gate(d: S.Dialect) -> str:
                         THEN 1 ELSE 0 END AS fail_dedup,
                    CASE WHEN ch.non_ascii_share > 0.3
                         THEN 1 ELSE 0 END AS fail_charset
+            -- join keys COALESCEd to a sentinel: a NULL-source cohort
+            -- must be GATED (and reported under '(null)'), not silently
+            -- dropped by NULL-never-equi-joins
             FROM pii p
-            LEFT JOIN contam c ON c.source = p.source
-            JOIN dups dd ON dd.source = p.source
-            JOIN chars ch ON ch.source = p.source
+            LEFT JOIN contam c
+              ON COALESCE(c.source, '(null)')
+                 = COALESCE(p.source, '(null)')
+            JOIN dups dd
+              ON COALESCE(dd.source, '(null)')
+                 = COALESCE(p.source, '(null)')
+            JOIN chars ch
+              ON COALESCE(ch.source, '(null)')
+                 = COALESCE(p.source, '(null)')
         )
         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
                CAST(fail_pii AS INT) AS fail_pii,
@@ -3697,108 +3706,62 @@ QUERIES: dict[str, QueryDef] = {
 
 
 # ---------------------------------------------------------------------------
-# Driver exposure order — FROZEN round 8.
+# Driver exposure order — FROZEN round 10.
 #
 # The driver's CORRECTNESS snapshot records only the FIRST 50 entries
-# of queries() dict order.  Rounds 1-7 gave every registered query at
-# least one driver-green row; the freshness policy is now a simple
-# ROTATION: each round's window = oldest-witnessed entries first, plus
-# the round's new registrations.  Round 8 re-witnesses the 26 queries
-# last recorded in round 3, adds the 8 round-8 registrations, and
-# fills with 16 of the 25 round-4-witnessed entries — after a green
-# round 8 no query's latest driver row is older than round 4, and
-# round 9's window should start from the remaining nine round-4
-# entries plus the round-5 block.
-# Do NOT insert new names anywhere above the "-- window boundary --"
-# marker mid-round; new round-8 queries may be inserted at the END of
-# the window (displacing entries with fresher records) only before
-# the round-8 freeze.
-# tests/test_sql_parity.py::test_registry_window_frozen pins this.
+# of queries() dict order.  The freshness policy is a simple ROTATION:
+# each round's window = never-witnessed entries first, then the
+# oldest-witnessed entries, plus the round's new registrations.
 # ---------------------------------------------------------------------------
 REGISTRY_ORDER: tuple[str, ...] = (
-    # Round-9 rotation (VERDICT r8 #2): the window re-witnesses, in
-    # priority order, (a) the 3 packer oracles RE-KEYED this round by
-    # the seeded-position banding (their placement hashes changed, so
-    # the old driver rows no longer describe HEAD), (b) the 18
-    # round-9 additions, (c) the 9 round-4-witnessed entries displaced
-    # from the round-8 window, and (d) the full 20-entry round-5
-    # cohort (3 + 18 + 9 + 20 = 50).  After a green round 9 no
-    # query's latest driver row is older than ROUND 6 (the displaced
-    # round-6 cohort sits first below the boundary for round 10).
+    # Round-10 rotation (VERDICT r9 #1): the window driver-witnesses,
+    # in priority order, (a) the 21 registry entries that have NEVER
+    # had a driver CORRECTNESS row (round-9 late registrations,
+    # judge-witnessed only), (b) the 8 entries whose latest driver
+    # row is round 6 (the oldest records in the registry), and
+    # (c) 21 of the round-7-witnessed cohort as fills.  After a green
+    # round 10 every registry entry has a driver row, and none is
+    # older than round 7.  New round-10 registrations may be inserted
+    # at the END of the window (displacing the round-7 fills, whose
+    # records are freshest among the window) only before the
+    # round-10 freeze.
     # Do NOT insert new names anywhere above the "-- window boundary"
-    # marker mid-round; new round-9 queries may be inserted at the END
-    # of the window (displacing entries with fresher records) only
-    # before the round-9 freeze.
+    # marker mid-round.
     # tests/test_sql_parity.py::test_registry_window_frozen pins this.
-    # -- (a) round-9 RE-KEYED oracles (banding change) --
-    "sequence_pack", "sequence_fill", "sequence_emit",
-    # -- (b) round-9 additions (never driver-witnessed) --
-    "mixture_weights", "mixture_weights_target", "mixture_drift",
-    "dedup_keep_best", "ann_recall", "hybrid_rrf_topk", "corpus_diff",
-    "sequence_pack_ffd", "table_profile_approx",
-    "edit_distance_near_pairs", "oov_rate", "retrieval_eval",
-    "hard_negative_topk", "centroid_similarity_matrix",
-    "pii_source_report", "normalized_dedup", "dedup_impact",
-    "readability_scores",
-    # -- (c) round-4-witnessed entries displaced from the r8 window --
-    "median_rank", "sessionization", "funnel_steps", "retention_cohorts",
-    "repetition_signals",
-    "ecdf_curve_jvm", "ecdf_curve_focused_jvm", "cosine_near_dup",
-    "ann_lsh_topk",
-    # -- (d) the round-5-witnessed cohort --
-    "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
-    "simhash64_near_pairs", "embedding_quantize_int8",
-    "ann_quantized_topk", "random_projection",
-    "span_dedup", "quality_gate",
-    "asof_join_tolerance", "doc_chunking", "pmi_pairs",
-    "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
-    "dsir_weights", "bm25_topk",
-    "source_kl_divergence", "zipf_slope", "embedding_norm_outliers",
-    # -- window boundary: entries below are outside the driver snapshot --
-    # round-9 late registrations that did NOT displace the round-5
-    # re-witnessing cohort (never driver-witnessed, judge-witnessed
-    # only this round): they lead round 10's window, ahead of the
-    # displaced round-6 cohort
+    # -- (a) never driver-witnessed (round-9 late registrations) --
     "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
-    "tokenizer_fertility", "quality_calibration",
-    "dedup_threshold_sweep", "dedup_threshold_sweep_lsh",
-    "batch_schedule", "sequence_loss_mask", "logreg_quality_iter2",
-    "shuffle_run_audit", "decontamination_report",
+    "tokenizer_fertility", "quality_calibration", "dedup_threshold_sweep",
+    "dedup_threshold_sweep_lsh", "batch_schedule", "sequence_loss_mask",
+    "logreg_quality_iter2", "shuffle_run_audit", "decontamination_report",
     "embedding_exact_dedup", "lang_id_confusion", "html_extract",
-    "link_domain_histogram", "charclass_profile",
-    "source_release_gate", "nn_similarity_histogram",
-    "length_calibration",
-    # the round-6-witnessed cohort displaced by the late-round-9
-    # additions (oldest records below the boundary, so they follow
-    # in round 10's window), then the remaining round-7-witnessed
-    # entries in r7-window order
+    "link_domain_histogram", "charclass_profile", "source_release_gate",
+    "nn_similarity_histogram", "length_calibration",
+    # -- (b) latest driver row is round 6 (oldest records) --
     "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
     "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
-    "countmin_heavy_hitters", "hll_distinct", "weighted_stratified_sample",
-    "bpe_token_histogram",
-    "kmeans_clusters", "kmv_overlap_estimate",
-    "exactsubstr_cut", "exactsubstr_cut_capped",
-    "repeated_spans_scalable",
-    "packing_efficiency", "weighted_stratified_sample_scale",
-    "ngram_novelty",
-    "histogram_quantiles", "posting_lists",
-    "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
-    "token_entropy", "kmeans_lloyd2",
-    "leakage_safe_split", "quality_budget_select",
+    "countmin_heavy_hitters", "hll_distinct",
+    # -- (c) round-7-witnessed fills (displaceable by new r10 queries) --
+    "weighted_stratified_sample", "bpe_token_histogram", "kmeans_clusters",
+    "kmv_overlap_estimate", "exactsubstr_cut", "exactsubstr_cut_capped",
+    "repeated_spans_scalable", "packing_efficiency",
+    "weighted_stratified_sample_scale", "ngram_novelty",
+    "histogram_quantiles", "posting_lists", "suffix_ranks",
+    "equidepth_histogram_scale", "repeated_spans", "token_entropy",
+    "kmeans_lloyd2", "leakage_safe_split", "quality_budget_select",
     "jsonl_scan", "corpus_report",
-    "asof_join_salted", "cosine_near_dup_lsh",
-    "json_props_stats", "json_key_histogram", "label_centroid_stats",
-    "knn_label_agreement", "interval_join_bucketed",
-    "dedup_clusters", "vocab_topk", "zorder_keys", "salted_aggregate",
-    "salted_join",
-    "hll_shard_merge", "bloom_membership",
-    "tfidf_topk", "decontaminate", "token_shard_packing",
-    "token_shard_packing_scale", "boilerplate_scrub", "pii_scan",
-    "weighted_sample_topk", "skew_profile",
-    "curriculum_schedule", "pca_power_iter",
+    # -- window boundary: entries below are outside the driver snapshot --
+    # remaining round-7-witnessed entries (r7-window order)
+    "asof_join_salted", "cosine_near_dup_lsh", "json_props_stats",
+    "json_key_histogram", "label_centroid_stats", "knn_label_agreement",
+    "interval_join_bucketed", "dedup_clusters", "vocab_topk",
+    "zorder_keys", "salted_aggregate", "salted_join", "hll_shard_merge",
+    "bloom_membership", "tfidf_topk", "decontaminate",
+    "token_shard_packing", "token_shard_packing_scale",
+    "boilerplate_scrub", "pii_scan", "weighted_sample_topk",
+    "skew_profile", "curriculum_schedule", "pca_power_iter",
     "containment_pairs", "perplexity_tiers", "decayed_engagement",
     "kmv_source_overlap", "mad_outliers",
-    # round-8-witnessed entries (the freshest records), r8-window order
+    # round-8-witnessed entries (r8-window order)
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
     "interval_overlap", "autocomplete", "token_stats", "lang_id",
@@ -3807,14 +3770,30 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "trip_resolution", "noon_datetime", "contiguous_trips",
     "value_percentiles", "minhash_lsh_pairs", "simhash",
     "simhash_near_pairs", "simhash_near_pairs_banded",
-    "ngram_jaccard_pairs",
-    "blocklist_filter", "blocklist_scrub", "shard_manifest",
-    "lsh_config_planner", "table_profile",
+    "ngram_jaccard_pairs", "blocklist_filter", "blocklist_scrub",
+    "shard_manifest", "lsh_config_planner", "table_profile",
     "pricing_summary", "ecdf_curve", "ecdf_curve_focused",
     "curve_stack_stats", "hourly_event_stats", "ann_ivf_topk",
     "semdedup_keep", "global_minmax", "distinct_users", "rollup_ladder",
     "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
     "latest_wins", "forward_fill",
+    # round-9-witnessed entries (the freshest records), r9-window order
+    "sequence_pack", "sequence_fill", "sequence_emit", "mixture_weights",
+    "mixture_weights_target", "mixture_drift", "dedup_keep_best",
+    "ann_recall", "hybrid_rrf_topk", "corpus_diff", "sequence_pack_ffd",
+    "table_profile_approx", "edit_distance_near_pairs", "oov_rate",
+    "retrieval_eval", "hard_negative_topk", "centroid_similarity_matrix",
+    "pii_source_report", "normalized_dedup", "dedup_impact",
+    "readability_scores", "median_rank", "sessionization", "funnel_steps",
+    "retention_cohorts", "repetition_signals", "ecdf_curve_jvm",
+    "ecdf_curve_focused_jvm", "cosine_near_dup", "ann_lsh_topk",
+    "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
+    "simhash64_near_pairs", "embedding_quantize_int8",
+    "ann_quantized_topk", "random_projection", "span_dedup",
+    "quality_gate", "asof_join_tolerance", "doc_chunking", "pmi_pairs",
+    "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
+    "dsir_weights", "bm25_topk", "source_kl_divergence", "zipf_slope",
+    "embedding_norm_outliers",
 )
 
 DRIVER_WINDOW = 50

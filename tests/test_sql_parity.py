@@ -331,38 +331,27 @@ class TestRegistryWindow:
         # append (after the window), never displace the first 50
         assert tuple(names[: len(oq.REGISTRY_ORDER)]) == oq.REGISTRY_ORDER
         window = set(names[: oq.DRIVER_WINDOW])
-        # round-9 rotation: the RE-KEYED packer oracles (seeded-
-        # position banding changed their hashes), the round-9
-        # additions, the 9 round-4 entries displaced from the r8
-        # window, and the full round-5 cohort must all sit inside the
-        # snapshot window
+        # round-10 rotation: every registry entry that has never had a
+        # driver CORRECTNESS row, plus the 8 entries whose latest
+        # driver row is round 6, must all sit inside the snapshot
+        # window (VERDICT r9 prescription #1)
         must_witness = {
-            # re-keyed by the round-9 banding change
-            "sequence_pack", "sequence_fill", "sequence_emit",
-            # round-9 additions
-            "mixture_weights", "mixture_weights_target",
-            "mixture_drift", "dedup_keep_best", "ann_recall",
-            "hybrid_rrf_topk", "corpus_diff",
-            "sequence_pack_ffd", "table_profile_approx",
-            "edit_distance_near_pairs", "oov_rate", "retrieval_eval",
-            "hard_negative_topk", "centroid_similarity_matrix",
-            "pii_source_report", "normalized_dedup", "dedup_impact",
-            "readability_scores",
-            # round-4 entries displaced from the round-8 window
-            "median_rank", "sessionization", "funnel_steps",
-            "retention_cohorts", "repetition_signals",
-            "ecdf_curve_jvm", "ecdf_curve_focused_jvm",
-            "cosine_near_dup", "ann_lsh_topk",
-            # the round-5 cohort
-            "winnow_fingerprints", "winnow_near_pairs", "cosine_topk",
-            "simhash64_near_pairs", "embedding_quantize_int8",
-            "ann_quantized_topk", "random_projection",
-            "span_dedup", "quality_gate",
-            "asof_join_tolerance", "doc_chunking", "pmi_pairs",
-            "sparse_cosine_pairs", "equidepth_histogram",
-            "pagerank_iter2", "dsir_weights", "bm25_topk",
-            "source_kl_divergence", "zipf_slope",
-            "embedding_norm_outliers",
+            # never driver-witnessed (round-9 late registrations)
+            "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
+            "tokenizer_fertility", "quality_calibration",
+            "dedup_threshold_sweep", "dedup_threshold_sweep_lsh",
+            "batch_schedule", "sequence_loss_mask",
+            "logreg_quality_iter2", "shuffle_run_audit",
+            "decontamination_report", "embedding_exact_dedup",
+            "lang_id_confusion", "html_extract",
+            "link_domain_histogram", "charclass_profile",
+            "source_release_gate", "nn_similarity_histogram",
+            "length_calibration",
+            # latest driver row is round 6 (oldest records)
+            "temperature_sample", "stratified_sample",
+            "hash_bernoulli_sample", "seeded_shuffle",
+            "bigram_lm_score", "stratified_sample_scale",
+            "countmin_heavy_hitters", "hll_distinct",
         }
         assert must_witness <= window
 
