@@ -192,7 +192,12 @@ def _parser() -> argparse.ArgumentParser:
                           "shares — the mojibake detector)"),
             ("lengths", "per-source document-length calibration "
                         "(p10/p50/p90 chars — the length-filter "
-                        "decision table)")):
+                        "decision table)"),
+            ("langid", "lang-ID v2 confusion matrix vs ground-truth "
+                       "labels (stopword-table scorer with "
+                       "'other'/'und' fallbacks — the default rung)"),
+            ("langid-v1", "lang-ID v1 (marker-word) confusion "
+                          "matrix, kept for rung comparison")):
         cq = csub.add_parser(name, help=hlp)
         cq.add_argument("--docs", default=None,
                         help="documents parquet path "
@@ -731,6 +736,8 @@ def _cmd_corpus_report(spark, args) -> int:
         "plan-dedup": (DSQ.q_dedup_threshold_sweep_lsh, "t_e4"),
         "charclass": (SAMP.q_charclass_profile, "source"),
         "lengths": (SAMP.q_length_calibration, "source"),
+        "langid": (SAMP.q_lang_id_confusion_v2, "actual"),
+        "langid-v1": (SAMP.q_lang_id_confusion, "actual"),
     }
     template, key = templates[args.cmode]
     path = args.docs or str(Path(args.dir) / "documents.parquet")
@@ -845,7 +852,8 @@ def cmd_corpus(spark, args) -> int:
     if args.cmode == "plan-batches":
         return _cmd_corpus_plan_batches(spark, args)
     if args.cmode in ("calibrate", "fertility", "pii-report",
-                      "plan-dedup", "charclass", "lengths"):
+                      "plan-dedup", "charclass", "lengths",
+                      "langid", "langid-v1"):
         return _cmd_corpus_report(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")

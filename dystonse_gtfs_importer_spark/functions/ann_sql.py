@@ -1330,6 +1330,63 @@ def q_ann_pq_topk(d: S.Dialect, k: int = K) -> str:
     """
 
 
+def q_ann_pq_topk_packed(d: S.Dialect = S.SPARK, k: int = K) -> str:
+    """PRODUCTION form of the flat ADC scan: codes packed to ONE
+    ``array`` row per vector and the per-query LUT packed to one
+    {PQ_M}·{PQ_K} array, so scoring is a broadcast nested loop with a
+    single in-expression integer fold per (query, cand) — no
+    (vec, subspace) row explosion anywhere past the codebook CTEs
+    (the cosine_topk shape applied to PQ; SCALING.md's prescribed
+    array-form).  At 100 TB the codes table IS the stored index
+    ({PQ_M} small ints per vector), the LUT side broadcasts, and the
+    corpus never shuffles until the per-query top-k.
+
+    Spark-rendered ONLY (the fold uses Spark's 0-based ``arr[i]`` and
+    ``aggregate`` lambda): the registry pins it equal to the EXPLODED
+    q_ann_pq_topk run on DuckDB — a cross-derivation oracle, stronger
+    than the shared-template check (the _sql_cross_pair doctrine).
+    """
+    assert d is S.SPARK, "packed ADC fold is Spark-rendered only"
+    lut_dist = f"CAST(ROUND({_l2sq(d, 'q.semb', 'c.cemb')} * 1e6) AS BIGINT)"
+    fold = (f"aggregate(sequence(0, {PQ_M - 1}), 0L, "
+            f"(acc, m) -> acc + l.lvec[m * {PQ_K} + c.cvec[m]])")
+    return f"""
+        WITH {_pq_ctes(d)},
+        codes AS (
+            SELECT vec_id, {d.ordered_list('code', 'sub')} AS cvec
+            FROM pcodes GROUP BY vec_id
+        ),
+        qsub AS (
+            SELECT vec_id AS query_id, sub, semb FROM subv
+            WHERE vec_id % {QUERY_STRIDE} = 0
+        ),
+        lut AS (
+            SELECT q.query_id, c.sub, c.cell, {lut_dist} AS pdist_e6
+            FROM qsub q JOIN pcents c ON c.sub = q.sub
+        ),
+        lutp AS (
+            SELECT query_id,
+                   {d.ordered_list('pdist_e6', f'sub * {PQ_K} + cell')}
+                       AS lvec
+            FROM lut GROUP BY query_id
+        ),
+        scored AS (
+            SELECT /*+ BROADCAST(l) */
+                   l.query_id, c.vec_id AS cand_id,
+                   {fold} AS adist_e6
+            FROM codes c CROSS JOIN lutp l
+            WHERE l.query_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist_e6 ASC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id, adist_e6, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {k}
+    """
+
+
 def q_ann_ivfpq_topk(d: S.Dialect, nprobe: int = IVF_NPROBE,
                      k: int = K) -> str:
     """IVF-PQ: the production FAISS composition — the IVF coarse

@@ -1796,6 +1796,139 @@ def q_lang_id_confusion(d: S.Dialect,
     """
 
 
+# Per-language stopword lists for the v2 identifier: high-frequency
+# function words (public corpus-linguistics knowledge; the fastText /
+# langid.py "closed-class words carry the language" principle scaled
+# to an in-SQL table).  prio = LANG_MARKERS order, the shared
+# tiebreak convention.  ASCII-only so the literals render identically
+# in both engines' parsers.
+LANG_STOPWORDS: tuple[tuple[str, int, tuple[str, ...]], ...] = (
+    ("en", 0, ("the", "and", "of", "to", "in", "is", "it", "that",
+               "for", "with", "was", "this", "have", "not", "are",
+               "from")),
+    ("de", 1, ("der", "die", "und", "das", "ist", "nicht", "mit",
+               "ein", "eine", "den", "sich", "auch", "auf", "dem",
+               "des", "einer")),
+    ("fr", 2, ("le", "la", "et", "les", "des", "est", "une", "dans",
+               "pour", "que", "qui", "pas", "sur", "avec", "plus",
+               "son")),
+    ("es", 3, ("el", "los", "que", "para", "una", "las", "por",
+               "con", "del", "se", "como", "pero", "sus", "al",
+               "lo", "este")),
+)
+
+
+def _stopword_values() -> str:
+    rows = []
+    for lang, prio, words in LANG_STOPWORDS:
+        rows.extend(f"('{lang}', '{w}', {prio})" for w in words)
+    return ", ".join(rows)
+
+
+def lang_id_v2_decode(code: str) -> str:
+    """CASE decoding a packed argmax code back to its language tag
+    (prio = 7 - code % 16; see q_lang_id_v2's packing)."""
+    whens = " ".join(
+        f"WHEN {7 - prio} THEN '{lang}'"
+        for lang, prio, _ in LANG_STOPWORDS)
+    return f"CASE ({code}) % 16 {whens} ELSE 'und' END"
+
+
+def q_lang_id_v2(d: S.Dialect, doc_table: str = "documents") -> str:
+    """Language ID, second rung: stopword-table scoring with a
+    charclass fallback — built because ``q_lang_id_confusion``
+    honestly measured the 4-marker-word v1 heuristic collapsing to
+    'en' on text that matches NO marker (its CASE's ELSE branch).
+
+    Per document: explode tokens once, count hits against the
+    broadcast per-language stopword table, and take the argmax packed
+    into ONE comparable integer (hits * 1024 + distinct_hits * 16 +
+    (7 - prio)) so the winner decodes without a second join; ties
+    break by distinct stopwords hit, then LANG_MARKERS order — the
+    v1 convention.  Two fallbacks v1 lacks: majority-non-ASCII text
+    (wrong-script content — the charclass_profile signal) reads
+    'other', and text hitting NO stopword in any language reads 'und'
+    instead of defaulting to 'en'.
+
+    Packing bounds: distinct_hits <= 16 (list size) so the *16 term
+    stays under 1024, prio < 8 stays under 16 — strictly ordered by
+    (hits, distinct, -prio) as BIGINT.
+
+    Scale shape: ONE token explode + equi-join against the ~64-row
+    inline stopword table (broadcast), ONE (doc_id, lang) aggregate,
+    ONE doc-keyed argmax aggregate, and a doc_id-keyed left join back
+    to the map-only charclass scan.  No corpus-sized state, no
+    windows."""
+    non_ascii = (f"(LENGTH(text) - LENGTH("
+                 f"{d.regexp_replace_all('text', '[^ -~]', '')}))")
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {d.explode_tokens('text')} AS tk
+            FROM {doc_table}
+        ),
+        sw AS (
+            SELECT * FROM (VALUES {_stopword_values()})
+                AS t(lang, word, prio)
+        ),
+        hits AS (
+            SELECT t.doc_id, s.lang, s.prio,
+                   COUNT(*) AS n_hits,
+                   COUNT(DISTINCT t.tk) AS n_distinct
+            FROM tok t JOIN sw s ON s.word = t.tk
+            GROUP BY t.doc_id, s.lang, s.prio
+        ),
+        best AS (
+            SELECT doc_id,
+                   MAX(n_hits * 1024 + n_distinct * 16 + (7 - prio))
+                       AS code
+            FROM hits GROUP BY doc_id
+        ),
+        cc AS (
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_c,
+                   CAST({non_ascii} AS BIGINT) AS n_non_ascii
+            FROM {doc_table}
+        )
+        SELECT c.doc_id,
+               CASE WHEN c.n_non_ascii * 2 > c.n_c THEN 'other'
+                    WHEN b.code IS NULL THEN 'und'
+                    ELSE {lang_id_v2_decode('b.code')}
+               END AS lang_pred
+        FROM cc c LEFT JOIN best b ON b.doc_id = c.doc_id
+    """
+
+
+def q_lang_id_confusion_v2(d: S.Dialect,
+                           doc_table: str = "documents") -> str:
+    """The v2 identifier's measured confusion matrix — same cells /
+    recall shape as ``q_lang_id_confusion`` so the two rungs compare
+    row-for-row.  Scale shape: the v2 prediction subquery (see
+    q_lang_id_v2) joined doc-keyed to the label scan, then ONE
+    (actual, predicted) aggregate — |langs|² rows out."""
+    return f"""
+        WITH pred AS ({q_lang_id_v2(d, doc_table)}),
+        scored AS (
+            SELECT dd.lang AS actual, p.lang_pred AS predicted
+            FROM {doc_table} dd JOIN pred p ON p.doc_id = dd.doc_id
+        ),
+        cells AS (
+            SELECT actual, predicted, COUNT(*) AS n
+            FROM scored GROUP BY actual, predicted
+        ),
+        totals AS (
+            SELECT actual, SUM(n) AS n_actual FROM cells
+            GROUP BY actual
+        )
+        SELECT c.actual, c.predicted,
+               CAST(c.n AS BIGINT) AS n,
+               CAST(t.n_actual AS BIGINT) AS n_actual,
+               ROUND(CAST(c.n AS DOUBLE) / t.n_actual, 4) AS cell_share,
+               CAST(CASE WHEN c.actual = c.predicted THEN 1 ELSE 0 END
+                    AS INT) AS is_correct
+        FROM cells c JOIN totals t ON t.actual = c.actual
+    """
+
+
 def q_charclass_profile(d: S.Dialect,
                         doc_table: str = "documents") -> str:
     """Per-source character-class profile: shares of ASCII letters,

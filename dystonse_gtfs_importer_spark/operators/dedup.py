@@ -62,6 +62,33 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return _run(docs, lambda d: D.q_ngram_jaccard_pairs(d, threshold))
 
 
+# Above this corpus size the exact PPJoin sweep rung is refused:
+# the sweep is a PLANNING read, and on dense-duplicate corpora the
+# exact rung's TRUE pair set grows ~n² (SCALING.md measures 183 s vs
+# the banded rung's 44 s at sf0.1) — pointing it at a lake by
+# accident must fail loudly, not run for a week.  Mirrors the
+# table-profile approx-above-threshold default.
+SWEEP_EXACT_MAX_DOCS = 1_000_000
+
+
+def dedup_threshold_sweep(docs: DataFrame, exact: bool = False,
+                          max_exact_docs: int = SWEEP_EXACT_MAX_DOCS,
+                          ) -> DataFrame:
+    """Threshold-sweep planner face with the lake guard (round 10,
+    VERDICT r9 #5): the default rung is the banded MinHash ESTIMATE
+    (linear-ish, q_dedup_threshold_sweep_lsh — what the CLI
+    ``corpus plan-dedup`` rides); ``exact=True`` requests the exact
+    PPJoin rung and is honored only while the corpus row count is at
+    most ``max_exact_docs`` — above that the call AUTO-DOWNGRADES to
+    the banded rung (planner doctrine: sweep on the estimate, pay
+    exact once at the committed threshold).  The guard costs one
+    count() on the id column — a metadata-cheap aggregate, nothing
+    corpus-wide moves."""
+    if exact and docs.select("doc_id").count() <= max_exact_docs:
+        return _run(docs, D.q_dedup_threshold_sweep)
+    return _run(docs, D.q_dedup_threshold_sweep_lsh)
+
+
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """Per-document winnowing (rolling k-gram) fingerprint counts."""
     return _run(docs, D.q_winnow_fingerprint_stats)

@@ -3251,6 +3251,22 @@ QUERIES: dict[str, QueryDef] = {
     "lang_id_confusion": _sql_pair(
         SAMP.q_lang_id_confusion,
         "text-analysis lang-ID error profile (confusion matrix)"),
+    "ann_pq_topk_packed": _sql_cross_pair(
+        ANN.q_ann_pq_topk_packed,
+        ANN.q_ann_pq_topk,
+        "similarity-PQ flat ADC, PRODUCTION array form (codes packed "
+        "one row per vector, per-query LUT array, in-expression "
+        "integer fold — pinned equal to the EXPLODED DuckDB "
+        "derivation, a cross-derivation oracle)"),
+    "lang_id_v2": _sql_pair(
+        SAMP.q_lang_id_v2,
+        "text-analysis lang-ID v2: stopword-table scoring + charclass "
+        "fallback ('other'/'und' instead of collapsing to 'en' — the "
+        "upgrade the v1 confusion matrix prescribed)"),
+    "lang_id_confusion_v2": _sql_pair(
+        SAMP.q_lang_id_confusion_v2,
+        "text-analysis lang-ID v2 error profile (confusion matrix, "
+        "comparable row-for-row with the v1 matrix)"),
     "embedding_exact_dedup": _sql_pair(
         ANN.q_embedding_exact_dedup,
         "dedup-embedding exact (quantized-component hash)"),
@@ -3747,10 +3763,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "weighted_stratified_sample_scale", "ngram_novelty",
     "histogram_quantiles", "posting_lists", "suffix_ranks",
     "equidepth_histogram_scale", "repeated_spans", "token_entropy",
-    "kmeans_lloyd2", "leakage_safe_split", "quality_budget_select",
-    "jsonl_scan", "corpus_report",
+    "kmeans_lloyd2", "leakage_safe_split",
+    # -- (d) round-10 registrations (displaced the last three r7 fills) --
+    "lang_id_v2", "lang_id_confusion_v2", "ann_pq_topk_packed",
     # -- window boundary: entries below are outside the driver snapshot --
-    # remaining round-7-witnessed entries (r7-window order)
+    # the three round-7 fills displaced by the round-10 registrations,
+    # then the remaining round-7-witnessed entries (r7-window order)
+    "quality_budget_select", "jsonl_scan", "corpus_report",
     "asof_join_salted", "cosine_near_dup_lsh", "json_props_stats",
     "json_key_histogram", "label_centroid_stats", "knn_label_agreement",
     "interval_join_bucketed", "dedup_clusters", "vocab_topk",

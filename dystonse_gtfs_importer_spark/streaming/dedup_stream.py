@@ -62,6 +62,17 @@ bucket aggregate, and the main write branch all reference them
 within that one action.  Everything corpus-sized stays distributed
 and map-only.
 
+Round-10 note (VERDICT r9 #2 — the near-dup leg ran 2.33x the exact
+leg's wall, target <= 2x): the store screen and the greedy sweep now
+fold into ONE drop set (:func:`combined_drop_set`) — store-hit doc
+ids enter the sweep as pre-dropped markers instead of filtering a
+separately-cached survivors frame.  Per micro-batch that removes one
+broadcast build job, one cache materialization, and one anti join;
+the decomposed faces (:func:`screen_against_store`,
+:func:`resolve_in_batch_near_dups`) remain the unit-tested batch
+forms, and the stream==batch greedy equality tests pin that the fold
+changed nothing semantically.
+
 Reference anchor: ingestion-time dedup is an LLM-pipeline extension
 (SURVEY.md LLM ops); the micro-batch + foreachBatch merge structure
 mirrors the GTFS-RT import stream (ST1/ST3,
@@ -157,7 +168,8 @@ def _unpivot_bands(df: DataFrame, extra: list[str]) -> DataFrame:
             .where(F.col("bh").isNotNull()))
 
 
-def annotate_batch(batch: DataFrame, near_dup: bool = True) -> DataFrame:
+def annotate_batch(batch: DataFrame, near_dup: bool = True,
+                   exact_dedup: bool = True) -> DataFrame:
     """Within-batch exact dedup + band annotation: ONE aggregation —
     ``min_by`` of the whole row struct keyed by doc_id (map-side
     partial, single exchange) — not the groupBy-then-join-back form,
@@ -179,25 +191,48 @@ def annotate_batch(batch: DataFrame, near_dup: bool = True) -> DataFrame:
     150k token explode) and the MinHash work is map-only.  min over
     the token list (duplicates included) equals min over the token
     SET, and a token-less document's empty array gives NULL bands —
-    both matching the batch pair query's semantics."""
+    both matching the batch pair query's semantics.
+
+    ``exact_dedup=False`` (round-10, near-dup sink only) skips the
+    min_by exchange entirely, making annotation MAP-ONLY: exact
+    duplicates share every band, so the combined sweep's chain logic
+    over the now-multi-occupant fingerprint buckets reproduces
+    min-id-wins exactly (see combined_drop_set) — one less shuffle
+    per micro-batch for an identical published set."""
     from ..functions.dedup_sql import K_MINHASH
 
     cols = batch.columns
     fp = batch.withColumn("fingerprint", doc_fingerprint())
-    fresh = (fp.groupBy("fingerprint")
-             .agg(F.min_by(F.struct(*cols), F.col("doc_id"))
-                  .alias("_row"))
-             .select("fingerprint", "_row.*"))
+    if exact_dedup:
+        fresh = (fp.groupBy("fingerprint")
+                 .agg(F.min_by(F.struct(*cols), F.col("doc_id"))
+                      .alias("_row"))
+                 .select("fingerprint", "_row.*"))
+    else:
+        fresh = fp.select("fingerprint", *cols)
     if not near_dup:
         for c in band_cols():
             fresh = fresh.withColumn(c, F.lit(None).cast("string"))
         return fresh.select(*cols, "fingerprint", *band_cols())
+    # ONE aggregate() fold over the token array computes all k
+    # signature mins in a single pass (round-10: the k separate
+    # array_min(transform(...)) projections re-walked the array k
+    # times; ~20% off the near-dup annotate wall).  least() over md5
+    # hex strings IS lexicographic min = array_min; the init sentinel
+    # ('z' > any hex char) survives only for token-less documents and
+    # decodes to the NULL bands the pair query expects.
     ta = "filter(split(lower(text), ' +'), t -> t <> '')"
-    sigs = fresh.select(
+    sent = "z" * 34
+    init = ", ".join(f"'{sent}' AS m{j}" for j in range(K_MINHASH))
+    step = ", ".join(
+        f"least(acc.m{j}, md5(concat('{j}#', t))) AS m{j}"
+        for j in range(K_MINHASH))
+    sigs = fresh.withColumn(
+        "_s", F.expr(f"aggregate({ta}, struct({init}), "
+                     f"(acc, t) -> struct({step}))")).select(
         *cols, "fingerprint",
-        *[F.expr(f"array_min(transform({ta}, "
-                 f"t -> md5(concat('{j}#', t))))").alias(f"mh{j}")
-          for j in range(K_MINHASH)])
+        *[F.when(F.col(f"_s.m{j}") != sent, F.col(f"_s.m{j}"))
+          .alias(f"mh{j}") for j in range(K_MINHASH)])
     return sigs.select(*cols, "fingerprint", *_band_columns()) \
                .select(*cols, "fingerprint", *band_cols())
 
@@ -239,6 +274,73 @@ def screen_against_store(based: DataFrame,
     bad = batch_keys.join(F.broadcast(hits), ["kind", "key"],
                           "left_semi").select("doc_id")
     return based.join(F.broadcast(bad), ["doc_id"], "left_anti")
+
+
+def combined_drop_set(based: DataFrame,
+                      store: DataFrame | None) -> DataFrame:
+    """The micro-batch's FULL drop set in one pass: store-screen hits
+    (pre-dropped) plus the within-batch greedy near-dup sweep.
+
+    The store probe FOLDS INTO the bucket aggregation: the batch's
+    (doc_id, kind, key) rows union with the store's MATCHED keys
+    (the stacked LeftSemi BuildRight probe of the broadcast batch-key
+    set — the store still streams map-only, never shuffles) marked
+    ``src=1``, and ONE (kind, key) aggregate yields each bucket's
+    member ids plus a store-hit flag.  A hit bucket pre-drops every
+    member (any doc sharing the hit key would match the store
+    itself); the remaining multi-occupant BAND buckets feed the
+    greedy sweep, a single-group ``applyInPandas`` bounded by the
+    batch's near-dup density, never corpus size.
+
+    Equivalent to screen-then-resolve (the round-9 two-phase form,
+    pinned by the stream==batch tests): a store-hit doc is dropped
+    from the start, so it never blocks a later batch doc — exactly
+    the effect of removing it from the buckets before the sweep.
+    Folding the probe into the aggregate (round-10; the near-dup leg
+    ran 2.33x the exact leg's wall, target <= 2x) cuts the per-batch
+    job count from four broadcast builds + write to two (batch keys,
+    drop set) + write, and drops the survivors cache."""
+    import pandas as pd
+
+    batch_keys = _dedup_keys(based, ["doc_id"])
+    sides = batch_keys.withColumn("src", F.lit(0))
+    if store is not None:
+        matched = (_dedup_keys(store, [])
+                   .join(F.broadcast(batch_keys.select("kind", "key")),
+                         ["kind", "key"], "left_semi")
+                   .select(F.lit(None).cast("long").alias("doc_id"),
+                           "kind", "key", F.lit(1).alias("src")))
+        sides = sides.unionByName(matched)
+    buckets = (sides.groupBy("kind", "key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
+                    F.max("src").alias("store_hit"))
+               .where((F.size("ids") > 1) | (F.col("store_hit") == 1)))
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pre: set[int] = set()
+        blockers: dict[int, set[int]] = {}
+        for ids, hit in zip(pdf["ids"], pdf["store_hit"]):
+            ids = [int(x) for x in ids]
+            if hit == 1:
+                pre.update(ids)
+                continue
+            # band buckets AND fingerprint buckets both chain: exact
+            # duplicates share every band, so blocking on the
+            # fingerprint bucket reproduces min-id-wins exact dedup
+            # (the sink skips the min_by exchange and lets this
+            # handle it — see annotate_batch exact_dedup=False)
+            for i in range(1, len(ids)):
+                blockers.setdefault(ids[i], set()).update(ids[:i])
+        dropped: set[int] = set(pre)
+        for hi in sorted(blockers):
+            if hi in dropped:
+                continue
+            if any(lo not in dropped for lo in blockers[hi]):
+                dropped.add(hi)
+        return pd.DataFrame({"doc_id": sorted(dropped)})
+
+    return (buckets.withColumn("_g", F.lit(1)).groupBy("_g")
+            .applyInPandas(lambda pdf: _sweep(pdf), "doc_id long"))
 
 
 def dedup_batch(batch: DataFrame, store: DataFrame | None,
@@ -377,16 +479,24 @@ def run_dedup_stream(
         store = read_fingerprint_store(s, out_dir, near_dup=near_dup)
         caches = []
         if near_dup:
-            # cache the PRE-screen annotated batch (the store probe's
-            # broadcast subtrees reference it — uncached, every
-            # broadcast build job would recompute the whole MinHash
-            # pipeline) AND the post-screen survivors (so the write
-            # action does not re-scan the store a second time)
+            # cache the annotated batch (the store probe's broadcast
+            # subtrees, the bucket aggregate, and the write branch all
+            # reference it — uncached, every broadcast build job would
+            # recompute the whole MinHash pipeline); the store probe
+            # and the greedy sweep fold into ONE drop-set aggregate,
+            # so the batch pays exactly two broadcast builds (batch
+            # keys, drop set) and one anti join — round-10 fix for
+            # the 2.33x-over-exact near-dup wall.  The min_by exchange
+            # stays ON here even though the sweep's fingerprint-bucket
+            # chains could subsume it (exact_dedup=False, measured
+            # 2x SLOWER): a micro-batch arrives as ~one file partition,
+            # and that exchange is what fans the MinHash projection out
+            # across cores — removing the shuffle serialized the batch.
             based = annotate_batch(batch, near_dup=True).cache()
-            survivors = screen_against_store(
-                based, store, near_dup=True).cache()
-            caches = [based, survivors]
-            final = resolve_in_batch_near_dups(survivors)
+            caches = [based]
+            dropped = combined_drop_set(based, store)
+            final = based.join(F.broadcast(dropped), ["doc_id"],
+                               "left_anti")
         else:
             final = dedup_batch(batch, store, near_dup=False)
         # an empty survivor set writes no files under dynamic

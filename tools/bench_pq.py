@@ -42,6 +42,8 @@ def main() -> None:
         row: dict = {"n_vectors": spark.table("embeddings").count()}
         for name, sql in (("codes", A.q_pq_codes(S.SPARK)),
                           ("adc_flat", A.q_ann_pq_topk(S.SPARK)),
+                          ("adc_flat_packed",
+                           A.q_ann_pq_topk_packed(S.SPARK)),
                           ("ivfpq", A.q_ann_ivfpq_topk(S.SPARK))):
             t = time.time()
             n = spark.sql(sql).count()
