@@ -236,6 +236,17 @@ def _parser() -> argparse.ArgumentParser:
                           "(rows x batch max length; default 256)")
     cpb.add_argument("--max-seqs", type=int, default=None,
                      help="row cap per batch (default 8)")
+    cbf = csub.add_parser(
+        "backfill-bands",
+        help="one-off store migration for a dedup-stream corpus dir "
+             "written before the fingerprint/band columns existed: "
+             "recompute fingerprint + MinHash band columns over "
+             "<corpus>/documents in place (crash-safe sibling write), "
+             "so the stream resumes with full exact+near-dup "
+             "screening")
+    cbf.add_argument("--corpus", default=None,
+                     help="dedup-stream output dir containing "
+                          "documents/ (default <dir>/corpus)")
     return p
 
 
@@ -851,6 +862,14 @@ def cmd_corpus(spark, args) -> int:
         return _cmd_corpus_pack(spark, args)
     if args.cmode == "plan-batches":
         return _cmd_corpus_plan_batches(spark, args)
+    if args.cmode == "backfill-bands":
+        from .streaming.dedup_stream import backfill_store
+
+        corpus = args.corpus or str(Path(args.dir) / "corpus")
+        result = backfill_store(spark, corpus)
+        result["corpus"] = corpus
+        print(json.dumps(result, sort_keys=True))
+        return 0
     if args.cmode in ("calibrate", "fertility", "pii-report",
                       "plan-dedup", "charclass", "lengths",
                       "langid", "langid-v1"):

@@ -419,11 +419,15 @@ def read_fingerprint_store(spark: SparkSession, out_dir: str,
        Near-dup screening reads the ``mhb_*`` band columns.  A
        round-8 corpus (fingerprint, no bands) resumes fine with
        ``near_dup=False``; with ``near_dup=True`` it needs a one-off
-       band backfill (``add_minhash_bands`` over the old documents
-       table).  A corpus written with ``near_dup=False`` HAS the
-       band columns (as NULLs): resuming it with ``near_dup=True``
-       works but screens only against documents published with
-       bands.
+       band backfill.  A corpus written with ``near_dup=False`` HAS
+       the band columns (as NULLs): resuming it with
+       ``near_dup=True`` works but screens only against documents
+       published with bands.
+
+    .. versionchanged:: round-10
+       The backfill is one command: ``corpus backfill-bands
+       --corpus <out_dir>`` (CLI) or :func:`backfill_store` — see
+       MIGRATION.md.
     """
     docs = Path(out_dir) / "documents"
     if not docs.exists():  # no corpus yet
@@ -437,6 +441,57 @@ def read_fingerprint_store(spark: SparkSession, out_dir: str,
             "corpus layout; backfill before resuming (see "
             "read_fingerprint_store docstring)")
     return store.select(*need)
+
+
+def backfill_store(spark: SparkSession, out_dir: str) -> dict:
+    """One-command store backfill for PRE-round-9 corpus layouts (the
+    migration the read_fingerprint_store errors point at): recompute
+    the ``fingerprint`` and ``mhb_*`` columns over the existing
+    documents table (the map-only :func:`annotate_batch` form — the
+    SAME expressions the stream writes, so stream==batch band
+    membership holds across the migration) and swap the table in
+    place.
+
+    The write lands in a ``documents.__backfill`` sibling first and
+    replaces ``documents`` only after it fully commits — a crash
+    mid-backfill leaves the original table untouched (re-run to
+    resume).  ``ingest_batch`` partitioning is preserved when present
+    so replayed batches keep overwriting their own partitions.
+    Returns {"docs": n, "had": [...], "added": [...]} accounting.
+
+    Scale shape: ONE map-only pass over the corpus (fingerprint xxhash
+    + the single-fold MinHash projection), one write — no shuffle, no
+    driver-sized state."""
+    import shutil
+
+    docs_path = Path(out_dir) / "documents"
+    df = spark.read.parquet(str(docs_path))
+    store_cols = ["fingerprint"] + band_cols()
+    had = [c for c in store_cols if c in df.columns]
+    if "ingest_batch" not in df.columns:
+        # a pre-partitioning layout: mark the whole legacy corpus as
+        # partition -1 so the migrated table is uniformly partitioned
+        # (stream batches write >= 0, so no dynamic overwrite can
+        # ever touch the legacy rows)
+        df = df.withColumn("ingest_batch", F.lit(-1))
+    # ingest_batch rides through the map-only annotate as a plain
+    # column, so the partitioned write needs no join-back
+    refreshed = annotate_batch(df.drop(*had), near_dup=True,
+                               exact_dedup=False)
+    tmp = docs_path.with_name("documents.__backfill")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    w = refreshed.write.mode("overwrite").partitionBy("ingest_batch")
+    w.parquet(str(tmp))
+    n = spark.read.parquet(str(tmp)).count()
+    old = docs_path.with_name("documents.__pre_backfill")
+    if old.exists():
+        shutil.rmtree(old)
+    docs_path.rename(old)
+    tmp.rename(docs_path)
+    shutil.rmtree(old)
+    return {"docs": n, "had": had,
+            "added": [c for c in store_cols if c not in had]}
 
 
 def run_dedup_stream(
@@ -458,8 +513,33 @@ def run_dedup_stream(
     corpus or its store; a later duplicate of a blocked document is
     screened again by the same patterns, so the published corpus is
     identical to batch-screening-then-dedup of the full feed.
-    Returns the streaming query (caller awaits/stops)."""
+    Returns the streaming query (caller awaits/stops).
+
+    Partition ids are ``batch_id + offset`` where the offset is fixed
+    at this checkpoint GENERATION's first start (persisted inside the
+    checkpoint dir, so replays keep overwriting their own partitions)
+    to one past the corpus's current max ``ingest_batch``.  Without
+    it, resuming an existing corpus with a FRESH checkpoint restarts
+    batch ids at 0 and the first dynamic overwrite silently deletes
+    the old partition 0 — the round-10 backfill/resume path made that
+    a reachable footgun."""
+    import json as _json
+
     docs_path = str(Path(out_dir) / "documents")
+
+    ckp = Path(checkpoint_dir)
+    ckp.mkdir(parents=True, exist_ok=True)
+    off_file = ckp / "ingest_offset.json"
+    if off_file.exists():
+        offset = _json.loads(off_file.read_text())["offset"]
+    else:
+        offset = 0
+        if Path(docs_path).exists():
+            mx_row = (spark.read.parquet(docs_path)
+                      .agg(F.max("ingest_batch")).first())
+            mx = mx_row[0] if mx_row else None
+            offset = int(mx) + 1 if mx is not None else 0
+        off_file.write_text(_json.dumps({"offset": offset}))
 
     schema = "doc_id LONG, text STRING, lang STRING, source STRING"
     stream = (spark.readStream.format("json")
@@ -514,7 +594,7 @@ def run_dedup_stream(
         # single-run cases pin the pattern so a Spark upgrade that
         # tightens the guard fails loudly instead of silently.
         try:
-            (final.withColumn("ingest_batch", F.lit(batch_id))
+            (final.withColumn("ingest_batch", F.lit(batch_id + offset))
              .write.mode("overwrite").partitionBy("ingest_batch")
              .parquet(docs_path))
         finally:

@@ -287,3 +287,110 @@ class TestNearDupStream:
             r.doc_id for r in
             spark.read.parquet(str(out / "documents")).collect())
         assert after == before + [31]
+
+
+class TestBackfillStore:
+    """`corpus backfill-bands` migration: a pre-round-9 corpus layout
+    (documents without fingerprint/band columns) refuses to resume;
+    after backfill_store the stream resumes with FULL exact+near-dup
+    screening and publishes zero duplicates of the old corpus."""
+
+    def _old_corpus(self, spark, out: Path) -> None:
+        """Simulate a pre-round-8 output dir: documents partitioned by
+        ingest_batch but carrying NO store columns."""
+        rows = [
+            (1, "alpha beta gamma delta epsilon", "en", "s", 0),
+            (2, "totally different words entirely here now", "en", "s", 0),
+            (3, "third document with its own tokens", "en", "s", 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, ingest_batch int")
+        (df.write.mode("overwrite").partitionBy("ingest_batch")
+         .parquet(str(out / "documents")))
+
+    def test_backfill_then_resume_publishes_zero_duplicates(
+            self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            backfill_store,
+            band_cols,
+            read_fingerprint_store,
+            run_dedup_stream,
+        )
+
+        out = tmp_path / "out"
+        out.mkdir()
+        self._old_corpus(spark, out)
+        # the old layout must refuse, pointing at the migration
+        with _pytest.raises(ValueError, match="backfill"):
+            read_fingerprint_store(spark, str(out), near_dup=True)
+
+        acct = backfill_store(spark, str(out))
+        assert acct["docs"] == 3
+        assert set(acct["added"]) == {"fingerprint", *band_cols()}
+        store = read_fingerprint_store(spark, str(out), near_dup=True)
+        assert store.count() == 3
+        # partition layout survived the swap
+        docs = spark.read.parquet(str(out / "documents"))
+        assert {r.ingest_batch for r in
+                docs.select("ingest_batch").collect()} == {0, 1}
+
+        # resume: an exact dup of doc 1, a near dup of doc 2 (one
+        # token off), and one genuinely new doc
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        _write_batch(in_dir, "b9.json", [
+            {"doc_id": 10, "text": "alpha  beta gamma delta epsilon ",
+             "lang": "en", "source": "s"},
+            {"doc_id": 11,
+             "text": "totally different words entirely here CHANGED",
+             "lang": "en", "source": "s"},
+            {"doc_id": 12, "text": "quarterly revenue summaries "
+             "spanning seventeen regional markets overnight",
+             "lang": "en", "source": "s"},
+        ])
+        q = run_dedup_stream(spark, str(in_dir), str(out),
+                             str(tmp_path / "ck"), near_dup=True)
+        _await(q)
+        docs2 = spark.read.parquet(str(out / "documents"))
+        got = sorted(r.doc_id for r in docs2.select("doc_id").collect())
+        assert 10 not in got and 11 not in got     # exact + near dup
+        assert got == [1, 2, 3, 12]                # old corpus intact
+        # the fresh checkpoint's batch ids are OFFSET past the old
+        # corpus's partitions: doc 12 landed in a NEW partition, it
+        # did not dynamic-overwrite ingest_batch=0 (the round-10
+        # resume footgun)
+        new_part = [r.ingest_batch for r in docs2.collect()
+                    if r.doc_id == 12][0]
+        assert new_part >= 2
+
+    def test_backfill_idempotent_and_partial(self, spark, tmp_path):
+        """A round-8 layout (fingerprint, no bands) backfills the
+        bands; re-running is a no-op refresh with identical content."""
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            backfill_store,
+            band_cols,
+            doc_fingerprint,
+        )
+
+        out = tmp_path / "out"
+        out.mkdir()
+        rows = [(1, "alpha beta gamma", "en", "s"),
+                (2, "other words here", "en", "s")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).withColumn("fingerprint", doc_fingerprint())
+        df.write.mode("overwrite").parquet(str(out / "documents"))
+
+        first = backfill_store(spark, str(out))
+        assert first["had"] == ["fingerprint"]
+        assert set(first["added"]) == set(band_cols())
+        snap1 = sorted(map(tuple, spark.read.parquet(
+            str(out / "documents")).collect()))
+        second = backfill_store(spark, str(out))
+        assert second["added"] == []
+        snap2 = sorted(map(tuple, spark.read.parquet(
+            str(out / "documents")).collect()))
+        assert snap1 == snap2
