@@ -144,6 +144,11 @@ def _parser() -> argparse.ArgumentParser:
                           "mixture for this budget BEFORE sharding "
                           "(per-source epochs/rates from the "
                           "mixture_weights water-filling solver)")
+    cps.add_argument("--quality-weighted", action="store_true",
+                     help="with --mixture-budget: allocate over each "
+                          "source's quality-ELIGIBLE token mass (docs "
+                          "at/above the calibration global median) "
+                          "and resample only those docs")
     cps.add_argument("--mixture-epoch-cap-e6", type=int, default=None,
                      help="max epochs per source in micro-units "
                           "(default 1400000 = 1.4 epochs)")
@@ -881,7 +886,8 @@ def cmd_corpus(spark, args) -> int:
         from .plans.corpus import apply_mixture
 
         docs = apply_mixture(docs, budget=args.mixture_budget,
-                             epoch_cap_e6=args.mixture_epoch_cap_e6)
+                             epoch_cap_e6=args.mixture_epoch_cap_e6,
+                             quality_weighted=args.quality_weighted)
     result = prepare_shards(docs, out_root,
                             shard_tokens=args.shard_tokens,
                             seed=args.seed, batch_id=args.batch_id)

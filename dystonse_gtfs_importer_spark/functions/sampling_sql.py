@@ -1584,6 +1584,71 @@ def q_quality_calibration(d: S.Dialect,
     """
 
 
+def q_quality_weighted_mixture(d: S.Dialect,
+                               budget: int = MIX_BUDGET,
+                               epoch_cap_e6: int = MIX_EPOCH_CAP_E6,
+                               doc_table: str = "documents") -> str:
+    """Quality-weighted mixture solve — the composition of the two
+    verified pieces (round 10, VERDICT r9 #7): the calibration
+    machinery's global-median cutpoint gates each source down to its
+    quality-ELIGIBLE token mass (docs scoring at or above the global
+    p50 — q_quality_calibration's pass_global set), and the capped
+    water-filling solver (q_mixture_weights' shared tail, identical
+    integer closed form) allocates the budget over THAT mass.  A
+    noisy source whose docs sit mostly below the global median
+    contributes little eligible mass and is down-weighted exactly by
+    sqrt(eligible); epochs_e6 is the sampling rate over the eligible
+    docs, which is what the apply step resamples from.
+
+    ONE corpus scan: per-doc (source, q_e4, n_tok) aggregates to
+    (source, q_e4) cells carrying both doc and token counts; the
+    global median and the per-source eligible mass both read those
+    cells, and every window from there on rides |sources|- or
+    |cells|-row aggregates (the mixture plan contract)."""
+    q = S.quality_score("text", d)
+    return f"""
+        WITH sigq AS (
+            SELECT source,
+                   CAST(ROUND({q} * 10000) AS BIGINT) AS q_e4,
+                   CAST({d.arr_len(d.token_array('text'))} AS BIGINT)
+                       AS n_tok_doc
+            FROM {doc_table}
+        ),
+        cellsq AS (
+            SELECT source, q_e4, COUNT(*) AS c,
+                   SUM(n_tok_doc) AS tok
+            FROM sigq GROUP BY source, q_e4
+        ),
+        gcum AS (
+            SELECT q_e4,
+                   SUM(SUM(c)) OVER (ORDER BY q_e4) AS cc,
+                   SUM(SUM(c)) OVER () AS n
+            FROM cellsq GROUP BY q_e4
+        ),
+        gcut AS (
+            SELECT MIN(CASE WHEN cc * 2 >= n THEN q_e4 END) AS gp50_e4
+            FROM gcum
+        ),
+        src AS (
+            SELECT source,
+                   CAST(SUM(CASE WHEN cq.q_e4 >= g.gp50_e4
+                                 THEN tok ELSE 0 END) AS BIGINT)
+                       AS n_tok
+            FROM cellsq cq CROSS JOIN gcut g
+            GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_tok,
+                   CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE)) * 1e6)
+                        AS BIGINT) AS w_e6,
+                   CAST({_mixture_cap_expr(d, epoch_cap_e6)} AS BIGINT)
+                       AS cap_tok
+            FROM src WHERE n_tok > 0
+        ),
+        {_waterfill_tail(d, budget)}
+    """
+
+
 def q_below_median_quality_flags(d: S.Dialect,
                                  doc_table: str = "documents") -> str:
     """Per document: masked = 1 iff its quality score sits BELOW its

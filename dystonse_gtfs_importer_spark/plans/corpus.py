@@ -494,7 +494,8 @@ def apply_mixture(docs: DataFrame, budget: int,
                   epoch_cap_e6: int | None = None,
                   seed: str = "mix1",
                   id_col: str = "doc_id", text_col: str = "text",
-                  id_stride: int = 10**12) -> DataFrame:
+                  id_stride: int = 10**12,
+                  quality_weighted: bool = False) -> DataFrame:
     """Materialize a `q_mixture_weights` solve: each source repeated
     ``floor(epochs)`` whole times plus a deterministic hash-Bernoulli
     document slice for the fractional epoch — the resample step
@@ -509,9 +510,18 @@ def apply_mixture(docs: DataFrame, budget: int,
     seeded-shuffle machinery keeps distinct positions per copy; the
     ``epoch`` column preserves lineage.
 
+    ``quality_weighted=True`` runs the COMPOSED solve instead
+    (q_quality_weighted_mixture, round 10): rates come from each
+    source's quality-ELIGIBLE token mass, and the resample draws only
+    from documents scoring at or above the calibration's global
+    median — the quality-weighted pretraining mixture built from the
+    two individually-verified pieces.
+
     Scale shape: ONE corpus scan for the solver's per-source
     aggregate, then a broadcast join of the |sources|-row rate table
-    and a map-only explode/filter — no corpus shuffle at all."""
+    and a map-only explode/filter — no corpus shuffle at all (the
+    quality gate adds one scalar predicate against a one-row
+    broadcast cutpoint, still map-only)."""
     import uuid
 
     from ..functions import sampling_sql as SAMP
@@ -523,9 +533,33 @@ def apply_mixture(docs: DataFrame, budget: int,
     docs.select(F.col(id_col).alias("doc_id"), F.col("source"),
                 F.col(text_col).alias("text")) \
         .createOrReplaceTempView(view)
-    mix = spark.sql(SAMP.q_mixture_weights(
+    solver = (SAMP.q_quality_weighted_mixture if quality_weighted
+              else SAMP.q_mixture_weights)
+    mix = spark.sql(solver(
         S.SPARK, budget=budget, epoch_cap_e6=epoch_cap_e6,
         doc_table=view))
+    if quality_weighted:
+        # the eligibility gate: same global-median cutpoint the
+        # solver used (one-row subquery, broadcast into the scan)
+        q = SAMP.S.quality_score(text_col, S.SPARK)
+        gcut = spark.sql(f"""
+            WITH sigq AS (
+                SELECT CAST(ROUND({SAMP.S.quality_score('text',
+                                                        S.SPARK)}
+                            * 10000) AS BIGINT) AS q_e4
+                FROM {view}
+            ),
+            gcum AS (
+                SELECT q_e4,
+                       SUM(COUNT(*)) OVER (ORDER BY q_e4) AS cc,
+                       SUM(COUNT(*)) OVER () AS n
+                FROM sigq GROUP BY q_e4
+            )
+            SELECT MIN(CASE WHEN cc * 2 >= n THEN q_e4 END) AS gp50_e4
+            FROM gcum
+        """).first().gp50_e4
+        docs = docs.where(
+            F.expr(f"CAST(ROUND({q} * 10000) AS BIGINT)") >= gcut)
     spark.catalog.dropTempView(view)
     rates = mix.select(
         "source",

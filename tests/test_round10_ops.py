@@ -156,6 +156,74 @@ class TestMapOnlyAnnotateEquivalence:
         assert len(bands) == len(set(bands))
 
 
+class TestQualityWeightedMixture:
+    """The round-10 composition: the calibration global-median gate x
+    the capped water-filling solver.  Planted corpus: a 'clean'
+    source (long, alphabetic, stopword-rich docs) and a 'noisy' one
+    (short digit-noise docs scoring below the global median)."""
+
+    def _docs(self, spark):
+        # 12 clean vs 8 noisy: the global p50 (10th smallest of 20)
+        # lands INSIDE the clean scores, so every noisy doc sits
+        # strictly below the cutpoint
+        clean = [(i, "clean",
+                  ("the quick brown fox and the lazy dog walked to "
+                   "a river in the morning of it all ") * 3, "en")
+                 for i in range(12)]
+        noisy = [(100 + i, "noisy", f"%%%% 12{i}34 @@ !!", "en")
+                 for i in range(8)]
+        return spark.createDataFrame(
+            clean + noisy,
+            "doc_id long, source string, text string, lang string")
+
+    def test_composed_solver_downweights_noisy(self, spark):
+        import uuid
+
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        docs = self._docs(spark)
+        view = f"__qwm_{uuid.uuid4().hex[:8]}"
+        docs.createOrReplaceTempView(view)
+        try:
+            comp = {r.source: r.asDict() for r in spark.sql(
+                SAMP.q_quality_weighted_mixture(
+                    S.SPARK, budget=400, doc_table=view)).collect()}
+            plain = {r.source: r.asDict() for r in spark.sql(
+                SAMP.q_mixture_weights(
+                    S.SPARK, budget=400, doc_table=view)).collect()}
+        finally:
+            spark.catalog.dropTempView(view)
+        # every noisy doc scores below the global median, so the
+        # noisy source has ZERO eligible mass: no row in the
+        # composed solve at all, full budget to clean
+        assert "noisy" not in comp and "clean" in comp
+        assert "noisy" in plain       # the plain solve still feeds it
+        assert comp["clean"]["alloc_tok"] >= plain["clean"]["alloc_tok"]
+
+    def test_apply_quality_weighted_draws_only_eligible(self, spark):
+        from dystonse_gtfs_importer_spark.plans.corpus import (
+            apply_mixture,
+            prepare_shards,
+        )
+
+        docs = self._docs(spark)
+        out = apply_mixture(docs, budget=400, epoch_cap_e6=1_000_000,
+                            id_stride=10**6, quality_weighted=True)
+        rows = out.collect()
+        assert rows, "composition produced an empty resample"
+        assert {r.source for r in rows} == {"clean"}
+        # ...and the composed pipeline runs through the sharder e2e
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            acct = prepare_shards(out, td, shard_tokens=200,
+                                  seed="qw1", batch_id=1)
+        assert acct["total_docs"] == len(rows) and acct["committed"]
+
+
 class TestThresholdSweepGuard:
     """The exact PPJoin sweep rung must refuse a too-large corpus and
     auto-downgrade to the banded rung (VERDICT r9 #5) — the grids
