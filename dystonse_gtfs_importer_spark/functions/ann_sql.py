@@ -1330,6 +1330,24 @@ def q_ann_pq_topk(d: S.Dialect, k: int = K) -> str:
     """
 
 
+def q_pq_lut(d: S.Dialect) -> str:
+    """The per-query ADC lookup table alone — (query_id, sub, cell,
+    pdist_e6) — for benches that MATERIALIZE the index once and time
+    only the scoring scan (the production shape: codes and LUTs are
+    stored/derived once; q_ann_pq_topk re-derives the codebooks
+    inline only so the oracle covers the whole chain)."""
+    lut_dist = f"CAST(ROUND({_l2sq(d, 'q.semb', 'c.cemb')} * 1e6) AS BIGINT)"
+    return f"""
+        WITH {_pq_ctes(d)},
+        qsub AS (
+            SELECT vec_id AS query_id, sub, semb FROM subv
+            WHERE vec_id % {QUERY_STRIDE} = 0
+        )
+        SELECT q.query_id, c.sub, c.cell, {lut_dist} AS pdist_e6
+        FROM qsub q JOIN pcents c ON c.sub = q.sub
+    """
+
+
 def q_ann_pq_topk_packed(d: S.Dialect = S.SPARK, k: int = K) -> str:
     """PRODUCTION form of the flat ADC scan: codes packed to ONE
     ``array`` row per vector and the per-query LUT packed to one
@@ -1348,8 +1366,14 @@ def q_ann_pq_topk_packed(d: S.Dialect = S.SPARK, k: int = K) -> str:
     """
     assert d is S.SPARK, "packed ADC fold is Spark-rendered only"
     lut_dist = f"CAST(ROUND({_l2sq(d, 'q.semb', 'c.cemb')} * 1e6) AS BIGINT)"
-    fold = (f"aggregate(sequence(0, {PQ_M - 1}), 0L, "
-            f"(acc, m) -> acc + l.lvec[m * {PQ_K} + c.cvec[m]])")
+    # PQ_M is a render-time constant, so the ADC sum EXPANDS to static
+    # array-index adds instead of an aggregate() lambda: Spark
+    # evaluates higher-order functions interpreted (outside
+    # whole-stage codegen), and the measured fold was SLOWER than the
+    # exploded join+aggregate at 20 k vectors; the expanded form stays
+    # inside codegen
+    fold = " + ".join(f"l.lvec[{m} * {PQ_K} + c.cvec[{m}]]"
+                      for m in range(PQ_M))
     return f"""
         WITH {_pq_ctes(d)},
         codes AS (

@@ -49,6 +49,55 @@ def main() -> None:
             n = spark.sql(sql).count()
             row[name] = {"total_s": round(time.time() - t, 3),
                          "rows": n}
+        # scoring-only A/B over MATERIALIZED codes + LUT (the
+        # production shape: the index exists; what does one query
+        # batch cost?).  Exploded: (sub, code) equi-join + per-pair
+        # aggregate.  Packed: array codes x broadcast LUT arrays, one
+        # in-expression integer fold per pair.
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        codes = (spark.sql(A.q_pq_codes(S.SPARK))
+                 .select("vec_id", "sub", "code").cache())
+        lut = spark.sql(A.q_pq_lut(S.SPARK)).cache()
+        codes.count(), lut.count()
+        k_top = A.K
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("adist_e6"), F.asc("cand_id"))
+        t = time.time()
+        exploded = (codes.join(
+            lut, (lut.sub == codes.sub) & (lut.cell == codes.code)
+            & (lut.query_id != codes.vec_id))
+            .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+            .agg(F.sum("pdist_e6").alias("adist_e6"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k_top))
+        n_e = exploded.count()
+        row["score_only_exploded"] = {
+            "total_s": round(time.time() - t, 3), "rows": n_e}
+        cvec = codes.groupBy("vec_id").agg(F.expr(
+            "transform(array_sort(collect_list(struct(sub AS o, "
+            "code AS v))), x -> x.v)").alias("cvec"))
+        lvec = lut.groupBy("query_id").agg(F.expr(
+            f"transform(array_sort(collect_list(struct("
+            f"sub * {A.PQ_K} + cell AS o, pdist_e6 AS v))), "
+            "x -> x.v)").alias("lvec"))
+        t = time.time()
+        packed = (cvec.crossJoin(F.broadcast(lvec))
+                  .where(F.col("query_id") != F.col("vec_id"))
+                  .select("query_id",
+                          F.col("vec_id").alias("cand_id"),
+                          F.expr(" + ".join(
+                              f"lvec[{m} * {A.PQ_K} + cvec[{m}]]"
+                              for m in range(A.PQ_M)))
+                          .alias("adist_e6"))
+                  .withColumn("rk", F.row_number().over(w))
+                  .where(F.col("rk") <= k_top))
+        n_p = packed.count()
+        row["score_only_packed"] = {
+            "total_s": round(time.time() - t, 3), "rows": n_p}
+        codes.unpersist(), lut.unpersist()
+
         rec = spark.sql(A.q_pq_recall(S.SPARK)).collect()
         for variant in ("pq_flat", "ivfpq"):
             hits = sum(r.n_hit for r in rec if r.variant == variant)
