@@ -1584,6 +1584,94 @@ def q_quality_calibration(d: S.Dialect,
     """
 
 
+def q_bpe_merges_iter2(d: S.Dialect,
+                       doc_table: str = "documents") -> str:
+    """BPE merge INDUCTION, two iterations fully in-SQL — the
+    vocabulary-learning step the tokenizer family was missing
+    (fertility / OOV / bpe_token_histogram all EVALUATE a tokenizer;
+    this LEARNS one): per iteration, the corpus-weighted most-frequent
+    adjacent symbol pair (Sennrich et al. 2016's algorithm), with the
+    merge applied between iterations.  Fourth member of the iterative
+    family (pagerank_iter2, kmeans_lloyd2, logreg_quality_iter2):
+    fixed unrolled iterations so the oracle covers the whole chain.
+
+    Mechanics shared by both engines: pair counting aggregates on
+    the DISTINCT-WORD vocabulary weighted by frequency (the classic
+    BPE trick — corpus-sized work collapses to vocab-sized after one
+    token aggregate); iteration 1 reads character pairs by SUBSTRING
+    position; the winning merge applies via the DOUBLE-SPACE symbol
+    encoding ('h  e  l  l  o', needle ' a  b ' -> ' ab '), whose
+    isolation makes plain left-to-right REPLACE exactly BPE's
+    greedy-left application with no cross-symbol false matches
+    (' l lo ' can never match inside 'al  lo'); iteration 2 recounts
+    over the re-split symbol arrays.  Ties break (count DESC, a, b)
+    — deterministic cross-engine.
+
+    Scale shape: ONE token explode -> vocab aggregate; everything
+    after is vocab-sized (positions explode is O(vocab x word_len));
+    the winning-merge tables are LIMIT-1 one-row aggregates, bounded
+    for the audit, broadcast into the apply projection."""
+    sub1 = "SUBSTRING(w, p + 1, 1)"
+    sub2 = "SUBSTRING(w, p + 2, 1)"
+    a2 = d.arr_get("arr", "p")
+    b2 = d.arr_get("arr", "p + 1")
+    return f"""
+        WITH tok AS (
+            SELECT {d.explode_tokens('text')} AS w FROM {doc_table}
+        ),
+        vocab AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+        pos1 AS (
+            SELECT w, freq, {d.explode_range('LENGTH(w) - 1')} AS p
+            FROM vocab
+        ),
+        c1 AS (
+            SELECT {sub1} AS a, {sub2} AS b, SUM(freq) AS cnt
+            FROM pos1 GROUP BY {sub1}, {sub2}
+        ),
+        m1 AS (SELECT a, b, cnt FROM c1 ORDER BY cnt DESC, a, b LIMIT 1),
+        chars AS (
+            SELECT w, freq, {d.explode_range('LENGTH(w)')} AS p
+            FROM vocab
+        ),
+        seqs AS (
+            SELECT w, freq,
+                   {d.ordered_list_csv('SUBSTRING(w, p + 1, 1)', 'p',
+                                       '  ')} AS s0
+            FROM chars GROUP BY w, freq
+        ),
+        ap1 AS (
+            SELECT s.freq,
+                   REPLACE(CONCAT(' ', s.s0, ' '),
+                           CONCAT(' ', m.a, '  ', m.b, ' '),
+                           CONCAT(' ', m.a, m.b, ' ')) AS s1r
+            FROM seqs s CROSS JOIN m1 m
+        ),
+        sym2 AS (
+            SELECT freq,
+                   {d.token_array(f"TRIM({d.regexp_replace_all('s1r', '  *', ' ')})")}
+                       AS arr
+            FROM ap1
+        ),
+        pos2 AS (
+            SELECT freq, arr,
+                   {d.explode_range(d.arr_len('arr') + ' - 1')} AS p
+            FROM sym2
+        ),
+        c2 AS (
+            SELECT {a2} AS a, {b2} AS b, SUM(freq) AS cnt
+            FROM pos2 GROUP BY {a2}, {b2}
+        ),
+        m2 AS (SELECT a, b, cnt FROM c2 ORDER BY cnt DESC, a, b LIMIT 1)
+        SELECT CAST(1 AS INT) AS iter, a, b,
+               CONCAT(a, b) AS merged,
+               CAST(cnt AS BIGINT) AS pair_count
+        FROM m1
+        UNION ALL
+        SELECT CAST(2 AS INT), a, b, CONCAT(a, b), CAST(cnt AS BIGINT)
+        FROM m2
+    """
+
+
 def q_quality_weighted_mixture(d: S.Dialect,
                                budget: int = MIX_BUDGET,
                                epoch_cap_e6: int = MIX_EPOCH_CAP_E6,

@@ -3251,6 +3251,12 @@ QUERIES: dict[str, QueryDef] = {
     "lang_id_confusion": _sql_pair(
         SAMP.q_lang_id_confusion,
         "text-analysis lang-ID error profile (confusion matrix)"),
+    "bpe_merges_iter2": _sql_pair(
+        SAMP.q_bpe_merges_iter2,
+        "tokenizer vocab induction: two BPE merge-learning iterations "
+        "(corpus-weighted top adjacent pair, merge applied between "
+        "rounds via double-space symbol isolation) — fourth member of "
+        "the iterative family; vocab-sized after one token aggregate"),
     "quality_weighted_mixture": _sql_pair(
         SAMP.q_quality_weighted_mixture,
         "corpus-prep composition: calibration global-median gate x "
@@ -3769,15 +3775,14 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "weighted_stratified_sample_scale", "ngram_novelty",
     "histogram_quantiles", "posting_lists", "suffix_ranks",
     "equidepth_histogram_scale", "repeated_spans", "token_entropy",
-    "kmeans_lloyd2",
-    # -- (d) round-10 registrations (displaced the last four r7 fills) --
+    # -- (d) round-10 registrations (displaced the last five r7 fills) --
     "lang_id_v2", "lang_id_confusion_v2", "ann_pq_topk_packed",
-    "quality_weighted_mixture",
+    "quality_weighted_mixture", "bpe_merges_iter2",
     # -- window boundary: entries below are outside the driver snapshot --
-    # the four round-7 fills displaced by the round-10 registrations,
+    # the five round-7 fills displaced by the round-10 registrations,
     # then the remaining round-7-witnessed entries (r7-window order)
-    "leakage_safe_split", "quality_budget_select", "jsonl_scan",
-    "corpus_report",
+    "kmeans_lloyd2", "leakage_safe_split", "quality_budget_select",
+    "jsonl_scan", "corpus_report",
     "asof_join_salted", "cosine_near_dup_lsh", "json_props_stats",
     "json_key_histogram", "label_centroid_stats", "knn_label_agreement",
     "interval_join_bucketed", "dedup_clusters", "vocab_topk",

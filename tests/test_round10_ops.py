@@ -156,6 +156,59 @@ class TestMapOnlyAnnotateEquivalence:
         assert len(bands) == len(set(bands))
 
 
+class TestBpeMergesIter2:
+    """Hand-computable BPE induction: corpus 3x'aaab' + 1x'ab'.
+    Round 1 pairs: (a,a) 2 per 'aaab' x3 = 6; (a,b) 3+1 = 4 -> merge
+    (a,a).  Greedy-left application: 'a a a b' -> 'aa a b' (the third
+    'a' must NOT merge — left-to-right non-overlap).  Round 2 pairs:
+    (aa,a) x3 = 3; (a,b) x3 + x1 = 4 -> merge (a,b)."""
+
+    def test_planted_merges(self, spark):
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [(1, "aaab aaab aaab ab", "en", "s")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        df.createOrReplaceTempView("documents_bpe")
+        try:
+            got = sorted(map(tuple, spark.sql(
+                SAMP.q_bpe_merges_iter2(
+                    S.SPARK, doc_table="documents_bpe")).collect()))
+        finally:
+            spark.catalog.dropTempView("documents_bpe")
+        assert got == [(1, "a", "a", "aa", 6), (2, "a", "b", "ab", 4)]
+
+    def test_no_cross_symbol_false_match(self, spark):
+        """After merge 1 creates multi-char symbols, the round-2
+        needle must not match INSIDE a symbol: corpus where (l, lo)
+        would false-match 'al  lo' if boundaries leaked.  'hello
+        hello hal': round 1 top pair is (l,l)... construct directly:
+        words 'allo' x3 and 'llo' x3: round 1 pairs (l,l) 3+3=6,
+        (l,o) 6, (a,l) 3 -> tie (l,l) vs (l,o) both 6 breaks to
+        (l,l) (a ASC then b ASC: 'l','l' < 'l','o').  Apply: 'allo'
+        -> [a, ll, o]; 'llo' -> [ll, o].  Round 2: (a,ll) 3,
+        (ll,o) 6 -> merge (ll, o)."""
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rows = [(1, "allo allo allo llo llo llo", "en", "s")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        df.createOrReplaceTempView("documents_bpe2")
+        try:
+            got = sorted(map(tuple, spark.sql(
+                SAMP.q_bpe_merges_iter2(
+                    S.SPARK, doc_table="documents_bpe2")).collect()))
+        finally:
+            spark.catalog.dropTempView("documents_bpe2")
+        assert got == [(1, "l", "l", "ll", 6), (2, "ll", "o", "llo", 6)]
+
+
 class TestQualityWeightedMixture:
     """The round-10 composition: the calibration global-median gate x
     the capped water-filling solver.  Planted corpus: a 'clean'
