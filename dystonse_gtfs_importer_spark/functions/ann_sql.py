@@ -390,6 +390,57 @@ def q_cosine_near_dup_lsh(d: S.Dialect, threshold: float = 0.35,
     """
 
 
+def q_embedding_decontamination(d: S.Dialect,
+                                threshold: float = 0.35,
+                                n_planes: int = LSH_PLANES,
+                                tables: int = LSH_TABLES) -> str:
+    """SEMANTIC decontamination: corpus vectors embedding-similar to
+    any EVAL-set vector — the paraphrase leakage the n-gram
+    `decontaminate` pass cannot see (an eval answer reworded shares
+    no 8-gram but sits at high cosine).  Eval membership uses the
+    registry's query-sample convention (vec_id % {QUERY_STRIDE} = 0 —
+    in production the eval table is a separate input, same plan).
+
+    Candidates are LSH-bucket-limited exactly as q_cosine_near_dup_lsh
+    (bitwise-deterministic sketches, so the driver hash-verifies the
+    decision INCLUDING the approximation); per flagged corpus vector:
+    eval-hit count, the max cosine, and the smallest hitting eval id
+    (deterministic representative).  Scale shape: map-only sketching,
+    bucket equi-join with the eval side a {1}/{QUERY_STRIDE} slice
+    riding the same bucket layout, one vec_id-keyed aggregate — the
+    corpus never broadcasts, nothing pair-grain survives past the
+    threshold filter."""
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_sketch(d, 'emb', t, n_planes)} AS bucket, emb, nrm "
+        f"FROM cvn"
+        for t in range(tables))
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        {_norm_cte(d)},
+        cb AS ({cb}),
+        hits AS (
+            SELECT DISTINCT c.vec_id, e.vec_id AS eval_id,
+                   ROUND({d.arr_dot('e.emb', 'c.emb')}
+                         / (e.nrm * c.nrm), 6) AS cosine
+            FROM cb e
+            JOIN cb c ON e.tbl = c.tbl AND e.bucket = c.bucket
+                     AND e.vec_id % {QUERY_STRIDE} = 0
+                     AND c.vec_id % {QUERY_STRIDE} <> 0
+        )
+        SELECT vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+               MAX(cosine) AS max_cosine,
+               CAST(MIN(eval_id) AS BIGINT) AS first_eval_id
+        FROM hits
+        WHERE cosine >= {threshold}
+        GROUP BY vec_id
+    """
+
+
 SEMDEDUP_THETA = 0.3
 
 

@@ -3251,6 +3251,12 @@ QUERIES: dict[str, QueryDef] = {
     "lang_id_confusion": _sql_pair(
         SAMP.q_lang_id_confusion,
         "text-analysis lang-ID error profile (confusion matrix)"),
+    "embedding_decontamination": _sql_pair(
+        ANN.q_embedding_decontamination,
+        "SEMANTIC decontamination: corpus vectors embedding-similar "
+        "to any eval-set vector (the paraphrase leakage n-gram "
+        "decontaminate cannot see); LSH-bucket candidates, decision "
+        "hash-verified including the approximation"),
     "bpe_merges_iter2": _sql_pair(
         SAMP.q_bpe_merges_iter2,
         "tokenizer vocab induction: two BPE merge-learning iterations "
@@ -3774,15 +3780,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "repeated_spans_scalable", "packing_efficiency",
     "weighted_stratified_sample_scale", "ngram_novelty",
     "histogram_quantiles", "posting_lists", "suffix_ranks",
-    "equidepth_histogram_scale", "repeated_spans", "token_entropy",
-    # -- (d) round-10 registrations (displaced the last five r7 fills) --
+    "equidepth_histogram_scale", "repeated_spans",
+    # -- (d) round-10 registrations (displaced the last six r7 fills) --
     "lang_id_v2", "lang_id_confusion_v2", "ann_pq_topk_packed",
     "quality_weighted_mixture", "bpe_merges_iter2",
+    "embedding_decontamination",
     # -- window boundary: entries below are outside the driver snapshot --
-    # the five round-7 fills displaced by the round-10 registrations,
+    # the six round-7 fills displaced by the round-10 registrations,
     # then the remaining round-7-witnessed entries (r7-window order)
-    "kmeans_lloyd2", "leakage_safe_split", "quality_budget_select",
-    "jsonl_scan", "corpus_report",
+    "token_entropy", "kmeans_lloyd2", "leakage_safe_split",
+    "quality_budget_select", "jsonl_scan", "corpus_report",
     "asof_join_salted", "cosine_near_dup_lsh", "json_props_stats",
     "json_key_histogram", "label_centroid_stats", "knn_label_agreement",
     "interval_join_bucketed", "dedup_clusters", "vocab_topk",

@@ -156,6 +156,45 @@ class TestMapOnlyAnnotateEquivalence:
         assert len(bands) == len(set(bands))
 
 
+class TestEmbeddingDecontamination:
+    """Planted semantic leakage: corpus vec 1 is an exact copy of
+    eval vec 100 (cosine 1.0 — flagged), corpus vec 2 is a scaled
+    copy of eval vec 200 (cosine 1.0 — flagged; cosine is
+    scale-invariant), corpus vec 3 is orthogonal-ish noise (not
+    flagged).  Ids follow the % 100 eval convention."""
+
+    def test_planted_leakage(self, spark):
+        from dystonse_gtfs_importer_spark.functions import (
+            ann_sql as ANN,
+            sql_shared as S,
+        )
+
+        dim = ANN.DIM
+
+        def v(seed, scale=1.0):
+            return [float(((seed * 31 + j * 7) % 13) - 6) * scale
+                    for j in range(dim)]
+
+        rows = [
+            (100, v(1), "e"), (200, v(2), "e"),   # eval (ids % 100 = 0)
+            (1, v(1), "c"),                        # exact copy of 100
+            (2, v(2), 2.5), (3, v(9), "c"),
+        ]
+        rows[3] = (2, v(2, 2.5), "c")              # scaled copy of 200
+        df = spark.createDataFrame(
+            [(i, e, lab) for i, e, lab in rows],
+            "vec_id long, embedding array<float>, label string")
+        df.createOrReplaceTempView("embeddings")
+        try:
+            got = {r.vec_id: r for r in spark.sql(
+                ANN.q_embedding_decontamination(S.SPARK)).collect()}
+        finally:
+            spark.catalog.dropTempView("embeddings")
+        assert set(got) == {1, 2}
+        assert got[1].first_eval_id == 100 and got[1].max_cosine == 1.0
+        assert got[2].first_eval_id == 200 and got[2].max_cosine == 1.0
+
+
 class TestBpeMergesIter2:
     """Hand-computable BPE induction: corpus 3x'aaab' + 1x'ab'.
     Round 1 pairs: (a,a) 2 per 'aaab' x3 = 6; (a,b) 3+1 = 4 -> merge
