@@ -202,7 +202,10 @@ def _parser() -> argparse.ArgumentParser:
                        "labels (stopword-table scorer with "
                        "'other'/'und' fallbacks — the default rung)"),
             ("langid-v1", "lang-ID v1 (marker-word) confusion "
-                          "matrix, kept for rung comparison")):
+                          "matrix, kept for rung comparison"),
+            ("induce-bpe", "learn the first two BPE merges from the "
+                           "corpus (corpus-weighted top adjacent "
+                           "pair per iteration)")):
         cq = csub.add_parser(name, help=hlp)
         cq.add_argument("--docs", default=None,
                         help="documents parquet path "
@@ -754,6 +757,7 @@ def _cmd_corpus_report(spark, args) -> int:
         "lengths": (SAMP.q_length_calibration, "source"),
         "langid": (SAMP.q_lang_id_confusion_v2, "actual"),
         "langid-v1": (SAMP.q_lang_id_confusion, "actual"),
+        "induce-bpe": (SAMP.q_bpe_merges_iter2, "iter"),
     }
     template, key = templates[args.cmode]
     path = args.docs or str(Path(args.dir) / "documents.parquet")
@@ -877,7 +881,7 @@ def cmd_corpus(spark, args) -> int:
         return 0
     if args.cmode in ("calibrate", "fertility", "pii-report",
                       "plan-dedup", "charclass", "lengths",
-                      "langid", "langid-v1"):
+                      "langid", "langid-v1", "induce-bpe"):
         return _cmd_corpus_report(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")

@@ -248,6 +248,132 @@ class TestBpeMergesIter2:
         assert got == [(1, "l", "l", "ll", 6), (2, "ll", "o", "llo", 6)]
 
 
+def _ref_bpe_merges(words: list[str]):
+    """Independent pure-Python BPE reference (greedy-left apply,
+    count-desc then pair-asc tiebreak) — NOT derived from the SQL."""
+    from collections import Counter
+
+    vocab = Counter(words)
+
+    def pairs_of(symlists):
+        c: Counter = Counter()
+        for syms, f in symlists:
+            for a, b in zip(syms, syms[1:]):
+                c[(a, b)] += f
+        return c
+
+    def apply(syms, pair):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    syms = [(list(w), f) for w, f in vocab.items()]
+    res = []
+    for it in (1, 2):
+        c = pairs_of(syms)
+        if not c:
+            break
+        (a, b), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        res.append((it, a, b, a + b, cnt))
+        syms = [(apply(s, (a, b)), f) for s, f in syms]
+    return res
+
+
+def _ref_lang_id_v2(text: str) -> str:
+    """Independent pure-Python reimplementation of the v2 scorer."""
+    import re
+
+    from dystonse_gtfs_importer_spark.functions.sampling_sql import (
+        LANG_STOPWORDS,
+    )
+
+    n_c = len(text)
+    n_non_ascii = sum(1 for ch in text if not (" " <= ch <= "~"))
+    if n_non_ascii * 2 > n_c:
+        return "other"
+    toks = [t for t in re.split(" +", text.lower()) if t != ""]
+    best = None
+    for lang, prio, words in LANG_STOPWORDS:
+        hits = sum(1 for t in toks if t in words)
+        distinct = len({t for t in toks if t in words})
+        if hits:
+            code = hits * 1024 + distinct * 16 + (7 - prio)
+            if best is None or code > best[0]:
+                best = (code, lang)
+    return best[1] if best else "und"
+
+
+class TestRound10PythonReferences:
+    """Randomized cross-checks of the two new scoring/iterative ops
+    against INDEPENDENT pure-Python references (the derivation-
+    independence doctrine for iterative-family members): seeded
+    deterministic corpora, no shared code with the SQL templates."""
+
+    def test_bpe_merges_vs_python_reference(self, spark):
+        import random
+
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rng = random.Random(1041)
+        for trial in range(4):
+            words = ["".join(rng.choice("abcd")
+                             for _ in range(rng.randint(1, 6)))
+                     for _ in range(rng.randint(20, 60))]
+            expected = _ref_bpe_merges(words)
+            df = spark.createDataFrame(
+                [(1, " ".join(words), "en", "s")],
+                "doc_id long, text string, lang string, source string")
+            view = f"documents_bref{trial}"
+            df.createOrReplaceTempView(view)
+            try:
+                got = sorted(map(tuple, spark.sql(
+                    SAMP.q_bpe_merges_iter2(
+                        S.SPARK, doc_table=view)).collect()))
+            finally:
+                spark.catalog.dropTempView(view)
+            assert got == expected, (trial, words, got, expected)
+
+    def test_lang_id_v2_vs_python_reference(self, spark):
+        import random
+
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        pool = (["the", "and", "der", "und", "le", "les", "el", "los",
+                 "que", "des", "zz", "qqq", "brr"]
+                + ["w%d" % i for i in range(8)])
+        rng = random.Random(77)
+        rows = []
+        for i in range(40):
+            text = " ".join(rng.choice(pool)
+                            for _ in range(rng.randint(0, 12)))
+            rows.append((i, text))
+        rows.append((100, "这是 一个 中文 文档"))
+        expected = {i: _ref_lang_id_v2(t) for i, t in rows}
+        df = spark.createDataFrame(
+            [(i, t, "x", "s") for i, t in rows],
+            "doc_id long, text string, lang string, source string")
+        df.createOrReplaceTempView("documents_lref")
+        try:
+            got = {r.doc_id: r.lang_pred for r in spark.sql(
+                SAMP.q_lang_id_v2(
+                    S.SPARK, doc_table="documents_lref")).collect()}
+        finally:
+            spark.catalog.dropTempView("documents_lref")
+        assert got == expected
+
+
 class TestQualityWeightedMixture:
     """The round-10 composition: the calibration global-median gate x
     the capped water-filling solver.  Planted corpus: a 'clean'
