@@ -454,9 +454,13 @@ def backfill_store(spark: SparkSession, out_dir: str) -> dict:
 
     The write lands in a ``documents.__backfill`` sibling first and
     replaces ``documents`` only after it fully commits — a crash
-    mid-backfill leaves the original table untouched (re-run to
-    resume).  ``ingest_batch`` partitioning is preserved when present
-    so replayed batches keep overwriting their own partitions.
+    during the (long) write leaves the original table untouched
+    (re-run to resume).  The final swap is two directory renames; a
+    crash exactly between them leaves the original preserved as
+    ``documents.__pre_backfill`` — rename it back (or rename
+    ``documents.__backfill`` forward) and re-run.  ``ingest_batch``
+    partitioning is preserved when present so replayed batches keep
+    overwriting their own partitions.
     Returns {"docs": n, "had": [...], "added": [...]} accounting.
 
     Scale shape: ONE map-only pass over the corpus (fingerprint xxhash
@@ -535,10 +539,14 @@ def run_dedup_stream(
     else:
         offset = 0
         if Path(docs_path).exists():
-            mx_row = (spark.read.parquet(docs_path)
-                      .agg(F.max("ingest_batch")).first())
-            mx = mx_row[0] if mx_row else None
-            offset = int(mx) + 1 if mx is not None else 0
+            existing = spark.read.parquet(docs_path)
+            # a legacy layout without ingest_batch reaches the clearer
+            # read_fingerprint_store backfill error at first batch;
+            # don't crash the probe on the missing column here
+            if "ingest_batch" in existing.columns:
+                mx_row = existing.agg(F.max("ingest_batch")).first()
+                mx = mx_row[0] if mx_row else None
+                offset = int(mx) + 1 if mx is not None else 0
         off_file.write_text(_json.dumps({"offset": offset}))
 
     schema = "doc_id LONG, text STRING, lang STRING, source STRING"
