@@ -442,6 +442,58 @@ class TestQualityWeightedMixture:
         assert acct["total_docs"] == len(rows) and acct["committed"]
 
 
+class TestQualityWeightedMixtureInvariants:
+    """Solver invariants on randomized seeded corpora: every alloc
+    respects its cap, the total never exceeds the budget, a capped
+    source gets exactly its cap, and eligible mass never exceeds the
+    source's total tokens (the calibration gate only shrinks)."""
+
+    def test_invariants_random_corpora(self, spark):
+        import random
+        import uuid
+
+        from dystonse_gtfs_importer_spark.functions import (
+            sampling_sql as SAMP,
+            sql_shared as S,
+        )
+
+        rng = random.Random(2041)
+        words = ["the", "zz9", "und", "der", "chart", "%%%", "17",
+                 "walk", "river", "q"]
+        for trial in range(3):
+            rows = []
+            for i in range(rng.randint(25, 60)):
+                src = f"s{i % rng.randint(2, 5)}"
+                text = " ".join(rng.choice(words)
+                                for _ in range(rng.randint(0, 30)))
+                rows.append((i, src, text, "en"))
+            docs = spark.createDataFrame(
+                rows, "doc_id long, source string, text string, "
+                      "lang string")
+            view = f"__qwmi_{uuid.uuid4().hex[:8]}"
+            docs.createOrReplaceTempView(view)
+            budget = rng.randint(50, 800)
+            cap = rng.choice([400_000, 1_000_000, 1_400_000])
+            try:
+                out = spark.sql(SAMP.q_quality_weighted_mixture(
+                    S.SPARK, budget=budget, epoch_cap_e6=cap,
+                    doc_table=view)).collect()
+                toks = {r.source: r.n for r in spark.sql(
+                    f"SELECT source, CAST(SUM(size(filter(split("
+                    f"lower(text), ' +'), t -> t <> ''))) AS BIGINT)"
+                    f" AS n FROM {view} GROUP BY source").collect()}
+            finally:
+                spark.catalog.dropTempView(view)
+            assert sum(r.alloc_tok for r in out) <= budget, trial
+            for r in out:
+                cap_tok = cap * r.n_tok // 1_000_000
+                assert r.alloc_tok <= cap_tok, (trial, r)
+                if r.capped == 1:
+                    assert r.alloc_tok == cap_tok, (trial, r)
+                # eligible mass never exceeds the source total
+                assert r.n_tok <= toks[r.source], (trial, r)
+
+
 class TestThresholdSweepGuard:
     """The exact PPJoin sweep rung must refuse a too-large corpus and
     auto-downgrade to the banded rung (VERDICT r9 #5) — the grids
