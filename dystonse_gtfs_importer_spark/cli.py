@@ -244,6 +244,27 @@ def _parser() -> argparse.ArgumentParser:
                           "(rows x batch max length; default 256)")
     cpb.add_argument("--max-seqs", type=int, default=None,
                      help="row cap per batch (default 8)")
+    cig = csub.add_parser(
+        "ingest",
+        help="dedup-on-arrival ingestion: stream JSON document "
+             "batches into a deduplicated parquet corpus (exact + "
+             "near-dup screening against the corpus's own "
+             "fingerprint/band store; one action per micro-batch)")
+    cig.add_argument("--in", dest="in_dir", required=True,
+                     help="input dir of JSON document batch files")
+    cig.add_argument("--out", default=None,
+                     help="corpus output dir (default <dir>/corpus)")
+    cig.add_argument("--checkpoint", default=None,
+                     help="stream checkpoint dir "
+                          "(default <out>/_checkpoint)")
+    cig.add_argument("--no-near-dup", action="store_true",
+                     help="exact-fingerprint screening only (skips "
+                          "the MinHash band columns and the greedy "
+                          "near-dup sweep)")
+    cig.add_argument("--blocklist", nargs="*", default=None,
+                     help="phrases to screen on arrival (docs "
+                          "containing any are never published)")
+    cig.add_argument("--max-files-per-trigger", type=int, default=10)
     cbf = csub.add_parser(
         "backfill-bands",
         help="one-off store migration for a dedup-stream corpus dir "
@@ -871,6 +892,22 @@ def cmd_corpus(spark, args) -> int:
         return _cmd_corpus_pack(spark, args)
     if args.cmode == "plan-batches":
         return _cmd_corpus_plan_batches(spark, args)
+    if args.cmode == "ingest":
+        from .streaming.dedup_stream import run_dedup_stream
+
+        out = args.out or str(Path(args.dir) / "corpus")
+        ck = args.checkpoint or str(Path(out) / "_checkpoint")
+        q = run_dedup_stream(
+            spark, args.in_dir, out, ck,
+            max_files_per_trigger=args.max_files_per_trigger,
+            blocklist=tuple(args.blocklist) if args.blocklist else None,
+            near_dup=not args.no_near_dup)
+        q.awaitTermination()
+        docs = str(Path(out) / "documents")
+        n = spark.read.parquet(docs).count() if Path(docs).exists() else 0
+        print(json.dumps({"corpus": out, "published_docs": n},
+                         sort_keys=True))
+        return 0
     if args.cmode == "backfill-bands":
         from .streaming.dedup_stream import backfill_store
 

@@ -167,3 +167,38 @@ class TestCli:
         sched = sorted((lake / "schedules").iterdir())[0]
         assert _run(spark, lake, "import", "-r", "manual",
                     str(sched), str(rt_file)) == 0
+
+
+class TestCorpusIngestCli:
+    def test_ingest_dedup_and_blocklist_on_arrival(
+            self, spark, tmp_path, capsys):
+        """`corpus ingest` end to end: exact dup dropped, blocklisted
+        doc never published, near-dup screening columns present, and
+        the accounting line reports the published count."""
+        import json as _json
+
+        src = tmp_path / "in"
+        src.mkdir()
+        rows = [
+            {"doc_id": 1, "text": "alpha beta gamma delta",
+             "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": "alpha  BETA gamma delta ",
+             "lang": "en", "source": "s"},          # exact dup of 1
+            {"doc_id": 3, "text": "totally different text with bad "
+             "phrase inside", "lang": "en", "source": "s"},
+            {"doc_id": 4, "text": "quarterly revenue spanning "
+             "seventeen regional markets", "lang": "en", "source": "s"},
+        ]
+        (src / "b0.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows))
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "ingest", "--in", str(src),
+                   "--blocklist", "bad phrase"], spark=spark)
+        assert rc == 0
+        acct = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert acct["published_docs"] == 2
+        docs = spark.read.parquet(
+            str(tmp_path / "corpus" / "documents"))
+        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        assert ids == [1, 4]
+        assert "fingerprint" in docs.columns and "mhb_0" in docs.columns
