@@ -904,8 +904,10 @@ def cmd_corpus(spark, args) -> int:
             near_dup=not args.no_near_dup)
         q.awaitTermination()
         docs = str(Path(out) / "documents")
+        # total corpus size, NOT this run's additions: on resume the
+        # table already holds earlier generations' documents
         n = spark.read.parquet(docs).count() if Path(docs).exists() else 0
-        print(json.dumps({"corpus": out, "published_docs": n},
+        print(json.dumps({"corpus": out, "corpus_docs": n},
                          sort_keys=True))
         return 0
     if args.cmode == "backfill-bands":
@@ -922,6 +924,9 @@ def cmd_corpus(spark, args) -> int:
         return _cmd_corpus_report(spark, args)
     docs_path = args.docs or str(Path(args.dir) / "documents.parquet")
     out_root = args.out or str(Path(args.dir) / "shards")
+    if args.quality_weighted and args.mixture_budget is None:
+        raise SystemExit("--quality-weighted requires --mixture-budget "
+                         "(the gate rides the mixture solve)")
     docs = spark.read.parquet(docs_path)
     if args.mixture_budget is not None:
         from .plans.corpus import apply_mixture

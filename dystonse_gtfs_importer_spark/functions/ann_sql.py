@@ -422,21 +422,28 @@ def q_embedding_decontamination(d: S.Dialect,
         ),
         {_norm_cte(d)},
         cb AS ({cb}),
-        hits AS (
-            SELECT DISTINCT c.vec_id, e.vec_id AS eval_id,
+        scored AS (
+            SELECT c.vec_id, e.vec_id AS eval_id,
                    ROUND({d.arr_dot('e.emb', 'c.emb')}
                          / (e.nrm * c.nrm), 6) AS cosine
             FROM cb e
             JOIN cb c ON e.tbl = c.tbl AND e.bucket = c.bucket
                      AND e.vec_id % {QUERY_STRIDE} = 0
                      AND c.vec_id % {QUERY_STRIDE} <> 0
+        ),
+        hits AS (
+            -- threshold BEFORE the pair dedup (the
+            -- q_cosine_near_dup_lsh plan doctrine: |candidates| >>
+            -- |hits|, so nothing pair-grain survives into the
+            -- DISTINCT exchange)
+            SELECT DISTINCT vec_id, eval_id, cosine
+            FROM scored WHERE cosine >= {threshold}
         )
         SELECT vec_id,
                CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
                MAX(cosine) AS max_cosine,
                CAST(MIN(eval_id) AS BIGINT) AS first_eval_id
         FROM hits
-        WHERE cosine >= {threshold}
         GROUP BY vec_id
     """
 
@@ -1418,13 +1425,19 @@ def q_ann_pq_topk_packed(d: S.Dialect = S.SPARK, k: int = K) -> str:
     assert d is S.SPARK, "packed ADC fold is Spark-rendered only"
     lut_dist = f"CAST(ROUND({_l2sq(d, 'q.semb', 'c.cemb')} * 1e6) AS BIGINT)"
     # PQ_M is a render-time constant, so the ADC sum EXPANDS to static
-    # array-index adds instead of an aggregate() lambda: Spark
-    # evaluates higher-order functions interpreted (outside
-    # whole-stage codegen), and the measured fold was SLOWER than the
-    # exploded join+aggregate at 20 k vectors; the expanded form stays
-    # inside codegen
-    fold = " + ".join(f"l.lvec[{m} * {PQ_K} + c.cvec[{m}]]"
-                      for m in range(PQ_M))
+    # lookups instead of an aggregate() lambda: Spark evaluates
+    # higher-order functions interpreted (outside whole-stage
+    # codegen), and the measured fold was SLOWER than the exploded
+    # join+aggregate at 20 k vectors; the expanded form stays inside
+    # codegen.  The LUT packs as a MAP keyed by sub*{PQ_K}+cell, NOT
+    # a positional array: an empty codebook cell (duplicate seed
+    # subvectors — none in the fixtures, real on real data) would
+    # leave a gap that silently misaligns every later positional
+    # lookup, while a map lookup stays keyed (and every code read is
+    # a key that exists: codes are assigned against the same pcents).
+    fold = " + ".join(
+        f"element_at(l.lmap, {m} * {PQ_K} + c.cvec[{m}])"
+        for m in range(PQ_M))
     return f"""
         WITH {_pq_ctes(d)},
         codes AS (
@@ -1441,8 +1454,8 @@ def q_ann_pq_topk_packed(d: S.Dialect = S.SPARK, k: int = K) -> str:
         ),
         lutp AS (
             SELECT query_id,
-                   {d.ordered_list('pdist_e6', f'sub * {PQ_K} + cell')}
-                       AS lvec
+                   map_from_entries(collect_list(
+                       struct(sub * {PQ_K} + cell, pdist_e6))) AS lmap
             FROM lut GROUP BY query_id
         ),
         scored AS (

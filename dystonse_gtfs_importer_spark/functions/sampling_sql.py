@@ -405,12 +405,15 @@ def _mixture_cap_expr(d: S.Dialect, epoch_cap_e6: int) -> str:
                     "1000000")
 
 
-def _waterfill_tail(d: S.Dialect, budget: int) -> str:
+def _waterfill_tail(d: S.Dialect, budget: int,
+                    extra_cols: str = "",
+                    extra_from: str = "") -> str:
     """The weight-agnostic closed-form water-fill over a ``w`` CTE of
-    (source, n_tok, w_e6, cap_tok) rows — shared by the temperature
-    and explicit-target mixture solvers (see
+    (source, n_tok, w_e6, cap_tok) rows — shared by the temperature,
+    explicit-target, and quality-weighted mixture solvers (see
     :func:`q_mixture_weights` for the derivation and the exactness
-    domain)."""
+    domain).  ``extra_cols``/``extra_from`` append to the final
+    SELECT (the quality solver rides its gate cutpoint along)."""
     div = d.intdiv
     # GREATEST guard: when every source caps, w_free = 0 and the
     # uncapped branch is dead but still EVALUATED (vectorized CASE) —
@@ -461,8 +464,8 @@ def _waterfill_tail(d: S.Dialect, budget: int) -> str:
                CAST({div(f"{alloc} * 1000000", "n_tok")} AS BIGINT)
                    AS epochs_e6,
                CAST({div(f"{alloc} * 1000000", str(budget))} AS BIGINT)
-                   AS share_e6
-        FROM sized
+                   AS share_e6{extra_cols}
+        FROM sized{extra_from}
     """
 
 
@@ -1733,7 +1736,10 @@ def q_quality_weighted_mixture(d: S.Dialect,
                        AS cap_tok
             FROM src WHERE n_tok > 0
         ),
-        {_waterfill_tail(d, budget)}
+        {_waterfill_tail(
+            d, budget,
+            extra_cols=", CAST(g.gp50_e4 AS BIGINT) AS gp50_e4",
+            extra_from=" CROSS JOIN gcut g")}
     """
 
 

@@ -535,37 +535,24 @@ def apply_mixture(docs: DataFrame, budget: int,
         .createOrReplaceTempView(view)
     solver = (SAMP.q_quality_weighted_mixture if quality_weighted
               else SAMP.q_mixture_weights)
-    mix = spark.sql(solver(
+    # ONE solve: the |sources|-row result collects once; the rate
+    # table rebuilds from those rows (broadcast-sized by definition)
+    # and — quality-weighted — the gate cutpoint rides the solver's
+    # own gp50_e4 column instead of a second corpus scan
+    mix_rows = spark.sql(solver(
         S.SPARK, budget=budget, epoch_cap_e6=epoch_cap_e6,
-        doc_table=view))
-    if quality_weighted:
-        # the eligibility gate: same global-median cutpoint the
-        # solver used (one-row subquery, broadcast into the scan)
+        doc_table=view)).collect()
+    spark.catalog.dropTempView(view)
+    if quality_weighted and mix_rows:
         q = SAMP.S.quality_score(text_col, S.SPARK)
-        gcut = spark.sql(f"""
-            WITH sigq AS (
-                SELECT CAST(ROUND({SAMP.S.quality_score('text',
-                                                        S.SPARK)}
-                            * 10000) AS BIGINT) AS q_e4
-                FROM {view}
-            ),
-            gcum AS (
-                SELECT q_e4,
-                       SUM(COUNT(*)) OVER (ORDER BY q_e4) AS cc,
-                       SUM(COUNT(*)) OVER () AS n
-                FROM sigq GROUP BY q_e4
-            )
-            SELECT MIN(CASE WHEN cc * 2 >= n THEN q_e4 END) AS gp50_e4
-            FROM gcum
-        """).first().gp50_e4
+        gcut = mix_rows[0].gp50_e4
         docs = docs.where(
             F.expr(f"CAST(ROUND({q} * 10000) AS BIGINT)") >= gcut)
-    spark.catalog.dropTempView(view)
-    rates = mix.select(
-        "source",
-        F.expr("epochs_e6 DIV 1000000").alias("_full"),
-        F.expr("(epochs_e6 % 1000000) * 4294967296 DIV 1000000")
-        .cast("long").alias("_thr"))
+    rates = spark.createDataFrame(
+        [(r.source, r.epochs_e6 // 1_000_000,
+          (r.epochs_e6 % 1_000_000) * 4294967296 // 1_000_000)
+         for r in mix_rows],
+        "source string, _full long, _thr long")
     u32 = (f"CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}#', "
            f"CAST({id_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)")
     return (docs.join(F.broadcast(rates), ["source"])

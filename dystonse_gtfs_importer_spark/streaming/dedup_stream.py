@@ -591,8 +591,19 @@ def run_dedup_stream(
     ckp = Path(checkpoint_dir)
     ckp.mkdir(parents=True, exist_ok=True)
     off_file = ckp / "ingest_offset.json"
+    offsets_dir = ckp / "offsets"
     if off_file.exists():
         offset = _json.loads(off_file.read_text())["offset"]
+    elif offsets_dir.exists() and any(
+            not p.name.startswith(".") for p in offsets_dir.iterdir()):
+        # a PRE-round-10 checkpoint that already committed batches:
+        # its batch ids map directly onto existing partitions, and a
+        # crash-replay must keep OVERWRITING its own partition — a
+        # computed nonzero offset here would shift a replayed batch to
+        # a fresh partition and publish its documents twice.  Pin the
+        # legacy generation to offset 0.
+        offset = 0
+        off_file.write_text(_json.dumps({"offset": offset}))
     else:
         offset = 0
         if Path(docs_path).exists():

@@ -196,7 +196,7 @@ class TestCorpusIngestCli:
                    "--blocklist", "bad phrase"], spark=spark)
         assert rc == 0
         acct = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-        assert acct["published_docs"] == 2
+        assert acct["corpus_docs"] == 2
         docs = spark.read.parquet(
             str(tmp_path / "corpus" / "documents"))
         ids = sorted(r.doc_id for r in docs.select("doc_id").collect())

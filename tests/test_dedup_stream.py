@@ -394,3 +394,93 @@ class TestBackfillStore:
         snap2 = sorted(map(tuple, spark.read.parquet(
             str(out / "documents")).collect()))
         assert snap1 == snap2
+
+
+class TestCheckpointGenerationOffset:
+    """Batch-id offset rules: a checkpoint that already committed
+    Spark offsets (a pre-round-10 generation, no ingest_offset.json)
+    pins offset 0 so a crash-REPLAY keeps overwriting its own
+    partition instead of publishing its documents twice; a genuinely
+    fresh checkpoint against an existing corpus offsets past its
+    partitions."""
+
+    def test_legacy_checkpoint_replay_does_not_duplicate(
+            self, spark, tmp_path):
+        import json as _json
+        import os
+        import shutil
+
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            run_dedup_stream,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        _write_batch(in_dir, "b0.json", [
+            {"doc_id": 1, "text": "alpha beta gamma delta",
+             "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": "unrelated words entirely here",
+             "lang": "en", "source": "s"},
+        ])
+        q = run_dedup_stream(spark, str(in_dir), str(out), str(ck))
+        _await(q)
+        if q.isActive:
+            q.stop()
+        while q.isActive:
+            time.sleep(0.2)
+        before = sorted(map(tuple, spark.read.parquet(
+            str(out / "documents")).select("doc_id", "ingest_batch")
+            .collect()))
+
+        # simulate a PRE-round-10 generation that crashed after the
+        # batch's parquet write but before the checkpoint commit:
+        # no ingest_offset.json, offsets/0 present, commits/0 gone
+        os.remove(ck / "ingest_offset.json")
+        # delete the commit AND its .crc sidecar: a stale Hadoop
+        # checksum file makes the replayed commit's atomic create fail
+        for c in (ck / "commits").iterdir():
+            c.unlink()
+
+        q = run_dedup_stream(spark, str(in_dir), str(out), str(ck))
+        _await(q)
+        if q.isActive:
+            q.stop()
+        # the probe pinned the legacy generation to offset 0...
+        assert _json.loads(
+            (ck / "ingest_offset.json").read_text())["offset"] == 0
+        # ...so the replayed batch OVERWROTE its own partition:
+        # identical corpus, no duplicates in a shifted partition
+        after = sorted(map(tuple, spark.read.parquet(
+            str(out / "documents")).select("doc_id", "ingest_batch")
+            .collect()))
+        assert after == before
+
+    def test_fresh_checkpoint_offsets_past_corpus(self, spark, tmp_path):
+        import json as _json
+
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            annotate_batch,
+            run_dedup_stream,
+        )
+
+        out = tmp_path / "out"
+        out.mkdir()
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma", "en", "s", 0),
+             (2, "other words here", "en", "s", 3)],
+            "doc_id long, text string, lang string, source string, "
+            "ingest_batch int")
+        (annotate_batch(df, near_dup=True, exact_dedup=False)
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .parquet(str(out / "documents")))
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        ck = tmp_path / "ck2"
+        q = run_dedup_stream(spark, str(in_dir), str(out), str(ck))
+        _await(q, 30)
+        if q.isActive:
+            q.stop()
+        assert _json.loads(
+            (ck / "ingest_offset.json").read_text())["offset"] == 4

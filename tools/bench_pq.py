@@ -78,17 +78,20 @@ def main() -> None:
         cvec = codes.groupBy("vec_id").agg(F.expr(
             "transform(array_sort(collect_list(struct(sub AS o, "
             "code AS v))), x -> x.v)").alias("cvec"))
+        # map-keyed LUT, not positional: an empty codebook cell would
+        # silently misalign positional lookups (same fix as
+        # q_ann_pq_topk_packed)
         lvec = lut.groupBy("query_id").agg(F.expr(
-            f"transform(array_sort(collect_list(struct("
-            f"sub * {A.PQ_K} + cell AS o, pdist_e6 AS v))), "
-            "x -> x.v)").alias("lvec"))
+            f"map_from_entries(collect_list(struct("
+            f"sub * {A.PQ_K} + cell, pdist_e6)))").alias("lmap"))
         t = time.time()
         packed = (cvec.crossJoin(F.broadcast(lvec))
                   .where(F.col("query_id") != F.col("vec_id"))
                   .select("query_id",
                           F.col("vec_id").alias("cand_id"),
                           F.expr(" + ".join(
-                              f"lvec[{m} * {A.PQ_K} + cvec[{m}]]"
+                              f"element_at(lmap, {m} * {A.PQ_K} "
+                              f"+ cvec[{m}])"
                               for m in range(A.PQ_M)))
                           .alias("adist_e6"))
                   .withColumn("rk", F.row_number().over(w))
