@@ -1425,19 +1425,21 @@ def q_ann_pq_topk_packed(d: S.Dialect = S.SPARK, k: int = K) -> str:
     assert d is S.SPARK, "packed ADC fold is Spark-rendered only"
     lut_dist = f"CAST(ROUND({_l2sq(d, 'q.semb', 'c.cemb')} * 1e6) AS BIGINT)"
     # PQ_M is a render-time constant, so the ADC sum EXPANDS to static
-    # lookups instead of an aggregate() lambda: Spark evaluates
-    # higher-order functions interpreted (outside whole-stage
-    # codegen), and the measured fold was SLOWER than the exploded
-    # join+aggregate at 20 k vectors; the expanded form stays inside
-    # codegen.  The LUT packs as a MAP keyed by sub*{PQ_K}+cell, NOT
-    # a positional array: an empty codebook cell (duplicate seed
-    # subvectors — none in the fixtures, real on real data) would
-    # leave a gap that silently misaligns every later positional
-    # lookup, while a map lookup stays keyed (and every code read is
-    # a key that exists: codes are assigned against the same pcents).
-    fold = " + ".join(
-        f"element_at(l.lmap, {m} * {PQ_K} + c.cvec[{m}])"
-        for m in range(PQ_M))
+    # array-index adds instead of an aggregate() lambda: Spark
+    # evaluates higher-order functions interpreted (outside
+    # whole-stage codegen) — the lambda fold measured SLOWER than the
+    # exploded join+aggregate at 20 k vectors, and a MAP-keyed LUT
+    # measured 2.4x slower still (Spark's GetMapValue is a LINEAR
+    # key scan).  Positional indexing is made safe BY CONSTRUCTION:
+    # the LUT densifies over every (sub, cell) slot (an empty
+    # codebook cell — duplicate seed subvectors, real on real data —
+    # would otherwise leave a gap that silently misaligns every later
+    # position), so lvec always has exactly PQ_M*PQ_K entries and a
+    # stored code always references a REAL cell's entry; the NULL
+    # filler of a dead slot is unreachable and would surface loudly
+    # (NULL adist ranks first) rather than silently.
+    fold = " + ".join(f"l.lvec[{m} * {PQ_K} + c.cvec[{m}]]"
+                      for m in range(PQ_M))
     return f"""
         WITH {_pq_ctes(d)},
         codes AS (
@@ -1452,11 +1454,22 @@ def q_ann_pq_topk_packed(d: S.Dialect = S.SPARK, k: int = K) -> str:
             SELECT q.query_id, c.sub, c.cell, {lut_dist} AS pdist_e6
             FROM qsub q JOIN pcents c ON c.sub = q.sub
         ),
+        slots AS (
+            SELECT s.i AS sub, k.i AS cell
+            FROM {d.series(PQ_M, 'i')} s CROSS JOIN {d.series(PQ_K, 'i')} k
+        ),
+        lutd AS (
+            SELECT q.query_id, sl.sub, sl.cell, l.pdist_e6
+            FROM (SELECT DISTINCT query_id FROM lut) q
+            CROSS JOIN slots sl
+            LEFT JOIN lut l ON l.query_id = q.query_id
+                           AND l.sub = sl.sub AND l.cell = sl.cell
+        ),
         lutp AS (
             SELECT query_id,
-                   map_from_entries(collect_list(
-                       struct(sub * {PQ_K} + cell, pdist_e6))) AS lmap
-            FROM lut GROUP BY query_id
+                   {d.ordered_list('pdist_e6', f'sub * {PQ_K} + cell')}
+                       AS lvec
+            FROM lutd GROUP BY query_id
         ),
         scored AS (
             SELECT /*+ BROADCAST(l) */

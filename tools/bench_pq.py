@@ -78,20 +78,26 @@ def main() -> None:
         cvec = codes.groupBy("vec_id").agg(F.expr(
             "transform(array_sort(collect_list(struct(sub AS o, "
             "code AS v))), x -> x.v)").alias("cvec"))
-        # map-keyed LUT, not positional: an empty codebook cell would
-        # silently misalign positional lookups (same fix as
-        # q_ann_pq_topk_packed)
-        lvec = lut.groupBy("query_id").agg(F.expr(
-            f"map_from_entries(collect_list(struct("
-            f"sub * {A.PQ_K} + cell, pdist_e6)))").alias("lmap"))
+        # positional array made dense BY CONSTRUCTION (all M*K slots
+        # left-joined; an empty codebook cell would otherwise
+        # misalign every later position — same fix as
+        # q_ann_pq_topk_packed; a MAP lookup measured 2.4x slower,
+        # GetMapValue is a linear key scan)
+        slots = (spark.range(A.PQ_M).selectExpr("id AS sub")
+                 .crossJoin(spark.range(A.PQ_K).selectExpr("id AS cell")))
+        lutd = (lut.select("query_id").distinct().crossJoin(slots)
+                .join(lut, ["query_id", "sub", "cell"], "left"))
+        lvec = lutd.groupBy("query_id").agg(F.expr(
+            f"transform(array_sort(collect_list(struct("
+            f"sub * {A.PQ_K} + cell AS o, pdist_e6 AS v))), "
+            "x -> x.v)").alias("lvec"))
         t = time.time()
         packed = (cvec.crossJoin(F.broadcast(lvec))
                   .where(F.col("query_id") != F.col("vec_id"))
                   .select("query_id",
                           F.col("vec_id").alias("cand_id"),
                           F.expr(" + ".join(
-                              f"element_at(lmap, {m} * {A.PQ_K} "
-                              f"+ cvec[{m}])"
+                              f"lvec[{m} * {A.PQ_K} + cvec[{m}]]"
                               for m in range(A.PQ_M)))
                           .alias("adist_e6"))
                   .withColumn("rk", F.row_number().over(w))
