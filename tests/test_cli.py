@@ -202,3 +202,39 @@ class TestCorpusIngestCli:
         ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
         assert ids == [1, 4]
         assert "fingerprint" in docs.columns and "mhb_0" in docs.columns
+
+    def test_ingest_no_near_dup_and_backfill_cli(
+            self, spark, tmp_path, capsys):
+        """--no-near-dup publishes NULL-band rows (exact screening
+        only), and `corpus backfill-bands` then fills the bands in
+        place through the CLI dispatch."""
+        import json as _json
+
+        src = tmp_path / "in"
+        src.mkdir()
+        rows = [
+            {"doc_id": 1, "text": "alpha beta gamma delta",
+             "lang": "en", "source": "s"},
+            {"doc_id": 2, "text": "alpha beta gamma delta ",
+             "lang": "en", "source": "s"},          # exact dup
+        ]
+        (src / "b0.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows))
+        out = tmp_path / "corpus2"
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "ingest", "--in", str(src), "--out", str(out),
+                   "--no-near-dup"], spark=spark)
+        assert rc == 0
+        docs = spark.read.parquet(str(out / "documents"))
+        assert [r.doc_id for r in docs.collect()] == [1]
+        assert docs.where("mhb_0 IS NOT NULL").count() == 0
+        capsys.readouterr()
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "backfill-bands", "--corpus", str(out)],
+                  spark=spark)
+        assert rc == 0
+        acct = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert acct["docs"] == 1
+        docs = spark.read.parquet(str(out / "documents"))
+        assert docs.where("mhb_0 IS NOT NULL").count() == 1
