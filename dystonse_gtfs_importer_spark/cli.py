@@ -264,7 +264,9 @@ def _parser() -> argparse.ArgumentParser:
     cig.add_argument("--blocklist", nargs="*", default=None,
                      help="phrases to screen on arrival (docs "
                           "containing any are never published)")
-    cig.add_argument("--max-files-per-trigger", type=int, default=10)
+    cig.add_argument("--max-files-per-trigger", type=int, default=10,
+                     help="input files consumed per micro-batch "
+                          "(bounds batch size; default 10)")
     cbf = csub.add_parser(
         "backfill-bands",
         help="one-off store migration for a dedup-stream corpus dir "

@@ -601,7 +601,33 @@ def run_dedup_stream(
         # crash-replay must keep OVERWRITING its own partition — a
         # computed nonzero offset here would shift a replayed batch to
         # a fresh partition and publish its documents twice.  Pin the
-        # legacy generation to offset 0.
+        # legacy generation to offset 0 — but PROVE the legacy
+        # classification first: a true pre-round-10 generation wrote
+        # every corpus partition itself, so max(ingest_batch) cannot
+        # exceed the checkpoint's highest batch id.  If it does, this
+        # is a ROUND-10 checkpoint whose ingest_offset.json sidecar
+        # was lost (e.g. restored by tooling that keeps only Spark's
+        # own files) — pinning 0 there would let dynamic overwrite
+        # silently DELETE an earlier generation's partitions.  Refuse
+        # loudly instead of guessing.
+        max_batch = max(int(p.name) for p in offsets_dir.iterdir()
+                        if not p.name.startswith("."))
+        if Path(docs_path).exists():
+            existing = spark.read.parquet(docs_path)
+            if "ingest_batch" in existing.columns:
+                mx_row = existing.agg(F.max("ingest_batch")).first()
+                mx = mx_row[0] if mx_row else None
+                if mx is not None and int(mx) > max_batch:
+                    raise RuntimeError(
+                        f"checkpoint {checkpoint_dir} has committed "
+                        f"batches up to {max_batch} but the corpus "
+                        f"holds ingest_batch={mx}: this looks like a "
+                        "round-10 checkpoint whose ingest_offset.json "
+                        "was lost, not a legacy generation — pinning "
+                        "offset 0 could overwrite another "
+                        "generation's partitions.  Restore the "
+                        "sidecar (offset = the generation's original "
+                        "value) or start a FRESH checkpoint dir.")
         offset = 0
         off_file.write_text(_json.dumps({"offset": offset}))
     else:

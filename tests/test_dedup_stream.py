@@ -484,3 +484,34 @@ class TestCheckpointGenerationOffset:
             q.stop()
         assert _json.loads(
             (ck / "ingest_offset.json").read_text())["offset"] == 4
+
+    def test_lost_sidecar_on_round10_checkpoint_refuses(
+            self, spark, tmp_path):
+        """A checkpoint with committed Spark offsets whose
+        ingest_offset.json was lost, against a corpus holding
+        partitions BEYOND those batches, must refuse loudly instead
+        of pinning offset 0 (which could overwrite another
+        generation's partitions)."""
+        import pytest as _pytest
+
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            annotate_batch,
+            run_dedup_stream,
+        )
+
+        out = tmp_path / "out"
+        out.mkdir()
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma", "en", "s", 99)],
+            "doc_id long, text string, lang string, source string, "
+            "ingest_batch int")
+        (annotate_batch(df, near_dup=True, exact_dedup=False)
+         .write.mode("overwrite").partitionBy("ingest_batch")
+         .parquet(str(out / "documents")))
+        ck = tmp_path / "ck3"
+        (ck / "offsets").mkdir(parents=True)
+        (ck / "offsets" / "0").write_text("v1\n{}\n{\"logOffset\":0}")
+        in_dir = tmp_path / "in3"
+        in_dir.mkdir()
+        with _pytest.raises(RuntimeError, match="ingest_offset"):
+            run_dedup_stream(spark, str(in_dir), str(out), str(ck))

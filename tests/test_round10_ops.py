@@ -496,8 +496,9 @@ class TestQualityWeightedMixtureInvariants:
 
 
 class TestJvmSweepEqualsPandasSweep:
-    """combined_drop_set_jvm (the sink's engine) must produce the
-    SAME drop set as the pandas twin on chain-heavy batches with and
+    """combined_drop_set_jvm (the kept-but-unused all-JVM twin; the
+    SINK runs the pandas combined_drop_set, measured faster) must
+    produce the SAME drop set on chain-heavy batches with and
     without a store: chains (A~B, B~C, A!~C), exact-dup families,
     store pre-drops, and token-less docs."""
 
