@@ -3740,7 +3740,7 @@ QUERIES: dict[str, QueryDef] = {
 
 
 # ---------------------------------------------------------------------------
-# Driver exposure order — FROZEN round 10.
+# Driver exposure order — FROZEN round 11.
 #
 # The driver's CORRECTNESS snapshot records only the FIRST 50 entries
 # of queries() dict order.  The freshness policy is a simple ROTATION:
@@ -3748,46 +3748,20 @@ QUERIES: dict[str, QueryDef] = {
 # oldest-witnessed entries, plus the round's new registrations.
 # ---------------------------------------------------------------------------
 REGISTRY_ORDER: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 #1): the window driver-witnesses,
-    # in priority order, (a) the 21 registry entries that have NEVER
-    # had a driver CORRECTNESS row (round-9 late registrations,
-    # judge-witnessed only), (b) the 8 entries whose latest driver
-    # row is round 6 (the oldest records in the registry), and
-    # (c) 21 of the round-7-witnessed cohort as fills.  After a green
-    # round 10 every registry entry has a driver row, and none is
-    # older than round 7.  New round-10 registrations may be inserted
-    # at the END of the window (displacing the round-7 fills, whose
-    # records are freshest among the window) only before the
-    # round-10 freeze.
+    # Round-11 rotation (VERDICT r10 #1): after the green round 10,
+    # every registry entry has a driver row and the age distribution
+    # is r10:50 r9:50 r8:47 r7:35.  This round's window witnesses, in
+    # priority order, (a) the 35 entries whose latest driver row is
+    # round 7 (now the oldest cohort), and (b) the 15 oldest
+    # round-8-witnessed entries as fills.  New round-11 registrations
+    # may be inserted at the END of the window (displacing round-8
+    # fills, whose records are freshest among the window) only before
+    # the round-11 freeze.  A green round 11 leaves no registry entry
+    # with a driver row older than round 8.
     # Do NOT insert new names anywhere above the "-- window boundary"
     # marker mid-round.
     # tests/test_sql_parity.py::test_registry_window_frozen pins this.
-    # -- (a) never driver-witnessed (round-9 late registrations) --
-    "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
-    "tokenizer_fertility", "quality_calibration", "dedup_threshold_sweep",
-    "dedup_threshold_sweep_lsh", "batch_schedule", "sequence_loss_mask",
-    "logreg_quality_iter2", "shuffle_run_audit", "decontamination_report",
-    "embedding_exact_dedup", "lang_id_confusion", "html_extract",
-    "link_domain_histogram", "charclass_profile", "source_release_gate",
-    "nn_similarity_histogram", "length_calibration",
-    # -- (b) latest driver row is round 6 (oldest records) --
-    "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
-    "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
-    "countmin_heavy_hitters", "hll_distinct",
-    # -- (c) round-7-witnessed fills (displaceable by new r10 queries) --
-    "weighted_stratified_sample", "bpe_token_histogram", "kmeans_clusters",
-    "kmv_overlap_estimate", "exactsubstr_cut", "exactsubstr_cut_capped",
-    "repeated_spans_scalable", "packing_efficiency",
-    "weighted_stratified_sample_scale", "ngram_novelty",
-    "histogram_quantiles", "posting_lists", "suffix_ranks",
-    "equidepth_histogram_scale", "repeated_spans",
-    # -- (d) round-10 registrations (displaced the last six r7 fills) --
-    "lang_id_v2", "lang_id_confusion_v2", "ann_pq_topk_packed",
-    "quality_weighted_mixture", "bpe_merges_iter2",
-    "embedding_decontamination",
-    # -- window boundary: entries below are outside the driver snapshot --
-    # the six round-7 fills displaced by the round-10 registrations,
-    # then the remaining round-7-witnessed entries (r7-window order)
+    # -- (a) latest driver row is round 7 (oldest records) --
     "token_entropy", "kmeans_lloyd2", "leakage_safe_split",
     "quality_budget_select", "jsonl_scan", "corpus_report",
     "asof_join_salted", "cosine_near_dup_lsh", "json_props_stats",
@@ -3800,12 +3774,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "skew_profile", "curriculum_schedule", "pca_power_iter",
     "containment_pairs", "perplexity_tiers", "decayed_engagement",
     "kmv_source_overlap", "mad_outliers",
-    # round-8-witnessed entries (r8-window order)
+    # -- (b) round-8-witnessed fills (displaceable by new r11 queries) --
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
     "interval_overlap", "autocomplete", "token_stats", "lang_id",
     "quality_score", "exact_dedup", "fingerprint_dedup", "source_overlap",
-    "union_service_days", "latest_in_past", "orders_by_size",
+    "union_service_days",
+    # -- window boundary: entries below are outside the driver snapshot --
+    # remaining round-8-witnessed entries (r8-window order)
+    "latest_in_past", "orders_by_size",
     "trip_resolution", "noon_datetime", "contiguous_trips",
     "value_percentiles", "minhash_lsh_pairs", "simhash",
     "simhash_near_pairs", "simhash_near_pairs_banded",
@@ -3833,6 +3810,26 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
     "dsir_weights", "bm25_topk", "source_kl_divergence", "zipf_slope",
     "embedding_norm_outliers",
+    # round-10-witnessed entries (the freshest records), r10-window order
+    "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
+    "tokenizer_fertility", "quality_calibration", "dedup_threshold_sweep",
+    "dedup_threshold_sweep_lsh", "batch_schedule", "sequence_loss_mask",
+    "logreg_quality_iter2", "shuffle_run_audit", "decontamination_report",
+    "embedding_exact_dedup", "lang_id_confusion", "html_extract",
+    "link_domain_histogram", "charclass_profile", "source_release_gate",
+    "nn_similarity_histogram", "length_calibration",
+    "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
+    "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
+    "countmin_heavy_hitters", "hll_distinct",
+    "weighted_stratified_sample", "bpe_token_histogram", "kmeans_clusters",
+    "kmv_overlap_estimate", "exactsubstr_cut", "exactsubstr_cut_capped",
+    "repeated_spans_scalable", "packing_efficiency",
+    "weighted_stratified_sample_scale", "ngram_novelty",
+    "histogram_quantiles", "posting_lists", "suffix_ranks",
+    "equidepth_histogram_scale", "repeated_spans",
+    "lang_id_v2", "lang_id_confusion_v2", "ann_pq_topk_packed",
+    "quality_weighted_mixture", "bpe_merges_iter2",
+    "embedding_decontamination",
 )
 
 DRIVER_WINDOW = 50

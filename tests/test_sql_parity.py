@@ -331,27 +331,25 @@ class TestRegistryWindow:
         # append (after the window), never displace the first 50
         assert tuple(names[: len(oq.REGISTRY_ORDER)]) == oq.REGISTRY_ORDER
         window = set(names[: oq.DRIVER_WINDOW])
-        # round-10 rotation: every registry entry that has never had a
-        # driver CORRECTNESS row, plus the 8 entries whose latest
-        # driver row is round 6, must all sit inside the snapshot
-        # window (VERDICT r9 prescription #1)
+        # round-11 rotation: the 35 entries whose latest driver
+        # CORRECTNESS row is round 7 — the oldest cohort after the
+        # green round 10 — must all sit inside the snapshot window
+        # (VERDICT r10 prescription #1); round-8 fills take the rest
         must_witness = {
-            # never driver-witnessed (round-9 late registrations)
-            "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
-            "tokenizer_fertility", "quality_calibration",
-            "dedup_threshold_sweep", "dedup_threshold_sweep_lsh",
-            "batch_schedule", "sequence_loss_mask",
-            "logreg_quality_iter2", "shuffle_run_audit",
-            "decontamination_report", "embedding_exact_dedup",
-            "lang_id_confusion", "html_extract",
-            "link_domain_histogram", "charclass_profile",
-            "source_release_gate", "nn_similarity_histogram",
-            "length_calibration",
-            # latest driver row is round 6 (oldest records)
-            "temperature_sample", "stratified_sample",
-            "hash_bernoulli_sample", "seeded_shuffle",
-            "bigram_lm_score", "stratified_sample_scale",
-            "countmin_heavy_hitters", "hll_distinct",
+            "token_entropy", "kmeans_lloyd2", "leakage_safe_split",
+            "quality_budget_select", "jsonl_scan", "corpus_report",
+            "asof_join_salted", "cosine_near_dup_lsh",
+            "json_props_stats", "json_key_histogram",
+            "label_centroid_stats", "knn_label_agreement",
+            "interval_join_bucketed", "dedup_clusters", "vocab_topk",
+            "zorder_keys", "salted_aggregate", "salted_join",
+            "hll_shard_merge", "bloom_membership", "tfidf_topk",
+            "decontaminate", "token_shard_packing",
+            "token_shard_packing_scale", "boilerplate_scrub",
+            "pii_scan", "weighted_sample_topk", "skew_profile",
+            "curriculum_schedule", "pca_power_iter",
+            "containment_pairs", "perplexity_tiers",
+            "decayed_engagement", "kmv_source_overlap", "mad_outliers",
         }
         assert must_witness <= window
 
