@@ -1124,3 +1124,87 @@ def q_dedup_threshold_sweep_lsh(d: S.Dialect,
     return _sweep_accounting(
         d, q_minhash_lsh_pairs(d, doc_table), "est_jaccard",
         t_min_e4, step_e4, n_steps, doc_table=doc_table)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image fingerprints (dHash) — the SQL derivation half.
+#
+# The Spark production path lives in operators/perceptual.py: binary
+# image column -> stdlib decode -> luminance -> 9x8 resample -> 60-bit
+# difference hash, all inside Arrow-batched mapInPandas kernels.  The
+# functions below derive the SAME integers from the deterministic
+# pixel grid in pure SQL, so the driver's hash compare proves the
+# whole codec pipeline (PNG encode -> decode -> resample -> dHash)
+# against an engine that never touches a byte of PNG.
+# ---------------------------------------------------------------------------
+
+DHASH_W = 9             # grid width: 9 columns -> 8 comparisons/row
+DHASH_H = 8             # grid height
+DHASH_BITS = 60         # keep bits 0..59: clear of the BIGINT sign bit
+                        # and aligned with the simhash64 conventions
+DHASH_BANDS = 4         # 4 x 15-bit bands: pigeonhole for hamming <= 3
+DHASH_GROUPS = 2000     # synthetic grid: vec_id % DHASH_GROUPS share a
+                        # family (vec_id % 2 perturbs one pixel)
+
+
+def _dhash_lum(d: S.Dialect, fam: str, idx: str, parity: str) -> str:
+    """Deterministic synthetic pixel: base luminance is the first MD5
+    byte of 'img#<family>#<idx>'; odd-parity members perturb exactly
+    ONE pixel (chosen by 'pert#<family>') by +128 mod 256 — flipping
+    at most two dHash comparisons, so family members stay within
+    hamming <= 2 of each other while unrelated images sit near the
+    30-bit random expectation."""
+    base = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('img#', CAST({fam} AS STRING), '#', "
+        f"CAST({idx} AS STRING))), 1, 2)")
+    pert = (f"({d.hex_to_bigint(_md5_pert(fam))} % "
+            f"{DHASH_W * DHASH_H})")
+    return (f"CASE WHEN {parity} = 1 AND {idx} = {pert} "
+            f"THEN (({base}) + 128) % 256 ELSE {base} END")
+
+
+def _md5_pert(fam: str) -> str:
+    return f"SUBSTR(MD5(CONCAT('pert#', CAST({fam} AS STRING))), 1, 2)"
+
+
+def q_image_dhash(d: S.Dialect) -> str:
+    """Pure-SQL derivation of the 60-bit image dHash over the
+    synthetic grid keyed by embeddings.vec_id (the driver schema has
+    no binary column; the Spark side BUILDS real PNG payloads from
+    this exact grid and runs them through the stdlib codec).
+
+    dHash (difference hash): bit i (row r = i//8, col c = i%8) is set
+    iff lum(r, c) < lum(r, c+1) on the 9x8 luminance grid — the
+    classic gradient fingerprint (Krawetz's dHash), integer-exact in
+    both engines."""
+    bits = []
+    for i in range(DHASH_BITS):
+        r, c = divmod(i, DHASH_H)
+        left = _dhash_lum(d, "fam", str(r * DHASH_W + c), "parity")
+        right = _dhash_lum(d, "fam", str(r * DHASH_W + c + 1), "parity")
+        bits.append(f"(CASE WHEN ({left}) < ({right}) "
+                    f"THEN {1 << i} ELSE 0 END)")
+    packed = "\n                 + ".join(bits)
+    return f"""
+        WITH keyed AS (
+            SELECT vec_id AS media_id,
+                   {d.intdiv(f'(vec_id % {DHASH_GROUPS})', '2')} AS fam,
+                   (vec_id % {DHASH_GROUPS}) % 2 AS parity
+            FROM embeddings
+        )
+        SELECT media_id, CAST({packed} AS BIGINT) AS dhash
+        FROM keyed
+    """
+
+
+def q_image_near_pairs(d: S.Dialect) -> str:
+    """Quadratic reference form of the image near-pair set (oracle
+    twin of the banded Spark path in operators/perceptual.py):
+    all pairs of fingerprints within hamming <= 3."""
+    return f"""
+        WITH fp AS ({q_image_dhash(d)})
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               bit_count({d.xor('a.dhash', 'b.dhash')}) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count({d.xor('a.dhash', 'b.dhash')}) <= 3
+    """

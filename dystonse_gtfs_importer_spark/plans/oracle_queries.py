@@ -35,6 +35,7 @@ from ..functions import pii_sql as PII
 from ..functions import sampling_sql as SAMP
 from ..functions import sketch_sql as SK
 from ..functions import sql_shared as S
+from ..operators import perceptual as PERC
 from ..operators.layout import q_zorder_keys
 from ..sources.testdata import register_views
 
@@ -3726,6 +3727,27 @@ QUERIES: dict[str, QueryDef] = {
         "volume / bucket occupancy / docs-in-candidates via bucket "
         "counts (sum C(n,2)) - never a pair materialization; the "
         "table read before committing to a banding"),
+    "image_dhash": QueryDef(
+        spark=PERC.image_dhash_query,
+        oracle=D.q_image_dhash(S.DUCKDB),
+        survey_ref="perceptual image fingerprint (dHash): synthetic "
+                   "PNG payloads -> stdlib decode -> integer luminance "
+                   "-> 9x8 resample -> 60-bit difference hash, all in "
+                   "Arrow-batched map-only kernels; the DuckDB oracle "
+                   "derives the same integers from the deterministic "
+                   "pixel grid in pure SQL, never touching a PNG byte "
+                   "- one hash match proves the whole codec pipeline"),
+    "image_near_pairs_banded": QueryDef(
+        spark=PERC.image_near_pairs_query,
+        oracle=D.q_image_near_pairs(S.DUCKDB),
+        survey_ref="perceptual image near-duplicates: Hamming-banded "
+                   "pair join (4 x 15-bit bands, pigeonhole-lossless "
+                   "for hamming <= 3) over codec-derived dHash "
+                   "fingerprints vs the quadratic all-pairs SQL "
+                   "oracle - proves banding losslessness AND the "
+                   "codec pipeline in one match; planted family "
+                   "near-dups land at hamming 0-2, unrelated images "
+                   "at ~30"),
     "mad_outliers": _sql_pair(
         q_mad_outliers,
         "robust per-type anomaly screen: exact interpolated "
@@ -3778,10 +3800,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
     "interval_overlap", "autocomplete", "token_stats", "lang_id",
-    "quality_score", "exact_dedup", "fingerprint_dedup", "source_overlap",
-    "union_service_days",
+    "quality_score", "exact_dedup", "fingerprint_dedup",
+    # -- round-11 registrations (displace the newest r8 fills) --
+    "image_dhash", "image_near_pairs_banded",
     # -- window boundary: entries below are outside the driver snapshot --
-    # remaining round-8-witnessed entries (r8-window order)
+    # r8 fills displaced by round-11 registrations, then the remaining
+    # round-8-witnessed entries (r8-window order)
+    "source_overlap", "union_service_days",
     "latest_in_past", "orders_by_size",
     "trip_resolution", "noon_datetime", "contiguous_trips",
     "value_percentiles", "minhash_lsh_pairs", "simhash",

@@ -1,0 +1,146 @@
+"""Perceptual image dedup (dHash): codec-pipeline fingerprints,
+planted near-duplicate detection, banding losslessness, and the
+no-all-pairs plan pin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dystonse_gtfs_importer_spark.functions import dedup_sql as D
+from dystonse_gtfs_importer_spark.functions import sql_shared as S
+from dystonse_gtfs_importer_spark.operators import perceptual as P
+from dystonse_gtfs_importer_spark.operators.media_codecs import encode_png
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+class TestDhashKernel:
+    def test_identical_images_hash_equal(self):
+        img = P.synth_grid(7)
+        assert P.dhash_64grid(img) == P.dhash_64grid(img.copy())
+
+    def test_one_pixel_edit_is_near(self):
+        """The planted-near-duplicate property: one perturbed pixel
+        flips at most two gradient comparisons."""
+        img = P.synth_grid(11)
+        edited = img.copy()
+        edited[3, 4] = (int(edited[3, 4]) + 128) % 256
+        assert _hamming(P.dhash_64grid(img), P.dhash_64grid(edited)) <= 2
+
+    def test_unrelated_images_are_far(self):
+        h1 = P.dhash_64grid(P.synth_grid(0))
+        h2 = P.dhash_64grid(P.synth_grid(3))  # different family
+        assert _hamming(h1, h2) > 10
+
+    def test_resample_invariance(self):
+        """dHash is computed on the 9x8 resample, so an upscaled copy
+        of the same image fingerprints identically — the property that
+        makes the hash perceptual rather than byte-exact."""
+        img = P.synth_grid(5)
+        # nearest-neighbor 4x upscale: every source pixel becomes 4x4
+        big = np.repeat(np.repeat(img, 4, axis=0), 4, axis=1)
+        assert P.dhash_64grid(img) == P.dhash_64grid(big)
+
+    def test_rgb_luma_path(self):
+        """3-channel images go through integer Rec.601 luma; a gray
+        RGB image must hash like its single-channel twin."""
+        gray = P.synth_grid(9)
+        rgb = np.stack([gray, gray, gray], axis=2)
+        assert P.dhash_64grid(rgb) == P.dhash_64grid(gray)
+
+    def test_sign_bit_clear(self):
+        for v in range(16):
+            assert 0 <= P.dhash_64grid(P.synth_grid(v)) < (1 << D.DHASH_BITS)
+
+
+class TestPipeline:
+    def test_fingerprints_match_sql_grid(self, spark, sf_smoke):
+        """The full codec path (PNG encode -> decode -> resample ->
+        dHash) reproduces the pure-SQL grid derivation integer for
+        integer — same comparison the driver's oracle gate runs."""
+        import duckdb
+
+        got = {(r.media_id, r.dhash)
+               for r in P.image_dhash_query(spark, sf_smoke).collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_smoke}/embeddings.parquet'")
+        ref = {tuple(t)
+               for t in con.execute(D.q_image_dhash(S.DUCKDB)).fetchall()}
+        assert got == ref and len(got) > 0
+
+    def test_corrupt_payload_dropped_not_fatal(self, spark):
+        rows = [(1, bytearray(encode_png(P.synth_grid(1)))),
+                (2, bytearray(b"not a png at all")),
+                (3, bytearray(b""))]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = P.dhash_fingerprints(media).collect()
+        assert [r.media_id for r in out] == [1]
+
+    def test_planted_near_dup_detected_unrelated_not(self, spark):
+        """Planted fixture: a re-encoded one-pixel edit of an image is
+        found by the banded join; an unrelated image is not."""
+        base = P.synth_grid(2)
+        edit = base.copy()
+        edit[5, 2] = (int(edit[5, 2]) + 128) % 256
+        other = P.synth_grid(21)  # unrelated family
+        media = spark.createDataFrame(
+            [(10, bytearray(encode_png(base))),
+             (11, bytearray(encode_png(edit))),
+             (12, bytearray(encode_png(other)))],
+            "media_id long, payload binary")
+        pairs = {(r.media_a, r.media_b)
+                 for r in P.image_near_pairs_banded(
+                     P.dhash_fingerprints(media)).collect()}
+        assert pairs == {(10, 11)}
+
+    def test_banding_is_lossless_vs_quadratic(self, spark):
+        """Randomized: banded pairs == brute-force pairs on clustered
+        random fingerprints (seeds of near groups + noise)."""
+        rng = np.random.default_rng(42)
+        fps = []
+        mid = 0
+        for _ in range(30):
+            seed = int(rng.integers(0, 1 << D.DHASH_BITS))
+            for _ in range(int(rng.integers(1, 4))):
+                h = seed
+                for _f in range(int(rng.integers(0, 3))):
+                    h ^= 1 << int(rng.integers(0, D.DHASH_BITS))
+                fps.append((mid, h))
+                mid += 1
+        brute = {(a, b, _hamming(ha, hb))
+                 for i, (a, ha) in enumerate(fps)
+                 for b, hb in fps[i + 1:]
+                 if _hamming(ha, hb) <= 3}
+        fp_df = spark.createDataFrame(fps, "media_id long, dhash long")
+        banded = {(r.media_a, r.media_b, r.hamming)
+                  for r in P.image_near_pairs_banded(fp_df).collect()}
+        assert banded == brute and len(brute) > 0
+
+    def test_max_hamming_above_band_guarantee_rejected(self, spark):
+        fp_df = spark.createDataFrame([(1, 5)], "media_id long, dhash long")
+        with pytest.raises(ValueError):
+            P.image_near_pairs_banded(fp_df, max_hamming=D.DHASH_BANDS)
+
+
+class TestPlanShape:
+    def test_no_cartesian_in_banded_plan(self, spark, sf_smoke):
+        """The near-pair join must be a hash equi-join on (band, bv) —
+        never an all-pairs product (the scale contract)."""
+        df = P.image_near_pairs_query(spark, sf_smoke)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Cartesian" not in plan
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in executed
+        assert "BroadcastNestedLoopJoin" not in executed
+
+    def test_fingerprints_are_map_only(self, spark, sf_smoke):
+        """Fingerprinting shuffles nothing: payload bytes stay inside
+        one map-only Arrow pass."""
+        df = P.image_dhash_query(spark, sf_smoke)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in executed
