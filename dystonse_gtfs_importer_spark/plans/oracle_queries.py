@@ -3727,6 +3727,16 @@ QUERIES: dict[str, QueryDef] = {
         "volume / bucket occupancy / docs-in-candidates via bucket "
         "counts (sum C(n,2)) - never a pair materialization; the "
         "table read before committing to a banding"),
+    "embedding_decontam_recall": _sql_pair(
+        ANN.q_embedding_decontam_recall,
+        "decontamination recall audit: per threshold, the share of "
+        "exactly-contaminated corpus vectors (brute-force cosine vs "
+        "the stride-sampled eval set) the LSH-bucket-limited "
+        "embedding_decontamination decision flags - the ann_recall "
+        "doctrine applied to the decontamination decision; "
+        "lsh_subset pins flagged-set-is-subset-of-exact, so recall "
+        "is the one free number (~29-33% on the near-random fixture, "
+        "recorded in SCALING.md)"),
     "image_dhash": QueryDef(
         spark=PERC.image_dhash_query,
         oracle=D.q_image_dhash(S.DUCKDB),
@@ -3800,13 +3810,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
     "interval_overlap", "autocomplete", "token_stats", "lang_id",
-    "quality_score", "exact_dedup", "fingerprint_dedup",
+    "quality_score", "exact_dedup",
     # -- round-11 registrations (displace the newest r8 fills) --
-    "image_dhash", "image_near_pairs_banded",
+    "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
     # -- window boundary: entries below are outside the driver snapshot --
     # r8 fills displaced by round-11 registrations, then the remaining
     # round-8-witnessed entries (r8-window order)
-    "source_overlap", "union_service_days",
+    "fingerprint_dedup", "source_overlap", "union_service_days",
     "latest_in_past", "orders_by_size",
     "trip_resolution", "noon_datetime", "contiguous_trips",
     "value_percentiles", "minhash_lsh_pairs", "simhash",
