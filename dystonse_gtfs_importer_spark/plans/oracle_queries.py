@@ -3727,6 +3727,17 @@ QUERIES: dict[str, QueryDef] = {
         "volume / bucket occupancy / docs-in-candidates via bucket "
         "counts (sum C(n,2)) - never a pair materialization; the "
         "table read before committing to a banding"),
+    "url_canonical_dedup": _sql_pair(
+        PII.q_url_canonical_dedup,
+        "URL canonicalization + host-key dedup: lowercase "
+        "scheme/host, strip default ports and fragments and trailing "
+        "slashes, remove a pinned public tracking-param list "
+        "(utm_*/fbclid/gclid/...), sort surviving params, then ONE "
+        "url_canon-keyed aggregate (n_dups, distinct raw spellings "
+        "collapsed, min-doc_id keeper, canonical host for "
+        "leakage_safe_split-style host families); map-only string "
+        "ops + one shuffle - the cheapest dedup rung, runs before "
+        "any content hashing"),
     "embedding_decontam_recall": _sql_pair(
         ANN.q_embedding_decontam_recall,
         "decontamination recall audit: per threshold, the share of "
@@ -3810,14 +3821,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
     "interval_overlap", "autocomplete", "token_stats", "lang_id",
-    "quality_score", "exact_dedup",
+    "quality_score",
     # -- round-11 registrations (displace the newest r8 fills) --
     "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
+    "url_canonical_dedup",
     # -- window boundary: entries below are outside the driver snapshot --
     # r8 fills displaced by round-11 registrations, then the remaining
     # round-8-witnessed entries (r8-window order)
-    "fingerprint_dedup", "source_overlap", "union_service_days",
-    "latest_in_past", "orders_by_size",
+    "exact_dedup", "fingerprint_dedup", "source_overlap",
+    "union_service_days", "latest_in_past", "orders_by_size",
     "trip_resolution", "noon_datetime", "contiguous_trips",
     "value_percentiles", "minhash_lsh_pairs", "simhash",
     "simhash_near_pairs", "simhash_near_pairs_banded",

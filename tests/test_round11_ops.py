@@ -4,11 +4,122 @@ test_perceptual.py)."""
 
 from __future__ import annotations
 
+import re
+from urllib.parse import urlsplit
+
 import duckdb
 import pytest
 
 from dystonse_gtfs_importer_spark.functions import ann_sql as ANN
+from dystonse_gtfs_importer_spark.functions import pii_sql as PII
 from dystonse_gtfs_importer_spark.functions import sql_shared as S
+
+
+def canon_py(url: str) -> str:
+    """Independent urllib-based twin of pii_sql.url_canon_ctes — used
+    to cross-check the SQL canonicalizer derivation-independently."""
+    sp = urlsplit(url)
+    scheme = sp.scheme.lower()
+    hostport = sp.netloc.lower()
+    if scheme == "https" and hostport.endswith(":443"):
+        hostport = hostport[:-4]
+    if scheme == "http" and hostport.endswith(":80"):
+        hostport = hostport[:-3]
+    path = sp.path
+    path = "" if path in ("", "/") else re.sub("/+$", "", path)
+    params = [t for t in sp.query.split("&")
+              if t and not t.startswith(PII.TRACKING_PREFIX)
+              and not any(t.startswith(p + "=")
+                          for p in PII.TRACKING_PARAMS)]
+    q = "&".join(sorted(params))
+    return scheme + "://" + hostport + path + (("?" + q) if q else "")
+
+
+def _canon_sql(con, urls: list[str]) -> list[str]:
+    vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+    rows = con.execute(f"""
+        WITH urls(doc_id, url) AS (VALUES {vals}),
+        {PII.url_canon_ctes(S.DUCKDB)}
+        SELECT url_canon FROM canon ORDER BY doc_id
+    """).fetchall()
+    return [r[0] for r in rows]
+
+
+EDGE_URLS = [
+    "HTTP://Example.COM:80/a/b/?utm_source=x&id=1",
+    "https://example.com/",
+    "https://example.com:443",
+    "https://example.com/p?fbclid=1",
+    "https://example.com/p?b=2&a=1",
+    "https://example.com:8080/p",
+    "ftp://Example.com/x",
+    "https://example.com/p#frag",
+    "https://example.com/p?utm_campaign=x&gclid=2",
+    "https://Sub.Example.com/A/B?ref_src=tw&z=9&a=0#x",
+]
+
+
+class TestUrlCanon:
+    def test_edge_cases_match_urllib(self):
+        con = duckdb.connect()
+        got = _canon_sql(con, EDGE_URLS)
+        want = [canon_py(u) for u in EDGE_URLS]
+        assert got == want
+
+    def test_pinned_expectations(self):
+        """A few hand-written expectations so a joint bug in both
+        derivations can't hide."""
+        con = duckdb.connect()
+        got = _canon_sql(con, EDGE_URLS[:6])
+        assert got == [
+            "http://example.com/a/b?id=1",
+            "https://example.com",
+            "https://example.com",
+            "https://example.com/p",
+            "https://example.com/p?a=1&b=2",
+            "https://example.com:8080/p",
+        ]
+
+    def test_spark_edge_cases_match(self, spark):
+        sql_urls = ", ".join(f"({i}, '{u}')"
+                             for i, u in enumerate(EDGE_URLS))
+        df = spark.sql(f"""
+            WITH urls AS (
+                SELECT col1 AS doc_id, col2 AS url
+                FROM VALUES {sql_urls}
+            ),
+            {PII.url_canon_ctes(S.SPARK)}
+            SELECT url_canon FROM canon ORDER BY doc_id
+        """)
+        got = [r.url_canon for r in df.collect()]
+        assert got == [canon_py(u) for u in EDGE_URLS]
+
+    def test_synth_family_matches_urllib(self, duck):
+        """Every synthetic messy URL of the registry fixture must
+        canonicalize identically under the SQL chain and the urllib
+        twin — 500 rows of derivation independence."""
+        rows = duck.execute(f"""
+            WITH urls AS (
+                SELECT doc_id, {PII.synth_url_expr(S.DUCKDB)} AS url
+                FROM documents
+            ),
+            {PII.url_canon_ctes(S.DUCKDB)}
+            SELECT url, url_canon FROM canon
+        """).fetchall()
+        assert len(rows) == 500
+        for url, url_canon in rows:
+            assert url_canon == canon_py(url), url
+
+    def test_dedup_collapses_planted_variants(self, duck):
+        """The registry query must find real collapses (n_variants >
+        1) AND keep the unique-path rows singleton."""
+        rows = duck.execute(
+            PII.q_url_canonical_dedup(S.DUCKDB)).fetchall()
+        assert sum(1 for r in rows if r[3] > 1) >= 20
+        singles = [r for r in rows if "/docs/u" in r[0]]
+        assert singles and all(r[2] == 1 for r in singles)
+        # keeper is the min doc_id; n_dups >= n_variants always
+        assert all(r[2] >= r[3] >= 1 for r in rows)
 
 
 @pytest.fixture(scope="module")
