@@ -266,7 +266,14 @@ def _parser() -> argparse.ArgumentParser:
                           "containing any are never published)")
     cig.add_argument("--max-files-per-trigger", type=int, default=10,
                      help="input files consumed per micro-batch "
-                          "(bounds batch size; default 10)")
+                          "(default 10).  This is ALSO the knob that "
+                          "bounds the near-dup sweep: all of a "
+                          "batch's duplicate-sharing buckets resolve "
+                          "in one single-executor pass whose cost is "
+                          "quadratic in the batch's duplicate "
+                          "density, so size batches (files x "
+                          "docs/file) to tens of thousands of docs, "
+                          "not millions")
     cbf = csub.add_parser(
         "backfill-bands",
         help="one-off store migration for a dedup-stream corpus dir "
@@ -278,6 +285,11 @@ def _parser() -> argparse.ArgumentParser:
     cbf.add_argument("--corpus", default=None,
                      help="dedup-stream output dir containing "
                           "documents/ (default <dir>/corpus)")
+    cbf.add_argument("--drop-old", action="store_true",
+                     help="delete the documents.__pre_backfill copy "
+                          "after a verified swap (default: keep it "
+                          "until the operator has inspected the "
+                          "migrated corpus)")
     return p
 
 
@@ -916,7 +928,8 @@ def cmd_corpus(spark, args) -> int:
         from .streaming.dedup_stream import backfill_store
 
         corpus = args.corpus or str(Path(args.dir) / "corpus")
-        result = backfill_store(spark, corpus)
+        result = backfill_store(spark, corpus,
+                                keep_old=not args.drop_old)
         result["corpus"] = corpus
         print(json.dumps(result, sort_keys=True))
         return 0

@@ -81,9 +81,13 @@ def dedup_threshold_sweep(docs: DataFrame, exact: bool = False,
     PPJoin rung and is honored only while the corpus row count is at
     most ``max_exact_docs`` — above that the call AUTO-DOWNGRADES to
     the banded rung (planner doctrine: sweep on the estimate, pay
-    exact once at the committed threshold).  The guard costs one
-    count() on the id column — a metadata-cheap aggregate, nothing
-    corpus-wide moves."""
+    exact once at the committed threshold).  The guard's count() is a
+    FULL count job in the general case: cheap on a bare parquet scan
+    (footer statistics), but a ``docs`` built over filters/joins runs
+    its whole upstream plan here and — when the guard downgrades —
+    again inside the sweep.  Callers with an expensive upstream should
+    cache ``docs`` (or pass the known row count's rung explicitly via
+    ``exact=False``) before invoking a planning sweep."""
     if exact and docs.select("doc_id").count() <= max_exact_docs:
         return _run(docs, D.q_dedup_threshold_sweep)
     return _run(docs, D.q_dedup_threshold_sweep_lsh)

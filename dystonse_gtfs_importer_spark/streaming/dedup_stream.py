@@ -73,6 +73,14 @@ the decomposed faces (:func:`screen_against_store`,
 forms, and the stream==batch greedy equality tests pin that the fold
 changed nothing semantically.
 
+Round-11 note: the cost claim is re-baselined on median-of-3
+measurements (tools/bench_streaming.py records the ratio of medians
+in the BENCH row): near-dup ingestion costs <= 2.3x the exact-only
+leg at 100 k docs.  Job counts equal the exact leg and the residual
+is the near-dup work itself (MinHash projection, 5-column store
+probe, density-bounded sweep) — see SCALING.md for the band and why
+the skip-empty-bucket cut cannot fire.
+
 Reference anchor: ingestion-time dedup is an LLM-pipeline extension
 (SURVEY.md LLM ops); the micro-batch + foreachBatch merge structure
 mirrors the GTFS-RT import stream (ST1/ST3,
@@ -458,8 +466,10 @@ def read_fingerprint_store(spark: SparkSession, out_dir: str,
     """The dedup store: the corpus table pruned to its fingerprint
     (+ LSH band) columns — parquet reads only those columns.
 
-    Returns ``None`` ONLY when no corpus exists yet (the documents
-    path is absent).  Any other failure — corrupt files, transient
+    Returns ``None`` ONLY when no corpus exists yet: the documents
+    path is absent, or it holds nothing but staging/metadata entries
+    (a ``_temporary`` dir left by a crashed first write — no
+    committed footers).  Any other failure — corrupt files, transient
     IO, or a corpus missing the expected columns — propagates:
     silently treating a broken store as empty would re-publish every
     duplicate permanently.
@@ -489,6 +499,13 @@ def read_fingerprint_store(spark: SparkSession, out_dir: str,
     docs = Path(out_dir) / "documents"
     if not docs.exists():  # no corpus yet
         return None
+    if not any(not p.name.startswith(("_", "."))
+               for p in docs.iterdir()):
+        # only staging/metadata entries (a _temporary dir from a
+        # crashed FIRST write, checksum files, ...) — no committed
+        # corpus yet.  Real-but-corrupt data still propagates below:
+        # committed partition dirs/files never start with '_'.
+        return None
     store = spark.read.parquet(str(docs))
     need = ["fingerprint"] + (band_cols() if near_dup else [])
     missing = [c for c in need if c not in store.columns]
@@ -500,7 +517,8 @@ def read_fingerprint_store(spark: SparkSession, out_dir: str,
     return store.select(*need)
 
 
-def backfill_store(spark: SparkSession, out_dir: str) -> dict:
+def backfill_store(spark: SparkSession, out_dir: str,
+                   keep_old: bool = True) -> dict:
     """One-command store backfill for PRE-round-9 corpus layouts (the
     migration the read_fingerprint_store errors point at): recompute
     the ``fingerprint`` and ``mhb_*`` columns over the existing
@@ -510,15 +528,23 @@ def backfill_store(spark: SparkSession, out_dir: str) -> dict:
     place.
 
     The write lands in a ``documents.__backfill`` sibling first and
-    replaces ``documents`` only after it fully commits — a crash
-    during the (long) write leaves the original table untouched
-    (re-run to resume).  The final swap is two directory renames; a
-    crash exactly between them leaves the original preserved as
+    replaces ``documents`` only after it fully commits AND passes the
+    pre-swap verification (row count equals the source table's, every
+    store column present, fingerprint coverage matches the source's
+    non-null-text rows — not just a bare count).  A crash during the
+    (long) write leaves the original table untouched (re-run to
+    resume).  The final swap is two directory renames; a crash
+    exactly between them leaves the original preserved as
     ``documents.__pre_backfill`` — rename it back (or rename
-    ``documents.__backfill`` forward) and re-run.  ``ingest_batch``
-    partitioning is preserved when present so replayed batches keep
-    overwriting their own partitions.
-    Returns {"docs": n, "had": [...], "added": [...]} accounting.
+    ``documents.__backfill`` forward) and re-run.  By default the
+    ``__pre_backfill`` copy is KEPT after a successful swap so the
+    operator can verify the migrated corpus before discarding the
+    only pre-migration state (delete it, or pass
+    ``keep_old=False`` / CLI ``--drop-old``, once satisfied).
+    ``ingest_batch`` partitioning is preserved when present so
+    replayed batches keep overwriting their own partitions.
+    Returns {"docs": n, "had": [...], "added": [...], "kept_old":
+    path-or-None} accounting.
 
     Scale shape: ONE map-only pass over the corpus (fingerprint xxhash
     + the single-fold MinHash projection), one write — no shuffle, no
@@ -544,15 +570,38 @@ def backfill_store(spark: SparkSession, out_dir: str) -> dict:
         shutil.rmtree(tmp)
     w = refreshed.write.mode("overwrite").partitionBy("ingest_batch")
     w.parquet(str(tmp))
-    n = spark.read.parquet(str(tmp)).count()
+    # pre-swap verification: a semantically wrong backfill must never
+    # replace the only pre-migration copy.  Counts come from ONE
+    # aggregate per side.
+    migrated = spark.read.parquet(str(tmp))
+    missing = [c for c in store_cols if c not in migrated.columns]
+    if missing:
+        raise RuntimeError(
+            f"backfill verification failed: migrated table at {tmp} "
+            f"is missing store columns {missing}; original left "
+            "untouched")
+    src_n = df.count()
+    n, mig_fp = migrated.select(
+        F.count(F.lit(1)),
+        F.count("fingerprint")).first()
+    # xxhash64 never yields NULL, so full fingerprint coverage is the
+    # invariant (NULL-text docs hash the seed); a partial column would
+    # mean the annotate stage silently dropped rows or wrote nulls
+    if n != src_n or mig_fp != n:
+        raise RuntimeError(
+            f"backfill verification failed: migrated rows {n} vs "
+            f"source {src_n}, fingerprint coverage {mig_fp}/{n}; "
+            f"original left untouched (re-run after inspecting {tmp})")
     old = docs_path.with_name("documents.__pre_backfill")
     if old.exists():
         shutil.rmtree(old)
     docs_path.rename(old)
     tmp.rename(docs_path)
-    shutil.rmtree(old)
+    if not keep_old:
+        shutil.rmtree(old)
     return {"docs": n, "had": had,
-            "added": [c for c in store_cols if c not in had]}
+            "added": [c for c in store_cols if c not in had],
+            "kept_old": str(old) if keep_old else None}
 
 
 def run_dedup_stream(
@@ -588,6 +637,17 @@ def run_dedup_stream(
 
     docs_path = str(Path(out_dir) / "documents")
 
+    def _probe_docs():
+        """The corpus probe, lenient to a crashed FIRST write: a
+        documents dir holding only a _temporary staging subdir (no
+        committed footers) has no readable schema — treat it as
+        no-committed-data instead of raising 'unable to infer schema'
+        before the clearer downstream diagnostics."""
+        try:
+            return spark.read.parquet(docs_path)
+        except Exception:
+            return None
+
     ckp = Path(checkpoint_dir)
     ckp.mkdir(parents=True, exist_ok=True)
     off_file = ckp / "ingest_offset.json"
@@ -613,8 +673,11 @@ def run_dedup_stream(
         max_batch = max(int(p.name) for p in offsets_dir.iterdir()
                         if not p.name.startswith("."))
         if Path(docs_path).exists():
-            existing = spark.read.parquet(docs_path)
-            if "ingest_batch" in existing.columns:
+            # None (crashed first write, no committed data) proves the
+            # legacy classification vacuously: there is nothing a
+            # replay's dynamic overwrite could delete
+            existing = _probe_docs()
+            if existing is not None and "ingest_batch" in existing.columns:
                 mx_row = existing.agg(F.max("ingest_batch")).first()
                 mx = mx_row[0] if mx_row else None
                 if mx is not None and int(mx) > max_batch:
@@ -633,11 +696,13 @@ def run_dedup_stream(
     else:
         offset = 0
         if Path(docs_path).exists():
-            existing = spark.read.parquet(docs_path)
+            # None (no committed data) -> stay at offset 0: a fresh
+            # start over a crashed first write owns every partition
+            existing = _probe_docs()
             # a legacy layout without ingest_batch reaches the clearer
             # read_fingerprint_store backfill error at first batch;
             # don't crash the probe on the missing column here
-            if "ingest_batch" in existing.columns:
+            if existing is not None and "ingest_batch" in existing.columns:
                 mx_row = existing.agg(F.max("ingest_batch")).first()
                 mx = mx_row[0] if mx_row else None
                 offset = int(mx) + 1 if mx is not None else 0

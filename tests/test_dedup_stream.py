@@ -366,6 +366,29 @@ class TestBackfillStore:
                     if r.doc_id == 12][0]
         assert new_part >= 2
 
+    def test_backfill_keeps_pre_migration_copy_by_default(
+            self, spark, tmp_path):
+        """The __pre_backfill sibling survives a verified swap (the
+        only pre-migration state, kept until the operator confirms);
+        keep_old=False removes it."""
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            backfill_store,
+        )
+
+        out = tmp_path / "out"
+        out.mkdir()
+        self._old_corpus(spark, out)
+        acct = backfill_store(spark, str(out))
+        old = out / "documents.__pre_backfill"
+        assert acct["kept_old"] == str(old) and old.exists()
+        # the kept copy is the ORIGINAL table (no store columns)
+        pre = spark.read.parquet(str(old))
+        assert "fingerprint" not in pre.columns and pre.count() == 3
+        # second run with keep_old=False replaces the kept copy and
+        # deletes it after its own verified swap
+        acct2 = backfill_store(spark, str(out), keep_old=False)
+        assert acct2["kept_old"] is None and not old.exists()
+
     def test_backfill_idempotent_and_partial(self, spark, tmp_path):
         """A round-8 layout (fingerprint, no bands) backfills the
         bands; re-running is a no-op refresh with identical content."""
@@ -403,6 +426,39 @@ class TestCheckpointGenerationOffset:
     partition instead of publishing its documents twice; a genuinely
     fresh checkpoint against an existing corpus offsets past its
     partitions."""
+
+    def test_crashed_first_write_probe_falls_back_to_fresh(
+            self, spark, tmp_path):
+        """A documents dir left with ONLY a _temporary staging subdir
+        (crashed first write — no committed footers) has no readable
+        schema; the start-time probe must treat it as no-committed-
+        data (offset 0) instead of raising 'unable to infer schema',
+        and the stream must then ingest normally."""
+        import json as _json
+
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            run_dedup_stream,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        staging = out / "documents" / "_temporary" / "0"
+        staging.mkdir(parents=True)
+        (staging / "part-stub").write_bytes(b"not parquet")
+        _write_batch(in_dir, "b0.json", [
+            {"doc_id": 1, "text": "alpha beta gamma delta",
+             "lang": "en", "source": "s"},
+        ])
+        q = run_dedup_stream(spark, str(in_dir), str(out), str(ck))
+        _await(q)
+        if q.isActive:
+            q.stop()
+        assert _json.loads(
+            (ck / "ingest_offset.json").read_text())["offset"] == 0
+        docs = spark.read.parquet(str(out / "documents"))
+        assert [r.doc_id for r in docs.collect()] == [1]
 
     def test_legacy_checkpoint_replay_does_not_duplicate(
             self, spark, tmp_path):

@@ -144,40 +144,65 @@ def main() -> int:
         run_dedup_stream,
     )
 
+    # Both dedup legs run DEDUP_REPS times and report the MEDIAN wall
+    # (walls list kept in the row): the two legs swing ±30% run-to-run
+    # and do NOT swing together, so a single-draw near-dup/exact ratio
+    # inherits double noise — the bench.py median-of-3 doctrine.
+    DEDUP_REPS = 3
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    def _run_exact(n_docs: int) -> tuple[float, int]:
+        tmp = Path(tempfile.mkdtemp(prefix="bench_dedup_"))
+        try:
+            src = tmp / "src"
+            src.mkdir()
+            per = n_docs // N_FILES
+            for f in range(N_FILES):
+                with open(src / f"d_{f:03d}.json", "w") as fh:
+                    for i in range(per):
+                        g = f * per + i
+                        uniq = g if g % 4 else g // 4  # 25% repeats
+                        fh.write(json.dumps({
+                            "doc_id": g,
+                            "text": f"document body {uniq} " + "tok " * 8,
+                            "lang": "en", "source": f"s{g % 5}",
+                        }) + "\n")
+            t0 = time.time()
+            q = run_dedup_stream(spark, str(src), str(tmp / "out"),
+                                 str(tmp / "ck"),
+                                 max_files_per_trigger=1,
+                                 near_dup=False)
+            q.awaitTermination(570)
+            wall = time.time() - t0
+            kept = spark.read.parquet(
+                str(tmp / "out" / "documents")).count()
+            return wall, kept
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    exact_medians: dict[int, float] = {}
     for n_rows in rates:
         n_docs = max(N_FILES, n_rows // 10)   # ~10-token docs
-        tmp = Path(tempfile.mkdtemp(prefix="bench_dedup_"))
-        src = tmp / "src"
-        src.mkdir()
-        per = n_docs // N_FILES
-        for f in range(N_FILES):
-            with open(src / f"d_{f:03d}.json", "w") as fh:
-                for i in range(per):
-                    g = f * per + i
-                    uniq = g if g % 4 else g // 4  # 25% exact repeats
-                    fh.write(json.dumps({
-                        "doc_id": g,
-                        "text": f"document body {uniq} " + "tok " * 8,
-                        "lang": "en", "source": f"s{g % 5}",
-                    }) + "\n")
-        t0 = time.time()
-        q = run_dedup_stream(spark, str(src), str(tmp / "out"),
-                             str(tmp / "ck"), max_files_per_trigger=1,
-                             near_dup=False)
-        q.awaitTermination(570)
-        wall = time.time() - t0
-        kept = spark.read.parquet(str(tmp / "out" / "documents")).count()
+        walls, kept = [], 0
+        for _ in range(DEDUP_REPS):
+            wall, kept = _run_exact(n_docs)
+            walls.append(round(wall, 2))
+        med = _median(walls)
+        exact_medians[n_docs] = med
         results[f"dedup_stream@{n_docs}"] = {
             "rows": n_docs,
-            "wall_s": round(wall, 2),
-            "events_per_s": round(n_docs / wall),
-            "events_per_s_per_core": round(n_docs / wall / CORES),
+            "wall_s": med,
+            "walls_s": walls,
+            "events_per_s": round(n_docs / med),
+            "events_per_s_per_core": round(n_docs / med / CORES),
             "micro_batches": N_FILES,
             "kept_docs": kept,
         }
         print(f"# dedup_stream @ {n_docs}: "
               f"{results[f'dedup_stream@{n_docs}']}", file=sys.stderr)
-        shutil.rmtree(tmp, ignore_errors=True)
 
     # near-dup-on-arrival leg: MinHash band store columns + banded
     # candidate screen + greedy within-batch resolution.  Feed plants
@@ -196,49 +221,67 @@ def main() -> int:
         h = hashlib.md5(f"doc{g}".encode()).hexdigest()
         return [h[j:j + 8] + str(j) for j in range(12)]
 
+    def _run_neardup(n_docs: int) -> tuple[float, int]:
+        tmp = Path(tempfile.mkdtemp(prefix="bench_neardup_"))
+        try:
+            src = tmp / "src"
+            src.mkdir()
+            per = n_docs // N_FILES
+            for f in range(N_FILES):
+                p = src / f"d_{f:03d}.json"
+                with open(p, "w") as fh:
+                    for i in range(per):
+                        g = f * per + i
+                        if g % 7 == 5:
+                            toks = _toks(g - 5)      # exact repeat
+                        elif g % 5 == 3 and g >= 3:
+                            toks = _toks(g - 3)      # near dup:
+                            toks[0] = f"p{g}"        # one token off
+                        else:
+                            toks = _toks(g)
+                        fh.write(json.dumps({
+                            "doc_id": g, "text": " ".join(toks),
+                            "lang": "en", "source": f"s{g % 5}",
+                        }) + "\n")
+                t = time.time() + 10 * f
+                os.utime(p, (t, t))
+            t0 = time.time()
+            q = run_dedup_stream(spark, str(src), str(tmp / "out"),
+                                 str(tmp / "ck"),
+                                 max_files_per_trigger=1,
+                                 near_dup=True)
+            q.awaitTermination(570)
+            wall = time.time() - t0
+            kept = spark.read.parquet(
+                str(tmp / "out" / "documents")).count()
+            return wall, kept
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     for n_rows in rates:
         n_docs = max(N_FILES, n_rows // 10)
-        tmp = Path(tempfile.mkdtemp(prefix="bench_neardup_"))
-        src = tmp / "src"
-        src.mkdir()
-        per = n_docs // N_FILES
-        for f in range(N_FILES):
-            p = src / f"d_{f:03d}.json"
-            with open(p, "w") as fh:
-                for i in range(per):
-                    g = f * per + i
-                    if g % 7 == 5:
-                        toks = _toks(g - 5)          # exact repeat
-                    elif g % 5 == 3 and g >= 3:
-                        toks = _toks(g - 3)          # near dup:
-                        toks[0] = f"p{g}"            # one token off
-                    else:
-                        toks = _toks(g)
-                    fh.write(json.dumps({
-                        "doc_id": g, "text": " ".join(toks),
-                        "lang": "en", "source": f"s{g % 5}",
-                    }) + "\n")
-            t = time.time() + 10 * f
-            os.utime(p, (t, t))
-        t0 = time.time()
-        q = run_dedup_stream(spark, str(src), str(tmp / "out"),
-                             str(tmp / "ck"), max_files_per_trigger=1,
-                             near_dup=True)
-        q.awaitTermination(570)
-        wall = time.time() - t0
-        kept = spark.read.parquet(str(tmp / "out" / "documents")).count()
-        results[f"dedup_stream_neardup@{n_docs}"] = {
+        walls, kept = [], 0
+        for _ in range(DEDUP_REPS):
+            wall, kept = _run_neardup(n_docs)
+            walls.append(round(wall, 2))
+        med = _median(walls)
+        row = {
             "rows": n_docs,
-            "wall_s": round(wall, 2),
-            "events_per_s": round(n_docs / wall),
-            "events_per_s_per_core": round(n_docs / wall / CORES),
+            "wall_s": med,
+            "walls_s": walls,
+            "events_per_s": round(n_docs / med),
+            "events_per_s_per_core": round(n_docs / med / CORES),
             "micro_batches": N_FILES,
             "kept_docs": kept,
         }
-        print(f"# dedup_stream_neardup @ {n_docs}: "
-              f"{results[f'dedup_stream_neardup@{n_docs}']}",
+        if n_docs in exact_medians:
+            # the one ratio the round-9/10 contract tracks: near-dup
+            # leg over exact leg, both as in-session medians
+            row["neardup_over_exact"] = round(
+                med / exact_medians[n_docs], 2)
+        results[f"dedup_stream_neardup@{n_docs}"] = row
+        print(f"# dedup_stream_neardup @ {n_docs}: {row}",
               file=sys.stderr)
-        shutil.rmtree(tmp, ignore_errors=True)
 
     print(json.dumps({"metric": "streaming_throughput",
                       "unit": "events_per_s", "cores": CORES,
