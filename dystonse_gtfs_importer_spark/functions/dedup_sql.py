@@ -1208,3 +1208,44 @@ def q_image_near_pairs(d: S.Dialect) -> str:
         FROM fp a JOIN fp b ON a.media_id < b.media_id
         WHERE bit_count({d.xor('a.dhash', 'b.dhash')}) <= 3
     """
+
+
+def q_image_dedup_keep_oracle(d: S.Dialect) -> str:
+    """Recursive-CTE fixpoint oracle for the perceptual dedup keeper
+    (cross-derivation twin of operators/perceptual.image_dedup_keep's
+    iterative large-star/small-star CC): label propagation to the
+    minimum reachable id over the quadratic pair set, min-id keeper.
+    DuckDB-only (Spark has no recursive CTE; that asymmetry is the
+    independence)."""
+    return f"""
+        WITH RECURSIVE
+        fp AS ({q_image_dhash(d)}),
+        pairs AS (
+            SELECT a.media_id AS media_a, b.media_id AS media_b
+            FROM fp a JOIN fp b ON a.media_id < b.media_id
+            WHERE bit_count({d.xor('a.dhash', 'b.dhash')}) <= 3
+        ),
+        edges AS (
+            SELECT media_a AS u, media_b AS v FROM pairs
+            UNION ALL
+            SELECT media_b, media_a FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+            UNION
+            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+        ),
+        comp AS (
+            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        labeled AS (
+            SELECT f.media_id,
+                   COALESCE(c.cluster_id, f.media_id) AS cluster_id
+            FROM fp f LEFT JOIN comp c ON c.node = f.media_id
+        )
+        SELECT media_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               CAST(CASE WHEN media_id = cluster_id THEN 1 ELSE 0 END
+                    AS INT) AS is_keeper
+        FROM labeled
+    """

@@ -50,6 +50,7 @@ from pyspark.sql.types import (
 from ..functions.dedup_sql import (
     DHASH_BANDS, DHASH_BITS, DHASH_GROUPS, DHASH_H, DHASH_W,
 )
+from .graph import connected_components
 from .media_codecs import decode_image, encode_png, resize_nearest
 
 IMAGE_SCHEMA = StructType([
@@ -196,4 +197,40 @@ def image_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints vs the quadratic SQL oracle — one hash match proves
     both the codec pipeline and the banding losslessness."""
     return image_near_pairs_banded(
+        dhash_fingerprints(synth_image_table(spark, sf_dir)))
+
+
+def image_dedup_keep(fp: DataFrame,
+                     max_hamming: int = 3) -> DataFrame:
+    """The keeper rule over perceptual clusters: Hamming-banded near
+    pairs -> connected components (operators/graph, min-id labels,
+    O(log n) rounds) -> per media: cluster id, cluster size, and
+    is_keeper (the cluster's minimum id survives — the same
+    deterministic convention as dedup_cluster_survivors).
+
+    Scale note: ``fp`` feeds both the pair join and the CC node set —
+    persist the fingerprint table first on a real corpus so the
+    decode pass runs once (here it's the tiny synthetic set)."""
+    from pyspark.sql.window import Window
+
+    pairs = image_near_pairs_banded(fp, max_hamming)
+    cc = connected_components(pairs, "media_a", "media_b",
+                              nodes=fp.select("media_id"))
+    w = Window.partitionBy("cluster_id")
+    return (cc.select(F.col("node").alias("media_id"),
+                      F.col("component").alias("cluster_id"))
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(w).cast("long"))
+            .withColumn("is_keeper",
+                        F.when(F.col("media_id") == F.col("cluster_id"),
+                               1).otherwise(0).cast("int")))
+
+
+def image_dedup_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the full perceptual dedup decision (codec
+    fingerprints -> banded pairs -> CC clusters -> min-id keeper) vs
+    a DuckDB recursive-CTE fixpoint over the SQL grid derivation —
+    iterative Spark CC cross-derived against a recursive oracle, the
+    dedup_clusters pattern on the image modality."""
+    return image_dedup_keep(
         dhash_fingerprints(synth_image_table(spark, sf_dir)))

@@ -3769,6 +3769,16 @@ QUERIES: dict[str, QueryDef] = {
                    "codec pipeline in one match; planted family "
                    "near-dups land at hamming 0-2, unrelated images "
                    "at ~30"),
+    "image_dedup_keep": QueryDef(
+        spark=PERC.image_dedup_keep_query,
+        oracle=D.q_image_dedup_keep_oracle(S.DUCKDB),
+        survey_ref="perceptual dedup keeper decision: codec dHash "
+                   "fingerprints -> banded near pairs -> iterative "
+                   "large-star/small-star connected components -> "
+                   "min-id keeper per cluster, cross-derived against "
+                   "a DuckDB recursive-CTE label-propagation fixpoint "
+                   "over the pure-SQL grid (the dedup_clusters "
+                   "pattern on the image modality)"),
     "mad_outliers": _sql_pair(
         q_mad_outliers,
         "robust per-type anomaly screen: exact interpolated "
@@ -3821,14 +3831,13 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
     "interval_overlap", "autocomplete", "token_stats", "lang_id",
-    "quality_score",
     # -- round-11 registrations (displace the newest r8 fills) --
     "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
-    "url_canonical_dedup",
+    "url_canonical_dedup", "image_dedup_keep",
     # -- window boundary: entries below are outside the driver snapshot --
     # r8 fills displaced by round-11 registrations, then the remaining
     # round-8-witnessed entries (r8-window order)
-    "exact_dedup", "fingerprint_dedup", "source_overlap",
+    "quality_score", "exact_dedup", "fingerprint_dedup", "source_overlap",
     "union_service_days", "latest_in_past", "orders_by_size",
     "trip_resolution", "noon_datetime", "contiguous_trips",
     "value_percentiles", "minhash_lsh_pairs", "simhash",

@@ -127,6 +127,26 @@ class TestPipeline:
             P.image_near_pairs_banded(fp_df, max_hamming=D.DHASH_BANDS)
 
 
+class TestKeeperRule:
+    def test_keeper_invariants_on_fixture(self, spark, sf_smoke):
+        """Exactly one keeper per cluster, the keeper is the cluster's
+        min id, cluster_size counts its members, and the synthetic
+        family structure (odd/even group pairs) shows up as size-2
+        clusters."""
+        rows = P.image_dedup_keep_query(spark, sf_smoke).collect()
+        assert len(rows) == 500
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, members in by_cluster.items():
+            ids = [m.media_id for m in members]
+            assert cid == min(ids)
+            assert sum(m.is_keeper for m in members) == 1
+            assert all(m.cluster_size == len(members) for m in members)
+        # sf0.001: 500 singleton groups pair up into 250 families
+        assert sorted(len(m) for m in by_cluster.values()) == [2] * 250
+
+
 class TestPlanShape:
     def test_no_cartesian_in_banded_plan(self, spark, sf_smoke):
         """The near-pair join must be a hash equi-join on (band, bv) —
