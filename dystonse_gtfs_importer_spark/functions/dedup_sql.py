@@ -1249,3 +1249,76 @@ def q_image_dedup_keep_oracle(d: S.Dialect) -> str:
                     AS INT) AS is_keeper
         FROM labeled
     """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual AUDIO fingerprints (energy-sign hash) — SQL derivation half.
+#
+# The audio twin of the dHash family: decoded PCM -> per-segment
+# integer L1 energy over EHASH_SEGMENTS time segments -> bit i set iff
+# energy(i) < energy(i+1) (the sign-of-gradient fingerprint the
+# classic audio fingerprinting literature builds on, reduced to the
+# energy envelope).  Spark runs the real WAV codec
+# (operators/perceptual.py); the SQL below derives the same integers
+# from the deterministic amplitude grid.
+# ---------------------------------------------------------------------------
+
+EHASH_SEGMENTS = 61      # 61 segments -> 60 gradient bits
+EHASH_SEG_LEN = 8        # samples per segment (constant amplitude)
+EHASH_AMP_STEP = 100     # amplitude = md5 byte * step (< 32767)
+
+
+def _ehash_amp_byte(d: S.Dialect, fam: str, idx: str, parity: str) -> str:
+    """Deterministic per-segment amplitude byte: first MD5 byte of
+    'aud#<family>#<idx>'; odd-parity members perturb ONE segment
+    (chosen by 'pertA#<family>') by +128 mod 256 — flipping at most
+    two energy-gradient bits (the dHash planting argument on the
+    time axis)."""
+    base = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('aud#', CAST({fam} AS STRING), '#', "
+        f"CAST({idx} AS STRING))), 1, 2)")
+    pert = (f"({d.hex_to_bigint(_md5_pert_a(fam))} % {EHASH_SEGMENTS})")
+    return (f"CASE WHEN {parity} = 1 AND {idx} = {pert} "
+            f"THEN (({base}) + 128) % 256 ELSE {base} END")
+
+
+def _md5_pert_a(fam: str) -> str:
+    return f"SUBSTR(MD5(CONCAT('pertA#', CAST({fam} AS STRING))), 1, 2)"
+
+
+def q_audio_ehash(d: S.Dialect) -> str:
+    """Pure-SQL derivation of the 60-bit audio energy hash over the
+    synthetic amplitude grid keyed by embeddings.vec_id.  Constant
+    amplitude per segment makes segment L1 energy = EHASH_SEG_LEN *
+    amplitude, so the gradient comparison reduces EXACTLY to comparing
+    the amplitude bytes — what the decoded-PCM Spark kernel computes
+    from the reconstructed integer samples."""
+    bits = []
+    for i in range(EHASH_SEGMENTS - 1):
+        left = _ehash_amp_byte(d, "fam", str(i), "parity")
+        right = _ehash_amp_byte(d, "fam", str(i + 1), "parity")
+        bits.append(f"(CASE WHEN ({left}) < ({right}) "
+                    f"THEN {1 << i} ELSE 0 END)")
+    packed = "\n                 + ".join(bits)
+    return f"""
+        WITH keyed AS (
+            SELECT vec_id AS media_id,
+                   {d.intdiv(f'(vec_id % {DHASH_GROUPS})', '2')} AS fam,
+                   (vec_id % {DHASH_GROUPS}) % 2 AS parity
+            FROM embeddings
+        )
+        SELECT media_id, CAST({packed} AS BIGINT) AS ehash
+        FROM keyed
+    """
+
+
+def q_audio_near_pairs(d: S.Dialect) -> str:
+    """Quadratic reference form of the audio near-pair set (oracle
+    twin of the banded Spark path)."""
+    return f"""
+        WITH fp AS ({q_audio_ehash(d)})
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               bit_count({d.xor('a.ehash', 'b.ehash')}) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count({d.xor('a.ehash', 'b.ehash')}) <= 3
+    """

@@ -49,9 +49,12 @@ from pyspark.sql.types import (
 
 from ..functions.dedup_sql import (
     DHASH_BANDS, DHASH_BITS, DHASH_GROUPS, DHASH_H, DHASH_W,
+    EHASH_AMP_STEP, EHASH_SEG_LEN, EHASH_SEGMENTS,
 )
 from .graph import connected_components
-from .media_codecs import decode_image, encode_png, resize_nearest
+from .media_codecs import (
+    decode_image, decode_wav, encode_png, encode_wav, resize_nearest,
+)
 
 IMAGE_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -234,3 +237,108 @@ def image_dedup_keep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters pattern on the image modality."""
     return image_dedup_keep(
         dhash_fingerprints(synth_image_table(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Audio: energy-sign fingerprint ("eHash") over decoded PCM — the same
+# planted-family / banded-pair construction on the time axis, through
+# the real stdlib WAV codec.
+# ---------------------------------------------------------------------------
+
+def synth_amplitudes(vec_id: int) -> np.ndarray:
+    """Deterministic per-segment amplitude bytes — the Python twin of
+    functions/dedup_sql._ehash_amp_byte."""
+    g = vec_id % DHASH_GROUPS
+    fam, parity = divmod(g, 2)
+    amps = np.array([_md5_byte(f"aud#{fam}#{j}")
+                     for j in range(EHASH_SEGMENTS)], dtype=np.int64)
+    if parity == 1:
+        p = _md5_byte(f"pertA#{fam}") % EHASH_SEGMENTS
+        amps[p] = (amps[p] + 128) % 256
+    return amps
+
+
+def synth_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — REAL 16-bit PCM WAV payloads (stdlib
+    encoder): EHASH_SEGMENTS segments of EHASH_SEG_LEN constant-
+    amplitude samples each, one clip per embeddings.vec_id."""
+    ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for v in pdf["vec_id"]:
+                amps = synth_amplitudes(int(v)) * EHASH_AMP_STEP
+                # s = A/32767 encodes to pcm == A exactly (encode_wav
+                # rounds s*32767); constant within each segment
+                samples = np.repeat(amps, EHASH_SEG_LEN) / 32767.0
+                payloads.append(encode_wav(samples.astype(np.float32)))
+            yield pd.DataFrame({
+                "media_id": pdf["vec_id"].astype("int64"),
+                "payload": payloads,
+            })
+
+    return ids.mapInPandas(encode, IMAGE_SCHEMA)
+
+
+def ehash_of_samples(samples: np.ndarray) -> int:
+    """eHash of decoded float PCM: reconstruct the exact int16 grid
+    (float = pcm/32768 is dyadic-exact in float32, so round(f*32768)
+    recovers pcm bit-for-bit), mono-mix by summing channels, split
+    into EHASH_SEGMENTS equal segments, integer L1 energy each, then
+    bit i set iff energy(i) < energy(i+1)."""
+    ints = np.round(samples.astype(np.float64) * 32768.0).astype(np.int64)
+    mono = np.abs(ints).sum(axis=1) if ints.ndim == 2 else np.abs(ints)
+    n = (mono.size // EHASH_SEGMENTS) * EHASH_SEGMENTS
+    if n == 0:
+        raise ValueError("clip shorter than the segment grid")
+    seg = mono[:n].reshape(EHASH_SEGMENTS, -1).sum(axis=1)
+    h = 0
+    for i in range(EHASH_SEGMENTS - 1):
+        if seg[i] < seg[i + 1]:
+            h |= 1 << i
+    return h
+
+
+def ehash_fingerprints(media: DataFrame, id_col: str = "media_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """(media_id, ehash) via one Arrow-batched map-only pass over WAV
+    payloads; undecodable rows drop (the failed-file lifecycle)."""
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("ehash", LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, _rate = decode_wav(bytes(payload))
+                    hashes.append(ehash_of_samples(samples))
+                    ids.append(int(mid))
+                except (ValueError, IndexError):
+                    continue
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "ehash": pd.Series(hashes, dtype="int64")})
+
+    return media.select(F.col(id_col), F.col(payload_col)) \
+        .mapInPandas(kernel, schema)
+
+
+def audio_ehash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: WAV encode -> decode -> integer energy envelope
+    -> eHash, vs the pure-SQL amplitude-grid derivation."""
+    return ehash_fingerprints(synth_audio_table(spark, sf_dir))
+
+
+def audio_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: Hamming-banded near pairs over codec-derived
+    eHash fingerprints (the image banding machinery verbatim — the
+    fingerprint column is renamed into it) vs the quadratic SQL
+    oracle."""
+    fp = audio_ehash_query(spark, sf_dir) \
+        .withColumnRenamed("ehash", "dhash")
+    return image_near_pairs_banded(fp)

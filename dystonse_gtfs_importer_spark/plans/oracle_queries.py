@@ -3769,6 +3769,25 @@ QUERIES: dict[str, QueryDef] = {
                    "codec pipeline in one match; planted family "
                    "near-dups land at hamming 0-2, unrelated images "
                    "at ~30"),
+    "audio_ehash": QueryDef(
+        spark=PERC.audio_ehash_query,
+        oracle=D.q_audio_ehash(S.DUCKDB),
+        survey_ref="perceptual audio fingerprint (energy-sign hash): "
+                   "synthetic 16-bit PCM WAV payloads -> stdlib "
+                   "decode -> exact int16 reconstruction -> integer "
+                   "L1 energy envelope over 61 segments -> 60-bit "
+                   "gradient hash, all map-only Arrow kernels; the "
+                   "DuckDB oracle derives the same integers from the "
+                   "deterministic amplitude grid without touching a "
+                   "WAV byte"),
+    "audio_near_pairs_banded": QueryDef(
+        spark=PERC.audio_near_pairs_query,
+        oracle=D.q_audio_near_pairs(S.DUCKDB),
+        survey_ref="perceptual audio near-duplicates: the image "
+                   "family's Hamming banding machinery verbatim over "
+                   "codec-derived eHash fingerprints vs the quadratic "
+                   "all-pairs SQL oracle; planted family perturbations "
+                   "land at hamming 0-2"),
     "image_dedup_keep": QueryDef(
         spark=PERC.image_dedup_keep_query,
         oracle=D.q_image_dedup_keep_oracle(S.DUCKDB),
@@ -3830,14 +3849,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- (b) round-8-witnessed fills (displaceable by new r11 queries) --
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
-    "interval_overlap", "autocomplete", "token_stats", "lang_id",
+    "interval_overlap", "autocomplete",
     # -- round-11 registrations (displace the newest r8 fills) --
     "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
-    "url_canonical_dedup", "image_dedup_keep",
+    "url_canonical_dedup", "image_dedup_keep", "audio_ehash",
+    "audio_near_pairs_banded",
     # -- window boundary: entries below are outside the driver snapshot --
     # r8 fills displaced by round-11 registrations, then the remaining
     # round-8-witnessed entries (r8-window order)
-    "quality_score", "exact_dedup", "fingerprint_dedup", "source_overlap",
+    "token_stats", "lang_id", "quality_score", "exact_dedup",
+    "fingerprint_dedup", "source_overlap",
     "union_service_days", "latest_in_past", "orders_by_size",
     "trip_resolution", "noon_datetime", "contiguous_trips",
     "value_percentiles", "minhash_lsh_pairs", "simhash",

@@ -147,6 +147,63 @@ class TestKeeperRule:
         assert sorted(len(m) for m in by_cluster.values()) == [2] * 250
 
 
+class TestAudioEhash:
+    def test_one_segment_edit_is_near_unrelated_far(self):
+        amps = P.synth_amplitudes(4)
+        base = np.repeat(amps * 100, P.EHASH_SEG_LEN) / 32767.0
+        edited = amps.copy()
+        edited[30] = (edited[30] + 128) % 256
+        edit = np.repeat(edited * 100, P.EHASH_SEG_LEN) / 32767.0
+        other = np.repeat(P.synth_amplitudes(9) * 100,
+                          P.EHASH_SEG_LEN) / 32767.0
+
+        def h(s):
+            from dystonse_gtfs_importer_spark.operators.media_codecs \
+                import decode_wav, encode_wav
+
+            return P.ehash_of_samples(
+                decode_wav(encode_wav(s.astype(np.float32)))[0])
+
+        assert _hamming(h(base), h(edit)) <= 2
+        assert _hamming(h(base), h(other)) > 10
+
+    def test_stereo_mono_mix_invariant(self):
+        """A stereo clip with the same signal on both channels mono-
+        mixes to doubled energies — gradient signs, and therefore the
+        hash, unchanged."""
+        amps = P.synth_amplitudes(7) * 100
+        mono = np.repeat(amps, P.EHASH_SEG_LEN) / 32767.0
+        stereo = np.stack([mono, mono], axis=1)
+        assert (P.ehash_of_samples(mono.astype(np.float32))
+                == P.ehash_of_samples(stereo.astype(np.float32)))
+
+    def test_fingerprints_match_sql_grid(self, spark, sf_smoke):
+        import duckdb
+
+        got = {(r.media_id, r.ehash)
+               for r in P.audio_ehash_query(spark, sf_smoke).collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_smoke}/embeddings.parquet'")
+        ref = {tuple(t)
+               for t in con.execute(D.q_audio_ehash(S.DUCKDB)).fetchall()}
+        assert got == ref and len(got) > 0
+
+    def test_corrupt_wav_dropped_not_fatal(self, spark):
+        from dystonse_gtfs_importer_spark.operators.media_codecs \
+            import encode_wav
+
+        good = encode_wav(
+            (np.repeat(P.synth_amplitudes(1) * 100, P.EHASH_SEG_LEN)
+             / 32767.0).astype(np.float32))
+        media = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"RIFFjunk"))],
+            "media_id long, payload binary")
+        out = P.ehash_fingerprints(media).collect()
+        assert [r.media_id for r in out] == [1]
+
+
 class TestPlanShape:
     def test_no_cartesian_in_banded_plan(self, spark, sf_smoke):
         """The near-pair join must be a hash equi-join on (band, bv) —
