@@ -420,3 +420,38 @@ def q_url_canonical_dedup(d: S.Dialect,
         FROM canon
         GROUP BY url_canon
     """
+
+
+def q_url_host_split(d: S.Dialect, seed: str = "hsplit1",
+                     train_pct: int = 80, valid_pct: int = 10,
+                     doc_table: str = "documents") -> str:
+    """Host-family leakage-safe split: every document of the same
+    CANONICAL host lands in the same train/valid/test split (one
+    seeded MD5 draw per host — the `q_leakage_safe_split` rule with
+    the URL host as the family key, the guard web corpora need
+    because near-identical pages live under one domain).
+
+    Map-only end to end: canonicalization is string ops, the draw
+    hashes the host directly (no anchor aggregate needed — the host
+    IS the family key), so nothing shuffles at all."""
+    h = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('{seed}#', host)), 1, 12)")
+    return f"""
+        WITH urls AS (
+            SELECT doc_id, {synth_url_expr(d)} AS url
+            FROM {doc_table}
+        ),
+        {url_canon_ctes(d)},
+        hosted AS (
+            SELECT doc_id,
+                   regexp_extract(url_canon, '^[a-z]*://([^/?]*)', 1)
+                       AS host
+            FROM canon
+        )
+        SELECT doc_id, host,
+               CASE WHEN ({h} % 100) < {train_pct} THEN 'train'
+                    WHEN ({h} % 100) < {train_pct + valid_pct}
+                        THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM hosted
+    """

@@ -3738,6 +3738,14 @@ QUERIES: dict[str, QueryDef] = {
         "leakage_safe_split-style host families); map-only string "
         "ops + one shuffle - the cheapest dedup rung, runs before "
         "any content hashing"),
+    "url_host_split": _sql_pair(
+        PII.q_url_host_split,
+        "host-family leakage-safe split: every document of the same "
+        "CANONICAL host (tracking-param-stripped, case/port/slash "
+        "normalized) gets the same train/valid/test assignment from "
+        "ONE seeded MD5 draw of the host - the leakage_safe_split "
+        "rule with the URL host as the family key; map-only end to "
+        "end, zero shuffles"),
     "embedding_decontam_recall": _sql_pair(
         ANN.q_embedding_decontam_recall,
         "decontamination recall audit: per threshold, the share of "
@@ -3849,16 +3857,16 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- (b) round-8-witnessed fills (displaceable by new r11 queries) --
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
-    "interval_overlap", "autocomplete",
+    "interval_overlap",
     # -- round-11 registrations (displace the newest r8 fills) --
     "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
     "url_canonical_dedup", "image_dedup_keep", "audio_ehash",
-    "audio_near_pairs_banded",
+    "audio_near_pairs_banded", "url_host_split",
     # -- window boundary: entries below are outside the driver snapshot --
     # r8 fills displaced by round-11 registrations, then the remaining
     # round-8-witnessed entries (r8-window order)
-    "token_stats", "lang_id", "quality_score", "exact_dedup",
-    "fingerprint_dedup", "source_overlap",
+    "autocomplete", "token_stats", "lang_id", "quality_score",
+    "exact_dedup", "fingerprint_dedup", "source_overlap",
     "union_service_days", "latest_in_past", "orders_by_size",
     "trip_resolution", "noon_datetime", "contiguous_trips",
     "value_percentiles", "minhash_lsh_pairs", "simhash",

@@ -110,6 +110,20 @@ class TestUrlCanon:
         for url, url_canon in rows:
             assert url_canon == canon_py(url), url
 
+    def test_host_split_atomic_per_host(self, duck):
+        """Every document of one canonical host gets ONE split — the
+        case-noisy raw spellings (SRC3 vs src3) cannot straddle."""
+        rows = duck.execute(PII.q_url_host_split(S.DUCKDB)).fetchall()
+        assert len(rows) == 500
+        per_host: dict[str, set] = {}
+        for _doc, host, split in rows:
+            assert host and host == host.lower()
+            per_host.setdefault(host, set()).add(split)
+        assert len(per_host) == 20
+        assert all(len(s) == 1 for s in per_host.values())
+        splits = {s for v in per_host.values() for s in v}
+        assert splits <= {"train", "valid", "test"} and "train" in splits
+
     def test_dedup_collapses_planted_variants(self, duck):
         """The registry query must find real collapses (n_variants >
         1) AND keep the unique-path rows singleton."""
