@@ -524,6 +524,61 @@ def q_embedding_decontam_recall(
     """
 
 
+def q_embedding_decontam_recall_tables(
+        d: S.Dialect,
+        threshold: float = 0.35,
+        table_counts: tuple[int, ...] = (2, 4, 8)) -> str:
+    """The recall audit's SECOND axis — the one the operator can
+    actually turn: recall vs LSH TABLE COUNT at the production
+    threshold (the `q_ann_recall` nprobe-sweep idea applied to the
+    decontamination banding).  Each leg runs the registered query with
+    that table count; more tables = more independent bucketings = a
+    candidate union that misses exponentially fewer true pairs.
+    Measured on the fixture: recall 33% -> 67% -> 83% at 2/4/8 tables
+    (threshold 0.35) — the curve a pipeline reads to buy its recall
+    target, each extra table costing one more map-only sketch column
+    + its share of the bucket join."""
+    legs = []
+    for t in table_counts:
+        legs.append(f"""
+        SELECT CAST({t} AS INT) AS n_tables,
+               CAST((SELECT COUNT(*) FROM exact_t) AS BIGINT) AS n_exact,
+               CAST((SELECT COUNT(*) FROM lsh_t{t}) AS BIGINT) AS n_lsh,
+               CAST((SELECT COUNT(*) FROM lsh_t{t} l
+                     JOIN exact_t e ON e.vec_id = l.vec_id) AS BIGINT)
+                   AS n_hit,
+               CAST({d.intdiv(
+                   f"(SELECT COUNT(*) FROM lsh_t{t} l "
+                   f"JOIN exact_t e ON e.vec_id = l.vec_id) * 10000",
+                   "GREATEST((SELECT COUNT(*) FROM exact_t), 1)")}
+                   AS BIGINT) AS recall_e4""")
+    ctes = [f"""
+        exact_t AS (
+            SELECT DISTINCT c.vec_id
+            FROM cvn e JOIN cvn c
+              ON e.vec_id % {QUERY_STRIDE} = 0
+             AND c.vec_id % {QUERY_STRIDE} <> 0
+            WHERE ROUND({d.arr_dot('e.emb', 'c.emb')}
+                        / (e.nrm * c.nrm), 6) >= {threshold}
+        )"""]
+    for t in table_counts:
+        ctes.append(f"""
+        lsh_t{t} AS (
+            SELECT vec_id FROM
+            ({q_embedding_decontamination(d, threshold, tables=t)})
+        )""")
+    union = "\n        UNION ALL".join(legs)
+    return f"""
+        WITH cv AS (
+            SELECT vec_id, {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        {_norm_cte(d)},
+        {','.join(ctes)}
+        {union}
+    """
+
+
 SEMDEDUP_THETA = 0.3
 
 

@@ -3738,6 +3738,13 @@ QUERIES: dict[str, QueryDef] = {
         "leakage_safe_split-style host families); map-only string "
         "ops + one shuffle - the cheapest dedup rung, runs before "
         "any content hashing"),
+    "embedding_decontam_recall_tables": _sql_pair(
+        ANN.q_embedding_decontam_recall_tables,
+        "the decontamination recall audit's actionable axis: recall "
+        "vs LSH table count at the production threshold (the "
+        "ann_recall nprobe-sweep idea applied to the banding) - "
+        "measured 33/67/83% at 2/4/8 tables on the fixture, the "
+        "curve a pipeline reads to buy its recall target"),
     "url_host_split": _sql_pair(
         PII.q_url_host_split,
         "host-family leakage-safe split: every document of the same "
@@ -3857,14 +3864,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- (b) round-8-witnessed fills (displaceable by new r11 queries) --
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
     "time_slot_histogram", "route_sections", "delay_rounding",
-    "interval_overlap",
     # -- round-11 registrations (displace the newest r8 fills) --
     "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
     "url_canonical_dedup", "image_dedup_keep", "audio_ehash",
     "audio_near_pairs_banded", "url_host_split",
+    "embedding_decontam_recall_tables",
     # -- window boundary: entries below are outside the driver snapshot --
     # r8 fills displaced by round-11 registrations, then the remaining
     # round-8-witnessed entries (r8-window order)
+    "interval_overlap",
     "autocomplete", "token_stats", "lang_id", "quality_score",
     "exact_dedup", "fingerprint_dedup", "source_overlap",
     "union_service_days", "latest_in_past", "orders_by_size",

@@ -44,6 +44,26 @@ class TestDhashKernel:
         big = np.repeat(np.repeat(img, 4, axis=0), 4, axis=1)
         assert P.dhash_64grid(img) == P.dhash_64grid(big)
 
+    def test_jpeg_reencode_stays_near(self):
+        """The perceptual promise through a LOSSY codec: a smooth
+        image re-encoded as quality-85 JPEG keeps (nearly) the same
+        gradient signs, so the JPEG copy dedups against the PNG
+        original.  Smooth content — JPEG of an 8x9 noise grid would
+        legitimately scramble the fine gradients."""
+        from dystonse_gtfs_importer_spark.operators.jpeg_codec import (
+            encode_jpeg,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs import (
+            decode_image,
+        )
+
+        y, x = np.mgrid[0:32, 0:32]
+        smooth = ((y * 4 + x * 3) % 256).astype(np.uint8)[:, :, None]
+        h_png = P.dhash_64grid(smooth)
+        jpg = encode_jpeg(np.repeat(smooth, 3, axis=2), quality=85)
+        h_jpg = P.dhash_64grid(decode_image(jpg))
+        assert _hamming(h_png, h_jpg) <= 3
+
     def test_rgb_luma_path(self):
         """3-channel images go through integer Rec.601 luma; a gray
         RGB image must hash like its single-channel twin."""

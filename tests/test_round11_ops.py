@@ -173,6 +173,20 @@ class TestDecontamRecallAudit:
         ).fetchone()[0]
         assert row[2] == n_reg
 
+    def test_tables_sweep_monotone_and_subset(self, duck):
+        """More LSH tables can only ADD candidates (a union of
+        bucketings), so flagged counts and recall are monotone
+        non-decreasing in table count, subsets throughout."""
+        rows = duck.execute(
+            ANN.q_embedding_decontam_recall_tables(S.DUCKDB)).fetchall()
+        rows.sort()
+        assert [r[0] for r in rows] == [2, 4, 8]
+        assert len({r[1] for r in rows}) == 1      # one exact truth
+        for (a, b) in zip(rows, rows[1:]):
+            assert b[2] >= a[2] and b[4] >= a[4]
+        for r in rows:
+            assert r[3] == r[2] <= r[1] and 0 <= r[4] <= 10000
+
     def test_recall_is_not_trivially_perfect(self, duck):
         """The fixture's near-random embeddings are LSH's worst case:
         the audit must MEASURE a real gap (recall < 100%), otherwise
