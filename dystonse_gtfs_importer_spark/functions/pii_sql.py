@@ -369,7 +369,8 @@ def synth_url_expr(d: S.Dialect) -> str:
     no URL column): scheme/host case noise, a default :443 port, a
     trailing slash, a fragment, and tracking parameters planted in
     BOTH query positions — every variant of the same
-    (source, doc_id % 10) family must collapse to one canonical URL."""
+    (source, doc_id % 40) family must collapse to one canonical URL
+    (every 11th doc gets a unique path and stays a singleton)."""
     ds = "CAST(doc_id AS STRING)"
     scheme = ("CASE doc_id % 4 WHEN 0 THEN 'HTTPS' "
               "WHEN 1 THEN 'Https' ELSE 'https' END")
@@ -413,7 +414,7 @@ def q_url_canonical_dedup(d: S.Dialect,
         ),
         {url_canon_ctes(d)}
         SELECT url_canon,
-               regexp_extract(url_canon, '^[a-z]*://([^/?]*)', 1) AS host,
+               regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS host,
                CAST(COUNT(*) AS BIGINT) AS n_dups,
                CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
                CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
@@ -444,7 +445,7 @@ def q_url_host_split(d: S.Dialect, seed: str = "hsplit1",
         {url_canon_ctes(d)},
         hosted AS (
             SELECT doc_id,
-                   regexp_extract(url_canon, '^[a-z]*://([^/?]*)', 1)
+                   regexp_extract(url_canon, '^[a-z][a-z0-9+.-]*://([^/?]*)', 1)
                        AS host
             FROM canon
         )
