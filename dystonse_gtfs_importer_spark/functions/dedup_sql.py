@@ -1322,3 +1322,93 @@ def q_audio_near_pairs(d: S.Dialect) -> str:
         FROM fp a JOIN fp b ON a.media_id < b.media_id
         WHERE bit_count({d.xor('a.ehash', 'b.ehash')}) <= 3
     """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual VIDEO fingerprints — SQL derivation half.
+#
+# A video is frame-sampled into VHASH_FRAMES stills (the lake layout
+# is an array<binary> frames column; at 100 TB the sampler lives in
+# the ingest kernel).  Each frame gets the image dHash; two videos are
+# near-duplicates when they SHARE >= VHASH_MIN_COMMON frame hashes —
+# set containment over exact 60-bit frame fingerprints, the
+# inverted-index join shape (winnowing's argument on frames), never
+# an all-pairs product.
+# ---------------------------------------------------------------------------
+
+VHASH_FRAMES = 4        # sampled frames per video
+VHASH_MIN_COMMON = 3    # shared-frame threshold for a near-pair
+
+
+def _vframe_lum(d: S.Dialect, fam: str, frame: str, idx: str,
+                parity: str) -> str:
+    """Deterministic pixel of frame ``frame``: base from
+    'vid#<family>#<frame>#<idx>'; odd-parity members REPLACE one whole
+    frame (chosen by 'pertV#<family>') with an alternate grid
+    ('vidX#...') — family members share VHASH_FRAMES - 1 frames."""
+    base = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('vid#', CAST({fam} AS STRING), '#', "
+        f"CAST({frame} AS STRING), '#', CAST({idx} AS STRING))), 1, 2)")
+    alt = d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('vidX#', CAST({fam} AS STRING), '#', "
+        f"CAST({frame} AS STRING), '#', CAST({idx} AS STRING))), 1, 2)")
+    pert = (f"({d.hex_to_bigint(_md5_pert_v(fam))} % {VHASH_FRAMES})")
+    return (f"CASE WHEN {parity} = 1 AND {frame} = {pert} "
+            f"THEN {alt} ELSE {base} END")
+
+
+def _md5_pert_v(fam: str) -> str:
+    return f"SUBSTR(MD5(CONCAT('pertV#', CAST({fam} AS STRING))), 1, 2)"
+
+
+def q_video_frame_dhash(d: S.Dialect) -> str:
+    """Pure-SQL derivation of the per-frame dHash table
+    (media_id, frame_idx, dhash) over the synthetic frame grids keyed
+    by embeddings.vec_id."""
+    bits = []
+    for i in range(DHASH_BITS):
+        r, c = divmod(i, DHASH_H)
+        left = _vframe_lum(d, "fam", "frame_idx",
+                           str(r * DHASH_W + c), "parity")
+        right = _vframe_lum(d, "fam", "frame_idx",
+                            str(r * DHASH_W + c + 1), "parity")
+        bits.append(f"(CASE WHEN ({left}) < ({right}) "
+                    f"THEN {1 << i} ELSE 0 END)")
+    packed = "\n                 + ".join(bits)
+    return f"""
+        WITH keyed AS (
+            SELECT vec_id AS media_id,
+                   {d.intdiv(f'(vec_id % {DHASH_GROUPS})', '2')} AS fam,
+                   (vec_id % {DHASH_GROUPS}) % 2 AS parity
+            FROM embeddings
+        ),
+        frames AS (
+            SELECT media_id, fam, parity,
+                   CAST({d.explode_range(str(VHASH_FRAMES))} AS BIGINT)
+                       AS frame_idx
+            FROM keyed
+        )
+        SELECT media_id, frame_idx, CAST({packed} AS BIGINT) AS dhash
+        FROM frames
+    """
+
+
+def q_video_near_pairs(d: S.Dialect,
+                       min_common: int = VHASH_MIN_COMMON) -> str:
+    """Video near-pairs by shared-frame containment: DISTINCT frame
+    hashes per video, inverted-index equi-join on the hash, pairs
+    with >= ``min_common`` shared frames.  The join volume tracks
+    true frame-duplication density (random 60-bit collisions are
+    negligible) — the winnowing shape on frames."""
+    return f"""
+        WITH fh AS (
+            SELECT DISTINCT media_id, dhash
+            FROM ({q_video_frame_dhash(d)}) t
+        )
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM fh a JOIN fh b
+          ON a.dhash = b.dhash AND a.media_id < b.media_id
+        GROUP BY a.media_id, b.media_id
+        HAVING COUNT(*) >= {min_common}
+    """

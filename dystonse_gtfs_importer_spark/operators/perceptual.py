@@ -44,7 +44,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    BinaryType, LongType, StructField, StructType,
+    ArrayType, BinaryType, LongType, StructField, StructType,
 )
 
 from ..functions.dedup_sql import (
@@ -342,3 +342,125 @@ def audio_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = audio_ehash_query(spark, sf_dir) \
         .withColumnRenamed("ehash", "dhash")
     return image_near_pairs_banded(fp)
+
+
+# ---------------------------------------------------------------------------
+# Video: frame-sampled per-frame dHash over an array<binary> frames
+# column + shared-frame containment near-pairs (the winnowing shape
+# on frames).  Completes the perceptual family across all three
+# multimodal column types.
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frames", ArrayType(BinaryType())),
+])
+
+FRAME_FP_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("dhash", LongType()),
+])
+
+
+def synth_video_frame(vec_id: int, frame: int) -> np.ndarray:
+    """Deterministic frame grid — Python twin of dedup_sql._vframe_lum
+    (odd-parity members replace ONE whole frame with the alternate
+    'vidX' grid, so family members share VHASH_FRAMES - 1 frames)."""
+    from ..functions.dedup_sql import VHASH_FRAMES
+
+    g = vec_id % DHASH_GROUPS
+    fam, parity = divmod(g, 2)
+    pfx = "vid"
+    if parity == 1 and frame == _md5_byte(f"pertV#{fam}") % VHASH_FRAMES:
+        pfx = "vidX"
+    lum = np.array([_md5_byte(f"{pfx}#{fam}#{frame}#{i}")
+                    for i in range(DHASH_W * DHASH_H)], dtype=np.int32)
+    return lum.reshape(DHASH_H, DHASH_W).astype(np.uint8)
+
+
+def synth_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, frames) — VHASH_FRAMES real PNG stills per
+    embeddings.vec_id, carried as the array<binary> lake layout (the
+    frame SAMPLER runs at ingest; this stage stands in for it)."""
+    from ..functions.dedup_sql import VHASH_FRAMES
+
+    ids = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["vec_id"].astype("int64"),
+                "frames": [
+                    [encode_png(synth_video_frame(int(v), f))
+                     for f in range(VHASH_FRAMES)]
+                    for v in pdf["vec_id"]],
+            })
+
+    return ids.mapInPandas(encode, VIDEO_SCHEMA)
+
+
+def video_frame_dhash(media: DataFrame, id_col: str = "media_id",
+                      frames_col: str = "frames") -> DataFrame:
+    """(media_id, frame_idx, dhash): JVM-side posexplode of the frames
+    array (one row per frame — payload bytes still never shuffle as
+    join keys), then the image dHash kernel per frame.  Undecodable
+    frames drop row-wise."""
+    exploded = media.select(
+        F.col(id_col).alias("media_id"),
+        F.posexplode(F.col(frames_col)).alias("frame_idx", "payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, fidx, payload in zip(
+                    pdf["media_id"], pdf["frame_idx"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    hashes.append(dhash_64grid(img))
+                    ids.append(int(mid))
+                    idxs.append(int(fidx))
+                except (ValueError, IndexError):
+                    continue
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "dhash": pd.Series(hashes, dtype="int64")})
+
+    return exploded.mapInPandas(kernel, FRAME_FP_SCHEMA)
+
+
+def video_near_pairs(frame_fp: DataFrame,
+                     min_common: int | None = None) -> DataFrame:
+    """(media_a, media_b, n_common): videos sharing >= ``min_common``
+    DISTINCT frame hashes, via an inverted-index equi-join on the
+    frame hash — join volume tracks true frame duplication, never the
+    all-pairs product (random 60-bit frame-hash collisions are
+    negligible at any corpus size)."""
+    from ..functions.dedup_sql import VHASH_MIN_COMMON
+
+    if min_common is None:
+        min_common = VHASH_MIN_COMMON
+    fh = frame_fp.select("media_id", "dhash").distinct()
+    a, b = fh.alias("a"), fh.alias("b")
+    return (a.join(b, on=[F.col("a.dhash") == F.col("b.dhash"),
+                          F.col("a.media_id") < F.col("b.media_id")])
+            .groupBy(F.col("a.media_id").alias("media_a"),
+                     F.col("b.media_id").alias("media_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+            .where(F.col("n_common") >= min_common))
+
+
+def video_frame_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: array<binary> frames -> posexplode -> codec
+    dHash per frame, vs the pure-SQL frame-grid derivation."""
+    return video_frame_dhash(synth_video_table(spark, sf_dir))
+
+
+def video_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: shared-frame containment pairs over
+    codec-derived frame hashes vs the SQL inverted-index oracle over
+    the grid derivation."""
+    return video_near_pairs(
+        video_frame_dhash(synth_video_table(spark, sf_dir)))

@@ -3803,6 +3803,24 @@ QUERIES: dict[str, QueryDef] = {
                    "codec-derived eHash fingerprints vs the quadratic "
                    "all-pairs SQL oracle; planted family perturbations "
                    "land at hamming 0-2"),
+    "video_frame_dhash": QueryDef(
+        spark=PERC.video_frame_dhash_query,
+        oracle=D.q_video_frame_dhash(S.DUCKDB),
+        survey_ref="perceptual video fingerprints: array<binary> "
+                   "sampled frames -> JVM posexplode -> codec dHash "
+                   "per frame (one Arrow map pass; payloads never "
+                   "join keys), vs the pure-SQL frame-grid "
+                   "derivation - completes the perceptual family "
+                   "across all three multimodal column types"),
+    "video_near_pairs": QueryDef(
+        spark=PERC.video_near_pairs_query,
+        oracle=D.q_video_near_pairs(S.DUCKDB),
+        survey_ref="video near-duplicates by shared-frame "
+                   "containment: DISTINCT frame hashes per video, "
+                   "inverted-index equi-join on the 60-bit hash, "
+                   "pairs sharing >= 3 of 4 sampled frames (the "
+                   "winnowing shape on frames; join volume tracks "
+                   "true frame duplication)"),
     "image_dedup_keep": QueryDef(
         spark=PERC.image_dedup_keep_query,
         oracle=D.q_image_dedup_keep_oracle(S.DUCKDB),
@@ -3863,16 +3881,17 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "kmv_source_overlap", "mad_outliers",
     # -- (b) round-8-witnessed fills (displaceable by new r11 queries) --
     "scd2_intervals", "rolling_hour_avg", "non_final_stops",
-    "time_slot_histogram", "route_sections", "delay_rounding",
+    "time_slot_histogram",
     # -- round-11 registrations (displace the newest r8 fills) --
     "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
     "url_canonical_dedup", "image_dedup_keep", "audio_ehash",
     "audio_near_pairs_banded", "url_host_split",
     "embedding_decontam_recall_tables",
+    "video_frame_dhash", "video_near_pairs",
     # -- window boundary: entries below are outside the driver snapshot --
     # r8 fills displaced by round-11 registrations, then the remaining
     # round-8-witnessed entries (r8-window order)
-    "interval_overlap",
+    "route_sections", "delay_rounding", "interval_overlap",
     "autocomplete", "token_stats", "lang_id", "quality_score",
     "exact_dedup", "fingerprint_dedup", "source_overlap",
     "union_service_days", "latest_in_past", "orders_by_size",

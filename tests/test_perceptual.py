@@ -224,6 +224,52 @@ class TestAudioEhash:
         assert [r.media_id for r in out] == [1]
 
 
+class TestVideoFamily:
+    def test_family_shares_three_of_four_frames(self, spark, sf_smoke):
+        """Odd-parity members replace exactly one frame, so family
+        pairs land at n_common == 3 — and nothing else pairs."""
+        pairs = P.video_near_pairs_query(spark, sf_smoke).collect()
+        assert len(pairs) == 250
+        assert all(r.n_common == 3 for r in pairs)
+        assert all(r.media_b - r.media_a == 1 and r.media_a % 2 == 0
+                   for r in pairs)
+
+    def test_frame_hashes_match_sql_grid(self, spark, sf_smoke):
+        import duckdb
+
+        got = {(r.media_id, r.frame_idx, r.dhash)
+               for r in P.video_frame_dhash_query(
+                   spark, sf_smoke).collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{sf_smoke}/embeddings.parquet'")
+        ref = {tuple(t) for t in con.execute(
+            D.q_video_frame_dhash(S.DUCKDB)).fetchall()}
+        assert got == ref and len(got) == 2000
+
+    def test_corrupt_frame_drops_only_that_frame(self, spark):
+        frames = [bytearray(encode_png(P.synth_video_frame(0, f)))
+                  for f in range(D.VHASH_FRAMES)]
+        frames[2] = bytearray(b"garbage")
+        media = spark.createDataFrame(
+            [(5, frames)], "media_id long, frames array<binary>")
+        rows = P.video_frame_dhash(media).collect()
+        assert sorted(r.frame_idx for r in rows) == [0, 1, 3]
+
+    def test_reordered_frames_still_pair(self, spark):
+        """Containment on the frame-hash SET is order-invariant: a
+        re-cut of the same stills pairs at full n_common."""
+        fr = [bytearray(encode_png(P.synth_video_frame(2, f)))
+              for f in range(D.VHASH_FRAMES)]
+        media = spark.createDataFrame(
+            [(1, fr), (2, list(reversed(fr)))],
+            "media_id long, frames array<binary>")
+        pairs = P.video_near_pairs(P.video_frame_dhash(media)).collect()
+        assert [(r.media_a, r.media_b, r.n_common) for r in pairs] \
+            == [(1, 2, D.VHASH_FRAMES)]
+
+
 class TestPlanShape:
     def test_no_cartesian_in_banded_plan(self, spark, sf_smoke):
         """The near-pair join must be a hash equi-join on (band, bv) —
