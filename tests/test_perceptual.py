@@ -5,6 +5,7 @@ no-all-pairs plan pin."""
 from __future__ import annotations
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from dystonse_gtfs_importer_spark.functions import dedup_sql as D
@@ -268,6 +269,40 @@ class TestVideoFamily:
         pairs = P.video_near_pairs(P.video_frame_dhash(media)).collect()
         assert [(r.media_a, r.media_b, r.n_common) for r in pairs] \
             == [(1, 2, D.VHASH_FRAMES)]
+
+
+class TestWebdatasetIntegration:
+    def test_tar_shard_to_near_dup_pair(self, spark, tmp_path):
+        """The lake-ingest wiring end to end: a WebDataset tar shard
+        of real PNGs -> read_webdataset samples -> payload column ->
+        codec dHash -> banded near-pairs finds the planted edit."""
+        import io
+        import tarfile
+
+        from dystonse_gtfs_importer_spark.sources.webdataset import (
+            read_webdataset,
+        )
+
+        base = P.synth_grid(3)
+        edit = base.copy()
+        edit[1, 6] = (int(edit[1, 6]) + 128) % 256
+        other = P.synth_grid(40)
+        shard = tmp_path / "shard-000.tar"
+        with tarfile.open(shard, "w") as tf:
+            for key, img in (("000000", base), ("000001", edit),
+                             ("000002", other)):
+                payload = encode_png(img)
+                ti = tarfile.TarInfo(f"{key}.png")
+                ti.size = len(payload)
+                tf.addfile(ti, io.BytesIO(payload))
+        samples = read_webdataset(spark, str(tmp_path))
+        media = samples.select(
+            F.element_at("payloads", 1).alias("payload"),
+            F.col("sample_key").cast("long").alias("media_id"))
+        pairs = {(r.media_a, r.media_b)
+                 for r in P.image_near_pairs_banded(
+                     P.dhash_fingerprints(media)).collect()}
+        assert pairs == {(0, 1)}
 
 
 class TestPlanShape:
