@@ -290,6 +290,26 @@ def _parser() -> argparse.ArgumentParser:
                           "after a verified swap (default: keep it "
                           "until the operator has inspected the "
                           "migrated corpus)")
+    cmd_ = csub.add_parser(
+        "media-dedup",
+        help="perceptual near-dup over a media parquet: image "
+             "(binary payload -> dHash), audio (WAV payload -> "
+             "eHash), or video (array<binary> frames -> per-frame "
+             "dHash + shared-frame containment); writes keepers and "
+             "prints cluster accounting")
+    cmd_.add_argument("--media", required=True,
+                      help="parquet with media_id + payload (image/"
+                           "audio) or media_id + frames (video)")
+    cmd_.add_argument("--modality", choices=["image", "audio", "video"],
+                      default="image")
+    cmd_.add_argument("--out", default=None,
+                      help="keeper parquet path (default "
+                           "<media>.keepers)")
+    cmd_.add_argument("--max-hamming", type=int, default=3,
+                      help="image/audio near-pair threshold "
+                           "(banding-lossless up to 3)")
+    cmd_.add_argument("--min-common-frames", type=int, default=None,
+                      help="video shared-frame threshold (default 3)")
     return p
 
 
@@ -769,6 +789,55 @@ def _cmd_corpus_mixture(spark, args) -> int:
     return 0
 
 
+def _cmd_media_dedup(spark, args) -> int:
+    """Perceptual near-dup over a media parquet, keeper table out.
+
+    image/audio: payload -> fingerprint -> Hamming-banded pairs ->
+    CC min-id keeper (operators/perceptual.image_dedup_keep).
+    video: frames -> per-frame dHash -> shared-frame containment
+    pairs -> CC min-id keeper.  Keepers (the surviving full media
+    rows) land at --out; one JSON accounting line prints."""
+    import json
+
+    from .operators.graph import connected_components
+    from .operators.perceptual import (
+        dhash_fingerprints,
+        ehash_fingerprints,
+        image_dedup_keep,
+        video_frame_dhash,
+        video_near_pairs,
+    )
+
+    media = spark.read.parquet(args.media)
+    out = args.out or (args.media.rstrip("/") + ".keepers")
+    if args.modality == "video":
+        pairs = video_near_pairs(video_frame_dhash(media),
+                                 args.min_common_frames)
+        cc = connected_components(pairs, "media_a", "media_b",
+                                  nodes=media.select("media_id"))
+        keep_ids = (cc.where(F.col("node") == F.col("component"))
+                    .select(F.col("node").alias("media_id")))
+    else:
+        if args.modality == "audio":
+            fp = ehash_fingerprints(media) \
+                .withColumnRenamed("ehash", "dhash")
+        else:
+            fp = dhash_fingerprints(media)
+        decided = image_dedup_keep(fp, args.max_hamming)
+        keep_ids = decided.where(F.col("is_keeper") == 1) \
+            .select("media_id")
+    keepers = media.join(keep_ids, "media_id", "left_semi")
+    keepers.write.mode("overwrite").parquet(out)
+    n_media = media.count()
+    n_keep = spark.read.parquet(out).count()
+    print(json.dumps({"media": args.media, "modality": args.modality,
+                      "out": out, "n_media": n_media,
+                      "n_keepers": n_keep,
+                      "n_dropped": n_media - n_keep},
+                     sort_keys=True))
+    return 0
+
+
 def _cmd_corpus_report(spark, args) -> int:
     """`corpus calibrate` / `corpus fertility` / `corpus pii-report`:
     read-only governance faces of the registered (driver-verified)
@@ -933,6 +1002,8 @@ def cmd_corpus(spark, args) -> int:
         result["corpus"] = corpus
         print(json.dumps(result, sort_keys=True))
         return 0
+    if args.cmode == "media-dedup":
+        return _cmd_media_dedup(spark, args)
     if args.cmode in ("calibrate", "fertility", "pii-report",
                       "plan-dedup", "charclass", "lengths",
                       "langid", "langid-v1", "induce-bpe"):

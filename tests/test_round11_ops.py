@@ -59,6 +59,80 @@ EDGE_URLS = [
 ]
 
 
+class TestMediaDedupCli:
+    def test_image_media_dedup_cli(self, spark, tmp_path, capsys):
+        """`corpus media-dedup` end to end: a media parquet with a
+        planted near-dup image loses the duplicate, keeps the rest,
+        and prints the accounting line."""
+        import json as _json
+
+        from dystonse_gtfs_importer_spark.cli import main
+        from dystonse_gtfs_importer_spark.operators import (
+            perceptual as P,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs \
+            import encode_png
+
+        base = P.synth_grid(6)
+        edit = base.copy()
+        edit[4, 4] = (int(edit[4, 4]) + 128) % 256
+        rows = [(10, bytearray(encode_png(base))),
+                (11, bytearray(encode_png(edit))),
+                (12, bytearray(encode_png(P.synth_grid(33))))]
+        media_path = tmp_path / "media.parquet"
+        spark.createDataFrame(rows, "media_id long, payload binary") \
+            .write.parquet(str(media_path))
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "media-dedup", "--media", str(media_path),
+                   "--modality", "image",
+                   "--out", str(tmp_path / "keep.parquet")],
+                  spark=spark)
+        assert rc == 0
+        acct = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert acct["n_media"] == 3 and acct["n_keepers"] == 2 \
+            and acct["n_dropped"] == 1
+        kept = sorted(r.media_id for r in spark.read.parquet(
+            str(tmp_path / "keep.parquet")).collect())
+        assert kept == [10, 12]
+
+    def test_video_media_dedup_cli(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from dystonse_gtfs_importer_spark.cli import main
+        from dystonse_gtfs_importer_spark.functions.dedup_sql import (
+            VHASH_FRAMES,
+        )
+        from dystonse_gtfs_importer_spark.operators import (
+            perceptual as P,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs \
+            import encode_png
+
+        fr = [bytearray(encode_png(P.synth_video_frame(2, f)))
+              for f in range(VHASH_FRAMES)]
+        recut = list(reversed(fr))
+        other = [bytearray(encode_png(P.synth_video_frame(77, f)))
+                 for f in range(VHASH_FRAMES)]
+        media_path = tmp_path / "vids.parquet"
+        spark.createDataFrame(
+            [(1, fr), (2, recut), (3, other)],
+            "media_id long, frames array<binary>") \
+            .write.parquet(str(media_path))
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "media-dedup", "--media", str(media_path),
+                   "--modality", "video",
+                   "--out", str(tmp_path / "vkeep.parquet")],
+                  spark=spark)
+        assert rc == 0
+        acct = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert acct["n_keepers"] == 2 and acct["n_dropped"] == 1
+        kept = sorted(r.media_id for r in spark.read.parquet(
+            str(tmp_path / "vkeep.parquet")).collect())
+        assert kept == [1, 3]
+
+
 class TestUrlCanon:
     def test_edge_cases_match_urllib(self):
         con = duckdb.connect()
