@@ -795,8 +795,12 @@ def _cmd_media_dedup(spark, args) -> int:
     image/audio: payload -> fingerprint -> Hamming-banded pairs ->
     CC min-id keeper (operators/perceptual.image_dedup_keep).
     video: frames -> per-frame dHash -> shared-frame containment
-    pairs -> CC min-id keeper.  Keepers (the surviving full media
-    rows) land at --out; one JSON accounting line prints."""
+    pairs -> CC min-id keeper.  ALL modalities seed the component
+    node set with every media_id, so undecodable payloads (which
+    never fingerprint) survive as singleton keepers — uniform keeper
+    semantics, counted separately in the accounting line
+    (n_undecodable).  Keepers (the surviving full media rows) land at
+    --out; one JSON accounting line prints."""
     import json
 
     from .operators.graph import connected_components
@@ -811,21 +815,27 @@ def _cmd_media_dedup(spark, args) -> int:
     media = spark.read.parquet(args.media)
     out = args.out or (args.media.rstrip("/") + ".keepers")
     if args.modality == "video":
-        pairs = video_near_pairs(video_frame_dhash(media),
-                                 args.min_common_frames)
+        fp = video_frame_dhash(media)
+        pairs = video_near_pairs(fp, args.min_common_frames)
         cc = connected_components(pairs, "media_a", "media_b",
                                   nodes=media.select("media_id"))
         keep_ids = (cc.where(F.col("node") == F.col("component"))
                     .select(F.col("node").alias("media_id")))
+        n_fingerprinted = fp.select("media_id").distinct().count()
     else:
         if args.modality == "audio":
             fp = ehash_fingerprints(media) \
                 .withColumnRenamed("ehash", "dhash")
         else:
             fp = dhash_fingerprints(media)
-        decided = image_dedup_keep(fp, args.max_hamming)
+        # nodes = the FULL id set: undecodable media (absent from fp)
+        # become singleton components and survive as keepers — same
+        # semantics as the video leg (round-12 ADVICE)
+        decided = image_dedup_keep(fp, args.max_hamming,
+                                   nodes=media.select("media_id"))
         keep_ids = decided.where(F.col("is_keeper") == 1) \
             .select("media_id")
+        n_fingerprinted = fp.count()
     keepers = media.join(keep_ids, "media_id", "left_semi")
     keepers.write.mode("overwrite").parquet(out)
     n_media = media.count()
@@ -833,7 +843,8 @@ def _cmd_media_dedup(spark, args) -> int:
     print(json.dumps({"media": args.media, "modality": args.modality,
                       "out": out, "n_media": n_media,
                       "n_keepers": n_keep,
-                      "n_dropped": n_media - n_keep},
+                      "n_dropped": n_media - n_keep,
+                      "n_undecodable": n_media - n_fingerprinted},
                      sort_keys=True))
     return 0
 

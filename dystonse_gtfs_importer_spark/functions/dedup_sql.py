@@ -1145,6 +1145,7 @@ DHASH_BITS = 60         # keep bits 0..59: clear of the BIGINT sign bit
 DHASH_BANDS = 4         # 4 x 15-bit bands: pigeonhole for hamming <= 3
 DHASH_GROUPS = 2000     # synthetic grid: vec_id % DHASH_GROUPS share a
                         # family (vec_id % 2 perturbs one pixel)
+assert DHASH_BITS <= DHASH_H * (DHASH_W - 1)  # bits must fit the comparison grid
 
 
 def _dhash_lum(d: S.Dialect, fam: str, idx: str, parity: str) -> str:
@@ -1179,7 +1180,7 @@ def q_image_dhash(d: S.Dialect) -> str:
     both engines."""
     bits = []
     for i in range(DHASH_BITS):
-        r, c = divmod(i, DHASH_H)
+        r, c = divmod(i, DHASH_W - 1)
         left = _dhash_lum(d, "fam", str(r * DHASH_W + c), "parity")
         right = _dhash_lum(d, "fam", str(r * DHASH_W + c + 1), "parity")
         bits.append(f"(CASE WHEN ({left}) < ({right}) "
@@ -1367,7 +1368,7 @@ def q_video_frame_dhash(d: S.Dialect) -> str:
     by embeddings.vec_id."""
     bits = []
     for i in range(DHASH_BITS):
-        r, c = divmod(i, DHASH_H)
+        r, c = divmod(i, DHASH_W - 1)
         left = _vframe_lum(d, "fam", "frame_idx",
                            str(r * DHASH_W + c), "parity")
         right = _vframe_lum(d, "fam", "frame_idx",

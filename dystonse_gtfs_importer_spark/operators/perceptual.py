@@ -123,7 +123,9 @@ def dhash_64grid(img: np.ndarray) -> int:
     grid = resize_nearest(lum, DHASH_W, DHASH_H)
     h = 0
     for i in range(DHASH_BITS):
-        r, c = divmod(i, DHASH_H)
+        # comparisons-per-row is DHASH_W - 1 (not DHASH_H, which only
+        # coincidentally equals it at 9x8)
+        r, c = divmod(i, DHASH_W - 1)
         if grid[r, c] < grid[r, c + 1]:
             h |= 1 << i
     return h
@@ -204,12 +206,21 @@ def image_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def image_dedup_keep(fp: DataFrame,
-                     max_hamming: int = 3) -> DataFrame:
+                     max_hamming: int = 3,
+                     nodes: DataFrame | None = None) -> DataFrame:
     """The keeper rule over perceptual clusters: Hamming-banded near
     pairs -> connected components (operators/graph, min-id labels,
     O(log n) rounds) -> per media: cluster id, cluster size, and
     is_keeper (the cluster's minimum id survives — the same
     deterministic convention as dedup_cluster_survivors).
+
+    ``nodes`` (one ``media_id`` column) widens the CC node set beyond
+    the fingerprinted rows — pass the FULL media id set so
+    undecodable payloads (absent from ``fp`` by the failed-file
+    lifecycle) survive as singleton keepers instead of silently
+    dropping, matching the video modality's semantics (round-12
+    ADVICE).  Default (None) keeps the fingerprint-only node set the
+    registry oracle pins.
 
     Scale note: ``fp`` feeds both the pair join and the CC node set —
     persist the fingerprint table first on a real corpus so the
@@ -217,8 +228,10 @@ def image_dedup_keep(fp: DataFrame,
     from pyspark.sql.window import Window
 
     pairs = image_near_pairs_banded(fp, max_hamming)
-    cc = connected_components(pairs, "media_a", "media_b",
-                              nodes=fp.select("media_id"))
+    cc = connected_components(
+        pairs, "media_a", "media_b",
+        nodes=(nodes.select("media_id") if nodes is not None
+               else fp.select("media_id")))
     w = Window.partitionBy("cluster_id")
     return (cc.select(F.col("node").alias("media_id"),
                       F.col("component").alias("cluster_id"))

@@ -3853,51 +3853,24 @@ QUERIES: dict[str, QueryDef] = {
 # oldest-witnessed entries, plus the round's new registrations.
 # ---------------------------------------------------------------------------
 REGISTRY_ORDER: tuple[str, ...] = (
-    # Round-11 rotation (VERDICT r10 #1): after the green round 10,
-    # every registry entry has a driver row and the age distribution
-    # is r10:50 r9:50 r8:47 r7:35.  This round's window witnesses, in
-    # priority order, (a) the 35 entries whose latest driver row is
-    # round 7 (now the oldest cohort), and (b) the 15 oldest
-    # round-8-witnessed entries as fills.  New round-11 registrations
-    # may be inserted at the END of the window (displacing round-8
-    # fills, whose records are freshest among the window) only before
-    # the round-11 freeze.  A green round 11 leaves no registry entry
-    # with a driver row older than round 8.
+    # Round-12 rotation (VERDICT r11 #1): after the green round 11,
+    # the oldest cohort is the 43 entries whose latest driver row is
+    # round 8 (below the r11 boundary).  This round's window = all 43
+    # of those + the 7 oldest round-9-witnessed entries as fills.
+    # New round-12 registrations may displace the r9 fills (freshest
+    # records in the window) at the window TAIL only, before the
+    # round-12 freeze.  A green round 12 leaves no registry entry
+    # with a driver row older than round 9.
     # Do NOT insert new names anywhere above the "-- window boundary"
     # marker mid-round.
     # tests/test_sql_parity.py::test_registry_window_frozen pins this.
-    # -- (a) latest driver row is round 7 (oldest records) --
-    "token_entropy", "kmeans_lloyd2", "leakage_safe_split",
-    "quality_budget_select", "jsonl_scan", "corpus_report",
-    "asof_join_salted", "cosine_near_dup_lsh", "json_props_stats",
-    "json_key_histogram", "label_centroid_stats", "knn_label_agreement",
-    "interval_join_bucketed", "dedup_clusters", "vocab_topk",
-    "zorder_keys", "salted_aggregate", "salted_join", "hll_shard_merge",
-    "bloom_membership", "tfidf_topk", "decontaminate",
-    "token_shard_packing", "token_shard_packing_scale",
-    "boilerplate_scrub", "pii_scan", "weighted_sample_topk",
-    "skew_profile", "curriculum_schedule", "pca_power_iter",
-    "containment_pairs", "perplexity_tiers", "decayed_engagement",
-    "kmv_source_overlap", "mad_outliers",
-    # -- (b) round-8-witnessed fills (displaceable by new r11 queries) --
-    "scd2_intervals", "rolling_hour_avg", "non_final_stops",
-    "time_slot_histogram",
-    # -- round-11 registrations (displace the newest r8 fills) --
-    "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
-    "url_canonical_dedup", "image_dedup_keep", "audio_ehash",
-    "audio_near_pairs_banded", "url_host_split",
-    "embedding_decontam_recall_tables",
-    "video_frame_dhash", "video_near_pairs",
-    # -- window boundary: entries below are outside the driver snapshot --
-    # r8 fills displaced by round-11 registrations, then the remaining
-    # round-8-witnessed entries (r8-window order)
-    "route_sections", "delay_rounding", "interval_overlap",
-    "autocomplete", "token_stats", "lang_id", "quality_score",
-    "exact_dedup", "fingerprint_dedup", "source_overlap",
-    "union_service_days", "latest_in_past", "orders_by_size",
-    "trip_resolution", "noon_datetime", "contiguous_trips",
-    "value_percentiles", "minhash_lsh_pairs", "simhash",
-    "simhash_near_pairs", "simhash_near_pairs_banded",
+    # -- (a) latest driver row is round 8 (oldest records) --
+    "route_sections", "delay_rounding", "interval_overlap", "autocomplete",
+    "token_stats", "lang_id", "quality_score", "exact_dedup",
+    "fingerprint_dedup", "source_overlap", "union_service_days",
+    "latest_in_past", "orders_by_size", "trip_resolution", "noon_datetime",
+    "contiguous_trips", "value_percentiles", "minhash_lsh_pairs",
+    "simhash", "simhash_near_pairs", "simhash_near_pairs_banded",
     "ngram_jaccard_pairs", "blocklist_filter", "blocklist_scrub",
     "shard_manifest", "lsh_config_planner", "table_profile",
     "pricing_summary", "ecdf_curve", "ecdf_curve_focused",
@@ -3905,9 +3878,11 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "semdedup_keep", "global_minmax", "distinct_users", "rollup_ladder",
     "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
     "latest_wins", "forward_fill",
-    # round-9-witnessed entries (the freshest records), r9-window order
+    # -- (b) round-9-witnessed fills (displaceable by new r12 queries) --
     "sequence_pack", "sequence_fill", "sequence_emit", "mixture_weights",
     "mixture_weights_target", "mixture_drift", "dedup_keep_best",
+    # -- window boundary: entries below are outside the driver snapshot --
+    # remaining round-9-witnessed entries (r9-window order)
     "ann_recall", "hybrid_rrf_topk", "corpus_diff", "sequence_pack_ffd",
     "table_profile_approx", "edit_distance_near_pairs", "oov_rate",
     "retrieval_eval", "hard_negative_topk", "centroid_similarity_matrix",
@@ -3922,26 +3897,45 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "sparse_cosine_pairs", "equidepth_histogram", "pagerank_iter2",
     "dsir_weights", "bm25_topk", "source_kl_divergence", "zipf_slope",
     "embedding_norm_outliers",
-    # round-10-witnessed entries (the freshest records), r10-window order
+    # round-10-witnessed entries (r10-window order)
     "pq_codes", "ann_pq_topk", "ann_ivfpq_topk", "pq_recall",
     "tokenizer_fertility", "quality_calibration", "dedup_threshold_sweep",
     "dedup_threshold_sweep_lsh", "batch_schedule", "sequence_loss_mask",
     "logreg_quality_iter2", "shuffle_run_audit", "decontamination_report",
     "embedding_exact_dedup", "lang_id_confusion", "html_extract",
     "link_domain_histogram", "charclass_profile", "source_release_gate",
-    "nn_similarity_histogram", "length_calibration",
-    "temperature_sample", "stratified_sample", "hash_bernoulli_sample",
-    "seeded_shuffle", "bigram_lm_score", "stratified_sample_scale",
-    "countmin_heavy_hitters", "hll_distinct",
-    "weighted_stratified_sample", "bpe_token_histogram", "kmeans_clusters",
-    "kmv_overlap_estimate", "exactsubstr_cut", "exactsubstr_cut_capped",
-    "repeated_spans_scalable", "packing_efficiency",
-    "weighted_stratified_sample_scale", "ngram_novelty",
-    "histogram_quantiles", "posting_lists", "suffix_ranks",
-    "equidepth_histogram_scale", "repeated_spans",
+    "nn_similarity_histogram", "length_calibration", "temperature_sample",
+    "stratified_sample", "hash_bernoulli_sample", "seeded_shuffle",
+    "bigram_lm_score", "stratified_sample_scale", "countmin_heavy_hitters",
+    "hll_distinct", "weighted_stratified_sample", "bpe_token_histogram",
+    "kmeans_clusters", "kmv_overlap_estimate", "exactsubstr_cut",
+    "exactsubstr_cut_capped", "repeated_spans_scalable",
+    "packing_efficiency", "weighted_stratified_sample_scale",
+    "ngram_novelty", "histogram_quantiles", "posting_lists",
+    "suffix_ranks", "equidepth_histogram_scale", "repeated_spans",
     "lang_id_v2", "lang_id_confusion_v2", "ann_pq_topk_packed",
     "quality_weighted_mixture", "bpe_merges_iter2",
     "embedding_decontamination",
+    # round-11-witnessed entries (the freshest records), r11-window order
+    "token_entropy", "kmeans_lloyd2", "leakage_safe_split",
+    "quality_budget_select", "jsonl_scan", "corpus_report",
+    "asof_join_salted", "cosine_near_dup_lsh", "json_props_stats",
+    "json_key_histogram", "label_centroid_stats", "knn_label_agreement",
+    "interval_join_bucketed", "dedup_clusters", "vocab_topk",
+    "zorder_keys", "salted_aggregate", "salted_join", "hll_shard_merge",
+    "bloom_membership", "tfidf_topk", "decontaminate",
+    "token_shard_packing", "token_shard_packing_scale",
+    "boilerplate_scrub", "pii_scan", "weighted_sample_topk",
+    "skew_profile", "curriculum_schedule", "pca_power_iter",
+    "containment_pairs", "perplexity_tiers", "decayed_engagement",
+    "kmv_source_overlap", "mad_outliers", "scd2_intervals",
+    "rolling_hour_avg", "non_final_stops", "time_slot_histogram",
+    "image_dhash", "image_near_pairs_banded", "embedding_decontam_recall",
+    "url_canonical_dedup", "image_dedup_keep", "audio_ehash",
+    "audio_near_pairs_banded", "url_host_split",
+    "embedding_decontam_recall_tables", "video_frame_dhash",
+    "video_near_pairs",
+
 )
 
 DRIVER_WINDOW = 50

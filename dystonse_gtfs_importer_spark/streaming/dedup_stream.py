@@ -638,15 +638,22 @@ def run_dedup_stream(
     docs_path = str(Path(out_dir) / "documents")
 
     def _probe_docs():
-        """The corpus probe, lenient to a crashed FIRST write: a
-        documents dir holding only a _temporary staging subdir (no
-        committed footers) has no readable schema — treat it as
-        no-committed-data instead of raising 'unable to infer schema'
-        before the clearer downstream diagnostics."""
-        try:
-            return spark.read.parquet(docs_path)
-        except Exception:
+        """The corpus probe, lenient ONLY to a crashed FIRST write: a
+        documents dir holding nothing but staging/metadata entries
+        (``_temporary`` from a crashed write, checksum files, ...) has
+        no committed footers — return None instead of raising 'unable
+        to infer schema'.  Classified by NAME, mirroring
+        :func:`read_fingerprint_store`: committed partition dirs never
+        start with '_'/'.'.  Any read failure over real committed
+        entries (corrupt files, transient IO) PROPAGATES — mapping it
+        to no-committed-data would reset the ingest offset to 0 and
+        let a later batch's dynamic partition overwrite clobber
+        committed ingest_batch partitions, re-publishing duplicates."""
+        p = Path(docs_path)
+        if not p.exists() or not any(
+                not e.name.startswith(("_", ".")) for e in p.iterdir()):
             return None
+        return spark.read.parquet(docs_path)
 
     ckp = Path(checkpoint_dir)
     ckp.mkdir(parents=True, exist_ok=True)

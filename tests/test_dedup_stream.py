@@ -460,6 +460,35 @@ class TestCheckpointGenerationOffset:
         docs = spark.read.parquet(str(out / "documents"))
         assert [r.doc_id for r in docs.collect()] == [1]
 
+    def test_corrupt_committed_docs_fail_loud_not_offset_reset(
+            self, spark, tmp_path):
+        """A documents dir with COMMITTED-looking entries (names not
+        starting with '_'/'.') that fail to read must PROPAGATE the
+        read error at start-time, not map to 'no committed data': a
+        silent offset-0 reset would let a later batch's dynamic
+        partition overwrite clobber committed ingest_batch partitions
+        and re-publish duplicates (round-12 ADVICE)."""
+        import pytest
+
+        from dystonse_gtfs_importer_spark.streaming.dedup_stream import (
+            run_dedup_stream,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        out = tmp_path / "out"
+        ck = tmp_path / "ck"
+        part = out / "documents" / "ingest_batch=0"
+        part.mkdir(parents=True)
+        (part / "part-0000.parquet").write_bytes(b"not parquet at all")
+        _write_batch(in_dir, "b0.json", [
+            {"doc_id": 1, "text": "alpha beta gamma delta",
+             "lang": "en", "source": "s"},
+        ])
+        with pytest.raises(Exception):
+            run_dedup_stream(spark, str(in_dir), str(out), str(ck))
+        assert not (ck / "ingest_offset.json").exists()
+
     def test_legacy_checkpoint_replay_does_not_duplicate(
             self, spark, tmp_path):
         import json as _json

@@ -96,6 +96,44 @@ class TestMediaDedupCli:
             str(tmp_path / "keep.parquet")).collect())
         assert kept == [10, 12]
 
+    def test_undecodable_media_survive_as_singleton_keepers(
+            self, spark, tmp_path, capsys):
+        """Uniform keeper semantics across modalities (round-12
+        ADVICE): an image payload that fails to decode never
+        fingerprints, but it must still survive as a singleton keeper
+        (like the video leg) and be counted in n_undecodable."""
+        import json as _json
+
+        from dystonse_gtfs_importer_spark.cli import main
+        from dystonse_gtfs_importer_spark.operators import (
+            perceptual as P,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs \
+            import encode_png
+
+        base = P.synth_grid(6)
+        edit = base.copy()
+        edit[4, 4] = (int(edit[4, 4]) + 128) % 256
+        rows = [(10, bytearray(encode_png(base))),
+                (11, bytearray(encode_png(edit))),
+                (12, bytearray(b"definitely not a PNG"))]
+        media_path = tmp_path / "media2.parquet"
+        spark.createDataFrame(rows, "media_id long, payload binary") \
+            .write.parquet(str(media_path))
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "media-dedup", "--media", str(media_path),
+                   "--modality", "image",
+                   "--out", str(tmp_path / "keep2.parquet")],
+                  spark=spark)
+        assert rc == 0
+        acct = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert acct["n_media"] == 3 and acct["n_keepers"] == 2 \
+            and acct["n_dropped"] == 1 and acct["n_undecodable"] == 1
+        kept = sorted(r.media_id for r in spark.read.parquet(
+            str(tmp_path / "keep2.parquet")).collect())
+        assert kept == [10, 12]
+
     def test_video_media_dedup_cli(self, spark, tmp_path, capsys):
         import json as _json
 

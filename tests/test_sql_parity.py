@@ -331,25 +331,26 @@ class TestRegistryWindow:
         # append (after the window), never displace the first 50
         assert tuple(names[: len(oq.REGISTRY_ORDER)]) == oq.REGISTRY_ORDER
         window = set(names[: oq.DRIVER_WINDOW])
-        # round-11 rotation: the 35 entries whose latest driver
-        # CORRECTNESS row is round 7 — the oldest cohort after the
-        # green round 10 — must all sit inside the snapshot window
-        # (VERDICT r10 prescription #1); round-8 fills take the rest
+        # round-12 rotation: the 43 entries whose latest driver
+        # CORRECTNESS row is round 8 — the oldest cohort after the
+        # green round 11 — must all sit inside the snapshot window
+        # (VERDICT r11 prescription #1); round-9 fills take the rest
         must_witness = {
-            "token_entropy", "kmeans_lloyd2", "leakage_safe_split",
-            "quality_budget_select", "jsonl_scan", "corpus_report",
-            "asof_join_salted", "cosine_near_dup_lsh",
-            "json_props_stats", "json_key_histogram",
-            "label_centroid_stats", "knn_label_agreement",
-            "interval_join_bucketed", "dedup_clusters", "vocab_topk",
-            "zorder_keys", "salted_aggregate", "salted_join",
-            "hll_shard_merge", "bloom_membership", "tfidf_topk",
-            "decontaminate", "token_shard_packing",
-            "token_shard_packing_scale", "boilerplate_scrub",
-            "pii_scan", "weighted_sample_topk", "skew_profile",
-            "curriculum_schedule", "pca_power_iter",
-            "containment_pairs", "perplexity_tiers",
-            "decayed_engagement", "kmv_source_overlap", "mad_outliers",
+            "route_sections", "delay_rounding", "interval_overlap",
+            "autocomplete", "token_stats", "lang_id", "quality_score",
+            "exact_dedup", "fingerprint_dedup", "source_overlap",
+            "union_service_days", "latest_in_past", "orders_by_size",
+            "trip_resolution", "noon_datetime", "contiguous_trips",
+            "value_percentiles", "minhash_lsh_pairs", "simhash",
+            "simhash_near_pairs", "simhash_near_pairs_banded",
+            "ngram_jaccard_pairs", "blocklist_filter",
+            "blocklist_scrub", "shard_manifest", "lsh_config_planner",
+            "table_profile", "pricing_summary", "ecdf_curve",
+            "ecdf_curve_focused", "curve_stack_stats",
+            "hourly_event_stats", "ann_ivf_topk", "semdedup_keep",
+            "global_minmax", "distinct_users", "rollup_ladder",
+            "stop_pair_counts", "asof_join", "anti_join",
+            "spatial_neighbors", "latest_wins", "forward_fill",
         }
         assert must_witness <= window
 
