@@ -1211,6 +1211,121 @@ def q_image_near_pairs(d: S.Dialect) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Distortion-robustness recall audit (VERDICT r11 #2): plant REAL
+# distortions through the codecs and measure how many distorted copies
+# stay within the shipping near-dup threshold (hamming <= DHASH_BANDS-1)
+# of their original.  The oracle derives each distortion's EXACT effect
+# on the luminance grid in pure SQL — brightness clips are LEAST/
+# GREATEST arithmetic; nearest-neighbor resizes compose two integer
+# index maps (src = min(dst*n_in//n_out, n_in-1), the published
+# formula) — so the cross-engine hash match proves the real
+# encode -> distort -> decode -> resample -> dHash pipeline behaves
+# exactly as the integer model predicts.  JPEG re-encode (float DCT +
+# quantization) has no bit-exact SQL twin; that class ships as a
+# separate rows-only registry entry with pytest-pinned recall values.
+# ---------------------------------------------------------------------------
+
+RECALL_BRIGHT_DELTA = 24      # +/- luminance shift; clips at 0/255
+RECALL_DOWN_W, RECALL_DOWN_H = 7, 6    # lossy downscale dims
+RECALL_UP_W, RECALL_UP_H = 18, 16      # integer x2 upscale dims
+RECALL_CLASSES = ("bright_down", "bright_up", "resize_down",
+                  "resize_up2")
+JPEG_RECALL_QUALITIES = (85, 50)
+
+
+def _nn_index_map(n_out: int, n_in: int) -> list[int]:
+    """resize_nearest's integer source-index map (same published
+    formula, derived independently of the numpy code)."""
+    return [min(i * n_in // n_out, n_in - 1) for i in range(n_out)]
+
+
+def _dhash_expr_over(pix) -> str:
+    """60-bit dHash SQL expression over a pixel macro pix(r, c)."""
+    bits = []
+    for i in range(DHASH_BITS):
+        r, c = divmod(i, DHASH_W - 1)
+        bits.append(f"(CASE WHEN ({pix(r, c)}) < ({pix(r, c + 1)}) "
+                    f"THEN {1 << i} ELSE 0 END)")
+    return "(" + "\n                 + ".join(bits) + ")"
+
+
+def q_image_dedup_recall(d: S.Dialect) -> str:
+    """Pure-SQL derivation of the distortion-recall table: per
+    distortion class over the family originals (even vec_id <
+    DHASH_GROUPS), the planted count, how many distorted copies stay
+    within hamming <= DHASH_BANDS-1 of their original (= exactly the
+    pairs the shipping banded join emits — banding is pigeonhole-
+    lossless, proven by image_near_pairs_banded's own oracle), the
+    recall in basis points, and the mean hamming in centibits.
+
+    resize_up2 is PROVABLY identity: an integer-factor nearest
+    upscale followed by the dHash grid's exact down-map lands every
+    sample back on its source pixel (dst*2 -> src dst*2*h//(2h) =
+    dst), so its oracle hash is the original's — the Spark side still
+    round-trips a real 16x18 PNG to prove the codec path honors it."""
+    opix = lambda r, c: _dhash_lum(d, "fam", str(r * DHASH_W + c),
+                                   "parity")
+    bu = lambda r, c: (f"LEAST(({opix(r, c)}) + {RECALL_BRIGHT_DELTA},"
+                       " 255)")
+    bd = lambda r, c: (f"GREATEST(({opix(r, c)}) - "
+                       f"{RECALL_BRIGHT_DELTA}, 0)")
+    # resize_down composition: dHash resamples the (DOWN_H, DOWN_W)
+    # image back to (DHASH_H, DHASH_W); each final (r, c) reads the
+    # original pixel at (down_rows[gr_rows[r]], down_cols[gr_cols[c]])
+    gr_rows = _nn_index_map(DHASH_H, RECALL_DOWN_H)
+    gr_cols = _nn_index_map(DHASH_W, RECALL_DOWN_W)
+    down_rows = _nn_index_map(RECALL_DOWN_H, DHASH_H)
+    down_cols = _nn_index_map(RECALL_DOWN_W, DHASH_W)
+    rd = lambda r, c: _dhash_lum(
+        d, "fam",
+        str(down_rows[gr_rows[r]] * DHASH_W + down_cols[gr_cols[c]]),
+        "parity")
+    legs = [
+        ("bright_down", "h_bd", _dhash_expr_over(bd)),
+        ("bright_up", "h_bu", _dhash_expr_over(bu)),
+        ("resize_down", "h_rd", _dhash_expr_over(rd)),
+        ("resize_up2", "h_orig", None),  # identity by index math
+    ]
+    hash_cols = ",\n               ".join(
+        f"CAST({expr} AS BIGINT) AS {col}"
+        for _, col, expr in legs if expr is not None)
+    per = "\n            UNION ALL ".join(
+        f"SELECT '{name}' AS distortion, "
+        f"bit_count({d.xor('h_orig', col)}) AS hamming FROM hashes"
+        for name, col, _ in legs)
+    return f"""
+        WITH keyed AS (
+            SELECT vec_id AS media_id,
+                   {d.intdiv(f'(vec_id % {DHASH_GROUPS})', '2')} AS fam,
+                   (vec_id % {DHASH_GROUPS}) % 2 AS parity
+            FROM embeddings
+            WHERE vec_id < {DHASH_GROUPS} AND vec_id % 2 = 0
+        ),
+        hashes AS (
+            SELECT media_id,
+               CAST({_dhash_expr_over(opix)} AS BIGINT) AS h_orig,
+               {hash_cols}
+            FROM keyed
+        ),
+        per AS (
+            {per}
+        )
+        SELECT distortion,
+               CAST(COUNT(*) AS BIGINT) AS n_planted,
+               CAST(SUM(CASE WHEN hamming <= {DHASH_BANDS - 1}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled,
+               CAST({d.intdiv(
+                   f'SUM(CASE WHEN hamming <= {DHASH_BANDS - 1} '
+                   'THEN 1 ELSE 0 END) * 10000', 'COUNT(*)')}
+                    AS BIGINT) AS recall_e4,
+               CAST({d.intdiv('SUM(hamming) * 100', 'COUNT(*)')}
+                    AS BIGINT) AS mean_hamming_e2
+        FROM per
+        GROUP BY distortion
+    """
+
+
 def q_image_dedup_keep_oracle(d: S.Dialect) -> str:
     """Recursive-CTE fixpoint oracle for the perceptual dedup keeper
     (cross-derivation twin of operators/perceptual.image_dedup_keep's
@@ -1322,6 +1437,120 @@ def q_audio_near_pairs(d: S.Dialect) -> str:
                bit_count({d.xor('a.ehash', 'b.ehash')}) AS hamming
         FROM fp a JOIN fp b ON a.media_id < b.media_id
         WHERE bit_count({d.xor('a.ehash', 'b.ehash')}) <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# Spectral audio fingerprint ("sHash", VERDICT r11 #3) — SQL half.
+#
+# The r11 eHash is a time-domain energy envelope: it provably cannot
+# distinguish equal-energy different-pitch clips (a tone at bin 2 and
+# a tone at bin 4 with DC >= amplitude have IDENTICAL per-segment L1
+# envelopes — see tests/test_perceptual.py::TestSpectralHash).  The
+# spectral hash is the Haitsma–Kalker robust-fingerprint shape
+# (public audio-fingerprinting literature) reduced to this clip
+# grid: per 8-sample window, rFFT band energies; bit = sign of the
+# TIME-DELTA of adjacent BAND-energy differences.
+#
+# Cross-engine exactness: the kernel runs numpy's real rFFT (the true
+# float DSP path); the oracle computes band energies by exact integer
+# algebra.  Bins 0/2/4 of an 8-point DFT have twiddles in {±1, ±i},
+# so their energies are integers and float64 reproduces them
+# BIT-EXACTLY (|X|^2 < 2^53; verified over random int16 windows) —
+# the hash match therefore proves the float FFT agrees with integer
+# algebra on every window.  Bins 1/3 involve sqrt(2)/2 and are
+# excluded from the band set for exactly that reason (documented
+# restriction, not a limitation of the Spark side).
+#
+# Synthetic clip grid: segment j carries a pure tone at bin k_j in
+# {2, 4} with amplitude A_j over a DC offset D_j >= A_j (so the L1
+# envelope is 8*D_j*STEP regardless of pitch — the eHash blind spot
+# is BUILT INTO the fixture).  Band energies (x STEP^2):
+#   B0 = (8 D)^2,  B1 = |X_2|^2 = (4A)^2 if k=2 else 0,
+#   B2 = |X_4|^2 = (8A)^2 if k=4 else 0.
+# Odd parity perturbs ONE segment's DC by +64: only B0 of that
+# segment moves -> at most 2 bits flip (planted near-dup), while a
+# pitch flip moves B1/B2 by (4A)^2..(8A)^2 -> many bits.
+# ---------------------------------------------------------------------------
+
+SPEC_SEGMENTS = 31      # 31 windows -> 30 time-deltas x 2 band-deltas
+SPEC_SEG_LEN = 8        # rFFT window
+SPEC_AMP_STEP = 64      # max |sample| = (320+128)*64 = 28672 < 32767
+
+
+def _spec_md5(d: S.Dialect, tag: str, fam: str, idx: str) -> str:
+    return d.hex_to_bigint(
+        f"SUBSTR(MD5(CONCAT('{tag}#', CAST({fam} AS STRING), '#', "
+        f"CAST({idx} AS STRING))), 1, 2)")
+
+
+def _spec_params(d: S.Dialect, fam: str, j: int,
+                 parity: str) -> tuple[str, str, str]:
+    """(D, A, k) SQL expressions for segment j: DC 129..256 (+64 on
+    the odd-parity perturbed segment), amplitude 1..128, tone bin
+    2 or 4."""
+    dc = (f"(129 + {d.intdiv(_spec_md5(d, 'sd', fam, str(j)), '2')})")
+    pert = (f"({d.hex_to_bigint(_md5_pert_s(fam))} % {SPEC_SEGMENTS})")
+    dc = (f"(CASE WHEN {parity} = 1 AND {j} = {pert} "
+          f"THEN {dc} + 64 ELSE {dc} END)")
+    amp = f"(1 + {d.intdiv(_spec_md5(d, 'sa', fam, str(j)), '2')})"
+    tone = f"(2 + 2 * ({_spec_md5(d, 'st', fam, str(j))} % 2))"
+    return dc, amp, tone
+
+
+def _md5_pert_s(fam: str) -> str:
+    return f"SUBSTR(MD5(CONCAT('pertS#', CAST({fam} AS STRING))), 1, 2)"
+
+
+def q_audio_spectral_hash(d: S.Dialect) -> str:
+    """Pure-SQL derivation of the 60-bit spectral hash: per-segment
+    integer band energies (the exact-bin algebra above), band deltas
+    d0 = B0-B1, d1 = B1-B2, bit (j-1)*2+b set iff d_b[j] > d_b[j-1]."""
+    step2 = SPEC_AMP_STEP * SPEC_AMP_STEP
+    delta_cols = []
+    for j in range(SPEC_SEGMENTS):
+        dc, amp, tone = _spec_params(d, "fam", j, "parity")
+        b0 = f"(64 * {dc} * {dc} * {step2})"
+        b1 = (f"(CASE WHEN {tone} = 2 THEN 16 * {amp} * {amp} * {step2}"
+              f" ELSE 0 END)")
+        b2 = (f"(CASE WHEN {tone} = 4 THEN 64 * {amp} * {amp} * {step2}"
+              f" ELSE 0 END)")
+        delta_cols.append(f"({b0} - {b1}) AS d0_{j}")
+        delta_cols.append(f"({b1} - {b2}) AS d1_{j}")
+    bits = []
+    for j in range(1, SPEC_SEGMENTS):
+        for b in (0, 1):
+            i = (j - 1) * 2 + b
+            bits.append(f"(CASE WHEN d{b}_{j} > d{b}_{j - 1} "
+                        f"THEN {1 << i} ELSE 0 END)")
+    packed = "\n                 + ".join(bits)
+    cols = ",\n                   ".join(delta_cols)
+    return f"""
+        WITH keyed AS (
+            SELECT vec_id AS media_id,
+                   {d.intdiv(f'(vec_id % {DHASH_GROUPS})', '2')} AS fam,
+                   (vec_id % {DHASH_GROUPS}) % 2 AS parity
+            FROM embeddings
+        ),
+        deltas AS (
+            SELECT media_id,
+                   {cols}
+            FROM keyed
+        )
+        SELECT media_id, CAST({packed} AS BIGINT) AS shash
+        FROM deltas
+    """
+
+
+def q_audio_spectral_near_pairs(d: S.Dialect) -> str:
+    """Quadratic reference form of the spectral near-pair set (oracle
+    twin of the banded Spark path)."""
+    return f"""
+        WITH fp AS ({q_audio_spectral_hash(d)})
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               bit_count({d.xor('a.shash', 'b.shash')}) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count({d.xor('a.shash', 'b.shash')}) <= 3
     """
 
 

@@ -3841,6 +3841,46 @@ QUERIES: dict[str, QueryDef] = {
         "A-ES weighted sampling per stratum: exact per-lang quotas, "
         "size-proportional draw inside each (mixture-building "
         "primitive)"),
+    "image_dedup_recall": QueryDef(
+        spark=PERC.image_dedup_recall_query,
+        oracle=D.q_image_dedup_recall(S.DUCKDB),
+        survey_ref="distortion-robustness recall audit for perceptual "
+                   "image dedup (the embedding_decontam_recall "
+                   "doctrine on the image modality): REAL brightness-"
+                   "clip and nearest-resize distortions through the "
+                   "PNG codec, per-class recall at the shipping "
+                   "hamming <= 3 threshold; the DuckDB oracle derives "
+                   "each distortion's exact grid effect in pure SQL "
+                   "(clip arithmetic, composed integer index maps)"),
+    "audio_spectral_hash": QueryDef(
+        spark=PERC.audio_spectral_hash_query,
+        oracle=D.q_audio_spectral_hash(S.DUCKDB),
+        survey_ref="spectral audio fingerprint (Haitsma-Kalker shape): "
+                   "WAV decode -> per-8-sample-window REAL numpy rFFT "
+                   "-> band energies at the integer-exact bins 0/2/4 "
+                   "-> sign of time-delta of adjacent band deltas; the "
+                   "DuckDB oracle computes the same energies by pure "
+                   "integer algebra with ZERO FFT, so the hash match "
+                   "proves the float DSP path equals integer algebra "
+                   "on every window; fixes eHash's provable pitch "
+                   "blindness (equal-envelope different-tone clips)"),
+    "audio_spectral_near_pairs": QueryDef(
+        spark=PERC.audio_spectral_near_pairs_query,
+        oracle=D.q_audio_spectral_near_pairs(S.DUCKDB),
+        survey_ref="Hamming-banded near pairs over spectral audio "
+                   "fingerprints (image banding machinery verbatim) "
+                   "vs the quadratic SQL oracle; planted families "
+                   "perturb one segment's DC -> at most 2 bits, "
+                   "pitch flips move whole band columns -> ~30 bits"),
+    "image_dedup_recall_jpeg": QueryDef(
+        spark=PERC.image_dedup_recall_jpeg_query,
+        oracle=None,
+        survey_ref="distortion-robustness recall audit, JPEG class: "
+                   "true baseline JPEG re-encode at q=85/50 through "
+                   "operators/jpeg_codec; float DCT quantization has "
+                   "no bit-exact SQL twin so this entry is rows-only "
+                   "- its deterministic recall values are pinned by "
+                   "tests/test_perceptual.py instead"),
 }
 
 
@@ -3879,10 +3919,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
     "latest_wins", "forward_fill",
     # -- (b) round-9-witnessed fills (displaceable by new r12 queries) --
-    "sequence_pack", "sequence_fill", "sequence_emit", "mixture_weights",
-    "mixture_weights_target", "mixture_drift", "dedup_keep_best",
+    "sequence_pack", "sequence_fill", "sequence_emit",
+    # -- round-12 registrations (displace the newest r9 fills) --
+    "image_dedup_recall", "image_dedup_recall_jpeg",
+    "audio_spectral_hash", "audio_spectral_near_pairs",
     # -- window boundary: entries below are outside the driver snapshot --
-    # remaining round-9-witnessed entries (r9-window order)
+    # r9 fills displaced by round-12 registrations, then the remaining
+    # round-9-witnessed entries (r9-window order)
+    "mixture_weights", "mixture_weights_target",
+    "mixture_drift", "dedup_keep_best",
     "ann_recall", "hybrid_rrf_topk", "corpus_diff", "sequence_pack_ffd",
     "table_profile_approx", "edit_distance_near_pairs", "oov_rate",
     "retrieval_eval", "hard_negative_topk", "centroid_similarity_matrix",
@@ -3935,7 +3980,6 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "audio_near_pairs_banded", "url_host_split",
     "embedding_decontam_recall_tables", "video_frame_dhash",
     "video_near_pairs",
-
 )
 
 DRIVER_WINDOW = 50
