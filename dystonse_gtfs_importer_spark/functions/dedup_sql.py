@@ -1642,3 +1642,58 @@ def q_video_near_pairs(d: S.Dialect,
         GROUP BY a.media_id, b.media_id
         HAVING COUNT(*) >= {min_common}
     """
+
+
+def q_video_shingle_pairs(d: S.Dialect, min_common: int = 1) -> str:
+    """ORDER-AWARE video shingle pairs (oracle twin of
+    operators/perceptual.video_shingle_pairs): order-2 frame-hash
+    shingles via LEAD, inverted-index join on the shingle value,
+    gaps-and-islands (pos - ROW_NUMBER at constant offset) for the
+    longest common aligned frame run."""
+    return f"""
+        WITH fp AS ({q_video_frame_dhash(d)}),
+        sh AS (
+            SELECT media_id, frame_idx AS pos, dhash AS h0,
+                   LEAD(dhash) OVER (PARTITION BY media_id
+                                     ORDER BY frame_idx) AS h1
+            FROM fp
+        ),
+        sh2 AS (SELECT * FROM sh WHERE h1 IS NOT NULL),
+        m AS (
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   a.h0 AS h0, a.h1 AS h1,
+                   a.pos AS pos_a, a.pos - b.pos AS off
+            FROM sh2 a JOIN sh2 b
+              ON a.h0 = b.h0 AND a.h1 = b.h1
+             AND a.media_id < b.media_id
+        ),
+        islands AS (
+            SELECT media_a, media_b, off,
+                   pos_a - ROW_NUMBER() OVER (
+                       PARTITION BY media_a, media_b, off
+                       ORDER BY pos_a) AS grp
+            FROM m
+        ),
+        runs AS (
+            SELECT media_a, media_b,
+                   CAST(MAX(island) + 1 AS BIGINT) AS longest_run
+            FROM (
+                SELECT media_a, media_b, off, grp,
+                       COUNT(*) AS island
+                FROM islands
+                GROUP BY media_a, media_b, off, grp
+            ) t
+            GROUP BY media_a, media_b
+        ),
+        nc AS (
+            SELECT media_a, media_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common_shingles
+            FROM (SELECT DISTINCT media_a, media_b, h0, h1 FROM m) t
+            GROUP BY media_a, media_b
+        )
+        SELECT nc.media_a, nc.media_b, nc.n_common_shingles,
+               runs.longest_run
+        FROM nc JOIN runs
+          ON nc.media_a = runs.media_a AND nc.media_b = runs.media_b
+        WHERE nc.n_common_shingles >= {min_common}
+    """

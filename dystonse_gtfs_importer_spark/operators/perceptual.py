@@ -734,10 +734,87 @@ def video_near_pairs(frame_fp: DataFrame,
             .where(F.col("n_common") >= min_common))
 
 
+def video_shingles(frame_fp: DataFrame) -> DataFrame:
+    """(media_id, pos, h0, h1): order-2 frame-sequence shingles —
+    each surviving frame's hash paired with the NEXT surviving
+    frame's hash in frame order (undecodable frames were dropped by
+    the fingerprint kernel, so shingles span the surviving sequence).
+    The per-video window is bounded by the sampler's frame count
+    (VHASH_FRAMES), so the sort is per-tiny-group, never global."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    return (frame_fp
+            .withColumn("h1", F.lead("dhash").over(w))
+            .where(F.col("h1").isNotNull())
+            .select("media_id", F.col("frame_idx").alias("pos"),
+                    F.col("dhash").alias("h0"), "h1"))
+
+
+def video_shingle_pairs(frame_fp: DataFrame,
+                        min_common: int = 1) -> DataFrame:
+    """ORDER-AWARE video near-pairs (VERDICT r11 #4): two videos pair
+    only when they share >= ``min_common`` order-2 frame shingles —
+    adjacent frame-hash pairs in the SAME order.  A shuffled or
+    reversed re-cut with identical stills shares all its FRAMES
+    (``video_near_pairs`` fires) but none of its SHINGLES (this
+    operator stays silent) — the separation the order-insensitive
+    containment count cannot make.
+
+    Output (media_a, media_b, n_common_shingles, longest_run):
+    ``longest_run`` is the longest common ALIGNED frame run — the
+    gaps-and-islands maximum over matched shingle positions at a
+    constant offset, plus one (a run of L frames yields L-1
+    consecutive matched shingles).
+
+    Scale shape: the shingle join is an inverted-index equi-join on
+    the (h0, h1) value — candidate volume tracks true adjacent-pair
+    duplication (winnowing's argument on the frame axis); the island
+    windows partition by (pair, offset) whose group size is bounded
+    by the per-video frame count."""
+    from pyspark.sql.window import Window
+
+    sh = video_shingles(frame_fp)
+    a, b = sh.alias("a"), sh.alias("b")
+    m = (a.join(b, on=[F.col("a.h0") == F.col("b.h0"),
+                       F.col("a.h1") == F.col("b.h1"),
+                       F.col("a.media_id") < F.col("b.media_id")])
+         .select(F.col("a.media_id").alias("media_a"),
+                 F.col("b.media_id").alias("media_b"),
+                 F.col("a.h0").alias("h0"), F.col("a.h1").alias("h1"),
+                 F.col("a.pos").alias("pos_a"),
+                 F.col("b.pos").alias("pos_b")))
+    m = m.withColumn("off", F.col("pos_a") - F.col("pos_b"))
+    w = Window.partitionBy("media_a", "media_b", "off") \
+        .orderBy("pos_a")
+    islands = (m.withColumn("grp",
+                            F.col("pos_a") - F.row_number().over(w))
+               .groupBy("media_a", "media_b", "off", "grp")
+               .agg(F.count(F.lit(1)).alias("island")))
+    runs = islands.groupBy("media_a", "media_b") \
+        .agg((F.max("island") + 1).cast("long").alias("longest_run"))
+    n_common = (m.select("media_a", "media_b", "h0", "h1").distinct()
+                .groupBy("media_a", "media_b")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("n_common_shingles")))
+    return (n_common.join(runs, ["media_a", "media_b"])
+            .where(F.col("n_common_shingles") >= min_common))
+
+
 def video_frame_dhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: array<binary> frames -> posexplode -> codec
     dHash per frame, vs the pure-SQL frame-grid derivation."""
     return video_frame_dhash(synth_video_table(spark, sf_dir))
+
+
+def video_shingle_pairs_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Registry entry: order-aware shingle pairs + longest aligned
+    run over codec-derived frame hashes vs the SQL window/gaps-and-
+    islands oracle over the grid derivation (independent engines:
+    DataFrame lead/row_number vs DuckDB SQL windows)."""
+    return video_shingle_pairs(
+        video_frame_dhash(synth_video_table(spark, sf_dir)))
 
 
 def video_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:

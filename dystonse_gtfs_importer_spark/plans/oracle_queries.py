@@ -3872,6 +3872,18 @@ QUERIES: dict[str, QueryDef] = {
                    "vs the quadratic SQL oracle; planted families "
                    "perturb one segment's DC -> at most 2 bits, "
                    "pitch flips move whole band columns -> ~30 bits"),
+    "video_shingle_pairs": QueryDef(
+        spark=PERC.video_shingle_pairs_query,
+        oracle=D.q_video_shingle_pairs(S.DUCKDB),
+        survey_ref="ORDER-AWARE video near-dup: order-2 frame-hash "
+                   "shingles (lead over frame order), inverted-index "
+                   "join on the shingle value, gaps-and-islands for "
+                   "the longest common aligned frame run - a "
+                   "reversed/re-cut video with identical stills "
+                   "matches video_near_pairs but NOT this operator "
+                   "(the r11 order-insensitivity gap); DataFrame "
+                   "windows vs DuckDB SQL windows as the independent "
+                   "derivations"),
     "image_dedup_recall_jpeg": QueryDef(
         spark=PERC.image_dedup_recall_jpeg_query,
         oracle=None,
@@ -3919,14 +3931,15 @@ REGISTRY_ORDER: tuple[str, ...] = (
     "stop_pair_counts", "asof_join", "anti_join", "spatial_neighbors",
     "latest_wins", "forward_fill",
     # -- (b) round-9-witnessed fills (displaceable by new r12 queries) --
-    "sequence_pack", "sequence_fill", "sequence_emit",
+    "sequence_pack", "sequence_fill",
     # -- round-12 registrations (displace the newest r9 fills) --
     "image_dedup_recall", "image_dedup_recall_jpeg",
     "audio_spectral_hash", "audio_spectral_near_pairs",
+    "video_shingle_pairs",
     # -- window boundary: entries below are outside the driver snapshot --
     # r9 fills displaced by round-12 registrations, then the remaining
     # round-9-witnessed entries (r9-window order)
-    "mixture_weights", "mixture_weights_target",
+    "sequence_emit", "mixture_weights", "mixture_weights_target",
     "mixture_drift", "dedup_keep_best",
     "ann_recall", "hybrid_rrf_topk", "corpus_diff", "sequence_pack_ffd",
     "table_profile_approx", "edit_distance_near_pairs", "oov_rate",

@@ -446,3 +446,73 @@ class TestSpectralHash:
         df = P.audio_spectral_hash_query(spark, sf_smoke)
         executed = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in executed
+
+
+class TestVideoShinglePairs:
+    """Order-aware video near-dup (round 12): shingles separate a
+    same-stills re-order from a true aligned near-dup."""
+
+    @staticmethod
+    def _video_df(spark, rows):
+        from dystonse_gtfs_importer_spark.operators.media_codecs \
+            import encode_png
+
+        data = [(mid, [bytearray(encode_png(f)) for f in frames])
+                for mid, frames in rows]
+        return spark.createDataFrame(
+            data, "media_id long, frames array<binary>")
+
+    def test_reordered_video_separates_the_operators(self, spark):
+        """The planted re-ordered-frames fixture (VERDICT r11 #4
+        'done' criterion): a REVERSED video shares all 4 stills with
+        its source — the order-insensitive containment operator pairs
+        them — but shares ZERO order-2 shingles, so the order-aware
+        operator stays silent."""
+        from dystonse_gtfs_importer_spark.functions.dedup_sql import (
+            VHASH_FRAMES,
+        )
+
+        frames = [P.synth_video_frame(2, f) for f in range(VHASH_FRAMES)]
+        media = self._video_df(spark, [
+            (1, frames), (2, list(reversed(frames)))])
+        fp = P.video_frame_dhash(media)
+        contain = {(r.media_a, r.media_b)
+                   for r in P.video_near_pairs(fp).collect()}
+        assert contain == {(1, 2)}
+        assert P.video_shingle_pairs(fp).count() == 0
+
+    def test_recut_with_aligned_run_pairs_with_evidence(self, spark):
+        """A re-cut that keeps frames 1..3 contiguous (rotation
+        [1,2,3,0]) shares two consecutive shingles -> one pair with
+        n_common_shingles=2 and longest_run=3 (the aligned-run
+        evidence)."""
+        from dystonse_gtfs_importer_spark.functions.dedup_sql import (
+            VHASH_FRAMES,
+        )
+
+        frames = [P.synth_video_frame(4, f) for f in range(VHASH_FRAMES)]
+        rot = frames[1:] + frames[:1]
+        media = self._video_df(spark, [(1, frames), (2, rot)])
+        rows = P.video_shingle_pairs(
+            P.video_frame_dhash(media)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.media_a, r.media_b) == (1, 2)
+        assert r.n_common_shingles == 2 and r.longest_run == 3
+
+    def test_identical_videos_full_run(self, spark):
+        from dystonse_gtfs_importer_spark.functions.dedup_sql import (
+            VHASH_FRAMES,
+        )
+
+        frames = [P.synth_video_frame(6, f) for f in range(VHASH_FRAMES)]
+        rows = P.video_shingle_pairs(P.video_frame_dhash(
+            self._video_df(spark, [(1, frames), (2, frames)]))).collect()
+        assert len(rows) == 1
+        assert rows[0].n_common_shingles == VHASH_FRAMES - 1
+        assert rows[0].longest_run == VHASH_FRAMES
+
+    def test_no_cartesian_in_shingle_plan(self, spark, sf_smoke):
+        df = P.video_shingle_pairs_query(spark, sf_smoke)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in executed
