@@ -1326,44 +1326,84 @@ def q_image_dedup_recall(d: S.Dialect) -> str:
     """
 
 
+def cc_iterative_ctes(rounds: int = 24) -> str:
+    """Scalable connected-components oracle fragment (VERDICT r11
+    #5): UNROLLED iterative min-label propagation with pointer
+    jumping, as a chain of MATERIALIZED CTEs — replaces the
+    recursive-CTE ``reach`` fixpoint whose (node, reachable-label)
+    working set is QUADRATIC on near-clique graphs (the sf0.1
+    25-min/20 GB oracle wall, SCALING.md round-11 notes).
+
+    Expects upstream CTEs ``edges(u, v)`` (each undirected edge in
+    BOTH directions) and ``nodes(node)``; emits ``comp(node,
+    cluster_id)``.  Per round every node takes the min of its own
+    label, its label's label (pointer jump — doubles propagation
+    distance, O(log n) convergence), and its neighbors' min label.
+    Working set is |V| rows per round and each round is one
+    edge-join + one self-join — linear memory, ``rounds``·|E| work.
+
+    Self-auditing: one EXTRA round runs after the last; if any label
+    still moves (not converged within ``rounds`` — impossible for
+    n <= 2^rounds, pinned by test), every cluster_id comes back NULL
+    so the cross-engine hash mismatches LOUDLY instead of silently
+    blessing a half-propagated labeling."""
+    parts = [
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)"]
+    for t in range(rounds + 1):
+        parts.append(f"""
+        l{t + 1} AS MATERIALIZED (
+            SELECT u.node,
+                   LEAST(u.label,
+                         COALESCE(j.label, u.label),
+                         COALESCE(nm.ml, u.label)) AS label
+            FROM l{t} u
+            LEFT JOIN l{t} j ON j.node = u.label
+            LEFT JOIN (SELECT e.u AS node, MIN(l.label) AS ml
+                       FROM edges e JOIN l{t} l ON l.node = e.v
+                       GROUP BY e.u) nm ON nm.node = u.node
+        )""")
+    parts.append(f"""
+        comp AS (
+            SELECT f.node,
+                   CASE WHEN (SELECT COUNT(*) FROM l{rounds} a
+                              JOIN l{rounds + 1} b ON a.node = b.node
+                              AND a.label <> b.label) > 0
+                        THEN NULL ELSE f.label END AS cluster_id
+            FROM l{rounds} f
+        )""")
+    return ",\n".join(parts)
+
+
 def q_image_dedup_keep_oracle(d: S.Dialect) -> str:
-    """Recursive-CTE fixpoint oracle for the perceptual dedup keeper
-    (cross-derivation twin of operators/perceptual.image_dedup_keep's
-    iterative large-star/small-star CC): label propagation to the
-    minimum reachable id over the quadratic pair set, min-id keeper.
-    DuckDB-only (Spark has no recursive CTE; that asymmetry is the
-    independence)."""
+    """Iterative label-propagation oracle for the perceptual dedup
+    keeper (cross-derivation twin of perceptual.image_dedup_keep's
+    large-star/small-star CC — independent because the round
+    structure, join shape, and engine all differ): min-label
+    propagation with pointer jumping over the quadratic pair set,
+    min-id keeper.  Replaced the recursive-CTE ``reach`` fixpoint in
+    round 12: its working set is quadratic on near-clique graphs
+    (the sf0.1 oracle wall); this form is linear per round — see
+    :func:`cc_iterative_ctes`."""
     return f"""
-        WITH RECURSIVE
-        fp AS ({q_image_dhash(d)}),
-        pairs AS (
+        WITH
+        fp AS MATERIALIZED ({q_image_dhash(d)}),
+        pairs AS MATERIALIZED (
             SELECT a.media_id AS media_a, b.media_id AS media_b
             FROM fp a JOIN fp b ON a.media_id < b.media_id
             WHERE bit_count({d.xor('a.dhash', 'b.dhash')}) <= 3
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT media_a AS u, media_b AS v FROM pairs
             UNION ALL
             SELECT media_b, media_a FROM pairs
         ),
-        reach(node, label) AS (
-            SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-            UNION
-            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
-        ),
-        comp AS (
-            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
-        ),
-        labeled AS (
-            SELECT f.media_id,
-                   COALESCE(c.cluster_id, f.media_id) AS cluster_id
-            FROM fp f LEFT JOIN comp c ON c.node = f.media_id
-        )
-        SELECT media_id, cluster_id,
+        nodes AS MATERIALIZED (SELECT media_id AS node FROM fp),
+        {cc_iterative_ctes()}
+        SELECT node AS media_id, cluster_id,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-               CAST(CASE WHEN media_id = cluster_id THEN 1 ELSE 0 END
+               CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END
                     AS INT) AS is_keeper
-        FROM labeled
+        FROM comp
     """
 
 

@@ -2057,33 +2057,28 @@ def _dedup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_clusters_oracle() -> str:
+    """Iterative min-label-propagation CC oracle (round 12, VERDICT
+    r11 #5): linear working set per round vs the recursive ``reach``
+    CTE's quadratic blowup on near-clique graphs — the sf0.1 witness
+    now runs cross-engine in seconds instead of the 25-min/20 GB
+    recursive wall (SCALING.md)."""
     pairs = D.q_minhash_lsh_pairs(S.DUCKDB)
     return f"""
-        WITH RECURSIVE
-        pairs AS (
+        WITH
+        pairs AS MATERIALIZED (
             SELECT doc_a, doc_b FROM ({pairs}) p
             WHERE est_jaccard >= {_CLUSTER_EDGE_THRESHOLD}
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
         ),
-        reach(node, label) AS (
-            SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-            UNION
-            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
-        ),
-        comp AS (
-            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
-        ),
-        labeled AS (
-            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-        )
-        SELECT doc_id, cluster_id,
+        nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+        {D.cc_iterative_ctes()}
+        SELECT node AS doc_id, cluster_id,
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        FROM labeled
+        FROM comp
     """
 
 
@@ -2120,32 +2115,25 @@ def _dedup_keep_best_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_keep_best_oracle() -> str:
+    """Iterative CC oracle (round 12) — see _dedup_clusters_oracle."""
     pairs = D.q_minhash_lsh_pairs(S.DUCKDB)
     q = S.quality_score("text", S.DUCKDB)
     return f"""
-        WITH RECURSIVE
-        pairs AS (
+        WITH
+        pairs AS MATERIALIZED (
             SELECT doc_a, doc_b FROM ({pairs}) p
             WHERE est_jaccard >= {_CLUSTER_EDGE_THRESHOLD}
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
         ),
-        reach(node, label) AS (
-            SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-            UNION
-            SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
-        ),
-        comp AS (
-            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
-        ),
+        nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+        {D.cc_iterative_ctes()},
         labeled AS (
-            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id)
-                       AS cluster_id,
-                   {q} AS quality
-            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            SELECT d.doc_id, c.cluster_id, {q} AS quality
+            FROM documents d JOIN comp c ON c.node = d.doc_id
         )
         SELECT doc_id, cluster_id, quality,
                CAST(CASE WHEN ROW_NUMBER() OVER (
