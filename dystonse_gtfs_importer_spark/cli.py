@@ -310,6 +310,20 @@ def _parser() -> argparse.ArgumentParser:
                            "(banding-lossless up to 3)")
     cmd_.add_argument("--min-common-frames", type=int, default=None,
                       help="video shared-frame threshold (default 3)")
+    cmd_.add_argument("--audio-fingerprint",
+                      choices=["energy", "spectral"], default="spectral",
+                      help="audio fingerprint: 'spectral' (rFFT band "
+                           "deltas, survives pitch/tone changes — "
+                           "default) or 'energy' (L1 envelope eHash, "
+                           "pitch-blind)")
+    cmd_.add_argument("--order-aware", action="store_true",
+                      help="video: pair only on shared ORDER-2 frame "
+                           "shingles (adjacent frames in sequence) "
+                           "instead of order-insensitive shared-frame "
+                           "containment — a reversed/shuffled re-cut "
+                           "no longer merges with its source")
+    cmd_.add_argument("--min-common-shingles", type=int, default=1,
+                      help="order-aware video shingle threshold")
     return p
 
 
@@ -808,15 +822,20 @@ def _cmd_media_dedup(spark, args) -> int:
         dhash_fingerprints,
         ehash_fingerprints,
         image_dedup_keep,
+        spectral_fingerprints,
         video_frame_dhash,
         video_near_pairs,
+        video_shingle_pairs,
     )
 
     media = spark.read.parquet(args.media)
     out = args.out or (args.media.rstrip("/") + ".keepers")
     if args.modality == "video":
         fp = video_frame_dhash(media)
-        pairs = video_near_pairs(fp, args.min_common_frames)
+        if args.order_aware:
+            pairs = video_shingle_pairs(fp, args.min_common_shingles)
+        else:
+            pairs = video_near_pairs(fp, args.min_common_frames)
         cc = connected_components(pairs, "media_a", "media_b",
                                   nodes=media.select("media_id"))
         keep_ids = (cc.where(F.col("node") == F.col("component"))
@@ -824,8 +843,12 @@ def _cmd_media_dedup(spark, args) -> int:
         n_fingerprinted = fp.select("media_id").distinct().count()
     else:
         if args.modality == "audio":
-            fp = ehash_fingerprints(media) \
-                .withColumnRenamed("ehash", "dhash")
+            if args.audio_fingerprint == "spectral":
+                fp = spectral_fingerprints(media) \
+                    .withColumnRenamed("shash", "dhash")
+            else:
+                fp = ehash_fingerprints(media) \
+                    .withColumnRenamed("ehash", "dhash")
         else:
             fp = dhash_fingerprints(media)
         # nodes = the FULL id set: undecodable media (absent from fp)
@@ -840,8 +863,12 @@ def _cmd_media_dedup(spark, args) -> int:
     keepers.write.mode("overwrite").parquet(out)
     n_media = media.count()
     n_keep = spark.read.parquet(out).count()
+    mode = (("shingle" if args.order_aware else "containment")
+            if args.modality == "video"
+            else (args.audio_fingerprint if args.modality == "audio"
+                  else "dhash"))
     print(json.dumps({"media": args.media, "modality": args.modality,
-                      "out": out, "n_media": n_media,
+                      "mode": mode, "out": out, "n_media": n_media,
                       "n_keepers": n_keep,
                       "n_dropped": n_media - n_keep,
                       "n_undecodable": n_media - n_fingerprinted},

@@ -307,3 +307,138 @@ class TestDecontamRecallAudit:
             ANN.q_embedding_decontam_recall(S.DUCKDB)).fetchall()
         assert any(r[4] < 10000 for r in rows)
         assert all(r[1] > 0 for r in rows)
+
+
+class TestMediaDedupCliRound12:
+    """Round-12 CLI faces: spectral audio fingerprints and order-aware
+    video shingles through `corpus media-dedup`."""
+
+    def test_order_aware_video_keeps_reversed_recut(
+            self, spark, tmp_path, capsys):
+        """--order-aware: a reversed re-cut shares all stills but no
+        order-2 shingles, so BOTH videos survive (vs the containment
+        default, which merges them — pinned by
+        test_video_media_dedup_cli)."""
+        import json as _json
+
+        from dystonse_gtfs_importer_spark.cli import main
+        from dystonse_gtfs_importer_spark.functions.dedup_sql import (
+            VHASH_FRAMES,
+        )
+        from dystonse_gtfs_importer_spark.operators import (
+            perceptual as P,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs \
+            import encode_png
+
+        fr = [bytearray(encode_png(P.synth_video_frame(2, f)))
+              for f in range(VHASH_FRAMES)]
+        recut = list(reversed(fr))
+        dup = list(fr)
+        media_path = tmp_path / "vids12.parquet"
+        spark.createDataFrame(
+            [(1, fr), (2, recut), (3, dup)],
+            "media_id long, frames array<binary>") \
+            .write.parquet(str(media_path))
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "media-dedup", "--media", str(media_path),
+                   "--modality", "video", "--order-aware",
+                   "--out", str(tmp_path / "vkeep12.parquet")],
+                  spark=spark)
+        assert rc == 0
+        acct = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert acct["mode"] == "shingle"
+        # the true aligned duplicate (3) merges with 1; the reversed
+        # re-cut (2) survives
+        kept = sorted(r.media_id for r in spark.read.parquet(
+            str(tmp_path / "vkeep12.parquet")).collect())
+        assert kept == [1, 2]
+
+    def test_spectral_audio_catches_pitch_change(
+            self, spark, tmp_path, capsys):
+        """Default audio fingerprint is spectral: a clip and its
+        DC-perturbed family twin merge; with --audio-fingerprint
+        energy the same pair ALSO merges (envelope sees DC), but a
+        pitch-flipped twin only merges under energy (which is blind
+        to it) — spectral correctly keeps it apart only if distant.
+        Here we pin the spectral grouping of the planted family."""
+        import json as _json
+        import numpy as np
+
+        from dystonse_gtfs_importer_spark.cli import main
+        from dystonse_gtfs_importer_spark.operators import (
+            perceptual as P,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs \
+            import encode_wav
+
+        def clip(vec_id, flip=False):
+            dc, amp, tone = P.synth_spectral_params(vec_id)
+            if flip:
+                tone = np.where(tone == 2, 4, 2)
+            ints = P._spectral_samples(dc, amp, tone)
+            return bytearray(encode_wav(
+                (ints / 32767.0).astype(np.float32)))
+
+        rows = [(10, clip(0)), (11, clip(1)),      # planted family
+                (12, clip(0, flip=True)),          # pitch flip of 10
+                (13, clip(8))]                     # unrelated
+        media_path = tmp_path / "aud12.parquet"
+        spark.createDataFrame(rows, "media_id long, payload binary") \
+            .write.parquet(str(media_path))
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "media-dedup", "--media", str(media_path),
+                   "--modality", "audio",
+                   "--out", str(tmp_path / "akeep12.parquet")],
+                  spark=spark)
+        assert rc == 0
+        acct = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert acct["mode"] == "spectral"
+        kept = sorted(r.media_id for r in spark.read.parquet(
+            str(tmp_path / "akeep12.parquet")).collect())
+        # family twin 11 merges into 10; the PITCH FLIP 12 survives
+        # (spectral sees it as different content); unrelated 13 stays
+        assert kept == [10, 12, 13]
+
+    def test_energy_mode_merges_the_pitch_flip(
+            self, spark, tmp_path, capsys):
+        """--audio-fingerprint energy: the pitch-blind envelope hash
+        sees the flipped clip as an EXACT twin and drops it — the
+        behavioral difference the spectral default fixes."""
+        import json as _json
+        import numpy as np
+
+        from dystonse_gtfs_importer_spark.cli import main
+        from dystonse_gtfs_importer_spark.operators import (
+            perceptual as P,
+        )
+        from dystonse_gtfs_importer_spark.operators.media_codecs \
+            import encode_wav
+
+        def clip(vec_id, flip=False):
+            dc, amp, tone = P.synth_spectral_params(vec_id)
+            if flip:
+                tone = np.where(tone == 2, 4, 2)
+            ints = P._spectral_samples(dc, amp, tone)
+            return bytearray(encode_wav(
+                (ints / 32767.0).astype(np.float32)))
+
+        rows = [(10, clip(0)), (12, clip(0, flip=True))]
+        media_path = tmp_path / "aud12e.parquet"
+        spark.createDataFrame(rows, "media_id long, payload binary") \
+            .write.parquet(str(media_path))
+        rc = main(["-s", "x", "--dir", str(tmp_path), "corpus",
+                   "media-dedup", "--media", str(media_path),
+                   "--modality", "audio",
+                   "--audio-fingerprint", "energy",
+                   "--out", str(tmp_path / "akeep12e.parquet")],
+                  spark=spark)
+        assert rc == 0
+        acct = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert acct["mode"] == "energy"
+        kept = sorted(r.media_id for r in spark.read.parquet(
+            str(tmp_path / "akeep12e.parquet")).collect())
+        assert kept == [10]
