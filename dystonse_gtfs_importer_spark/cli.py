@@ -274,6 +274,24 @@ def _parser() -> argparse.ArgumentParser:
                           "density, so size batches (files x "
                           "docs/file) to tens of thousands of docs, "
                           "not millions")
+    cmi = csub.add_parser(
+        "media-ingest",
+        help="perceptual dedup-on-arrival ingestion: stream "
+             "(media_id, payload) parquet batches into a "
+             "deduplicated media corpus (dHash + Hamming-band store "
+             "screening, greedy within-batch resolution; "
+             "undecodable payloads publish as singleton keepers)")
+    cmi.add_argument("--in", dest="in_dir", required=True,
+                     help="input dir of media parquet batch files")
+    cmi.add_argument("--out", default=None,
+                     help="media corpus output dir "
+                          "(default <dir>/media_corpus)")
+    cmi.add_argument("--checkpoint", default=None,
+                     help="stream checkpoint dir "
+                          "(default <out>/_checkpoint)")
+    cmi.add_argument("--max-files-per-trigger", type=int, default=10,
+                     help="input files per micro-batch (also bounds "
+                          "the within-batch sweep, like ingest)")
     cbf = csub.add_parser(
         "backfill-bands",
         help="one-off store migration for a dedup-stream corpus dir "
@@ -1029,6 +1047,21 @@ def cmd_corpus(spark, args) -> int:
         # table already holds earlier generations' documents
         n = spark.read.parquet(docs).count() if Path(docs).exists() else 0
         print(json.dumps({"corpus": out, "corpus_docs": n},
+                         sort_keys=True))
+        return 0
+    if args.cmode == "media-ingest":
+        from .streaming.media_stream import run_media_dedup_stream
+
+        out = args.out or str(Path(args.dir) / "media_corpus")
+        ck = args.checkpoint or str(Path(out) / "_checkpoint")
+        q = run_media_dedup_stream(
+            spark, args.in_dir, out, ck,
+            max_files_per_trigger=args.max_files_per_trigger)
+        q.awaitTermination()
+        media = str(Path(out) / "media")
+        n = (spark.read.parquet(media).count()
+             if Path(media).exists() else 0)
+        print(json.dumps({"corpus": out, "corpus_media": n},
                          sort_keys=True))
         return 0
     if args.cmode == "backfill-bands":
