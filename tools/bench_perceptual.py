@@ -46,6 +46,15 @@ def main() -> int:
                 spark, d),
             "dedup_keep": lambda d=sf_dir: P.image_dedup_keep_query(
                 spark, d),
+            # round-12 additions: spectral audio fingerprint (real
+            # rFFT per window through the WAV codec) and order-aware
+            # video shingle pairs (lead + inverted index + islands)
+            "audio_spectral": lambda d=sf_dir:
+                P.audio_spectral_hash_query(spark, d),
+            "video_shingles": lambda d=sf_dir:
+                P.video_shingle_pairs_query(spark, d),
+            "image_recall_audit": lambda d=sf_dir:
+                P.image_dedup_recall_query(spark, d),
         }
         row: dict = {}
         n_vec = spark.read.parquet(
