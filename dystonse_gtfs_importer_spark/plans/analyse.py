@@ -254,6 +254,26 @@ def ecdf_curve_points_jvm_sql(src: str, group_cols: list[str],
                 ELSE LEAST(1.0D, GREATEST(0.0D, cum_first / total)) END"""
     if y_round is not None:
         y = f"ROUND({y}, {y_round})"
+    # Every full-partition window carries ORDER BY x with an explicit
+    # UNBOUNDED..UNBOUNDED frame (values unchanged — the frame spans
+    # the whole partition regardless of order) so ALL window nodes
+    # share one (group, x) sort: Catalyst plans adjacent Window nodes
+    # with no re-Sort between them.  In the unfocused case __w/__wc
+    # are constants hoisted into ``counted``, which lets ``total``
+    # join the stats window pass — the plan drops from 3 Window + 2
+    # Sort nodes to 2 Window + 1 Sort (focused: weights depend on the
+    # stats pass, so that path keeps two window layers but still one
+    # sort).
+    full = (f"{p} ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING")
+    if focus is None:
+        counted = (f"SELECT {g}, x, COUNT(*) AS cnt, ({w}) AS __w, "
+                   f"({w}) * COUNT(*) AS __wc "
+                   f"FROM vals GROUP BY {g}, x")
+        weighted = "SELECT * FROM stats"
+    else:
+        counted = f"SELECT {g}, x, COUNT(*) AS cnt FROM vals GROUP BY {g}, x"
+        weighted = f"SELECT *, ({w}) AS __w, ({w}) * cnt AS __wc FROM stats"
     return f"""
         WITH vals AS (
             SELECT {g}, CAST({value_col} AS DOUBLE) AS x
@@ -262,24 +282,27 @@ def ecdf_curve_points_jvm_sql(src: str, group_cols: list[str],
               AND NOT isnan(CAST({value_col} AS DOUBLE))
         ),
         counted AS (
-            SELECT {g}, x, COUNT(*) AS cnt FROM vals GROUP BY {g}, x
+            {counted}
         ),
         stats AS (
             SELECT *,
-                   MIN(x) OVER ({p}) AS __raw_min,
-                   MAX(x) OVER ({p}) AS __mx,
-                   COUNT(*) OVER ({p}) AS __k_pre,
-                   MIN(CASE WHEN x != 0.0 THEN x END) OVER ({p})
+                   MIN(x) OVER ({full}) AS __raw_min,
+                   MAX(x) OVER ({full}) AS __mx,
+                   COUNT(*) OVER ({full}) AS __k_pre,
+                   MIN(CASE WHEN x != 0.0 THEN x END) OVER ({full})
                        AS __min_nz,
-                   SUM(cnt) OVER ({p}) AS n
+                   SUM(cnt) OVER ({full}) AS n
+                   {", SUM(__wc) OVER (" + full + ") AS total"
+                    if focus is None else ""}
             FROM counted
         ),
         weighted AS (
-            SELECT *, ({w}) AS __w, ({w}) * cnt AS __wc FROM stats
+            {weighted}
         ),
         cum AS (
             SELECT *,
-                   SUM(__wc) OVER ({p}) AS total,
+                   {"" if focus is None
+                    else "SUM(__wc) OVER (" + full + ") AS total,"}
                    SUM(__wc) OVER ({p} ORDER BY x
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        - __wc + __w AS cum_first

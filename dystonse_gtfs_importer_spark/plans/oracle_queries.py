@@ -160,28 +160,39 @@ def q_rollup_ladder(d: S.Dialect) -> str:
     # The oracle keeps the textbook GROUPING SETS form so the two
     # derivations check each other.
     if d.name == "spark":
+        # Column order (n, s, nn) is deliberate and LOAD-BEARING: it
+        # makes every branch's partial-aggregate function list
+        # canonically identical ([count(1), sum, count]), so AQE stage
+        # reuse collapses the three base exchanges into ONE — the fact
+        # join+aggregation executes once and rungs 2/3 read the reused
+        # shuffle output (final plan: 2 ReusedExchange hashpartitioning,
+        # one partial_count(1) stage).  With the previous (n, nn, s)
+        # order rung 1 collapsed to usage order (n, s, nn), its exchange
+        # no longer canonicalized equal, and the fact pass ran twice
+        # (measured r12: 0.55 s -> 0.34 s at sf0.1; at scale 2 fact
+        # scans -> 1).
         return """
             WITH base AS (
                 SELECT n_name, o_orderpriority, COUNT(*) AS n,
-                       COUNT(o_totalprice) AS nn,
-                       SUM(o_totalprice) AS s
+                       SUM(o_totalprice) AS s,
+                       COUNT(o_totalprice) AS nn
                 FROM orders
                 JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey
                 GROUP BY n_name, o_orderpriority
             ),
             lvl AS (
-                SELECT n_name, o_orderpriority, n, nn, s FROM base
+                SELECT n_name, o_orderpriority, n, s, nn FROM base
                 UNION ALL
-                SELECT n_name, CAST(NULL AS STRING), SUM(n), SUM(nn),
-                       SUM(s)
+                SELECT n_name, CAST(NULL AS STRING), SUM(n), SUM(s),
+                       SUM(nn)
                 FROM base GROUP BY n_name
                 UNION ALL
                 -- the () grouping set emits exactly one row even on
                 -- empty input, with COUNT(*) = 0 and NULL avg; the
                 -- COALESCE reproduces that (SUM over no rows is NULL)
                 SELECT CAST(NULL AS STRING), CAST(NULL AS STRING),
-                       COALESCE(SUM(n), 0), COALESCE(SUM(nn), 0), SUM(s)
+                       COALESCE(SUM(n), 0), SUM(s), COALESCE(SUM(nn), 0)
                 FROM base
             )
             -- AVG divides by the NON-NULL count, so the divisor is nn

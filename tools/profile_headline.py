@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Per-query cost decomposition for the bench headline set (guide §1):
+
+for each query, time (a) DataFrame construction = parse + analysis,
+(b) physical planning via explain, (c) execution drained through the
+noop sink (computes every column, no driver transfer), and dump
+``explain("formatted")`` to plans/r12/<label>_<tag>.txt.
+
+Usage: python3 tools/profile_headline.py [tag]   (tag: before/after)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = set(sys.argv[2:])
+    from bench import HEADLINE
+
+    from dystonse_gtfs_importer_spark.session import get_spark
+    from dystonse_gtfs_importer_spark.sources import testdata
+
+    testdata.MEMOIZE_VIEWS = True
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    from __spark_entry__ import queries
+
+    spark = get_spark(app_name="profile_headline")
+    qs = queries()
+
+    # same warmup as bench.py
+    qs["pricing_summary"](spark, SF_DIR).count()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    print(f"{'query':24s} {'build':>7s} {'plan':>7s} {'exec':>7s} "
+          f"{'total':>7s}  plan shape")
+    for label, name in HEADLINE:
+        if only and label not in only and name not in only:
+            continue
+        if name not in qs:
+            continue
+        # untimed warmup execution (matches bench rep 0)
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        builds, plans, execs = [], [], []
+        plan_txt = ""
+        for _ in range(3):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            t1 = time.time()
+            plan_txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+            t2 = time.time()
+            spark.sparkContext.setJobDescription(f"{label} noop")
+            df.write.format("noop").mode("overwrite").save()
+            spark.sparkContext.setJobDescription(None)
+            t3 = time.time()
+            builds.append(t1 - t0)
+            plans.append(t2 - t1)
+            execs.append(t3 - t2)
+        b, p, e = (sorted(x)[1] for x in (builds, plans, execs))
+        n_exch = plan_txt.count("Exchange")
+        n_py = (plan_txt.count("BatchEvalPython")
+                + plan_txt.count("ArrowEvalPython")
+                + plan_txt.count("MapInPandas")
+                + plan_txt.count("MapInArrow"))
+        joins = [w for w in ("BroadcastHashJoin", "SortMergeJoin",
+                             "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                             "CartesianProduct") if w in plan_txt]
+        print(f"{label:24s} {b:7.3f} {p:7.3f} {e:7.3f} {b + p + e:7.3f}  "
+              f"exch={n_exch} py={n_py} joins={','.join(joins) or '-'}")
+        (out_dir / f"{label}_{tag}.txt").write_text(plan_txt)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
