@@ -740,11 +740,16 @@ def q_table_profile_approx(d: S.Dialect, table: str = "orders",
         aggs.append(f"COUNT({c}) AS nn_{i}")
         aggs.append(f"COUNT(DISTINCT {c}) AS nd_{i}")
         if d.name == "spark":
-            # rsd 0.01 (HLL++ precision ~18): measured worst error
-            # 0.7% on the fixtures vs the 5% tolerance — the default
-            # rsd 0.05 genuinely exceeds 5% on high-cardinality
-            # columns, which is exactly what this witness is for
-            aggs.append(f"approx_count_distinct({c}, 0.01) AS na_{i}")
+            # rsd 0.02: measured worst error 2.29% across sf0.001 /
+            # 0.01 / 0.1 vs the 5% tolerance (>2x margin; HLL++ is
+            # deterministic per dataset, so the flag is stable) — the
+            # default rsd 0.05 genuinely exceeds 5% on high-
+            # cardinality columns, which is exactly what this witness
+            # is for, while the r11 rsd 0.01 bought nothing but
+            # sketch width: its register arrays made this one
+            # aggregate 4.3 s of the query's 5.5 s at sf0.01
+            # (rsd 0.02 runs the same six estimates in 1.1 s)
+            aggs.append(f"approx_count_distinct({c}, 0.02) AS na_{i}")
             flag = (f"CASE WHEN ABS(na_{i} - nd_{i}) * 100 <= "
                     f"{tol_pct} * nd_{i} THEN 1 ELSE 0 END")
         else:

@@ -526,11 +526,16 @@ def lang_score(text: str, lang: str) -> str:
     return "(" + " + ".join(word_occurrences(text, w) for w in words) + ")"
 
 
-def lang_id(text: str) -> str:
-    """argmax over language marker scores; ties break in LANG_MARKERS
-    order via strictly-greater comparison against all later languages."""
-    langs = [l for l, _ in LANG_MARKERS]
-    scores = {l: lang_score(text, l) for l in langs}
+def lang_id_case(scores: dict[str, str]) -> str:
+    """The argmax CASE over per-language score *expressions*; ties
+    break in LANG_MARKERS order via strictly-greater comparison
+    against all later languages.  Callers that can stage the scores
+    in a FROM-level projection should pass plain column names here so
+    each score is evaluated ONCE per row (``lang_score`` is a chain
+    of pad-and-REPLACE counts; inlined, the CASE re-evaluates up to
+    2 scores × 3 comparisons × 3 branches = 18 score expressions per
+    row — guide §4.1 'prefer expressions evaluated once')."""
+    langs = list(scores)
     whens = []
     for i, l in enumerate(langs[:-1]):
         conds = []
@@ -541,6 +546,17 @@ def lang_id(text: str) -> str:
             conds.append(f"{scores[l]} {op} {scores[m]}")
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
     return "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+
+
+def lang_id(text: str) -> str:
+    """argmax over language marker scores; ties break in LANG_MARKERS
+    order via strictly-greater comparison against all later languages.
+    Single self-contained expression — prefer staging
+    :func:`lang_score` per language in a subquery and applying
+    :func:`lang_id_case` over the columns where the query shape
+    allows (see q_lang_id)."""
+    langs = [l for l, _ in LANG_MARKERS]
+    return lang_id_case({l: lang_score(text, l) for l in langs})
 
 
 def stopword_count(text: str) -> str:

@@ -12,11 +12,13 @@ one self-join on shifted positions and one corpus-wide dense rank.
 The corpus-wide dense rank is the scale hazard: ``Window.orderBy``
 with no partition key serializes the corpus through ONE task.  It is
 implemented here as the two-phase range-partitioned form instead
-(``dense_rank_scalable``): distinct keys → ``repartitionByRange`` (a
-total order across partitions with equal keys co-located) → per-
-partition local rank + a partition-count-sized offset table collected
-to the driver.  Result is independent of the partition count
-(test-pinned) and never moves the corpus through one task.
+(``dense_rank_scalable``): ``repartitionByRange`` of the table itself
+(a total order across partitions with equal keys co-located) →
+per-partition DENSE rank + a partition-count-sized distinct-count
+offset table collected to the driver.  Result is independent of the
+partition count (test-pinned) and never moves the corpus through one
+task — nor through a distinct pass or a rank-attach join (the r11
+form paid both per doubling round).
 
 Ranks are integers throughout, so the output is bit-identical across
 engines — the DuckDB oracle (plans/oracle_queries.q_suffix_ranks)
@@ -33,7 +35,8 @@ from pyspark.sql import DataFrame, Window
 def dense_rank_scalable(df: DataFrame, cols: list[str],
                         out: str = "dr",
                         num_partitions: int | None = None,
-                        with_count: bool = False):
+                        with_count: bool = False,
+                        first_col_ubound: int | None = None):
     """DENSE_RANK() OVER (ORDER BY cols) without the single-partition
     global window: rank the DISTINCT key tuples via range partitioning
     (equal tuples co-locate; partitions are globally ordered), a local
@@ -47,44 +50,75 @@ def dense_rank_scalable(df: DataFrame, cols: list[str],
     convergence test for free instead of paying a distinct+count job
     per round.  NULL key semantics follow Spark's default NULLS FIRST
     ascending order.
+
+    The rank is computed ON the fact table itself (r12, guide §2.4):
+    range-partition the full table, take ``dense_rank`` per partition,
+    add the per-partition distinct-count offsets.  The previous form
+    ranked ``df.select(cols).distinct()`` and equi-joined the ranks
+    back — one distinct exchange plus a fact-grain sort-merge join
+    (two more exchanges) per call that this shape simply does not
+    have; the fact table now crosses the network exactly once, and
+    equal keys still co-locate under range partitioning so the
+    per-partition dense rank is globally correct.  The output is
+    eagerly checkpointed INSIDE: the range exchange picks its bounds
+    by SAMPLING, re-sampled on every recomputation — two actions over
+    un-pinned lineage (the offset collect and any downstream job)
+    could see DIFFERENT partition boundaries, silently corrupting the
+    global rank (observed at 270 k keys; invisible at toy sizes where
+    both samplings land the same bounds).  Callers therefore must NOT
+    re-checkpoint the result.
+
+    ``first_col_ubound``: when ``cols[0]`` is a non-NULL integer key
+    in ``[0, first_col_ubound]`` (the prefix-doubling rounds: ranks
+    are dense, so the previous round's distinct count IS the bound),
+    partition by the deterministic value bucket
+    ``floor(key·B / (bound+1))`` instead of sampled range bounds —
+    monotone in the key, so cumulative bucket offsets still yield the
+    global rank, equal keys still co-locate, and the range sampler's
+    extra pass over the input (one whole job per call, guide §2.4)
+    plus its re-sample hazard disappear.  B defaults to 4 buckets per
+    shuffle partition (``spark.graft.rank.bucketsPerPartition``):
+    more buckets spread the hash more evenly across tasks (guide
+    §2.5), but the per-round offset literal and plan grow with B —
+    measured at sf0.01 the loop runs 3.8 s at 1×, 4.1 s at 4×, 5.4 s
+    at 16× per-partition buckets, so the local default stays small
+    and a wide cluster raises the conf.
     """
-    d = df.select(*cols).distinct()
-    if num_partitions:
-        d = d.repartitionByRange(num_partitions, *cols)
+    if first_col_ubound is not None:
+        sess = df.sparkSession
+        mult = int(sess.conf.get("spark.graft.rank.bucketsPerPartition",
+                                 "4"))
+        b = mult * int(sess.conf.get("spark.sql.shuffle.partitions",
+                                     "32"))
+        d = df.withColumn("__pid", F.expr(
+            f"(CAST(`{cols[0]}` AS BIGINT) * {b}) "
+            f"DIV {first_col_ubound + 1}"))
+    elif num_partitions:
+        d = df.repartitionByRange(num_partitions, *cols) \
+            .withColumn("__pid", F.spark_partition_id())
     else:
-        d = d.repartitionByRange(*cols)
-    d = (d.sortWithinPartitions(*cols)
-         .withColumn("__pid", F.spark_partition_id()))
+        d = df.repartitionByRange(*cols) \
+            .withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*cols)
-    # PIN the ranked partitions before anything consumes them twice:
-    # repartitionByRange picks its bounds by SAMPLING, re-sampled on
-    # every recomputation — without the checkpoint the offset collect
-    # and the later join would each recompute the lineage and could
-    # see DIFFERENT partition boundaries, silently corrupting the
-    # global rank (observed at 270 k keys; invisible at toy sizes
-    # where both samplings land the same bounds)
-    d = d.withColumn("__lr", F.row_number().over(w)) \
+    d = d.withColumn("__lr", F.dense_rank().over(w)) \
         .localCheckpoint(eager=True)
     sizes = {r["__pid"]: r["n"] for r in
              d.groupBy("__pid").agg(F.max("__lr").alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
-    ranked = d.select(
-        *cols, (F.col("__lr") + off[F.col("__pid")]).cast("long").alias(out))
-    # eqNullSafe, not bare column equality: a NULL key tuple WAS
-    # ranked (NULLS FIRST), but a null-unsafe equi-join would hand
-    # its source rows a NULL rank instead of the rank it earned
-    cond = None
-    for c in cols:
-        term = df[c].eqNullSafe(ranked[c])
-        cond = term if cond is None else cond & term
-    joined = df.join(ranked, cond, "left").drop(*[ranked[c] for c in cols])
-    return (joined, acc) if with_count else joined
+    # cumulative offsets as an ARRAY literal indexed by partition id
+    # (both partitioning paths yield contiguous ids from 0): a literal
+    # MAP lookup is a per-row LINEAR scan of the key array, an array
+    # element_at is O(1)
+    n_slots = (max(sizes) + 1) if sizes else 0
+    arr, acc = [], 0
+    for pid in range(n_slots):
+        arr.append(acc)
+        acc += sizes.get(pid, 0)
+    off = F.array(*[F.lit(x) for x in arr]) if arr else F.array(F.lit(0))
+    ranked = d.withColumn(
+        out, (F.col("__lr")
+              + F.element_at(off, F.col("__pid").cast("int") + 1))
+        .cast("long")).drop("__pid", "__lr")
+    return (ranked, acc) if with_count else ranked
 
 
 def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
@@ -156,9 +190,14 @@ def suffix_rank_levels(docs: DataFrame, id_col: str = "doc_id",
             F.filter(F.split(F.lower(F.col(text_col)), " +"),
                      lambda t: t != ""))
         .alias("pos", "tok"))
+    # dense_rank_scalable checkpoints its output internally — these
+    # per-level tables are plain projections over pinned partitions,
+    # so no further eager materialization per round (r12: the loop
+    # previously paid one extra checkpoint job per round re-writing
+    # the same rows minus two columns)
     r, n_distinct = dense_rank_scalable(toks, ["tok"], out="r",
                                         with_count=True)
-    r = r.select(id_col, "pos", "r").localCheckpoint(eager=True)
+    r = r.select(id_col, "pos", "r")
     levels: list[tuple[int, DataFrame]] = [(1, r)]
     stats = toks.groupBy(id_col).count() \
         .agg(F.max("count").alias("mx"), F.sum("count").alias("n")) \
@@ -177,10 +216,12 @@ def suffix_rank_levels(docs: DataFrame, id_col: str = "doc_id",
                          & (F.col("pos") == F.col("__p2")), "left")
                   .select(id_col, "pos", "r",
                           F.coalesce("r2", F.lit(-1)).alias("r2")))
+        # ranks from the previous round are dense in [1, n_distinct]:
+        # deterministic value-bucket partitioning, no sampling job
         r2, n_distinct = dense_rank_scalable(paired, ["r", "r2"],
-                                             out="nr", with_count=True)
-        r = (r2.select(id_col, "pos", F.col("nr").alias("r"))
-             .localCheckpoint(eager=True))
+                                             out="nr", with_count=True,
+                                             first_col_ubound=n_distinct)
+        r = r2.select(id_col, "pos", F.col("nr").alias("r"))
         k *= 2
         levels.append((k, r))
     return levels, max_len
@@ -224,14 +265,14 @@ def lcp_from_levels(pairs: DataFrame,
     # AQE re-plans every eager materialization in this loop; with one
     # tiny pair-grain job per level that re-planning dominates
     # (measured 290 s -> 124 s on a 51 k-pair ladder with AQE off for
-    # the loop).  Restore the caller's setting afterwards.
-    spark = pairs.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    # the loop).  NOTE this is loop-specific, not a blanket rule: the
+    # prefix-doubling rank loop measured FASTER with AQE on (0.55 vs
+    # 0.9 s/round at sf0.01 — its shuffles benefit from partition
+    # coalescing), so only this LCP loop disables it.
+    from ..session import no_aqe
+
+    with no_aqe(pairs.sparkSession):
         return _lcp_loop(pairs, levels, id_col, out)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 # Levels folded between checkpoint truncations in the LCP loop: the

@@ -949,9 +949,21 @@ def q_token_stats(d: S.Dialect) -> str:
 
 
 def q_lang_id(d: S.Dialect) -> str:
+    # stage each language's marker score ONCE in a FROM-level
+    # projection, then argmax over the columns: inlined, the CASE
+    # re-evaluates the pad-and-REPLACE score chains per comparison
+    # (up to 18 evaluations/row; guide §4.1) — Spark keeps the two
+    # Projects separate (CollapseProject refuses to duplicate
+    # non-cheap multiply-referenced expressions) and DuckDB
+    # materializes the projection, so both engines score each
+    # language exactly once per document
+    scores = ", ".join(
+        f"{S.lang_score('text', lang)} AS s_{lang}"
+        for lang, _ in S.LANG_MARKERS)
+    case = S.lang_id_case({lang: f"s_{lang}" for lang, _ in S.LANG_MARKERS})
     return f"""
-        SELECT doc_id, {S.lang_id('text')} AS lang_pred
-        FROM documents
+        SELECT doc_id, {case} AS lang_pred
+        FROM (SELECT doc_id, {scores} FROM documents)
     """
 
 
