@@ -984,7 +984,39 @@ def q_embedding_norm_outliers(d: S.Dialect) -> str:
 PCA_ITERS = 3
 
 
-def q_pca_power_iter(d: S.Dialect, iters: int = PCA_ITERS) -> str:
+def q_pca_scatter(d: S.Dialect) -> str:
+    """The n²-scaled centered scatter matrix of
+    :func:`q_pca_power_iter` as a standalone SELECT (columns
+    i, j, a, n) — the one corpus-pass piece, materialized once by the
+    registry's Spark side so the iteration CTEs never re-expand it."""
+    x_i = f"CAST(ROUND({d.arr_get('emb', 'i.i')} * 1e3) AS BIGINT)"
+    x_j = f"CAST(ROUND({d.arr_get('emb', 'j.i')} * 1e3) AS BIGINT)"
+    return f"""
+        WITH cv AS (
+            SELECT {d.to_double_array('embedding')} AS emb
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT i.i AS i, j.i AS j, {x_i} AS xi, {x_j} AS xj
+            FROM cv
+            CROSS JOIN {d.series(DIM)} i
+            CROSS JOIN {d.series(DIM)} j
+        ),
+        mom AS (
+            SELECT i, j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xi) AS BIGINT) AS si,
+                   CAST(SUM(xj) AS BIGINT) AS sj,
+                   CAST(SUM(xi * xj) AS BIGINT) AS sij
+            FROM cells GROUP BY i, j
+        )
+        SELECT i, j, CAST(n * sij - si * sj AS DOUBLE) AS a, n
+        FROM mom
+    """
+
+
+def q_pca_power_iter(d: S.Dialect, iters: int = PCA_ITERS,
+                     amat_view: str | None = None) -> str:
     """Leading principal component of the embedding cloud by POWER
     ITERATION over the exact integer scatter matrix — the spectral
     health check (and whitening/decorrelation input) an embedding
@@ -1012,7 +1044,16 @@ def q_pca_power_iter(d: S.Dialect, iters: int = PCA_ITERS) -> str:
     DataFrame form persists the moment table — semantics identical.)
 
     Sign is pinned by the iteration itself (v₀ all-positive), not by
-    an eigensolver's arbitrary choice."""
+    an eigensolver's arbitrary choice.
+
+    ``amat_view``: name of a pre-materialized view holding the
+    scatter table (columns i, j, a, n — :func:`q_pca_scatter`).  A
+    CTE is inlined per reference, and ``amat`` is referenced by every
+    matvec step plus the Rayleigh quotient — as one SQL string the
+    engine re-expands the corpus×DIM² scatter pass ``iters+1`` times
+    (guide §2.4).  The registry's Spark side materializes the
+    4096-row scatter once (localCheckpoint) and passes its view name
+    here; the DuckDB oracle keeps the self-contained single string."""
     x_i = f"CAST(ROUND({d.arr_get('emb', 'i.i')} * 1e3) AS BIGINT)"
     x_j = f"CAST(ROUND({d.arr_get('emb', 'j.i')} * 1e3) AS BIGINT)"
     prev = "CAST(0.125 AS DOUBLE)"  # v0: exact 1/8, unit at DIM=64
@@ -1044,8 +1085,12 @@ def q_pca_power_iter(d: S.Dialect, iters: int = PCA_ITERS) -> str:
         )""")
     last = f"v{iters}"
     vfin = f"(CAST({last}.v_e9 AS DOUBLE) / 1e9)"
-    return f"""
-        WITH cv AS (
+    if amat_view is not None:
+        head = f"""amat AS (
+            SELECT i, j, a, n FROM {amat_view}
+        )"""
+    else:
+        head = f"""cv AS (
             SELECT {d.to_double_array('embedding')} AS emb
             FROM embeddings
         ),
@@ -1066,7 +1111,9 @@ def q_pca_power_iter(d: S.Dialect, iters: int = PCA_ITERS) -> str:
         amat AS (
             SELECT i, j, CAST(n * sij - si * sj AS DOUBLE) AS a, n
             FROM mom
-        ),{",".join(steps)},
+        )"""
+    return f"""
+        WITH {head},{",".join(steps)},
         ray AS (
             SELECT /*+ BROADCAST(vi, vj) */ {d.arr_fsum(d.ordered_list(
                 f'a.a * (CAST(vj.v_e9 AS DOUBLE) / 1e9) '

@@ -70,9 +70,31 @@ def band_hash_expr(b: int, rows_per_band: int = ROWS_PER_BAND) -> str:
     return f"MD5({cols})"
 
 
-def minhash_bands_cte(k: int = K_MINHASH, rows_per_band: int = ROWS_PER_BAND) -> str:
+def minhash_bands_cte(k: int = K_MINHASH,
+                      rows_per_band: int = ROWS_PER_BAND,
+                      d: S.Dialect | None = None) -> str:
+    """Band rows per document.  On Spark, ONE signature pass with a
+    band-index explode (a CTE is inlined per reference, so the UNION
+    ALL form stamps the token+minhash aggregation into the plan once
+    per band — and twice that in the self-joining pair query; guide
+    §3.3).  ``slice``+``array_join`` reproduces :func:`band_hash_expr`
+    byte-for-byte (mh columns are never NULL — every hash index exists
+    for every doc).  Callers that render for DuckDB (or render shared
+    SQL) keep the UNION ALL textbook form, which also keeps the
+    oracle derivation independent."""
+    n_bands = k // rows_per_band
+    if d is not None and d.name == "spark":
+        sig = ", ".join(f"mh{j}" for j in range(k))
+        return f"""bands AS (
+            SELECT doc_id, CAST(b AS INT) AS band,
+                   MD5(array_join(
+                       slice(sig, b * {rows_per_band} + 1,
+                             {rows_per_band}), '|')) AS band_hash
+            FROM (SELECT doc_id, array({sig}) AS sig FROM signatures)
+            LATERAL VIEW explode(sequence(0, {n_bands - 1})) t AS b
+        )"""
     bands = []
-    for b in range(k // rows_per_band):
+    for b in range(n_bands):
         bands.append(
             f"SELECT doc_id, {b} AS band, "
             f"{band_hash_expr(b, rows_per_band)} AS band_hash FROM signatures")
@@ -88,7 +110,7 @@ def q_minhash_lsh_pairs(d: S.Dialect,
     return f"""
         WITH {doc_tokens_cte(d, table=doc_table)},
         {minhash_signature_cte(d)},
-        {minhash_bands_cte()},
+        {minhash_bands_cte(d=d)},
         cand AS (
             SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
             FROM bands x
@@ -202,11 +224,24 @@ def q_simhash64_near_pairs_banded(d: S.Dialect) -> str:
     (pigeonhole — banding is lossless, same argument as the 16-bit
     form).  Band extraction uses integer shifts: float-division
     truncation is not exact above 2**53 and a 60-bit fingerprint
-    exceeds that."""
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, "
-        f"({d.shiftright('simhash', 15 * b)} % 32768) AS bv FROM fp"
-        for b in range(SIMHASH64_BANDS))
+    exceeds that.
+
+    On Spark the band rows come from ONE fingerprint pass with a
+    band-index explode — the UNION ALL form inlines the whole
+    60-term simhash aggregate once per band (guide §2.4/§3.3; this
+    is the dominant cost of the capped edit-distance verify chain,
+    whose candidates embed this CTE)."""
+    if d.name == "spark":
+        band_selects = f"""
+            SELECT doc_id, simhash, CAST(b AS INT) AS band,
+                   (shiftright(simhash, 15 * b) % 32768) AS bv
+            FROM fp LATERAL VIEW explode(
+                sequence(0, {SIMHASH64_BANDS - 1})) t AS b"""
+    else:
+        band_selects = " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {b} AS band, "
+            f"({d.shiftright('simhash', 15 * b)} % 32768) AS bv FROM fp"
+            for b in range(SIMHASH64_BANDS))
     return f"""
         WITH fp AS ({q_simhash64(d)}),
         bands AS ({band_selects}),
@@ -231,12 +266,24 @@ def q_simhash_near_pairs_banded(d: S.Dialect) -> str:
     from a band equi-join (volume scales with near-duplicate density),
     never the all-pairs product.  Output is identical to
     q_simhash_near_pairs; the driver runs this Spark plan against the
-    all-pairs oracle, so the hash match proves banding is lossless."""
+    all-pairs oracle, so the hash match proves banding is lossless.
+
+    On Spark the band rows come from ONE fingerprint pass with a
+    band-index explode: the UNION ALL form inlines the whole simhash
+    aggregate once per band (guide §2.4/§3.3); shifts are exact (the
+    16-bit fingerprint is far below 2^53, and a shift equals the
+    truncating power-of-two division on non-negatives)."""
     sim = q_simhash(d)
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, "
-        f"({d.trunc_num(f'simhash / {1 << (4 * b)}.0')} % 16) AS bv FROM fp"
-        for b in range(4))
+    if d.name == "spark":
+        band_selects = f"""
+            SELECT doc_id, simhash, CAST(b AS INT) AS band,
+                   (shiftright(simhash, 4 * b) % 16) AS bv
+            FROM fp LATERAL VIEW explode(sequence(0, 3)) t AS b"""
+    else:
+        band_selects = " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {b} AS band, "
+            f"({d.trunc_num(f'simhash / {1 << (4 * b)}.0')} % 16) AS bv FROM fp"
+            for b in range(4))
     return f"""
         WITH fp AS ({sim}),
         bands AS ({band_selects}),
@@ -302,7 +349,9 @@ def q_edit_distance_near_pairs(d: S.Dialect) -> str:
     """
 
 
-def q_edit_distance_near_pairs_capped(d: S.Dialect) -> str:
+def q_edit_distance_near_pairs_capped(d: S.Dialect,
+                                      capped_view: str | None = None
+                                      ) -> str:
     """Scale path (Spark): banded simhash64 candidates (pigeonhole —
     lossless for hamming <= 3), a length prefilter
     (``lev(a, b) >= |len_a - len_b|``, so pairs whose length gap
@@ -315,11 +364,19 @@ def q_edit_distance_near_pairs_capped(d: S.Dialect) -> str:
     scale the verify stage is linear in candidate count, not
     quadratic in document length.  Output is identical to
     q_edit_distance_near_pairs (the driver hash-match proves both
-    the banding and the cap are lossless)."""
+    the banding and the cap are lossless).
+
+    ``capped_view``: name of a pre-materialized view holding the
+    capped candidate table (:func:`q_edit_capped_candidates`).  The
+    registry's Spark side materializes the candidates once and
+    ROUND-ROBIN-spreads them before the DP: the verify stage's rows
+    are tiny in BYTES but huge in CPU, so AQE's byte-based partition
+    coalescing funnels them into one task — measured at sf0.01 the
+    2.8 k-candidate DP ran 3.4 s in one task vs 0.9 s spread over the
+    local cores (guide §2.5: a skew AQE cannot see)."""
     max_d = d.trunc_num(
         f"{1000 - EDIT_SIM_E3} * GREATEST(la, lb) / 1000.0")
-    return f"""
-        WITH cand AS ({q_simhash64_near_pairs_banded(d)}),
+    head = f"""WITH cand AS ({q_simhash64_near_pairs_banded(d)}),
         sized AS (
             SELECT c.doc_a, c.doc_b, c.hamming,
                    a.text AS ta, b.text AS tb,
@@ -333,13 +390,41 @@ def q_edit_distance_near_pairs_capped(d: S.Dialect) -> str:
                    CAST({max_d} AS INT) AS cap
             FROM sized
             WHERE ABS(la - lb) * 1000 <= {1000 - EDIT_SIM_E3} * GREATEST(la, lb)
-        ),
+        ),"""
+    if capped_view is not None:
+        head = f"WITH capped AS (SELECT * FROM {capped_view}),"
+    return f"""
+        {head}
         pairs AS (
             SELECT doc_a, doc_b, hamming, la, lb,
                    levenshtein(ta, tb, cap) AS dist
             FROM capped
         )
         {_edit_verify_select(d)}
+    """
+
+
+def q_edit_capped_candidates(d: S.Dialect) -> str:
+    """The banded-candidate + length-prefilter + per-pair-cap table of
+    :func:`q_edit_distance_near_pairs_capped` as a standalone SELECT —
+    the piece the registry's Spark side materializes once so the
+    Levenshtein verify stage can be spread across cores."""
+    max_d = d.trunc_num(
+        f"{1000 - EDIT_SIM_E3} * GREATEST(la, lb) / 1000.0")
+    return f"""
+        WITH cand AS ({q_simhash64_near_pairs_banded(d)}),
+        sized AS (
+            SELECT c.doc_a, c.doc_b, c.hamming,
+                   a.text AS ta, b.text AS tb,
+                   LENGTH(a.text) AS la, LENGTH(b.text) AS lb
+            FROM cand c
+            JOIN documents a ON a.doc_id = c.doc_a
+            JOIN documents b ON b.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, hamming, ta, tb, la, lb,
+               CAST({max_d} AS INT) AS cap
+        FROM sized
+        WHERE ABS(la - lb) * 1000 <= {1000 - EDIT_SIM_E3} * GREATEST(la, lb)
     """
 
 
@@ -817,13 +902,38 @@ def q_lsh_config_planner(d: S.Dialect, k: int = K_MINHASH) -> str:
     is one bucket-keyed join + distinct — everything linear in the
     corpus, nothing pairwise, no window."""
     configs = [(r, k // r) for r in (1, 2, 4, 8) if k % r == 0]
-    branches = []
-    for r, b in configs:
-        for band in range(b):
-            branches.append(
-                f"SELECT doc_id, {r} AS rows_per_band, {band} AS band, "
-                f"{band_hash_expr(band, r)} AS bh FROM signatures")
-    allbands = "\n            UNION ALL ".join(branches)
+    if d.name == "spark":
+        # ONE signature pass, bands by a literal (r, band) explode:
+        # a WITH CTE is inlined per reference, so the former
+        # Σb = 30-branch UNION ALL stamped the whole token+minhash
+        # aggregation into the plan 30× (AQE exchange reuse collapsed
+        # most of the EXECUTION, but planning/codegen still paid the
+        # 30× plan; guide §3.3 'very wide unions produce enormous
+        # plans').  slice+array_join reproduces band_hash_expr
+        # byte-for-byte (mh columns are never NULL: every hash index
+        # exists per doc), and the explode multiplies doc-grain rows
+        # by a constant 30 — same data volume as the union it
+        # replaces.  The DuckDB oracle keeps the textbook UNION ALL
+        # form, so the two derivations stay independent.  Measured at
+        # sf0.01: 3.71 s -> 1.19 s total (exec 3.14 -> 0.89,
+        # Exchange nodes 141 -> 15).
+        cfg = ", ".join(f"struct({r} AS r, {band} AS band)"
+                        for r, b in configs for band in range(b))
+        sig = ", ".join(f"mh{j}" for j in range(k))
+        allbands = f"""SELECT doc_id, c.r AS rows_per_band,
+                   c.band AS band,
+                   MD5(array_join(
+                       slice(sig, c.band * c.r + 1, c.r), '|')) AS bh
+            FROM (SELECT doc_id, array({sig}) AS sig FROM signatures)
+            LATERAL VIEW explode(array({cfg})) t AS c"""
+    else:
+        branches = []
+        for r, b in configs:
+            for band in range(b):
+                branches.append(
+                    f"SELECT doc_id, {r} AS rows_per_band, {band} AS band, "
+                    f"{band_hash_expr(band, r)} AS bh FROM signatures")
+        allbands = "\n            UNION ALL ".join(branches)
     thr = " ".join(
         f"WHEN {r} THEN {round(1e4 * (1.0 / b) ** (1.0 / r))}"
         for r, b in configs)
@@ -1009,7 +1119,75 @@ def _sweep_accounting(d: S.Dialect, pairs_sql: str, score_col: str,
     source: the grid join, min-id-keeper removal rule, affected/
     removed/character accounting, and share columns — ONE definition
     so the exact (PPJoin) and estimate (banded MinHash) sweeps cannot
-    drift apart on the rules they report."""
+    drift apart on the rules they report.
+
+    The Spark rendering reads the candidate-pair source exactly ONCE:
+    ``hits`` feeds a doc-role explode and a single (t, doc) aggregate
+    from which every reported count derives (pairs = Σ doc_b
+    occurrences, affected = row count, removed = docs with a doc_b
+    occurrence).  A CTE is inlined per reference, so the textbook
+    shape — four independent aggregates over ``hits`` — re-plans the
+    entire pair pass (the dominant cost) four times (guide
+    §2.4/§3.3); the DuckDB oracle keeps that textbook form as the
+    independent derivation.  Measured at sf0.01:
+    dedup_threshold_sweep_lsh 2.04 s -> 1.53 s total."""
+    if d.name == "spark":
+        return f"""
+        WITH grid AS (
+            SELECT {t_min_e4} + i * {step_e4} AS t_e4
+            FROM {d.series(n_steps)} s
+        ),
+        pj AS (
+            SELECT doc_a, doc_b,
+                   CAST(ROUND({score_col} * 10000) AS BIGINT) AS j_e4
+            FROM ({pairs_sql}) p
+        ),
+        hits AS (
+            SELECT g.t_e4, p.doc_a, p.doc_b
+            FROM pj p JOIN grid g ON p.j_e4 >= g.t_e4
+        ),
+        ex AS (
+            SELECT t_e4, s.doc_id, s.is_b
+            FROM hits
+            LATERAL VIEW explode(array(
+                struct(doc_a AS doc_id, 0 AS is_b),
+                struct(doc_b AS doc_id, 1 AS is_b))) t AS s
+        ),
+        docagg AS (
+            SELECT t_e4, doc_id, MAX(is_b) AS removed,
+                   SUM(is_b) AS b_occ
+            FROM ex GROUP BY t_e4, doc_id
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+            FROM {doc_table}
+        ),
+        stats AS (
+            SELECT da.t_e4,
+                   SUM(da.b_occ) AS n_pairs,
+                   COUNT(*) AS n_affected,
+                   SUM(da.removed) AS n_removed,
+                   SUM(CASE WHEN da.removed = 1 THEN dd.n_chars
+                       ELSE 0 END) AS chars_removed
+            FROM docagg da JOIN {doc_table} dd ON dd.doc_id = da.doc_id
+            GROUP BY da.t_e4
+        )
+        SELECT g.t_e4,
+               CAST(COALESCE(st.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(st.n_affected, 0) AS BIGINT)
+                   AS n_docs_affected,
+               CAST(COALESCE(st.n_removed, 0) AS BIGINT)
+                   AS n_docs_removed,
+               CAST(COALESCE(st.chars_removed, 0) AS BIGINT)
+                   AS n_chars_removed,
+               ROUND(CAST(COALESCE(st.n_removed, 0) AS DOUBLE)
+                     / c.n_docs, 4) AS doc_removal_share,
+               ROUND(CAST(COALESCE(st.chars_removed, 0) AS DOUBLE)
+                     / c.n_chars, 4) AS char_removal_share
+        FROM grid g
+        CROSS JOIN corpus c
+        LEFT JOIN stats st ON st.t_e4 = g.t_e4
+    """
     return f"""
         WITH grid AS (
             SELECT {t_min_e4} + i * {step_e4} AS t_e4

@@ -2279,6 +2279,46 @@ def _bpe_histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("token"))
 
 
+def _edit_distance_near_pairs_spark(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Spark side of ``edit_distance_near_pairs``: materialize the
+    capped candidate table once (localCheckpoint), spread it
+    round-robin over the cores, then run the Levenshtein verify SQL
+    over the view.  The verify rows are tiny in BYTES but huge in
+    CPU, so AQE's byte-based coalescing funnels the DP into ONE task
+    (guide §2.5 — a skew AQE cannot see; measured sf0.01: 3.4 s
+    single-task vs 0.9 s spread).  Same rows — the oracle runs the
+    uncapped quadratic reference."""
+    from ..session import configure_for_oracle, default_parallelism
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    cap = spark.sql(D.q_edit_capped_candidates(S.SPARK)) \
+        .repartition(default_parallelism()) \
+        .localCheckpoint(eager=True)
+    cap.createOrReplaceTempView("__edit_capped")
+    return spark.sql(D.q_edit_distance_near_pairs_capped(
+        S.SPARK, capped_view="__edit_capped"))
+
+
+def _pca_power_iter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of ``pca_power_iter``: materialize the 4096-row
+    scatter matrix ONCE (localCheckpoint) and run the iteration SQL
+    over it as a view.  As one SQL string the ``amat`` CTE is inlined
+    into every matvec step plus the Rayleigh quotient, re-expanding
+    the corpus×DIM² scatter pass iters+1 = 4 times (guide §2.4;
+    measured sf0.01: 5.4 s total, 314 Exchange nodes in the single-
+    string plan).  Identical math/results — the oracle runs the
+    self-contained single string."""
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    amat = spark.sql(ANN.q_pca_scatter(S.SPARK)).localCheckpoint(eager=True)
+    amat.createOrReplaceTempView("__pca_amat")
+    return spark.sql(ANN.q_pca_power_iter(S.SPARK, amat_view="__pca_amat"))
+
+
 def _kmeans_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full k-means operator (operators/clustering.py: k-means||
     seeded-hash init, Lloyd loop to convergence, map-only argmin
@@ -3201,10 +3241,12 @@ QUERIES: dict[str, QueryDef] = {
     "simhash64_near_pairs": _sql_cross_pair(
         D.q_simhash64_near_pairs_banded, D.q_simhash64_near_pairs,
         "dedup-simhash 60-bit corpus-scale width"),
-    "edit_distance_near_pairs": _sql_cross_pair(
-        D.q_edit_distance_near_pairs_capped, D.q_edit_distance_near_pairs,
-        "dedup-edit-verify (sketch recall stage + capped Levenshtein "
-        "verify stage)"),
+    "edit_distance_near_pairs": QueryDef(
+        spark=_edit_distance_near_pairs_spark,
+        oracle=D.q_edit_distance_near_pairs(S.DUCKDB),
+        survey_ref=(
+            "dedup-edit-verify (sketch recall stage + capped "
+            "Levenshtein verify stage)")),
     "oov_rate": _sql_pair(SAMP.q_oov_rate,
                           "text-analysis vocab coverage"),
     "retrieval_eval": _sql_pair(ANN.q_retrieval_eval,
@@ -3536,12 +3578,14 @@ QUERIES: dict[str, QueryDef] = {
                    "persisted single-quality-pass two-phase "
                    "(band, bucket) numbering vs the global-window "
                    "oracle (SQL spec: q_curriculum_schedule)"),
-    "pca_power_iter": _sql_pair(
-        ANN.q_pca_power_iter,
-        "leading principal component by power iteration over the "
-        "exact integer scatter matrix (one corpus pass; iterations "
-        "run on the 4096-cell moment table; deterministic ordered "
-        "folds)"),
+    "pca_power_iter": QueryDef(
+        spark=_pca_power_iter_spark,
+        oracle=ANN.q_pca_power_iter(S.DUCKDB),
+        survey_ref=(
+            "leading principal component by power iteration over the "
+            "exact integer scatter matrix (one corpus pass; iterations "
+            "run on the 4096-cell moment table; deterministic ordered "
+            "folds)")),
     "containment_pairs": QueryDef(
         spark=_containment_pairs_spark,
         oracle=D.q_containment_pairs(S.DUCKDB),
