@@ -262,17 +262,17 @@ def lcp_from_levels(pairs: DataFrame,
     1, far below the blowup regime.  The checkpoint is pair-grain,
     i.e. tiny next to the corpus.  Returns ``pairs`` + BIGINT
     ``out``."""
-    # AQE re-plans every eager materialization in this loop; with one
-    # tiny pair-grain job per level that re-planning dominates
-    # (measured 290 s -> 124 s on a 51 k-pair ladder with AQE off for
-    # the loop).  NOTE this is loop-specific, not a blanket rule: the
-    # prefix-doubling rank loop measured FASTER with AQE on (0.55 vs
-    # 0.9 s/round at sf0.01 — its shuffles benefit from partition
-    # coalescing), so only this LCP loop disables it.
-    from ..session import no_aqe
-
-    with no_aqe(pairs.sparkSession):
-        return _lcp_loop(pairs, levels, id_col, out)
+    # AQE history: round 7 measured 290 s -> 124 s with AQE OFF for
+    # this loop on a 51 k-pair ladder — against the r7 rank tables.
+    # Re-measured in round 12 AFTER the rank-on-fact-table rewrite
+    # (fewer, cheaper per-level joins): AQE ON now wins at BOTH
+    # scales — sf0.01 repeated_span_profile 12.8-13.8 s (off) ->
+    # 7.4-9.3 s (on); sf0.1 (the 51 k-pair case) 21-30 s (off) ->
+    # 17.2-17.3 s (on), AQE's partition coalescing shrinking each
+    # level's tiny pair-grain shuffles below the fixed task overhead.
+    # The r7 setting was left behind by the shapes it was tuned
+    # against.
+    return _lcp_loop(pairs, levels, id_col, out)
 
 
 # Levels folded between checkpoint truncations in the LCP loop: the

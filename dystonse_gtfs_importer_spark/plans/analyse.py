@@ -225,7 +225,8 @@ def ecdf_curve_points_jvm(df: DataFrame, group_cols: list[str],
 def ecdf_curve_points_jvm_sql(src: str, group_cols: list[str],
                               value_col: str, min_samples: int = 2,
                               focus: float | None = None,
-                              y_round: int | None = None) -> str:
+                              y_round: int | None = None,
+                              pre_partition: bool = False) -> str:
     """:func:`ecdf_curve_points_jvm` rendered as ONE Spark-SQL string
     over the registered view ``src`` — expression-for-expression the
     same plan, but built in a single ``spark.sql`` call.  The Column
@@ -233,7 +234,20 @@ def ecdf_curve_points_jvm_sql(src: str, group_cols: list[str],
     at bench scale (measured round 4: build 1.43 s, execute 0.8 s
     warm); SQL parsing happens JVM-side in one hop, so the registry
     and bench run this rendering while the Column form remains the
-    composable API (equality pinned by test)."""
+    composable API (equality pinned by test).
+
+    ``pre_partition``: repartition the raw values by the GROUP key
+    before the (group, x) aggregation.  Hash partitioning by a subset
+    of the grouping keys satisfies the aggregate's distribution, and
+    the window is keyed by the same subset — so the whole query runs
+    on ONE exchange instead of two (guide §2.4 'share one exchange').
+    The trade is losing map-side combine on the raw rows, which is
+    the right call exactly when the value domain is near-unique per
+    group (continuous measurements — the driver's events.value has a
+    ~2× distinct ratio; measured 3× faster at sf0.1: 1.67 → 0.57 s)
+    and the wrong call for low-cardinality domains (12 s-rounded GTFS
+    delays combine ~1000×), so the default keeps the combine form and
+    callers opt in per value-domain knowledge."""
     g = ", ".join(group_cols)
     p = f"PARTITION BY {g}"
     if focus is None:
@@ -274,9 +288,10 @@ def ecdf_curve_points_jvm_sql(src: str, group_cols: list[str],
     else:
         counted = f"SELECT {g}, x, COUNT(*) AS cnt FROM vals GROUP BY {g}, x"
         weighted = f"SELECT *, ({w}) AS __w, ({w}) * cnt AS __wc FROM stats"
+    hint = f"/*+ REPARTITION({g}) */ " if pre_partition else ""
     return f"""
         WITH vals AS (
-            SELECT {g}, CAST({value_col} AS DOUBLE) AS x
+            SELECT {hint}{g}, CAST({value_col} AS DOUBLE) AS x
             FROM {src}
             WHERE CAST({value_col} AS DOUBLE) IS NOT NULL
               AND NOT isnan(CAST({value_col} AS DOUBLE))

@@ -1748,8 +1748,12 @@ def _ecdf_jvm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     register_views(spark, sf_dir)
+    # pre_partition: events.value is a continuous double (~2× distinct
+    # ratio), the domain where the single-exchange no-combine form is
+    # the right plan at any scale (builder docstring; measured 3×)
     return spark.sql(ecdf_curve_points_jvm_sql(
-        "events", group_cols=["event_type"], value_col="value"))
+        "events", group_cols=["event_type"], value_col="value",
+        pre_partition=True))
 
 
 # SQL expression of make_curve's unfocused semantics: y at each distinct

@@ -126,26 +126,3 @@ def enable_runtime_bloom_filters(
         str(application_side_min_bytes))
     return spark
 
-
-from contextlib import contextmanager
-
-
-@contextmanager
-def no_aqe(spark: SparkSession):
-    """Disable adaptive query execution for a block of ITERATIVE tiny
-    jobs and restore the caller's setting after.
-
-    AQE re-plans every materialized stage; in a checkpoint-per-round
-    loop over k-row / corpus-grain-map-only frames the re-planning is
-    pure per-job overhead with nothing to adapt — the loop body's
-    shapes are fixed (broadcast joins, fixed-size aggregate shuffles).
-    Measured on the LCP ladder: 290 s → 124 s on a 51 k-pair run with
-    AQE off for the loop (operators/suffix.py round 7); results are
-    plan-identical because AQE only changes physical execution.
-    """
-    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield spark
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", before)
