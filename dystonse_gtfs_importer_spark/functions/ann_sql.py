@@ -475,27 +475,56 @@ def q_embedding_decontam_recall(
     an audit probe run on a sampled eval set, never the production
     path (whitelisted in tools/audit_plans.py exactly like
     ann_recall's exact leg); the LSH leg keeps its production
-    bucket-join shape."""
+    bucket-join shape.
+
+    The Spark rendering derives every count of a leg from ONE FULL
+    OUTER join of that leg's exact and LSH sets (both are DISTINCT
+    vec_id, so the join is 1:1 and the counts are exact): the
+    textbook scalar-subquery form re-expands each CTE — including the
+    whole registered decontamination query — once per COUNT
+    reference (3-4× per leg; guide §2.4/§3.3).  DuckDB keeps the
+    scalar-subquery textbook form as the independent derivation."""
     legs = []
     for t in thresholds:
-        legs.append(f"""
-        SELECT CAST({round(t * 100)} AS INT) AS threshold_e2,
-               CAST((SELECT COUNT(*) FROM exact_{round(t * 100)}) AS BIGINT)
-                   AS n_exact,
-               CAST((SELECT COUNT(*) FROM lsh_{round(t * 100)}) AS BIGINT)
-                   AS n_lsh,
-               CAST((SELECT COUNT(*) FROM lsh_{round(t * 100)} l
-                     JOIN exact_{round(t * 100)} e ON e.vec_id = l.vec_id)
+        tt = round(t * 100)
+        if d.name == "spark":
+            legs.append(f"""
+        SELECT CAST({tt} AS INT) AS threshold_e2,
+               CAST(COUNT(e.vec_id) AS BIGINT) AS n_exact,
+               CAST(COUNT(l.vec_id) AS BIGINT) AS n_lsh,
+               CAST(COUNT(CASE WHEN e.vec_id IS NOT NULL
+                          AND l.vec_id IS NOT NULL THEN 1 END)
                     AS BIGINT) AS n_hit,
                CAST({d.intdiv(
-                   f"(SELECT COUNT(*) FROM lsh_{round(t * 100)} l "
-                   f"JOIN exact_{round(t * 100)} e ON e.vec_id = l.vec_id)"
+                   "COUNT(CASE WHEN e.vec_id IS NOT NULL "
+                   "AND l.vec_id IS NOT NULL THEN 1 END) * 10000",
+                   "GREATEST(COUNT(e.vec_id), 1)")} AS BIGINT)
+                   AS recall_e4,
+               CAST(CASE WHEN COUNT(l.vec_id)
+                         = COUNT(CASE WHEN e.vec_id IS NOT NULL
+                                 AND l.vec_id IS NOT NULL THEN 1 END)
+                    THEN 1 ELSE 0 END AS INT) AS lsh_subset
+        FROM exact_{tt} e FULL OUTER JOIN lsh_{tt} l
+          ON l.vec_id = e.vec_id""")
+            continue
+        legs.append(f"""
+        SELECT CAST({tt} AS INT) AS threshold_e2,
+               CAST((SELECT COUNT(*) FROM exact_{tt}) AS BIGINT)
+                   AS n_exact,
+               CAST((SELECT COUNT(*) FROM lsh_{tt}) AS BIGINT)
+                   AS n_lsh,
+               CAST((SELECT COUNT(*) FROM lsh_{tt} l
+                     JOIN exact_{tt} e ON e.vec_id = l.vec_id)
+                    AS BIGINT) AS n_hit,
+               CAST({d.intdiv(
+                   f"(SELECT COUNT(*) FROM lsh_{tt} l "
+                   f"JOIN exact_{tt} e ON e.vec_id = l.vec_id)"
                    " * 10000",
-                   f"GREATEST((SELECT COUNT(*) FROM exact_{round(t * 100)}),"
+                   f"GREATEST((SELECT COUNT(*) FROM exact_{tt}),"
                    " 1)")} AS BIGINT) AS recall_e4,
-               CAST(CASE WHEN (SELECT COUNT(*) FROM lsh_{round(t * 100)})
-                         = (SELECT COUNT(*) FROM lsh_{round(t * 100)} l
-                            JOIN exact_{round(t * 100)} e
+               CAST(CASE WHEN (SELECT COUNT(*) FROM lsh_{tt})
+                         = (SELECT COUNT(*) FROM lsh_{tt} l
+                            JOIN exact_{tt} e
                               ON e.vec_id = l.vec_id)
                     THEN 1 ELSE 0 END AS INT) AS lsh_subset""")
     ctes = []
@@ -537,9 +566,30 @@ def q_embedding_decontam_recall_tables(
     Measured on the fixture: recall 33% -> 67% -> 83% at 2/4/8 tables
     (threshold 0.35) — the curve a pipeline reads to buy its recall
     target, each extra table costing one more map-only sketch column
-    + its share of the bucket join."""
+    + its share of the bucket join.
+
+    Spark rendering: one FULL OUTER join per leg (see
+    q_embedding_decontam_recall — same scalar-subquery re-expansion
+    argument; here the brute-force ``exact_t`` was re-expanded ~3×
+    per leg on top of the per-leg decontamination query)."""
     legs = []
     for t in table_counts:
+        if d.name == "spark":
+            legs.append(f"""
+        SELECT CAST({t} AS INT) AS n_tables,
+               CAST(COUNT(e.vec_id) AS BIGINT) AS n_exact,
+               CAST(COUNT(l.vec_id) AS BIGINT) AS n_lsh,
+               CAST(COUNT(CASE WHEN e.vec_id IS NOT NULL
+                          AND l.vec_id IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_hit,
+               CAST({d.intdiv(
+                   "COUNT(CASE WHEN e.vec_id IS NOT NULL "
+                   "AND l.vec_id IS NOT NULL THEN 1 END) * 10000",
+                   "GREATEST(COUNT(e.vec_id), 1)")} AS BIGINT)
+                   AS recall_e4
+        FROM exact_t e FULL OUTER JOIN lsh_t{t} l
+          ON l.vec_id = e.vec_id""")
+            continue
         legs.append(f"""
         SELECT CAST({t} AS INT) AS n_tables,
                CAST((SELECT COUNT(*) FROM exact_t) AS BIGINT) AS n_exact,
