@@ -5,9 +5,24 @@ builds a suffix array over the whole corpus to find long repeated
 spans).  Single-node suffix-array construction dies at lake scale;
 the published distributed answer is prefix doubling (Flick & Aluru,
 SC'15): rank all suffixes by their first token, then repeatedly
-re-rank by the PAIR (rank of first 2^k tokens, rank of next 2^k) —
-after ⌈log₂ L⌉ rounds ranks are final.  Every round is DataFrame ops:
-one self-join on shifted positions and one corpus-wide dense rank.
+re-rank by the TUPLE of block ranks (rank of first 2^k tokens, rank
+of next 2^k, ...) — after logarithmically many rounds ranks are
+final.  Two r12 round-shape choices (guide §2.4 "remove shuffles",
+§1.2 "the distributed algorithm"):
+
+* **Pairing is a ``lead`` window, not a self-join.**  Positions are
+  contiguous per document (posexplode), so "the rank k tokens later"
+  is ``lead(r, k) OVER (PARTITION BY doc ORDER BY pos)`` — one
+  exchange by doc instead of the r11 corpus self-join's two
+  (id, pos)-keyed exchanges plus sorts per round.
+* **Rounds quadruple, not double.**  Ranking by the 4-tuple
+  (r(pos), r(pos+k), r(pos+2k), r(pos+3k)) extends coverage 4× per
+  round (Flick & Aluru's doubling generalizes to any arity: tuple
+  order of block ranks IS the order of the concatenated truncation,
+  shorter-prefix-first, with beyond-end as -1), so a corpus of max
+  document length L needs ⌈log₄ L⌉ corpus-wide shuffle rounds
+  instead of ⌈log₂ L⌉ — the extra lead offsets ride the SAME window
+  and the wider sort key is noise next to a whole round's exchange.
 
 The corpus-wide dense rank is the scale hazard: ``Window.orderBy``
 with no partition key serializes the corpus through ONE task.  It is
@@ -163,6 +178,16 @@ def suffix_ranks(docs: DataFrame, id_col: str = "doc_id",
                     F.col("r").cast("long").alias("suffix_rank"))
 
 
+def _round_multiplier(k: int, bound: int | None) -> int:
+    """Coverage multiplier for the round at shift ``k``: quadruple,
+    except fall back to doubling when 4k would overshoot a
+    power-of-two ``bound`` (the prefix cap) — doubling can always
+    land exactly on it."""
+    if bound is not None and k * 4 > bound:
+        return 2
+    return 4
+
+
 def suffix_rank_levels(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        max_rounds: int = 40,
@@ -170,18 +195,26 @@ def suffix_rank_levels(docs: DataFrame, id_col: str = "doc_id",
                        ) -> tuple[list[tuple[int, DataFrame]], int]:
     """The prefix-doubling ladder itself: every intermediate rank
     table, not just the final one.  Returns ``(levels, max_len)``
-    where ``levels[j] = (coverage, DF(id_col, pos, r))`` ranks each
-    suffix by its first ``coverage = 2^j`` tokens (shorter-prefix
+    where ``levels[j] = (coverage, DF(id_col, pos, r[, w1, w2]))``
+    ranks each suffix by its first ``coverage`` tokens (shorter-prefix
     first, exactly SQL list order) — the last level is the
-    fully-discriminating rank :func:`suffix_ranks` returns.
+    fully-discriminating rank :func:`suffix_ranks` returns.  Coverages
+    quadruple per round (doubling only when a power-of-two
+    ``prefix_cap`` forces an exact landing).
 
     Keeping the ladder is what makes EXACT rank-neighbor LCPs
     computable WITHOUT materializing suffix slices
-    (:func:`lcp_from_levels`): the ladder is the binary-decomposition
+    (:func:`lcp_from_levels`): the ladder is the radix-decomposition
     index, one checkpointed corpus-grain table per level — O(N log L)
     storage, the published suffix-array recipe (Manber-Myers rank
     tables).  Each level is eagerly checkpointed, so consumers replay
-    nothing."""
+    nothing.  Non-final levels additionally carry ``w1``/``w2`` — the
+    same level's rank at pos+coverage and pos+2·coverage.  They cost
+    nothing: the NEXT round's checkpoint materializes exactly those
+    lead columns as its sort key, so the widened level is a projection
+    of a table that already exists — and they are what lets the LCP
+    loop extract a base-4 digit (0–3 matching blocks) with ONE join
+    per side per level instead of three sequential probes."""
     if prefix_cap is not None and prefix_cap & (prefix_cap - 1):
         raise ValueError("prefix_cap must be a power of two")
     toks = docs.select(
@@ -199,7 +232,9 @@ def suffix_rank_levels(docs: DataFrame, id_col: str = "doc_id",
                                         with_count=True)
     r = r.select(id_col, "pos", "r")
     levels: list[tuple[int, DataFrame]] = [(1, r)]
-    stats = toks.groupBy(id_col).count() \
+    # doc-length stats over the round-0 checkpoint (NOT the raw
+    # explode: same rows, but the scan+split work is already paid)
+    stats = r.groupBy(id_col).count() \
         .agg(F.max("count").alias("mx"), F.sum("count").alias("n")) \
         .collect()[0]
     max_len, n_total = stats.mx or 0, stats.n or 0
@@ -209,20 +244,33 @@ def suffix_rank_levels(docs: DataFrame, id_col: str = "doc_id",
     for _ in range(max_rounds):
         if n_distinct >= n_total or k >= max_len:
             break
-        nxt = r.select(F.col(id_col).alias("__id2"),
-                       (F.col("pos") - k).alias("__p2"),
-                       F.col("r").alias("r2"))
-        paired = (r.join(nxt, (F.col(id_col) == F.col("__id2"))
-                         & (F.col("pos") == F.col("__p2")), "left")
-                  .select(id_col, "pos", "r",
-                          F.coalesce("r2", F.lit(-1)).alias("r2")))
+        m = _round_multiplier(k, prefix_cap)
+        # "rank k·j tokens later" is a lead over the per-doc position
+        # order — positions are contiguous, so this replaces the r11
+        # (id, pos)=(id, pos+k) self-join (two corpus exchanges +
+        # sorts) with one doc-keyed exchange; beyond-end stays -1,
+        # below every real rank, exactly SQL's shorter-list-first
+        w = Window.partitionBy(id_col).orderBy("pos")
+        block_cols = [
+            F.coalesce(F.lead("r", j * k).over(w), F.lit(-1))
+            .alias(f"r{j + 1}") for j in range(1, m)]
+        paired = r.select(id_col, "pos", "r", *block_cols)
         # ranks from the previous round are dense in [1, n_distinct]:
         # deterministic value-bucket partitioning, no sampling job
-        r2, n_distinct = dense_rank_scalable(paired, ["r", "r2"],
+        cols = ["r"] + [f"r{j + 1}" for j in range(1, m)]
+        r2, n_distinct = dense_rank_scalable(paired, cols,
                                              out="nr", with_count=True,
                                              first_col_ubound=n_distinct)
+        # the round's checkpoint holds (pos, r, r2, r3, ...) — widen
+        # the PREVIOUS level with its own rank at pos+k / pos+2k for
+        # the LCP loop's single-join digit extraction (free: same
+        # materialized table, different projection)
+        if m == 4:
+            levels[-1] = (k, r2.select(
+                id_col, "pos", "r",
+                F.col("r2").alias("w1"), F.col("r3").alias("w2")))
         r = r2.select(id_col, "pos", F.col("nr").alias("r"))
-        k *= 2
+        k *= m
         levels.append((k, r))
     return levels, max_len
 
@@ -231,21 +279,23 @@ def lcp_from_levels(pairs: DataFrame,
                     levels: list[tuple[int, DataFrame]],
                     id_col: str = "doc_id",
                     out: str = "lcp") -> DataFrame:
-    """Exact token LCP for suffix-position pairs via binary
+    """Exact token LCP for suffix-position pairs via mixed-radix
     decomposition over the rank ladder — ZERO suffix materialization.
 
     ``pairs`` carries (da, pa, db, pb): two suffix positions per row.
-    For each level coverage c (descending): if both positions exist
-    and their level-c ranks are equal, the c-truncated suffixes are
-    identical, so advance both positions by c and add c to the
-    accumulator; a truncation equality at the document tail implies
-    full remaining equality, so the final clamp to min(remaining
-    lengths) is exact.  Correctness of the decomposition: the ladder
-    ranks truncations, and two suffixes sharing more than c tokens
-    would share their c-truncation — so after the largest matching
-    level, strictly smaller ones complete the LCP, and the
-    all-distinct early exit in the ladder construction bounds every
-    LCP below the last coverage.
+    For each level coverage c (descending), the digit — how many
+    consecutive c-token blocks match, 0‥3 under quadrupled rounds —
+    comes from ONE join per side against the widened level table
+    (r, w1, w2 = the level's rank at pos, pos+c, pos+2c): block i
+    matches iff both positions exist and the i-th ranks are equal;
+    positions and the accumulator advance by digit·c.  A truncation
+    equality at the document tail implies full remaining equality, so
+    the final clamp to min(remaining lengths) is exact.  Correctness:
+    processing levels top-down leaves the remaining LCP below 4c when
+    level 4c is done, so at level c at most 3 blocks can match
+    (greedy mixed-radix extraction is exact); the all-distinct early
+    exit bounds every LCP below the last coverage, whose digit is
+    therefore at most 1 (the clamped identical-tail case).
 
     Cost: 2 pair-grain equi-joins per level (⌈log₂ L⌉ levels); the
     pair table is checkpoint-truncated every
@@ -301,27 +351,36 @@ def _lcp_loop(pairs: DataFrame, levels: list[tuple[int, DataFrame]],
            .withColumn("__ia", F.col("pa").cast("long"))
            .withColumn("__ib", F.col("pb").cast("long")))
     for i, (cov, rdf) in enumerate(reversed(levels)):
+        widened = "w1" in rdf.columns
+        probe = ["r", "w1", "w2"] if widened else ["r"]
         ra = rdf.select(F.col(id_col).alias("__rda"),
                         F.col("pos").alias("__rpa"),
-                        F.col("r").alias("__ra"))
+                        *[F.col(c).alias(f"__a_{c}") for c in probe])
         rb = rdf.select(F.col(id_col).alias("__rdb"),
                         F.col("pos").alias("__rpb"),
-                        F.col("r").alias("__rb"))
+                        *[F.col(c).alias(f"__b_{c}") for c in probe])
         cur = (cur
                .join(ra, (F.col("da") == F.col("__rda"))
                      & (F.col("__ia") == F.col("__rpa")), "left")
                .join(rb, (F.col("db") == F.col("__rdb"))
                      & (F.col("__ib") == F.col("__rpb")), "left"))
-        hit = (F.col("__ra").isNotNull() & F.col("__rb").isNotNull()
-               & (F.col("__ra") == F.col("__rb")))
+        # digit = number of consecutively matching cov-blocks (each
+        # test: both ranks exist AND equal — a missing position means
+        # the suffix ended, exactly the old single-probe semantics)
+        hit = None
+        adv = F.lit(0).cast("long")
+        for c in probe:
+            eq = (F.col(f"__a_{c}").isNotNull()
+                  & F.col(f"__b_{c}").isNotNull()
+                  & (F.col(f"__a_{c}") == F.col(f"__b_{c}")))
+            hit = eq if hit is None else (hit & eq)
+            adv = adv + F.when(hit, F.lit(cov)).otherwise(F.lit(0))
         cur = (cur
-               .withColumn("__acc", F.when(hit, F.col("__acc") + cov)
-                           .otherwise(F.col("__acc")))
-               .withColumn("__ia", F.when(hit, F.col("__ia") + cov)
-                           .otherwise(F.col("__ia")))
-               .withColumn("__ib", F.when(hit, F.col("__ib") + cov)
-                           .otherwise(F.col("__ib")))
-               .drop("__rda", "__rpa", "__ra", "__rdb", "__rpb", "__rb"))
+               .withColumn("__acc", F.col("__acc") + adv)
+               .withColumn("__ia", F.col("__ia") + adv)
+               .withColumn("__ib", F.col("__ib") + adv)
+               .drop("__rda", "__rpa", "__rdb", "__rpb",
+                     *[f"__{s}_{c}" for s in ("a", "b") for c in probe]))
         if (i + 1) % levels_per_ckpt == 0 or i == len(levels) - 1:
             cur = cur.localCheckpoint(eager=True)
     return (cur.withColumn(
