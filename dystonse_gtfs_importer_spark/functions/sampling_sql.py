@@ -1767,8 +1767,39 @@ def q_below_median_quality_flags(d: S.Dialect,
     """
 
 
+def q_logreg_feats(d: S.Dialect, doc_table: str = "documents") -> str:
+    """The feature projection ``q_logreg_quality_iter2`` trains on,
+    as its own query: (y, f0..f3) per document.  The registry's Spark
+    side materializes this ONCE (localCheckpoint → view) — the
+    feature exprs carry two regex passes over ``text``, and the
+    single-string form re-inlines them into every gradient/accuracy
+    consumer (guide §2.3 "project before the exchange": 40 bytes of
+    features per doc instead of three re-scans of raw text)."""
+    feats = _logreg_feat_exprs(d)
+    fcols = ", ".join(f"{expr} AS f{j}" for j, (_, expr) in
+                      enumerate(feats))
+    return f"""
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               {fcols}
+        FROM {doc_table}
+    """
+
+
+def _logreg_feat_exprs(d: S.Dialect) -> list[tuple[str, str]]:
+    n = "LENGTH(text)"
+    alpha = f"LENGTH({d.regexp_replace_all('text', '[^a-zA-Z ]', '')})"
+    stop = S.stopword_count("text")
+    return [("bias", "1.0"),
+            ("len_signal", f"LEAST(1.0, {n} / 500.0)"),
+            ("alpha_ratio",
+             f"(CASE WHEN {n} = 0 THEN 0.0 "
+             f"ELSE CAST({alpha} AS DOUBLE) / {n} END)"),
+            ("stop_signal", f"LEAST(1.0, {stop} / 10.0)")]
+
+
 def q_logreg_quality_iter2(d: S.Dialect,
-                           doc_table: str = "documents") -> str:
+                           doc_table: str = "documents",
+                           feats_view: str | None = None) -> str:
     """A LEARNED quality filter trained fully in-SQL: two batch
     gradient-descent iterations of logistic regression predicting the
     English label from the verified quality-signal features (bias,
@@ -1800,15 +1831,7 @@ def q_logreg_quality_iter2(d: S.Dialect,
     side partial sums, 4-value reduce, broadcast the weight row
     back); iterations are a fixed-depth CTE chain, no driver loop."""
     tr = d.trunc_num
-    n = "LENGTH(text)"
-    alpha = f"LENGTH({d.regexp_replace_all('text', '[^a-zA-Z ]', '')})"
-    stop = S.stopword_count("text")
-    feats = [("bias", "1.0"),
-             ("len_signal", f"LEAST(1.0, {n} / 500.0)"),
-             ("alpha_ratio",
-              f"(CASE WHEN {n} = 0 THEN 0.0 "
-              f"ELSE CAST({alpha} AS DOUBLE) / {n} END)"),
-             ("stop_signal", f"LEAST(1.0, {stop} / 10.0)")]
+    feats = _logreg_feat_exprs(d)
     fcols = ", ".join(f"{expr} AS f{j}" for j, (_, expr) in
                       enumerate(feats))
 
@@ -1820,23 +1843,41 @@ def q_logreg_quality_iter2(d: S.Dialect,
 
     zdot = " + ".join(f"w.w{j} * f.f{j}" for j in range(len(feats)))
     sig = "0.5 + z / (2.0 * (1.0 + ABS(z)))"
-    out_rows = "\n        UNION ALL ".join(
-        f"SELECT {d.str_lit(name)} AS feature, w1.w{j} AS w_iter1_e6, "
-        f"wf.w{j} AS w_iter2_e6, a.acc_e4 "
-        f"FROM w1 CROSS JOIN wf CROSS JOIN acc a"
-        for j, (name, _) in enumerate(feats))
+    if d.name == "spark":
+        # one row source exploded 4 ways: the UNION ALL form stamps
+        # the whole w1/wf/acc derivation chain once PER FEATURE into
+        # the plan (4x three corpus aggregates before AQE gets a say);
+        # identical rows, same order-insensitive hash
+        names = ", ".join(d.str_lit(name) for name, _ in feats)
+        w1arr = ", ".join(f"w1.w{j}" for j in range(len(feats)))
+        wfarr = ", ".join(f"wf.w{j}" for j in range(len(feats)))
+        out_rows = (
+            f"SELECT element_at(array({names}), j + 1) AS feature,\n"
+            f"       element_at(array({w1arr}), j + 1) AS w_iter1_e6,\n"
+            f"       element_at(array({wfarr}), j + 1) AS w_iter2_e6,\n"
+            f"       a.acc_e4\n"
+            f"FROM w1 CROSS JOIN wf CROSS JOIN acc a\n"
+            f"LATERAL VIEW explode(sequence(0, {len(feats) - 1})) AS j")
+    else:
+        out_rows = "\n        UNION ALL ".join(
+            f"SELECT {d.str_lit(name)} AS feature, w1.w{j} AS w_iter1_e6, "
+            f"wf.w{j} AS w_iter2_e6, a.acc_e4 "
+            f"FROM w1 CROSS JOIN wf CROSS JOIN acc a"
+            for j, (name, _) in enumerate(feats))
     w1cols = ", ".join(
         f"CAST(FLOOR(1.0 * g.g{j} / n.c) AS BIGINT) AS w{j}"
         for j in range(len(feats)))
     w2cols = ", ".join(
         f"CAST(w.w{j} + FLOOR(1.0 * g.g{j} / n.c) AS BIGINT) AS w{j}"
         for j in range(len(feats)))
-    return f"""
-        WITH feats AS (
+    feats_cte = (f"feats AS (SELECT * FROM {feats_view})" if feats_view
+                 else f"""feats AS (
             SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
                    {fcols}
             FROM {doc_table}
-        ),
+        )""")
+    return f"""
+        WITH {feats_cte},
         n AS (SELECT COUNT(*) AS c FROM feats),
         g1 AS ({grad('feats', '0.5')}),
         w1 AS (SELECT {w1cols} FROM g1 g CROSS JOIN n),

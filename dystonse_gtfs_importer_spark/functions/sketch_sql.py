@@ -321,9 +321,18 @@ def q_bloom_membership(d: S.Dialect, k: int = BLOOM_K) -> str:
         + d.shl1(f"{_bloom_pos(d, 'tok', str(i))} % {BLOOM_WORD_BITS}")
         + f" AS bval_{i}"
         for i in range(k))
-    sets = " UNION ALL ".join(
-        f"SELECT tok, wpos_{i} AS word, bval_{i} AS bits FROM keyed"
-        for i in range(k))
+    if d.name == "spark":
+        # one stamping of the 12-MD5 ``keyed`` projection exploded k
+        # ways instead of a k-branch UNION ALL re-stamping it per hash
+        # (identical (tok, word, bits) rows)
+        wb = ", ".join(f"named_struct('word', wpos_{i}, "
+                       f"'bits', bval_{i})" for i in range(k))
+        sets = (f"SELECT tok, wb.word AS word, wb.bits AS bits "
+                f"FROM keyed LATERAL VIEW explode(array({wb})) t AS wb")
+    else:
+        sets = " UNION ALL ".join(
+            f"SELECT tok, wpos_{i} AS word, bval_{i} AS bits FROM keyed"
+            for i in range(k))
     in_list = ", ".join(f"kk.wpos_{i}" for i in range(k))
     group_cols = ", ".join(f"kk.wpos_{i}, kk.bval_{i}" for i in range(k))
     return f"""

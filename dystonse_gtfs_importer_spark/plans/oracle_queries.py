@@ -2323,6 +2323,29 @@ def _pca_power_iter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(ANN.q_pca_power_iter(S.SPARK, amat_view="__pca_amat"))
 
 
+def _logreg_quality_iter2_spark(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Spark side of ``logreg_quality_iter2``: materialize the
+    (y, f0..f3) feature projection ONCE (localCheckpoint → view) and
+    train over the view.  As one SQL string the ``feats`` CTE — two
+    regex passes over ``text`` per row — is re-inlined into both
+    gradient passes and the accuracy pass, and the UNION ALL output
+    form additionally stamps that whole chain once per feature row
+    (measured sf0.01: 2.8 s total, 224 Exchange nodes static).  The
+    wrapper trains on 40 bytes/doc instead of re-scanning text
+    (guide §2.3/§2.4); identical math/rows — the oracle runs the
+    self-contained single string with the textbook UNION ALL."""
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    feats = spark.sql(SAMP.q_logreg_feats(S.SPARK)) \
+        .localCheckpoint(eager=True)
+    feats.createOrReplaceTempView("__logreg_feats")
+    return spark.sql(SAMP.q_logreg_quality_iter2(
+        S.SPARK, feats_view="__logreg_feats"))
+
+
 def _kmeans_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full k-means operator (operators/clustering.py: k-means||
     seeded-hash init, Lloyd loop to convergence, map-only argmin
@@ -3353,10 +3376,12 @@ QUERIES: dict[str, QueryDef] = {
         SAMP.q_shuffle_run_audit,
         "corpus-shuffle quality audit (source run-lengths vs random "
         "expectation; position equi-join, no corpus window)"),
-    "logreg_quality_iter2": _sql_pair(
-        SAMP.q_logreg_quality_iter2,
-        "text-quality learned filter (in-SQL batch GD, iterative "
-        "family with pagerank_iter2 / kmeans_lloyd2)"),
+    "logreg_quality_iter2": QueryDef(
+        spark=_logreg_quality_iter2_spark,
+        oracle=SAMP.q_logreg_quality_iter2(S.DUCKDB),
+        survey_ref="text-quality learned filter (in-SQL batch GD, "
+                   "iterative family with pagerank_iter2 / "
+                   "kmeans_lloyd2)"),
     "dedup_threshold_sweep_lsh": _sql_pair(
         D.q_dedup_threshold_sweep_lsh,
         "dedup-planner threshold sweep, banded-estimate rung"),
