@@ -1480,9 +1480,22 @@ def _suffix_profile_spark_ctes(min_len: int = 8,
                                cap: int | None = None,
                                doc_table: str = "documents",
                                sr_table: str = "sr") -> str:
+    # LCP(a, b) in O(L): position of the FIRST elementwise mismatch
+    # minus one (prefix equality is monotone, so that equals the count
+    # of equal prefixes), or min(len) when no mismatch.  The previous
+    # form counted equal prefix SLICES — building two O(i) arrays per
+    # probe i, O(L²) work and allocations per neighbor pair (guide
+    # §1.2 "per-task work"; interleaved same-session A/B of the
+    # uncapped profile pass at sf0.01: 2.00 → 1.43 s median-of-4,
+    # identical rows).  NULL neighbor (the LEFT JOIN miss)
+    # yields NULL, which the callers' COALESCE(.., 0) already absorbs
+    # — same rows as the old form's empty-filter 0.
     lcp = (lambda a, b:
-           f"size(filter(sequence(1, least(size({a}), size({b}))), "
-           f"i -> slice({a}, 1, i) = slice({b}, 1, i)))")
+           f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
+           f"COALESCE(NULLIF(array_position(transform("
+           f"sequence(1, least(size({a}), size({b}))), "
+           f"i -> element_at({a}, i) = element_at({b}, i)), false), 0) - 1, "
+           f"least(size({a}), size({b}))) END")
     n_take = ("size(ta.ta) - sr.pos" if cap is None
               else f"least(size(ta.ta) - sr.pos, {cap})")
     return f"""
