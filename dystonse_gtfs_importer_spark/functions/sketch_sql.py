@@ -50,7 +50,36 @@ def _cell(d: S.Dialect, tok: str, row: str) -> str:
 
 
 def cms_cte(d: S.Dialect, depth: int = CMS_DEPTH) -> str:
-    """The sketch table: (rw, cell, cnt) — depth×width rows total."""
+    """The sketch table: (rw, cell, cnt) — depth×width rows total.
+
+    Spark rendering counts tokens FIRST (``tcnt``) and derives the
+    sketch by summing those counts into cells: the ``depth`` MD5 cell
+    hashes run per DISTINCT token instead of per occurrence (guide
+    §1.2 "per-task work"), and the heavy-hitter query's ``truth`` CTE
+    reads the same aggregate instead of re-tokenizing the corpus —
+    cell counts are identical (Σ occurrences hashing to a cell =
+    Σ per-token counts of tokens hashing to it).  DuckDB keeps the
+    per-occurrence textbook derivation, so the driver hash still
+    cross-verifies the cell layout from two independent shapes."""
+    if d.name == "spark":
+        return f"""
+        toks AS (
+            SELECT tok FROM (
+                SELECT {d.explode_tokens('text')} AS tok FROM documents
+            ) t WHERE tok <> ''
+        ),
+        tcnt AS (
+            SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+        ),
+        hashed AS (
+            SELECT s.i AS rw, {_cell(d, 'tok', 's.i')} AS cell, tf
+            FROM tcnt CROSS JOIN {d.series(depth)} AS s
+        ),
+        cms AS (
+            SELECT rw, cell, SUM(tf) AS cnt
+            FROM hashed GROUP BY rw, cell
+        )
+    """
     return f"""
         toks AS (
             SELECT tok FROM (
@@ -74,10 +103,12 @@ def q_countmin_heavy_hitters(d: S.Dialect, k: int = 20,
     (tok, true_tf, cms_estimate, overcount).  The hash match pins the
     sketch's exact cell layout AND that estimate >= truth for every
     reported token."""
+    truth = ("SELECT tok, tf AS true_tf FROM tcnt" if d.name == "spark"
+             else "SELECT tok, COUNT(*) AS true_tf FROM toks GROUP BY tok")
     return f"""
         WITH {cms_cte(d, depth)},
         truth AS (
-            SELECT tok, COUNT(*) AS true_tf FROM toks GROUP BY tok
+            {truth}
         ),
         top AS (
             SELECT tok, true_tf,
