@@ -1496,21 +1496,36 @@ def _suffix_profile_spark_ctes(min_len: int = 8,
            f"sequence(1, least(size({a}), size({b}))), "
            f"i -> element_at({a}, i) = element_at({b}, i)), false), 0) - 1, "
            f"least(size({a}), size({b}))) END")
-    n_take = ("size(ta.ta) - sr.pos" if cap is None
-              else f"least(size(ta.ta) - sr.pos, {cap})")
+    # Suffix slices are materialized ONLY for class representatives
+    # (one per rank — all members of a rank class are the identical
+    # truncated suffix, so any representative yields the same array).
+    # The r11/r12a form built a slice per POSITION and pushed them
+    # through a MIN(s) SortAggregate: O(N·L) array bytes sorted and
+    # shuffled where O(C·L) suffice (guide §2.3 "shuffle keys and
+    # metadata instead of payloads"); per-position lengths are
+    # arithmetic (ntok − pos), no array needed.  Interleaved
+    # same-session A/B of the uncapped profile pass at sf0.01:
+    # 1.32 → 0.97 s median-of-5, rows identical.
+    n_take_rep = ("size(ta.ta) - c.rep.pos" if cap is None
+                  else f"least(size(ta.ta) - c.rep.pos, {cap})")
+    len_expr = ("l.ntok - sr.pos" if cap is None
+                else f"LEAST(l.ntok - sr.pos, {cap})")
     return f"""
         ta AS (
             SELECT doc_id,
                    filter(split(lower(text), ' +'), t -> t <> '') AS ta
             FROM {doc_table}
         ),
-        sfx AS (
-            SELECT sr.doc_id, sr.pos, sr.suffix_rank AS r,
-                   slice(ta.ta, sr.pos + 1, {n_take}) AS s
-            FROM {sr_table} sr JOIN ta ON ta.doc_id = sr.doc_id
+        lens AS (SELECT doc_id, size(ta) AS ntok FROM ta),
+        cls AS (
+            SELECT suffix_rank AS r, COUNT(*) AS class_n,
+                   MIN(named_struct('doc_id', doc_id, 'pos', pos)) AS rep
+            FROM {sr_table} GROUP BY suffix_rank
         ),
-        cls AS (SELECT r, COUNT(*) AS class_n FROM sfx GROUP BY r),
-        reps AS (SELECT r, MIN(s) AS s FROM sfx GROUP BY r),
+        reps AS (
+            SELECT c.r, slice(ta.ta, c.rep.pos + 1, {n_take_rep}) AS s
+            FROM cls c JOIN ta ON ta.doc_id = c.rep.doc_id
+        ),
         adj AS (
             SELECT a.r, GREATEST(
                 COALESCE({lcp('a.s', 'p.s')}, 0),
@@ -1521,12 +1536,14 @@ def _suffix_profile_spark_ctes(min_len: int = 8,
         ),
         prof AS (
             SELECT doc_id, pos, rep_len FROM (
-                SELECT sfx.doc_id, sfx.pos,
+                SELECT sr.doc_id, sr.pos,
                        CAST(GREATEST(adj.adj_lcp,
-                            CASE WHEN cls.class_n >= 2 THEN size(sfx.s)
+                            CASE WHEN cls.class_n >= 2 THEN {len_expr}
                                  ELSE 0 END) AS INT) AS rep_len
-                FROM sfx JOIN adj ON adj.r = sfx.r
-                JOIN cls ON cls.r = sfx.r
+                FROM {sr_table} sr
+                JOIN lens l ON l.doc_id = sr.doc_id
+                JOIN cls ON cls.r = sr.suffix_rank
+                JOIN adj ON adj.r = sr.suffix_rank
             ) WHERE rep_len >= {min_len}
         )"""
 
