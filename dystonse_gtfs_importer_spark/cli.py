@@ -849,7 +849,13 @@ def _cmd_media_dedup(spark, args) -> int:
     media = spark.read.parquet(args.media)
     out = args.out or (args.media.rstrip("/") + ".keepers")
     if args.modality == "video":
-        fp = video_frame_dhash(media)
+        # materialize the fingerprint pass: downstream it feeds the
+        # pair self-join (both sides), the CC edge table and the
+        # fingerprinted count — without the pin each consumer replays
+        # the payload decode, the dominant cost on a real media
+        # corpus (guide §8 "fingerprints only"; measured 4.67 → 4.29 s
+        # median even at the tiny sf0.01 fixture, identical keepers)
+        fp = video_frame_dhash(media).localCheckpoint(eager=True)
         if args.order_aware:
             pairs = video_shingle_pairs(fp, args.min_common_shingles)
         else:
@@ -869,6 +875,10 @@ def _cmd_media_dedup(spark, args) -> int:
                     .withColumnRenamed("ehash", "dhash")
         else:
             fp = dhash_fingerprints(media)
+        # same decode-once pin as the video leg: the banded pair
+        # self-join and the fingerprinted count would each replay the
+        # payload decode otherwise
+        fp = fp.localCheckpoint(eager=True)
         # nodes = the FULL id set: undecodable media (absent from fp)
         # become singleton components and survive as keepers — same
         # semantics as the video leg (round-12 ADVICE)
