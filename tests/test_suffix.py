@@ -168,3 +168,113 @@ class TestSuffixRanksScaleRegression:
         got = {(r.doc_id, r.pos): r.suffix_rank
                for r in suffix_ranks(docs).collect()}
         assert got == _ref_ranks(texts)
+
+
+class TestSpanProfileInternals:
+    """Round-12 optimization pins: the O(L) first-mismatch LCP
+    expression and the class-grain representative-slice profile must
+    reproduce the brute-force forms exactly (the rewrites changed the
+    Spark plan shape, not the result — these tests fail if a future
+    edit breaks that)."""
+
+    def test_lcp_expression_matches_bruteforce(self, spark):
+        """The transform+array_position LCP equals a Python token-wise
+        LCP on randomized pairs, including the equal-arrays and
+        NULL-neighbor edges."""
+        import random
+
+        import pyspark.sql.functions as F
+
+        rng = random.Random(0xC0FFEE)
+        vocab = ["a", "b", "ab", "ba", "aa"]
+        rows = []
+        for i in range(300):
+            a = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+            if rng.random() < 0.3:          # force long shared prefixes
+                b = list(a[:rng.randint(1, len(a))]) \
+                    + [rng.choice(vocab) for _ in range(rng.randint(0, 4))]
+            else:
+                b = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+            if rng.random() < 0.1:
+                b = list(a)                 # identical arrays
+            rows.append((i, a, None if rng.random() < 0.1 else b))
+
+        def ref_lcp(a, b):
+            if b is None:
+                return None
+            n = 0
+            for x, y in zip(a, b):
+                if x != y:
+                    break
+                n += 1
+            return n
+
+        df = spark.createDataFrame(
+            rows, "i int, a array<string>, b array<string>")
+        lcp = ("CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE "
+               "COALESCE(NULLIF(array_position(transform("
+               "sequence(1, least(size(a), size(b))), "
+               "i -> element_at(a, i) = element_at(b, i)), false), 0) - 1, "
+               "least(size(a), size(b))) END")
+        got = {r.i: r.l for r in
+               df.select("i", F.expr(lcp).alias("l")).collect()}
+        want = {i: ref_lcp(a, b) for i, a, b in rows}
+        assert got == want
+
+    def test_class_grain_profile_matches_position_grain(self, spark):
+        """The class-grain representative-slice profile CTEs emit the
+        same rows as the retired position-grain form on a corpus with
+        heavy cross- and within-document repeats."""
+        from dystonse_gtfs_importer_spark.operators.suffix import (
+            suffix_ranks,
+        )
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            _suffix_profile_spark_ctes,
+        )
+
+        texts = [
+            (0, "x y z p q r s t u v w k"),
+            (1, "a b c d e f g h x y z p q r s t"),
+            (2, "a b c d e f g h m m m m a b c d e f g h"),
+            (3, "m m m m m m m m m m"),
+            (4, "q r s t u v w k a b c d e f g h"),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        docs.createOrReplaceTempView("documents")
+        suffix_ranks(docs).createOrReplaceTempView("sr")
+
+        new_sql = f"""WITH {_suffix_profile_spark_ctes(min_len=4)}
+            SELECT doc_id, pos, rep_len FROM prof"""
+        old_sql = """WITH
+            ta AS (SELECT doc_id,
+                          filter(split(lower(text), ' +'), t -> t <> '') AS ta
+                   FROM documents),
+            sfx AS (SELECT sr.doc_id, sr.pos, sr.suffix_rank AS r,
+                           slice(ta.ta, sr.pos + 1, size(ta.ta) - sr.pos) AS s
+                    FROM sr JOIN ta ON ta.doc_id = sr.doc_id),
+            cls AS (SELECT r, COUNT(*) AS class_n FROM sfx GROUP BY r),
+            reps AS (SELECT r, MIN(s) AS s FROM sfx GROUP BY r),
+            adj AS (SELECT a.r, GREATEST(
+                        COALESCE(size(filter(sequence(1,
+                            least(size(a.s), size(p.s))),
+                            i -> slice(a.s, 1, i) = slice(p.s, 1, i))), 0),
+                        COALESCE(size(filter(sequence(1,
+                            least(size(a.s), size(n.s))),
+                            i -> slice(a.s, 1, i) = slice(n.s, 1, i))), 0))
+                        AS adj_lcp
+                    FROM reps a
+                    LEFT JOIN reps p ON p.r = a.r - 1
+                    LEFT JOIN reps n ON n.r = a.r + 1),
+            prof AS (SELECT doc_id, pos, rep_len FROM (
+                SELECT sfx.doc_id, sfx.pos,
+                       CAST(GREATEST(adj.adj_lcp,
+                            CASE WHEN cls.class_n >= 2 THEN size(sfx.s)
+                                 ELSE 0 END) AS INT) AS rep_len
+                FROM sfx JOIN adj ON adj.r = sfx.r
+                JOIN cls ON cls.r = sfx.r) WHERE rep_len >= 4)
+            SELECT doc_id, pos, rep_len FROM prof"""
+        got = sorted(map(tuple, spark.sql(new_sql).collect()))
+        ref = sorted(map(tuple, spark.sql(old_sql).collect()))
+        assert got == ref and len(got) > 0
+        spark.catalog.dropTempView("documents")
+        spark.catalog.dropTempView("sr")
