@@ -4047,13 +4047,20 @@ REGISTRY_ORDER: tuple[str, ...] = (
     # -- (b) round-9-witnessed fills (displaceable by new r12 queries) --
     "sequence_pack", "sequence_fill",
     # -- round-12 registrations (displace the newest r9 fills) --
-    "image_dedup_recall", "image_dedup_recall_jpeg",
+    # Round-13 adjustment (VERDICT r12 #1): image_dedup_recall_jpeg is
+    # registered with oracle=None (float-DCT JPEG re-encode has no
+    # bit-exact SQL twin; its recall values are pinned by
+    # tests/test_perceptual.py) so it can never turn a driver
+    # CORRECTNESS row green.  It moves below the window boundary and
+    # the oldest displaced r9 fill, sequence_emit (oracle-paired),
+    # returns to the window in its place — 50/50 oracle-paired rows.
+    "image_dedup_recall", "sequence_emit",
     "audio_spectral_hash", "audio_spectral_near_pairs",
     "video_shingle_pairs",
     # -- window boundary: entries below are outside the driver snapshot --
     # r9 fills displaced by round-12 registrations, then the remaining
     # round-9-witnessed entries (r9-window order)
-    "sequence_emit", "mixture_weights", "mixture_weights_target",
+    "image_dedup_recall_jpeg", "mixture_weights", "mixture_weights_target",
     "mixture_drift", "dedup_keep_best",
     "ann_recall", "hybrid_rrf_topk", "corpus_diff", "sequence_pack_ffd",
     "table_profile_approx", "edit_distance_near_pairs", "oov_rate",

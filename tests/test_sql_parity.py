@@ -353,6 +353,16 @@ class TestRegistryWindow:
             "spatial_neighbors", "latest_wins", "forward_fill",
         }
         assert must_witness <= window
+        # round-13 rotation (VERDICT r12 #1): every entry inside the
+        # driver snapshot must be oracle-paired — a no-oracle entry
+        # (image_dedup_recall_jpeg) can never turn its row green and
+        # belongs below the boundary
+        no_oracle = [n for n in names[: oq.DRIVER_WINDOW]
+                     if oq.QUERIES[n].oracle is None]
+        assert no_oracle == []
+        assert "sequence_emit" in window
+        assert "image_dedup_recall_jpeg" in oq.REGISTRY_ORDER
+        assert "image_dedup_recall_jpeg" not in window
 
     def test_oracle_sql_order_matches_queries(self):
         from dystonse_gtfs_importer_spark.plans import oracle_queries as oq

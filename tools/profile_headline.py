@@ -4,7 +4,7 @@
 for each query, time (a) DataFrame construction = parse + analysis,
 (b) physical planning via explain, (c) execution drained through the
 noop sink (computes every column, no driver transfer), and dump
-``explain("formatted")`` to plans/r12/<label>_<tag>.txt.
+``explain("formatted")`` to plans/$SPARK_GRAFT_PLAN_DIR (default r13)/<label>_<tag>.txt.
 
 Usage: python3 tools/profile_headline.py [tag]   (tag: before/after)
 """
@@ -30,7 +30,7 @@ def main() -> int:
     from dystonse_gtfs_importer_spark.sources import testdata
 
     testdata.MEMOIZE_VIEWS = True
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from __spark_entry__ import queries

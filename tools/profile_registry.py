@@ -4,7 +4,7 @@
 at any SF dir.  Times (a) DataFrame construction, (b) physical
 planning, (c) execution drained through the noop sink, median of 3
 after one untimed warmup, and dumps ``explain("formatted")`` to
-plans/r12/<name>_<tag>.txt.
+plans/$SPARK_GRAFT_PLAN_DIR (default r13)/<name>_<tag>.txt.
 
 Usage: python3 tools/profile_registry.py <tag> <name> [name ...]
        SPARK_GRAFT_SF_DIR=... to change scale (default sf0.01 — the
@@ -32,7 +32,7 @@ def main() -> int:
     from dystonse_gtfs_importer_spark.sources import testdata
 
     testdata.MEMOIZE_VIEWS = True
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from __spark_entry__ import queries
