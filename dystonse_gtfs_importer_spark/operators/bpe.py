@@ -55,48 +55,54 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
 
 def _top_pair(syms: DataFrame) -> tuple[str, str, int] | None:
     """Most frequent adjacent symbol pair, weighted by word count.
-    Ties break (count DESC, a ASC, b ASC) — deterministic."""
+    Ties break (count DESC, a ASC, b ASC) — deterministic.
+
+    The argmax is a single-row MIN over ``struct(-c, a, b)`` (struct
+    ordering is field-by-field, so smallest −c = largest count, then
+    a ASC, b ASC — exactly the ORDER BY it replaces): the final pick
+    folds into the pair aggregation as a map-side-partial aggregate
+    instead of a separate TakeOrdered pass over the grouped pairs
+    (r13, guide §1.2 — one less pass per merge round)."""
     n = F.size("syms")
-    pairs = (syms.where(n >= 2)
-             .select("cnt", F.explode(F.arrays_zip(
-                 F.slice("syms", 1, n - 1).alias("a"),
-                 F.slice("syms", 2, n - 1).alias("b"))).alias("p"))
-             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-             .agg(F.sum("cnt").alias("c"))
-             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-             .limit(1).collect())
-    if not pairs:
+    row = (syms.where(n >= 2)
+           .select("cnt", F.explode(F.arrays_zip(
+               F.slice("syms", 1, n - 1).alias("a"),
+               F.slice("syms", 2, n - 1).alias("b"))).alias("p"))
+           .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+           .agg(F.sum("cnt").alias("c"))
+           .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                               F.col("a"), F.col("b"))).alias("m"))
+           .collect()[0]["m"])
+    if row is None:
         return None
-    r = pairs[0]
-    return (r.a, r.b, r.c)
+    return (row.a, row.b, -row.nc)
 
 
 def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
     """Greedy left-to-right replacement of adjacent (a, b) with a+b —
     the BPE merge semantics (in 'aaa' with merge (a,a), the LEFT pair
-    merges).  Arrow-batched; runs on the vocabulary table, not the
-    corpus, so the Python hop is off the fact path."""
+    merges).
 
-    @pandas_udf(ArrayType(StringType()))
-    def merge_udf(col: pd.Series) -> pd.Series:
-        ab = a + b
-
-        def m(seq):
-            out = []
-            i = 0
-            while i < len(seq):
-                if (i + 1 < len(seq)
-                        and seq[i] == a and seq[i + 1] == b):
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(seq[i])
-                    i += 1
-            return out
-
-        return col.map(m)
-
-    return syms.select("cnt", merge_udf("syms").alias("syms"))
+    Runs as a JVM ``aggregate`` fold (r13, guide §4.1 built-ins over
+    UDFs — the pandas UDF paid a Python worker round-trip per merge
+    round, stacking up to ``checkpoint_every`` ArrowEvalPython nodes
+    in every round's plan).  The fold is equivalent to the indexed
+    while-loop: it merges each adjacent pair whose LEFT element was
+    not consumed by a previous merge, and a freshly merged token
+    ``a+b`` can never equal ``a`` (``b`` is non-empty), so a merged
+    output is never re-merged as a left element — pinned against the
+    Python form in tests/test_bpe.py."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    merged = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la) & (x == lb),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(lab)))
+        .otherwise(F.concat(acc, F.array(x))))
+    return syms.select("cnt", merged.alias("syms"))
 
 
 def bpe_train(docs: DataFrame, n_merges: int,

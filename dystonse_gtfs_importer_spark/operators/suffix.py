@@ -115,8 +115,23 @@ def dense_rank_scalable(df: DataFrame, cols: list[str],
         d = df.repartitionByRange(*cols) \
             .withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*cols)
-    d = d.withColumn("__lr", F.dense_rank().over(w)) \
-        .localCheckpoint(eager=True)
+    d = d.withColumn("__lr", F.dense_rank().over(w))
+    if first_col_ubound is not None:
+        # deterministic value-bucket partitioning: recomputation (a
+        # cache eviction) reproduces the identical partitioning and
+        # ranks, so a persist pins the result just as safely as the
+        # eager checkpoint — and the offsets aggregation below then
+        # doubles as the single materializing action: ONE job per
+        # ladder round instead of a checkpoint job plus an offsets
+        # job (r13, guide §1.2 "fewer passes").  The sampled-range
+        # path below must keep the eager checkpoint: its partition
+        # bounds are re-SAMPLED on every recomputation, and two
+        # actions over un-pinned lineage could silently disagree.
+        from pyspark.storagelevel import StorageLevel
+
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        d = d.localCheckpoint(eager=True)
     sizes = {r["__pid"]: r["n"] for r in
              d.groupBy("__pid").agg(F.max("__lr").alias("n")).collect()}
     # cumulative offsets as an ARRAY literal indexed by partition id

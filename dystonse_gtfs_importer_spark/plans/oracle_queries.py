@@ -240,6 +240,23 @@ def q_stop_pair_counts(d: S.Dialect) -> str:
         # Both shuffles survive at any scale: the orderkey exchange is
         # the one fact shuffle, and the grand total moves one row of
         # two fixed-width arrays per map partition.
+        #
+        # r13 (guide §2.4 "share one exchange", §2.3): the fact
+        # exchange moves BEFORE the per-order fold — repartition the
+        # raw (l_orderkey, l_linenumber, l_extendedprice) rows by
+        # l_orderkey, so the 14 conditional sums and the 42-product
+        # grand-total fold run on every core instead of inside the
+        # scan task (a single-row-group local file scans as ONE task;
+        # the driver's 8-vs-32-core probe needs the CPU-heavy fold to
+        # live above the exchange to show scaling).  This trades away
+        # map-side combine, which is right here because l_orderkey is
+        # near-unique per task (~4 rows/order scattered across tasks:
+        # the partial agg barely combined but widened 3 narrow columns
+        # to 15 aggregate columns — the pre-partitioned shuffle moves
+        # FEWER bytes at any scale, the same near-unique-domain
+        # argument as ecdf_curve_jvm's pre_partition).  On a layout
+        # bucketed by l_orderkey the hint would be dropped with the
+        # exchange itself (see test_bucketed_aggregation_has_no_exchange).
         ks = range(1, 8)
         # primitive columns, not arrays: the grand-total fold's 42
         # SUMs over array[i]*array[j] products evaluated ~2× slower
@@ -259,9 +276,14 @@ def q_stop_pair_counts(d: S.Dialect) -> str:
             f"SUM(n{i} * s{j} - n{j} * s{i})"
             for i in ks for j in ks if i < j)
         return f"""
-            WITH piv AS (
+            WITH raw AS (
+                SELECT /*+ REPARTITION(l_orderkey) */
+                       l_orderkey, l_linenumber, l_extendedprice
+                FROM lineitem
+            ),
+            piv AS (
                 SELECT l_orderkey, {ns}, {ss}
-                FROM lineitem GROUP BY l_orderkey
+                FROM raw GROUP BY l_orderkey
             ),
             red AS (
                 SELECT array({np_sums}) AS nps, array({sd_sums}) AS sds
@@ -948,7 +970,7 @@ def q_token_stats(d: S.Dialect) -> str:
     """
 
 
-def q_lang_id(d: S.Dialect) -> str:
+def q_lang_id(d: S.Dialect, src: str = "documents") -> str:
     # stage each language's marker score ONCE in a FROM-level
     # projection, then argmax over the columns: inlined, the CASE
     # re-evaluates the pad-and-REPLACE score chains per comparison
@@ -963,8 +985,30 @@ def q_lang_id(d: S.Dialect) -> str:
     case = S.lang_id_case({lang: f"s_{lang}" for lang, _ in S.LANG_MARKERS})
     return f"""
         SELECT doc_id, {case} AS lang_pred
-        FROM (SELECT doc_id, {scores} FROM documents)
+        FROM (SELECT doc_id, {scores} FROM {src})
     """
+
+
+def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of ``lang_id``: the per-row REPLACE-chain scoring is
+    the whole cost and it runs wherever the scan runs — a
+    single-row-group local file scans as ONE task, serializing 16
+    score chains per document onto one core.  When the scan yields
+    fewer splits than cores, spread the (doc_id, text) rows first
+    (guide §2.5/§2.6; the `_bigram_lm_spark` branch): on a real lake
+    the input already has ≥ parallelism splits and the branch never
+    fires.  Rows identical either way — partitioning does not touch a
+    map-only query's output."""
+    from ..session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    docs.createOrReplaceTempView("__lang_id_docs")
+    return spark.sql(q_lang_id(S.SPARK, src="__lang_id_docs"))
 
 
 def q_quality_score(d: S.Dialect) -> str:
@@ -1470,6 +1514,28 @@ _REPEATED_SPANS_ORACLE = f"""
 """
 
 
+def _lcp_sql(a: str, b: str) -> str:
+    """LCP(a, b) in O(L): position of the FIRST elementwise mismatch
+    minus one (prefix equality is monotone, so that equals the count
+    of equal prefixes), or min(len) when no mismatch.  The previous
+    form counted equal prefix SLICES — building two O(i) arrays per
+    probe i, O(L²) work and allocations per neighbor pair (guide
+    §1.2 "per-task work"; interleaved same-session A/B of the
+    uncapped profile pass at sf0.01: 2.00 → 1.43 s median-of-4,
+    identical rows).  NULL neighbor (the LEFT JOIN miss)
+    yields NULL, which the callers' COALESCE(.., 0) already absorbs
+    — same rows as the old form's empty-filter 0.
+
+    Module-level (ADVICE r12 #1) so tests validate the PRODUCTION
+    expression instead of a hardcoded copy."""
+    return (
+        f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
+        f"COALESCE(NULLIF(array_position(transform("
+        f"sequence(1, least(size({a}), size({b}))), "
+        f"i -> element_at({a}, i) = element_at({b}, i)), false), 0) - 1, "
+        f"least(size({a}), size({b}))) END")
+
+
 # Spark-side twin: the same prof CTE chain, but ranks come from the
 # distributed prefix-doubling view ``sr`` (operators/suffix) instead
 # of a corpus-wide sort — no single-partition window anywhere.  With
@@ -1480,22 +1546,7 @@ def _suffix_profile_spark_ctes(min_len: int = 8,
                                cap: int | None = None,
                                doc_table: str = "documents",
                                sr_table: str = "sr") -> str:
-    # LCP(a, b) in O(L): position of the FIRST elementwise mismatch
-    # minus one (prefix equality is monotone, so that equals the count
-    # of equal prefixes), or min(len) when no mismatch.  The previous
-    # form counted equal prefix SLICES — building two O(i) arrays per
-    # probe i, O(L²) work and allocations per neighbor pair (guide
-    # §1.2 "per-task work"; interleaved same-session A/B of the
-    # uncapped profile pass at sf0.01: 2.00 → 1.43 s median-of-4,
-    # identical rows).  NULL neighbor (the LEFT JOIN miss)
-    # yields NULL, which the callers' COALESCE(.., 0) already absorbs
-    # — same rows as the old form's empty-filter 0.
-    lcp = (lambda a, b:
-           f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
-           f"COALESCE(NULLIF(array_position(transform("
-           f"sequence(1, least(size({a}), size({b}))), "
-           f"i -> element_at({a}, i) = element_at({b}, i)), false), 0) - 1, "
-           f"least(size({a}), size({b}))) END")
+    lcp = _lcp_sql
     # Suffix slices are materialized ONLY for class representatives
     # (one per rank — all members of a rank class are the identical
     # truncated suffix, so any representative yields the same array).
@@ -1563,16 +1614,30 @@ def _repeated_spans_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window exists anywhere in the plan.  LCP of two
     materialized neighbor suffixes is a bounded prefix comparison.
     DuckDB derives the same profile from an actual suffix sort."""
-    from ..operators.suffix import suffix_ranks
     from ..session import configure_for_oracle
 
     configure_for_oracle(spark)
     register_views(spark, sf_dir)
-    suffix_ranks(spark.table("documents")).createOrReplaceTempView("sr")
+    ctes = _register_sr_with_profile_ctes(spark, cap=None)
     return spark.sql(f"""
-        WITH {_suffix_profile_spark_ctes()}
+        WITH {ctes}
         SELECT doc_id, CAST(pos AS INT) AS pos, rep_len FROM prof
     """)
+
+
+def _register_sr_with_profile_ctes(spark: SparkSession,
+                                   cap: int | None) -> str:
+    """Build the ``sr`` rank view AND the profile CTEs from ONE cap
+    value (ADVICE r12 #4): the class-grain reps CTE is only correct
+    when the ``sr`` view was built with the same ``prefix_cap`` as the
+    CTEs' cap — rank classes must be identical truncated suffixes.
+    Funnelling both through this builder makes the pairing structural
+    instead of a per-caller convention."""
+    from ..operators.suffix import suffix_ranks
+
+    suffix_ranks(spark.table("documents"),
+                 prefix_cap=cap).createOrReplaceTempView("sr")
+    return _suffix_profile_spark_ctes(cap=cap)
 
 
 def _exactsubstr_cut_spark(spark: SparkSession, sf_dir: str,
@@ -1598,15 +1663,13 @@ def _exactsubstr_cut_spark(spark: SparkSession, sf_dir: str,
     the re-aliased LogicalRDD copies, so persist() silently caches
     nothing here — the checkpoint replaces the plan wholesale and
     cannot be missed."""
-    from ..operators.suffix import suffix_ranks
     from ..session import configure_for_oracle
 
     configure_for_oracle(spark)
     register_views(spark, sf_dir)
-    suffix_ranks(spark.table("documents"),
-                 prefix_cap=cap).createOrReplaceTempView("sr")
+    ctes = _register_sr_with_profile_ctes(spark, cap=cap)
     prof = spark.sql(f"""
-        WITH {_suffix_profile_spark_ctes(cap=cap)}
+        WITH {ctes}
         SELECT doc_id, pos, rep_len FROM prof
     """).localCheckpoint(eager=True)
     prof.createOrReplaceTempView("prof_v")
@@ -3276,7 +3339,10 @@ QUERIES: dict[str, QueryDef] = {
     "interval_overlap": _sql_pair(q_interval_overlap, "S8 F14"),
     "autocomplete": _sql_pair(q_autocomplete, "O3 F12"),
     "token_stats": _sql_pair(q_token_stats, "text-analysis"),
-    "lang_id": _sql_pair(q_lang_id, "text-analysis"),
+    "lang_id": QueryDef(
+        spark=_lang_id_spark,
+        oracle=q_lang_id(S.DUCKDB),
+        survey_ref="text-analysis"),
     "quality_score": _sql_pair(q_quality_score, "text-analysis"),
     "exact_dedup": _sql_pair(q_exact_dedup, "dedup-exact"),
     "fingerprint_dedup": _sql_pair(q_fingerprint_dedup, "dedup-fingerprint"),

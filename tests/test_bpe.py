@@ -94,3 +94,42 @@ class TestBpeTrain:
         # 'a</w>' fully merges after one step; asking for 10 stops early
         merges = bpe_train(docs, n_merges=10)
         assert merges == [("a", "</w>")]
+
+    def test_jvm_merge_fold_matches_indexed_while_loop(self, spark):
+        """r13: _apply_merge runs as a JVM aggregate fold.  Pin its
+        equivalence to the indexed while-loop semantics (in 'aaa'
+        with merge (a,a) the LEFT pair merges; a freshly merged token
+        is never re-merged as a left element) on the adversarial
+        shapes: runs of the merge pair, overlapping occurrences, and
+        pairs whose concatenation collides with a neighbouring
+        token."""
+        from dystonse_gtfs_importer_spark.operators.bpe import _apply_merge
+
+        def while_loop(seq, a, b):
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            return out
+
+        cases = [
+            (["a", "a", "a"], "a", "a"),
+            (["a", "a", "a", "a"], "a", "a"),
+            (["a", "b", "a", "b"], "a", "b"),
+            (["a", "a", "b"], "a", "b"),
+            (["b", "a", "b", "b"], "a", "b"),
+            (["ab", "a", "b", "ab"], "a", "b"),      # merged == neighbour
+            (["a", "ab", "b"], "a", "ab"),           # b == a+b prefix play
+            (["x"], "a", "b"),
+            ([], "a", "b"),
+            (["a", "b", "b", "a", "b"], "b", "b"),
+        ]
+        for seq, a, b in cases:
+            df = spark.createDataFrame(
+                [(1, seq)], "cnt LONG, syms ARRAY<STRING>")
+            got = _apply_merge(df, a, b).collect()[0]["syms"]
+            assert got == while_loop(seq, a, b), (seq, a, b, got)

@@ -211,11 +211,12 @@ class TestSpanProfileInternals:
 
         df = spark.createDataFrame(
             rows, "i int, a array<string>, b array<string>")
-        lcp = ("CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE "
-               "COALESCE(NULLIF(array_position(transform("
-               "sequence(1, least(size(a), size(b))), "
-               "i -> element_at(a, i) = element_at(b, i)), false), 0) - 1, "
-               "least(size(a), size(b))) END")
+        # the PRODUCTION expression (ADVICE r12 #1: no stale copy)
+        from dystonse_gtfs_importer_spark.plans.oracle_queries import (
+            _lcp_sql,
+        )
+
+        lcp = _lcp_sql("a", "b")
         got = {r.i: r.l for r in
                df.select("i", F.expr(lcp).alias("l")).collect()}
         want = {i: ref_lcp(a, b) for i, a, b in rows}
