@@ -13,6 +13,36 @@ from gtfs_fixtures import build_schedule, write_gtfs_dir
 from dystonse_gtfs_importer_spark.sources.gtfs_rt import encode_feed_message
 
 
+def _await_drained(q, timeout=120):
+    """Wait until the availableNow query has processed every available
+    micro-batch, then stop it.  ``applyInPandasWithState`` queries
+    with ProcessingTimeTimeout never self-terminate — the engine keeps
+    the query alive to fire future state timeouts — so a bare
+    ``awaitTermination(120)`` burns the full timeout after the source
+    drained (measured 120.2-120.7 s per test in the r13 baseline
+    profile).  Drained = at least one progress event AND the status
+    reads no-data-available / no-trigger-active twice in a row (the
+    double read guards the between-batches race); a query that DOES
+    terminate (non-stateful) is detected by awaitTermination as
+    before, so assertion strength is unchanged — the sink is only read
+    after all available input was committed."""
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if q.awaitTermination(1):
+            return
+        s = q.status
+        if (q.lastProgress is not None
+                and not s["isDataAvailable"] and not s["isTriggerActive"]):
+            time.sleep(0.5)
+            s = q.status
+            if not s["isDataAvailable"] and not s["isTriggerActive"]:
+                q.stop()
+                return
+    q.stop()
+
+
 def _feed(ts, seq_delay_pairs, trip="TR1v1n0", start_date="20240101"):
     return encode_feed_message(ts, [
         {"trip_id": trip, "route_id": "R1", "start_date": start_date,
@@ -151,7 +181,7 @@ class TestStreamingImport:
         q = (dedup.writeStream.format("memory").queryName("dedup_out")
              .option("checkpointLocation", str(tmp_path / "ck"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _await_drained(q)
         out = spark.sql("SELECT * FROM dedup_out").collect()
         bases = [(r.stop_sequence, r.departure_delay) for r in out]
         assert bases == [(1, 60), (2, 60), (2, 72)]
@@ -389,17 +419,38 @@ class TestDecayedCounterStream:
              .outputMode("update")
              .option("checkpointLocation", str(tmp_path / "dck"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+
         # update mode: the LAST row per key is the final state
         import pandas as pd
 
-        got_df = spark.sql("SELECT * FROM decct").toPandas()
-        got = {int(r.key): (int(r.last_bucket),
-                            int(r.decayed_value_e6), int(r.n_events))
-               for _, r in got_df.iterrows()}  # later rows overwrite
+        def _read():
+            got_df = spark.sql("SELECT * FROM decct").toPandas()
+            return {int(r.key): (int(r.last_bucket),
+                                 int(r.decayed_value_e6), int(r.n_events))
+                    for _, r in got_df.iterrows()}  # later rows overwrite
+
         want = {int(r.key): (int(r.last_bucket),
                              int(r.decayed_value_e6), int(r.n_events))
                 for r in batch.collect()}
+        # Poll the sink until the stream state equals the batch fold:
+        # this availableNow query never self-terminates
+        # (ProcessingTimeTimeout schedules back-to-back timeout
+        # batches, so even _await_drained's idle-status probe never
+        # fires — measured 122 s of pure timeout wait in the r13
+        # baseline).  State can only evolve from the fixed input files
+        # (a TTL firing removes state without emitting), so once the
+        # sink matches the batch fold it stays matched; on a real
+        # mismatch the deadline expires and the assertion below
+        # reports the diff exactly like the old 120 s wait did.
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if _read() == want:
+                break
+            time.sleep(1)
+        q.stop()
+        got = _read()
         assert got == want and len(want) == 2
 
     def test_fold_hand_values(self):
