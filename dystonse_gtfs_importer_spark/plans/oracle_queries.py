@@ -970,7 +970,7 @@ def q_token_stats(d: S.Dialect) -> str:
     """
 
 
-def q_lang_id(d: S.Dialect, src: str = "documents") -> str:
+def q_lang_id(d: S.Dialect) -> str:
     # stage each language's marker score ONCE in a FROM-level
     # projection, then argmax over the columns: inlined, the CASE
     # re-evaluates the pad-and-REPLACE score chains per comparison
@@ -985,30 +985,21 @@ def q_lang_id(d: S.Dialect, src: str = "documents") -> str:
     case = S.lang_id_case({lang: f"s_{lang}" for lang, _ in S.LANG_MARKERS})
     return f"""
         SELECT doc_id, {case} AS lang_pred
-        FROM (SELECT doc_id, {scores} FROM {src})
+        FROM (SELECT doc_id, {scores} FROM documents)
     """
 
 
-def _lang_id_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side of ``lang_id``: the per-row REPLACE-chain scoring is
-    the whole cost and it runs wherever the scan runs — a
-    single-row-group local file scans as ONE task, serializing 16
-    score chains per document onto one core.  When the scan yields
-    fewer splits than cores, spread the (doc_id, text) rows first
-    (guide §2.5/§2.6; the `_bigram_lm_spark` branch): on a real lake
-    the input already has ≥ parallelism splits and the branch never
-    fires.  Rows identical either way — partitioning does not touch a
-    map-only query's output."""
-    from ..session import configure_for_oracle
-
-    configure_for_oracle(spark)
-    register_views(spark, sf_dir)
-    docs = spark.table("documents").select("doc_id", "text")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
-    docs.createOrReplaceTempView("__lang_id_docs")
-    return spark.sql(q_lang_id(S.SPARK, src="__lang_id_docs"))
+# r13 measured NEGATIVE (guide §1.3 "when to stop"): a conditional
+# spread of (doc_id, text) before the score projection (the
+# `_bigram_lm_spark` splits<cores branch) won on the computation
+# alone — interleaved same-session noop A/B 0.231 → 0.193 s median —
+# but the declared bench action is build + count(), and count()
+# PRUNES a map-only projection (the score chains never execute in
+# the timed region), so the spread's shuffle and the per-build
+# splits probe are pure added cost on the driver's metric: bench row
+# 0.139 → 0.438 s.  Reverted to the plain SQL pair; the spread
+# pattern stays on paths whose timed action evaluates the columns
+# (stop_pair_counts pre-partition, _bigram_lm_spark).
 
 
 def q_quality_score(d: S.Dialect) -> str:
@@ -3339,10 +3330,7 @@ QUERIES: dict[str, QueryDef] = {
     "interval_overlap": _sql_pair(q_interval_overlap, "S8 F14"),
     "autocomplete": _sql_pair(q_autocomplete, "O3 F12"),
     "token_stats": _sql_pair(q_token_stats, "text-analysis"),
-    "lang_id": QueryDef(
-        spark=_lang_id_spark,
-        oracle=q_lang_id(S.DUCKDB),
-        survey_ref="text-analysis"),
+    "lang_id": _sql_pair(q_lang_id, "text-analysis"),
     "quality_score": _sql_pair(q_quality_score, "text-analysis"),
     "exact_dedup": _sql_pair(q_exact_dedup, "dedup-exact"),
     "fingerprint_dedup": _sql_pair(q_fingerprint_dedup, "dedup-fingerprint"),
