@@ -174,21 +174,9 @@ def kmeans_init(points: DataFrame, k: int, init: str = "k-means||",
              .select(F.lit(0).alias("cell"), F.col("vec").alias("cent")))
     cand = first.localCheckpoint(eager=True)
     for r in range(rounds):
-        # persist the round's assignment: φ and the sampling filter
-        # both consume it, and without the pin the k-means|| round
-        # paid the corpus-pass argmin TWICE (φ action + cand
-        # checkpoint) — the sampling threshold still needs φ from a
-        # completed cost pass, but the pass itself runs once (r13,
-        # guide §5 "reused AND recomputing is more expensive").
-        # Recompute-on-eviction is deterministic (broadcast-join
-        # argmin over pinned candidates), so persist is sound here.
-        from pyspark.storagelevel import StorageLevel
-
-        a = lloyd_assign(points, cand, assign=assign) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        a = lloyd_assign(points, cand, assign=assign)
         phi = a.agg(F.sum("d2")).first()[0] or 0.0
         if phi <= 0.0:          # all mass on existing candidates
-            a.unpersist()
             break
         picked = (a.where(_hash01(F.col("pid"), seed + r)
                           < F.least(F.lit(1.0),
@@ -197,7 +185,6 @@ def kmeans_init(points: DataFrame, k: int, init: str = "k-means||",
                           F.col("vec").alias("cent")))
         cand = cand.unionByName(picked).dropDuplicates(["cent"]) \
             .localCheckpoint(eager=True)
-        a.unpersist()
 
     # weight candidates by attraction, reduce driver-side.  Re-key the
     # candidate set 0..m-1 (it is m ≤ 1+ℓ·rounds rows — the window
@@ -237,35 +224,19 @@ def kmeans(df: DataFrame, k: int, id_col: str = "vec_id",
                           seed=seed, assign=assign)
     history: list[float] = []
     stats = None
-    spark = df.sparkSession
-    stats_schema = ("cell: bigint, cent: array<double>, "
-                    "inertia: double, n: bigint")
     for _ in range(max_iter):
         assigned = lloyd_assign(pts, centers, assign=assign)
         stats = _recompute(assigned)
         # empty cells: carry the previous center forward
         stats = (centers.join(stats, "cell", "left")
-                 .select(F.col("cell").cast("long"),
+                 .select("cell",
                          F.coalesce(stats["cent"], centers["cent"])
                          .alias("cent"),
                          F.coalesce("inertia", F.lit(0.0))
                          .alias("inertia"),
-                         F.coalesce("n", F.lit(0)).cast("long")
-                         .alias("n")))
-        # ONE corpus-pass action per round (r13, guide §1.2): the
-        # k-row stats land on the driver directly — the Σ inertia
-        # convergence read and the next round's centers are driver-
-        # side arithmetic over those k rows, replacing the eager
-        # localCheckpoint job + separate inertia aggregation job.
-        # collect() returns exact IEEE doubles and createDataFrame
-        # re-ships them bit-identically, so results are unchanged;
-        # k rows of dim doubles is the same driver mass the broadcast
-        # in lloyd_assign already carries every round.
-        rows = sorted(stats.collect(), key=lambda r: r.cell)
-        inertia = sum(r.inertia for r in rows)
-        stats = spark.createDataFrame(
-            [(r.cell, r.cent, r.inertia, r.n) for r in rows],
-            stats_schema)
+                         F.coalesce("n", F.lit(0)).alias("n"))
+                 ).localCheckpoint(eager=True)
+        inertia = stats.agg(F.sum("inertia")).first()[0] or 0.0
         centers = stats.select("cell", "cent")
         history.append(float(inertia))
         if len(history) >= 2 and history[-2] > 0 \

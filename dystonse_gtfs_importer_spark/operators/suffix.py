@@ -116,22 +116,22 @@ def dense_rank_scalable(df: DataFrame, cols: list[str],
             .withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*cols)
     d = d.withColumn("__lr", F.dense_rank().over(w))
-    if first_col_ubound is not None:
-        # deterministic value-bucket partitioning: recomputation (a
-        # cache eviction) reproduces the identical partitioning and
-        # ranks, so a persist pins the result just as safely as the
-        # eager checkpoint — and the offsets aggregation below then
-        # doubles as the single materializing action: ONE job per
-        # ladder round instead of a checkpoint job plus an offsets
-        # job (r13, guide §1.2 "fewer passes").  The sampled-range
-        # path below must keep the eager checkpoint: its partition
-        # bounds are re-SAMPLED on every recomputation, and two
-        # actions over un-pinned lineage could silently disagree.
-        from pyspark.storagelevel import StorageLevel
-
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        d = d.localCheckpoint(eager=True)
+    # r13 measured NEGATIVE twice (guide §1.3), kept eager: (1) a
+    # MEMORY_AND_DISK persist on the bucketed path (offsets agg as the
+    # only materializing action — one job/round instead of two) keeps
+    # full lineage, and Catalyst re-analysis of the growing ladder
+    # tree cost +15-25 % wall across the suffix family (final-plan
+    # Exchange mentions 0 → 76); (2) localCheckpoint(eager=False) — no
+    # sample hazard on the bucketed path and lineage truncates — saved
+    # the separate checkpoint job but still measured +3-5 % on
+    # interleaved B/A/B/A pairs (suffix_ranks 2.61 vs 2.75 s,
+    # repeated_spans_scalable 4.78 vs 4.85-5.17 s at sf0.01): locally
+    # the eager checkpoint job is fully parallel and the offsets read
+    # of stored blocks is nearly free, so there is no sequential-job
+    # saving to collect.  Eager also stays the SAFE shape for the
+    # sampled-range path (re-sampled bounds make un-pinned double
+    # actions silently corrupting).
+    d = d.localCheckpoint(eager=True)
     sizes = {r["__pid"]: r["n"] for r in
              d.groupBy("__pid").agg(F.max("__lr").alias("n")).collect()}
     # cumulative offsets as an ARRAY literal indexed by partition id
