@@ -13,34 +13,19 @@ from gtfs_fixtures import build_schedule, write_gtfs_dir
 from dystonse_gtfs_importer_spark.sources.gtfs_rt import encode_feed_message
 
 
-def _await_drained(q, timeout=120):
-    """Wait until the availableNow query has processed every available
-    micro-batch, then stop it.  ``applyInPandasWithState`` queries
-    with ProcessingTimeTimeout never self-terminate — the engine keeps
-    the query alive to fire future state timeouts — so a bare
-    ``awaitTermination(120)`` burns the full timeout after the source
-    drained (measured 120.2-120.7 s per test in the r13 baseline
-    profile).  Drained = at least one progress event AND the status
-    reads no-data-available / no-trigger-active twice in a row (the
-    double read guards the between-batches race); a query that DOES
-    terminate (non-stateful) is detected by awaitTermination as
-    before, so assertion strength is unchanged — the sink is only read
-    after all available input was committed."""
-    import time
-
-    deadline = time.time() + timeout
-    while time.time() < deadline:
-        if q.awaitTermination(1):
-            return
-        s = q.status
-        if (q.lastProgress is not None
-                and not s["isDataAvailable"] and not s["isTriggerActive"]):
-            time.sleep(0.5)
-            s = q.status
-            if not s["isDataAvailable"] and not s["isTriggerActive"]:
-                q.stop()
-                return
-    q.stop()
+# NOTE on availableNow + applyInPandasWithState waits: these queries
+# never self-terminate (ProcessingTimeTimeout keeps them alive to fire
+# future state timeouts) and under full-suite timing the engine
+# schedules back-to-back timeout batches, so even an idle-status probe
+# ("no data available / no trigger active twice in a row") never fires
+# — an intermediate _await_drained helper based on it measured <6 s in
+# isolation but the full 120 s in-suite.  The robust pattern, used by
+# both stateful tests below: poll the SINK until it equals the
+# independently computed expectation, then stop — sound because state
+# only evolves from the fixed input files (a timeout firing drops
+# state without emitting), so first-match is final-match, and a real
+# mismatch still waits out the same deadline and fails with the same
+# diff.
 
 
 def _feed(ts, seq_delay_pairs, trip="TR1v1n0", start_date="20240101"):
@@ -181,10 +166,31 @@ class TestStreamingImport:
         q = (dedup.writeStream.format("memory").queryName("dedup_out")
              .option("checkpointLocation", str(tmp_path / "ck"))
              .trigger(availableNow=True).start())
-        _await_drained(q)
-        out = spark.sql("SELECT * FROM dedup_out").collect()
-        bases = [(r.stop_sequence, r.departure_delay) for r in out]
-        assert bases == [(1, 60), (2, 60), (2, 72)]
+
+        # Poll the sink until the expected deduped bases appear (the
+        # decayed-counter pattern): under full-suite timing the engine
+        # schedules back-to-back state-timeout batches, so even
+        # _await_drained's idle-status probe never fires (measured
+        # 120.6 s of pure wait in the r13 full-suite profile despite a
+        # <6 s isolated re-measure).  Kept rows only ever come from
+        # the fixed input file — a timeout firing drops state without
+        # emitting — so once the sink shows the expected bases it
+        # stays there; a real mismatch still waits out the same 120 s
+        # deadline and fails with the same diff below.
+        import time
+
+        def _bases():
+            out = spark.sql("SELECT * FROM dedup_out").collect()
+            return [(r.stop_sequence, r.departure_delay) for r in out]
+
+        want = [(1, 60), (2, 60), (2, 72)]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if _bases() == want:
+                break
+            time.sleep(0.5)
+        q.stop()
+        assert _bases() == want
 
     def test_prediction_basis_dedup_tws_matches_classic(self, spark,
                                                         tmp_path):
